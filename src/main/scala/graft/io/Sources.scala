@@ -1,0 +1,70 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Readers for the engine. Everything is expressed against plain paths so
+  * the same code runs on a laptop, local[32], or a 1000-executor cluster;
+  * cloud-only connectors (Kafka / Kinesis / Delta) slot in behind the
+  * same signatures.
+  *
+  * Reference shapes covered: S1/S2 batch scans
+  * (`(Clone) mount_s3_in_databricks.py:21-24,62-75`), S4 envelope decode
+  * (`(Clone) kinesis_streaming_process_in_databricks.py:83-85,109-111`).
+  */
+object Sources {
+
+  /** All driver-provided star-schema tables (TESTDATA.md). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one parquet table from a scale-factor directory. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Load every table and register a temp view per table so DataFrame and
+    * `spark.sql` entry points stay in sync (SURVEY.md §3.3).
+    */
+  def loadAll(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
+    tableNames.map { n =>
+      val df = table(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+      n -> df
+    }.toMap
+
+  /** Batch JSON scan with an explicit schema — the production path.
+    * Schema inference (`inferJson`) is kept as a tested option because the
+    * reference's batch side relies on it.
+    */
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Batch JSON scan with schema inference (reference parity:
+    * `(Clone) mount_s3_in_databricks.py:69-74`). Not for 100 TB paths —
+    * inference is an extra full read.
+    */
+  def inferJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("inferSchema", "true").json(path)
+
+  /** Decode a stream envelope: a single binary/string `data` column
+    * holding one JSON record per row (the Kinesis/Kafka wire shape) into
+    * typed columns. Works identically for batch and streaming frames.
+    */
+  def decodeEnvelope(envelope: DataFrame, schema: StructType): DataFrame =
+    envelope
+      .select(from_json(col("data").cast("string"), schema).as("data"))
+      .select(col("data.*"))
+
+  /** Streaming file source with the `(data string)` envelope, mirroring
+    * the reference's Kinesis source shape
+    * (`(Clone) kinesis_streaming_process_in_databricks.py:34-42`).
+    */
+  def streamEnvelope(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "data", org.apache.spark.sql.types.StringType))))
+      .json(dir)
+}

@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py <verifyOutDir> [sfDir]
+
+Reads each <name>/ parquet result written by graft.Verify, runs the
+matching SQL from oracle_sql.json in DuckDB over the same sfDir tables,
+sorts columns by name + rows by all columns, and compares values
+exactly.  Exit 0 iff every oracled query matches.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.dataset as ds
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, bytes):
+        return v.hex()
+    # Decimal / Timestamp / date -> canonical string
+    import decimal, datetime
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(canon(x) for x in v)
+    return v
+
+
+def rows_of(table):
+    cols = sorted(table.column_names)
+    table = table.select(cols)
+    data = table.to_pylist()
+    rows = [tuple(canon(r[c]) for c in cols) for r in data]
+    return cols, sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def main():
+    out_dir = Path(sys.argv[1])
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    n_pass = n_fail = 0
+    failures = []
+    for name in sorted(oracle):
+        res_dir = out_dir / name
+        if not res_dir.exists():
+            failures.append((name, "NO SPARK RESULT"))
+            n_fail += 1
+            continue
+        try:
+            spark_tab = ds.dataset(str(res_dir)).to_table()
+            duck_tab = con.execute(oracle[name]).fetch_arrow_table()
+            scols, srows = rows_of(spark_tab)
+            dcols, drows = rows_of(duck_tab)
+            if scols != dcols:
+                failures.append((name, f"SCHEMA spark={scols} duck={dcols}"))
+                n_fail += 1
+                continue
+            if len(srows) != len(drows):
+                failures.append((name, f"ROWCOUNT spark={len(srows)} duck={len(drows)}"))
+                n_fail += 1
+                continue
+            bad = None
+            for i, (a, b) in enumerate(zip(srows, drows)):
+                if a != b:
+                    bad = (i, a, b)
+                    break
+            if bad:
+                failures.append((name, f"VALUE row {bad[0]}:\n  spark={bad[1]}\n  duck ={bad[2]}"))
+                n_fail += 1
+            else:
+                n_pass += 1
+                print(f"PASS {name} ({len(srows)} rows)")
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"ERROR {type(e).__name__}: {e}"))
+            n_fail += 1
+    for name, msg in failures:
+        print(f"FAIL {name}: {msg}")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
