@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** The full operator registry. */
   def registry: Seq[OpQuery] =
-    StarQueries.all
+    StarQueries.all ++ RelationalOps.all ++ EventOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false") // lenient casts (SURVEY.md §7.4.3)
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
+      // default; read it as a long of nanoseconds (SURVEY.md §7.4.6)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

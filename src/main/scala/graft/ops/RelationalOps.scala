@@ -1,0 +1,315 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Generalized relational operator surface (SURVEY.md §7.2 M3): the join
+  * variants, set ops, generators, window frames and grouping sets the
+  * reference never uses but a complete engine must expose.
+  *
+  * Numeric determinism: sums of money go through DECIMAL(18,2); products
+  * (e.g. revenue = extprice * (1 - discount)) are computed per-row in
+  * IEEE double with explicit parenthesization — identical bits in any
+  * engine — then cast to DECIMAL(18,6) before the (order-insensitive)
+  * exact decimal sum. A finite binary double can never sit exactly on a
+  * 1e-6 rounding tie, so HALF_UP vs HALF_EVEN cannot diverge either.
+  */
+object RelationalOps {
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Portable deterministic money-sum: decimal accumulate, double out. */
+  private def moneySum(c: Column): Column = sum(dec2(c)).cast("double")
+
+  /** revenue-style product aggregated exactly; `prod` must be a plain
+    * double expression with explicit parens mirrored in the oracle SQL.
+    */
+  private def prodSum(prod: Column): Column =
+    sum(prod.cast("decimal(18,6)")).cast("double")
+
+  /** Left-semi join: customers that placed at least one open order. */
+  val r01 = OpQuery.oracled("r01_semi_join_open_orders",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin,
+    doc = "left_semi join (EXISTS) — generalized join surface, SURVEY.md §2.3") { (spark, dir) =>
+    val customer = Sources.table(spark, dir, "customer")
+    val open = Sources.table(spark, dir, "orders").filter(col("o_orderstatus") === "O")
+    customer.join(open, customer("c_custkey") === open("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join: customers with no orders at all, rolled up by
+    * segment so the result stays small at any SF.
+    */
+  val r02 = OpQuery.oracled("r02_anti_join_no_orders",
+    """SELECT c_mktsegment, count(*) AS cnt FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    doc = "left_anti join (NOT EXISTS)") { (spark, dir) =>
+    val customer = Sources.table(spark, dir, "customer")
+    val orders = Sources.table(spark, dir, "orders")
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Left outer join with null-aware aggregation: every customer with
+    * order count (0 for the unmatched) and total spend.
+    */
+  val r03 = OpQuery.oracled("r03_left_join_order_stats",
+    """SELECT c_custkey,
+      |       count(o_orderkey) AS n_orders,
+      |       coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spend
+      |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY c_custkey""".stripMargin,
+    doc = "left outer join; count(col) vs count(*) null semantics (A6)") { (spark, dir) =>
+    val customer = Sources.table(spark, dir, "customer")
+    val orders = Sources.table(spark, dir, "orders")
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(moneySum(col("o_totalprice")), lit(0.0)).as("total_spend"))
+      .orderBy("c_custkey")
+  }
+
+  /** Set operations: customers active only in 1997, only in 1998, or in
+    * both — except/intersect over projected key sets.
+    */
+  val r04 = OpQuery.oracled("r04_set_ops_active_customers",
+    """WITH y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+      |     y98 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+      |SELECT 'both' AS bucket, count(*) AS cnt FROM (SELECT * FROM y97 INTERSECT SELECT * FROM y98)
+      |UNION ALL
+      |SELECT 'only_1997' AS bucket, count(*) AS cnt FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y98)
+      |UNION ALL
+      |SELECT 'only_1998' AS bucket, count(*) AS cnt FROM (SELECT * FROM y98 EXCEPT SELECT * FROM y97)
+      |ORDER BY bucket""".stripMargin,
+    doc = "union / except / intersect (O3)") { (spark, dir) =>
+    val orders = Sources.table(spark, dir, "orders")
+    def active(yr: Int) = orders
+      .filter(year(col("o_orderdate")) === yr)
+      .select("o_custkey").distinct()
+    val y97 = active(1997)
+    val y98 = active(1998)
+    def counted(df: DataFrame, bucket: String) =
+      df.agg(count(lit(1)).as("cnt")).select(lit(bucket).as("bucket"), col("cnt"))
+    counted(y97.intersect(y98), "both")
+      .unionAll(counted(y97.except(y98), "only_1997"))
+      .unionAll(counted(y98.except(y97), "only_1998"))
+      .orderBy("bucket")
+  }
+
+  /** Generator / explode: word frequencies over part names. */
+  val r05 = OpQuery.oracled("r05_explode_part_words",
+    """SELECT word, count(*) AS cnt
+      |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+      |GROUP BY 1 ORDER BY word""".stripMargin,
+    doc = "explode(split(...)) — Catalyst Generator axis (§2.8)") { (spark, dir) =>
+    Sources.table(spark, dir, "part")
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+  }
+
+  /** Window frame: running total of spend per customer over order date.
+    * The decimal-typed running sum keeps partial order irrelevant.
+    */
+  val r06 = OpQuery.oracled("r06_running_total_per_customer",
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |            OVER (PARTITION BY o_custkey
+      |                  ORDER BY o_orderdate, o_orderkey
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         AS running_spend
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    doc = "window frame rowsBetween (W-generalized; reference uses no frames)") { (spark, dir) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Sources.table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec2(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** lag/lead: average days between consecutive orders, per segment. */
+  val r07 = OpQuery.oracled("r07_order_gap_per_segment",
+    """WITH gaps AS (
+      |  SELECT o_custkey,
+      |         date_diff('day',
+      |                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+      |                                          ORDER BY o_orderdate, o_orderkey),
+      |                   o_orderdate) AS gap_days
+      |  FROM orders
+      |)
+      |SELECT c_mktsegment,
+      |       count(gap_days) AS n_gaps,
+      |       avg(gap_days) AS avg_gap_days
+      |FROM gaps JOIN customer ON o_custkey = c_custkey
+      |WHERE gap_days IS NOT NULL
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    doc = "lag over ordered partitions (W-generalized)") { (spark, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val orders = Sources.table(spark, dir, "orders")
+    val customer = Sources.table(spark, dir, "customer")
+    val gaps = orders
+      .withColumn("gap_days", datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)))
+      .filter(col("gap_days").isNotNull)
+    gaps.join(customer, gaps("o_custkey") === customer("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(col("gap_days")).as("n_gaps"), avg(col("gap_days")).as("avg_gap_days"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Rollup over the region/nation hierarchy. */
+  val r08 = OpQuery.oracled("r08_rollup_spend_by_region_nation",
+    """SELECT coalesce(r_name, 'ALL') AS region_name,
+      |       coalesce(n_name, 'ALL') AS nation_name,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY region_name, nation_name""".stripMargin,
+    doc = "rollup / grouping sets (generalized aggregation surface)") { (spark, dir) =>
+    val orders = Sources.table(spark, dir, "orders")
+    val customer = Sources.table(spark, dir, "customer")
+    val nation = Sources.table(spark, dir, "nation")
+    val region = Sources.table(spark, dir, "region")
+    // SQL entry point on purpose: proves the temp-view + spark.sql path
+    // (SURVEY.md §3.3) and sidesteps rollup's grouping-column ambiguity
+    // under the DataFrame resolver.
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .select("r_name", "n_name", "o_totalprice")
+      .createOrReplaceTempView("r08_flat")
+    spark.sql(
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+        |       coalesce(n_name, 'ALL') AS nation_name,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM r08_flat
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin)
+  }
+
+  /** HLL cardinality — approximate, so rows-only checked (no oracle:
+    * DuckDB's HLL would produce different estimates).
+    */
+  val r09 = OpQuery.unoracled("r09_approx_distinct_parts",
+    doc = "approx_count_distinct (HLL) per return flag — the 100 TB path for distinct counts") { (spark, dir) =>
+    Sources.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q1 shape: pricing summary over lineitem — the engine's
+    * bulk-scan + multi-aggregate workhorse.
+    */
+  val r10 = OpQuery.oracled("r10_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |       CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      |       CAST(sum(CAST(((l_extendedprice * (1 - l_discount)) * (1 + l_tax)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    doc = "TPC-H Q1 pricing summary (A1/A2/A6 generalized; public TPC-H spec)") { (spark, dir) =>
+    val li = Sources.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2001-09-02 00:00:00")))
+    val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val charge = (col("l_extendedprice") * (lit(1) - col("l_discount"))) * (lit(1) + col("l_tax"))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        prodSum(discPrice).as("sum_disc_price"),
+        prodSum(charge).as("sum_charge"),
+        (moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (moneySum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (moneySum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q5 shape: revenue by nation for a year — the multi-way
+    * big⋈big⋈dim join; lineitem⋈orders shuffles once on orderkey,
+    * dims broadcast.
+    */
+  val r11 = OpQuery.oracled("r11_revenue_by_nation",
+    """SELECT n_name,
+      |       CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE year(o_orderdate) = 1997
+      |GROUP BY 1 ORDER BY n_name""".stripMargin,
+    doc = "TPC-H Q5 shape: fact-fact join + broadcast dims (public TPC-H spec)") { (spark, dir) =>
+    val li = Sources.table(spark, dir, "lineitem")
+    val orders = Sources.table(spark, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1997)
+    val customer = Sources.table(spark, dir, "customer")
+    val nation = Sources.table(spark, dir, "nation")
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        prodSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** TPC-H Q3 shape: top-10 revenue orders for one segment —
+    * TakeOrderedAndProject keeps the global top-k scalable.
+    */
+  val r12 = OpQuery.oracled("r12_top_orders_building",
+    """SELECT o_orderkey,
+      |       CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |       year(o_orderdate) AS order_year
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, year(o_orderdate)
+      |ORDER BY revenue DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin,
+    doc = "TPC-H Q3 shape: global top-k via TakeOrderedAndProject (public TPC-H spec)") { (spark, dir) =>
+    val li = Sources.table(spark, dir, "lineitem")
+    val orders = Sources.table(spark, dir, "orders")
+    val customer = Sources.table(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .groupBy(col("o_orderkey"), year(col("o_orderdate")).as("order_year"))
+      .agg(prodSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .select("o_orderkey", "revenue", "order_year")
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  val all: Seq[OpQuery] = Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09, r10, r11, r12)
+}
