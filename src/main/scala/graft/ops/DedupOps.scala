@@ -1,0 +1,267 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Deduplication operators over `documents` — the north-star suite for
+  * a 100 TB training-data pipeline: exact (hash group-by), MinHash+LSH
+  * (shingle → minhash → band → bucket join → verified jaccard), SimHash,
+  * and token-set jaccard near-dup.
+  *
+  * Hashing is md5-hex everywhere: lexicographic min over hex strings is
+  * a valid uniform min-hash and is bit-portable across engines (the
+  * engines' native 64-bit hashes differ). Seeded variants prepend
+  * "<seed>:".
+  *
+  * Scale shape: every operator is explode → shuffle-on-key → aggregate;
+  * the LSH band join keys are uniformly distributed md5s, so the
+  * candidate join cannot hot-spot; the one deliberate skew risk (a
+  * shingle shared by millions of docs) is the documented frequency-cap
+  * knob in d04.
+  */
+object DedupOps {
+
+  private def docsWithShingles(spark: SparkSession, dir: String): DataFrame =
+    Sources.table(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(
+        """array_distinct(transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))""".stripMargin))
+
+  private val duckShingles =
+    """SELECT doc_id,
+      |       list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |WHERE len(t) >= 3""".stripMargin
+
+  /** Exact duplication profile of the corpus. */
+  val d01 = OpQuery.oracled("d01_exact_dedup_stats",
+    """SELECT count(*) AS n_docs,
+      |       count(DISTINCT text) AS n_unique_texts,
+      |       count(DISTINCT md5(text)) AS n_unique_hashes
+      |FROM documents""".stripMargin,
+    doc = "exact dedup cardinalities (hash group-by)") { (spark, dir) =>
+    Sources.table(spark, dir, "documents")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_unique_texts"),
+        countDistinct(md5(col("text"))).as("n_unique_hashes"))
+  }
+
+  /** Exact duplicate groups with a deterministic keeper (min doc_id) —
+    * the output a dedup job would join back to drop copies.
+    */
+  val d02 = OpQuery.oracled("d02_exact_dup_groups",
+    """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper
+      |FROM documents
+      |GROUP BY 1 HAVING count(*) > 1
+      |ORDER BY text_hash""".stripMargin,
+    doc = "exact duplicate groups keyed by content hash") { (spark, dir) =>
+    Sources.table(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+      .filter(col("n_copies") > 1)
+      .orderBy("text_hash")
+  }
+
+  private val nSeeds = 8
+
+  /** MinHash signatures: 8 seeded min-hashes over word 3-gram shingles. */
+  val d03 = OpQuery.oracled("d03_minhash_signatures", {
+    val mins = (0 until nSeeds)
+      .map(s => s"min(md5('$s:' || sh)) AS mh$s").mkString(",\n      |       ")
+    s"""WITH sh AS (
+      |  SELECT doc_id, unnest(shingles) AS sh FROM ($duckShingles)
+      |)
+      |SELECT doc_id,
+      |       $mins
+      |FROM sh
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+  },
+    doc = "MinHash signature computation (shingle -> seeded min-hash)") { (spark, dir) =>
+    val exploded = docsWithShingles(spark, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val aggs = (0 until nSeeds)
+      .map(s => min(md5(concat(lit(s + ":"), col("sh")))).as(s"mh$s"))
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .orderBy("doc_id")
+  }
+
+  /** LSH near-dup pairs: band the 8-hash signature into 4 bands of 2,
+    * bucket-join on band key, then verify candidates with exact shingle
+    * jaccard >= 0.5. At 100 TB the band join is the only shuffle that
+    * grows with corpus size and its keys are uniform md5s; a frequency
+    * cap on pathological shingles (commented) bounds the verify join.
+    */
+  val d04 = OpQuery.oracled("d04_lsh_near_dup_pairs", {
+    val mins = (0 until nSeeds)
+      .map(s => s"min(md5('$s:' || sh)) AS mh$s").mkString(", ")
+    val bands = (0 until nSeeds / 2)
+      .map(b => s"SELECT doc_id, md5('$b:' || mh${2 * b} || mh${2 * b + 1}) AS bk FROM sig")
+      .mkString("\n      |  UNION ALL\n      |  ")
+    s"""WITH shs AS (
+      |  SELECT doc_id, unnest(shingles) AS sh FROM ($duckShingles)
+      |), sig AS (
+      |  SELECT doc_id, $mins FROM shs GROUP BY doc_id
+      |), bands AS (
+      |  $bands
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id
+      |), common AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      |  FROM cand c
+      |  JOIN shs s1 ON s1.doc_id = c.doc_a
+      |  JOIN shs s2 ON s2.doc_id = c.doc_b AND s2.sh = s1.sh
+      |  GROUP BY 1, 2
+      |)
+      |SELECT m.doc_a, m.doc_b,
+      |       CAST(m.n_common AS DOUBLE) / (sa.n + sb.n - m.n_common) AS jaccard
+      |FROM common m
+      |JOIN sizes sa ON sa.doc_id = m.doc_a
+      |JOIN sizes sb ON sb.doc_id = m.doc_b
+      |WHERE CAST(m.n_common AS DOUBLE) / (sa.n + sb.n - m.n_common) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+  },
+    doc = "MinHash-LSH candidate generation + exact jaccard verification") { (spark, dir) =>
+    // The exploded shingle set feeds the signature, the sizes, and the
+    // verify join — persist it once instead of re-deriving it from the
+    // raw text three times (at 100 TB: a checkpointed intermediate
+    // table).
+    val shs = docsWithShingles(spark, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .persist()
+    // At real scale: shs.groupBy("sh").count.filter(count < CAP) joined
+    // back here drops degenerate shingles before the candidate join.
+    val aggs = (0 until nSeeds)
+      .map(s => min(md5(concat(lit(s + ":"), col("sh")))).as(s"mh$s"))
+    val sig = shs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // one pass over sig: explode the 4 band keys instead of a 4-way
+    // union that would recompute the signature aggregation per band
+    val bandKeys = (0 until nSeeds / 2).map { b =>
+      md5(concat(lit(b + ":"), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = shs.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(shs.as("s1"), col("s1.doc_id") === col("doc_a"))
+      .join(shs.as("s2"),
+        col("s2.doc_id") === col("doc_b") && col("s2.sh") === col("s1.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    val j = col("n_common").cast("double") /
+      (col("sa.n") + col("sb.n") - col("n_common"))
+    common
+      .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash: 64-bit (16 hex nibble) majority-vote fingerprint over the
+    * distinct-token md5s. Near-identical docs differ in few bits.
+    */
+  val d05 = OpQuery.oracled("d05_simhash",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      |), h AS (
+      |  SELECT doc_id, md5(t) AS h FROM tok
+      |), bits AS (
+      |  SELECT doc_id, p,
+      |         instr('0123456789abcdef', substr(h, p, 1)) - 1 AS d
+      |  FROM h, unnest(generate_series(1, 16)) AS u(p)
+      |), nib AS (
+      |  SELECT doc_id, p,
+      |         count(*) AS n,
+      |         sum((d >> 3) & 1) AS s3, sum((d >> 2) & 1) AS s2,
+      |         sum((d >> 1) & 1) AS s1, sum(d & 1) AS s0
+      |  FROM bits GROUP BY 1, 2
+      |), ch AS (
+      |  SELECT doc_id, p,
+      |         substr('0123456789abcdef',
+      |                1 + (CASE WHEN 2*s3 > n THEN 8 ELSE 0 END
+      |                   + CASE WHEN 2*s2 > n THEN 4 ELSE 0 END
+      |                   + CASE WHEN 2*s1 > n THEN 2 ELSE 0 END
+      |                   + CASE WHEN 2*s0 > n THEN 1 ELSE 0 END), 1) AS c
+      |  FROM nib
+      |)
+      |SELECT doc_id, string_agg(c, '' ORDER BY p) AS simhash
+      |FROM ch GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin,
+    doc = "SimHash fingerprint (bitwise majority of token hashes)") { (spark, dir) =>
+    Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+      .withColumn("h", md5(col("t")))
+      .select(col("doc_id"), col("h"), explode(expr("sequence(1, 16)")).as("p"))
+      .withColumn("d", expr("instr('0123456789abcdef', substr(h, p, 1)) - 1"))
+      .groupBy("doc_id", "p")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("shiftright(d, 3) & 1")).as("s3"),
+        sum(expr("shiftright(d, 2) & 1")).as("s2"),
+        sum(expr("shiftright(d, 1) & 1")).as("s1"),
+        sum(expr("d & 1")).as("s0"))
+      .withColumn("c", expr(
+        """substr('0123456789abcdef',
+          |       1 + (CASE WHEN 2*s3 > n THEN 8 ELSE 0 END
+          |          + CASE WHEN 2*s2 > n THEN 4 ELSE 0 END
+          |          + CASE WHEN 2*s1 > n THEN 2 ELSE 0 END
+          |          + CASE WHEN 2*s0 > n THEN 1 ELSE 0 END), 1)""".stripMargin))
+      .groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(p, c))), x -> x.c), '')")
+        .as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-set jaccard near-dup against a probe subset (doc_id % 50 = 0)
+    * — the n-gram jaccard axis at unigram granularity, threshold 0.95.
+    */
+  val d06 = OpQuery.oracled("d06_token_jaccard_near_dup",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM tok GROUP BY 1
+      |), common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+      |  WHERE a.doc_id % 50 = 0
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b,
+      |       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+      |FROM common
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.95
+      |ORDER BY doc_a, doc_b""".stripMargin,
+    doc = "token-set jaccard near-dup (probe subset vs corpus)") { (spark, dir) =>
+    val tok = Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = tok.as("a").filter(col("a.doc_id") % 50 === 0)
+      .join(tok.as("b"), col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val j = col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))
+    common
+      .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
+      .filter(col("jaccard") >= 0.95)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[OpQuery] = Seq(d01, d02, d03, d04, d05, d06)
+}

@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Similarity search over the `embeddings` table (`array<float>`, 64-d):
+  * brute-force cosine top-k as the correctness baseline and a
+  * random-hyperplane LSH-bucketed variant as the 100 TB path.
+  *
+  * Float determinism: per-element products are computed in IEEE double
+  * (float -> double widening is exact), truncated toward zero at 1e-12
+  * (integer picounits), and summed exactly as longs — order-insensitive,
+  * so the cosine comes out bit-equal in both engines and the top-k
+  * ranking is identical. Truncation (not a decimal cast) because
+  * DuckDB's double->DECIMAL cast truncates while Spark's rounds.
+  */
+object SimilarityOps {
+
+  /** Spark side: truncation-quantized dot product of two double arrays.
+    * Each product is truncated toward zero at 1e-12 (integer picounits)
+    * and summed exactly as a long — DuckDB's double->DECIMAL cast
+    * truncates while Spark's rounds, so the quantizer must be an
+    * explicit truncation in both dialects.
+    */
+  private def dotDec(a: String, b: String): String =
+    s"""(CAST(aggregate(zip_with($a, $b, (x, y) -> CAST((x * y) * 1e12 AS BIGINT)),
+       |     0L, (acc, x) -> acc + x) AS DOUBLE) / 1e12)""".stripMargin
+
+  /** DuckDB side of the same truncation-quantized dot product. */
+  private def duckDot(a: String, b: String): String =
+    s"""(CAST(list_sum(list_transform(generate_series(1, len($a)),
+       |     i -> CAST(trunc(($a[i] * $b[i]) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)""".stripMargin
+
+  private def embedded(spark: SparkSession, dir: String): DataFrame =
+    Sources.table(spark, dir, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", expr(s"sqrt(${dotDec("v", "v")})"))
+
+  private val duckEmbedded =
+    s"""SELECT vec_id, label, v, sqrt(${duckDot("v", "v")}) AS nrm
+       |FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
+
+  /** Brute-force cosine top-5 for a probe subset — the exactness
+    * baseline every ANN variant is judged against.
+    */
+  val s01 = OpQuery.oracled("s01_knn_cosine_brute", {
+    s"""WITH e AS (
+       |  $duckEmbedded
+       |), probes AS (
+       |  SELECT * FROM e WHERE vec_id % 50 = 0
+       |), pairs AS (
+       |  SELECT p.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |         ${duckDot("p.v", "c.v")} / (p.nrm * c.nrm) AS cos_sim
+       |  FROM probes p, e c
+       |  WHERE c.vec_id <> p.vec_id
+       |), ranked AS (
+       |  SELECT q_id, neighbor_id, cos_sim,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |  FROM pairs
+       |)
+       |SELECT q_id, rank, neighbor_id, cos_sim
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+  },
+    doc = "brute-force cosine top-k (ANN correctness baseline)") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = embedded(spark, dir).select("vec_id", "v", "nrm")
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    val pairs = probes.join(broadcast(e), col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", expr(s"${dotDec("pv", "v")} / (pnrm * nrm)"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  // Deterministic pseudo-random hyperplane sign for (plane p, dim d):
+  // +1 when the first md5 nibble of "p:d" is >= 8.  Same construction in
+  // both engines; planes never ship data, only a seed string.
+  private def signExpr(p: Int, dRef: String): String =
+    s"(CASE WHEN instr('0123456789abcdef', substr(md5('$p:' || $dRef), 1, 1)) - 1 >= 8 " +
+      s"THEN 1.0 ELSE -1.0 END)"
+
+  private val nPlanes = 8
+
+  /** Spark/DuckDB-shared SQL: the 8-bit LSH bucket of vector column v.
+    * Spark's concat needs explicit casts; DuckDB's || coerces — both are
+    * given the same rendered digits.
+    */
+  private def bucketSqlSpark: String =
+    (0 until nPlanes).map { p =>
+      s"""(CASE WHEN aggregate(transform(sequence(1, size(v)), d -> CAST((${signExpr(p, "CAST(d AS STRING)")} * element_at(v, d)) * 1e12 AS BIGINT)), 0L, (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END)"""
+    }.mkString("concat(", ", ", ")")
+
+  private def bucketSqlDuck: String =
+    (0 until nPlanes).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), d -> CAST(trunc((${signExpr(p, "d")} * v[d]) * 1e12) AS BIGINT))) >= 0 THEN '1' ELSE '0' END)"""
+    }.mkString(" || ")
+
+  /** LSH-bucketed approximate nearest neighbors: random-hyperplane
+    * signatures partition the corpus into 2^8 buckets; search only the
+    * probe's bucket. At 100 TB the bucket id is the shuffle/partition
+    * key and each query touches 1/256th of the corpus.
+    */
+  val s02 = OpQuery.oracled("s02_ann_lsh_bucketed", {
+    s"""WITH e AS (
+       |  $duckEmbedded
+       |), b AS (
+       |  SELECT vec_id, v, nrm, $bucketSqlDuck AS bucket FROM e
+       |), probes AS (
+       |  SELECT * FROM b WHERE vec_id % 50 = 0
+       |), pairs AS (
+       |  SELECT p.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |         ${duckDot("p.v", "c.v")} / (p.nrm * c.nrm) AS cos_sim
+       |  FROM probes p JOIN b c ON c.bucket = p.bucket AND c.vec_id <> p.vec_id
+       |), ranked AS (
+       |  SELECT q_id, neighbor_id, cos_sim,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |  FROM pairs
+       |)
+       |SELECT q_id, rank, neighbor_id, cos_sim
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+  },
+    doc = "random-hyperplane LSH ANN (bucketed cosine top-k — the scale path)") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = embedded(spark, dir)
+      .withColumn("bucket", expr(bucketSqlSpark))
+      .select("vec_id", "v", "nrm", "bucket")
+    val probes = b.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("bucket").as("pbucket"))
+    val pairs = probes
+      .join(b, col("bucket") === col("pbucket") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", expr(s"${dotDec("pv", "v")} / (pnrm * nrm)"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Per-label embedding profile: count + mean vector norm (exact
+    * decimal accumulation of the norms).
+    */
+  val s03 = OpQuery.oracled("s03_label_norm_stats",
+    s"""WITH e AS (
+       |  $duckEmbedded
+       |)
+       |SELECT label, count(*) AS n_vecs,
+       |       (CAST(sum(CAST(trunc(nrm * 1e12) AS BIGINT)) AS DOUBLE) / 1e12) / count(*) AS avg_norm
+       |FROM e
+       |GROUP BY label
+       |ORDER BY label""".stripMargin,
+    doc = "embedding norm statistics per label") { (spark, dir) =>
+    embedded(spark, dir)
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        ((sum(expr("CAST(nrm * 1e12 AS BIGINT)")).cast("double") / lit(1e12)) / count(lit(1)))
+          .as("avg_norm"))
+      .orderBy("label")
+  }
+
+  val all: Seq[OpQuery] = Seq(s01, s02, s03)
+}

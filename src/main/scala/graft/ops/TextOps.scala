@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Text analysis for a training-data pipeline over `documents`:
+  * tokenization stats, quality scoring, language ID, fingerprinting.
+  * All pure column expressions (higher-order functions, no UDFs) — at
+  * 100 TB this is one codegen'd map stage per operator.
+  */
+object TextOps {
+
+  /** Whitespace tokenization + per-doc token statistics. */
+  val t01 = OpQuery.oracled("t01_token_stats",
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS n_tokens,
+      |       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |       CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS total_token_chars,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |         / len(string_split(text, ' ')) AS type_token_ratio
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin,
+    doc = "token counting (north-star text analysis); HOF sum of token lengths") { (spark, dir) =>
+    Sources.table(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        expr("CAST(aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x) AS BIGINT)")
+          .as("total_token_chars"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+          .as("type_token_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Heuristic quality score: stopword ratio + length saturation —
+    * the shape of C4/RefinedWeb-style quality filters.
+    */
+  val t02 = OpQuery.oracled("t02_quality_score",
+    s"""WITH f AS (
+      |  SELECT doc_id,
+      |         len(string_split(text, ' ')) AS n_tokens,
+      |         len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS n_stop,
+      |         CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS tok_chars
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_tokens,
+      |       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      |       CAST(tok_chars AS DOUBLE) / n_tokens AS mean_token_len,
+      |       (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5
+      |         + (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0) * 0.5 AS quality_score
+      |FROM f
+      |ORDER BY doc_id""".stripMargin,
+    doc = "quality scoring (length/stopword ratios) for corpus filtering") { (spark, dir) =>
+    Sources.table(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, t -> t IN ($stopList)))"))
+      .withColumn("tok_chars",
+        expr("CAST(aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x) AS BIGINT)"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (col("tok_chars").cast("double") / col("n_tokens")).as("mean_token_len"),
+        ((col("n_stop").cast("double") / col("n_tokens")) * 0.5
+          + (least(col("n_tokens"), lit(200)).cast("double") / 200.0) * 0.5)
+          .as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  // Tiny per-language lexicons for the n-gram/stopword language-ID
+  // heuristic. Integer hit counts decide (no float compare), ties break
+  // en > de > es > fr.
+  private val lex = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "est"))
+
+  val t03 = OpQuery.oracled("t03_language_id", {
+    val hitCols = lex.map { case (l, ws) =>
+      val in = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($in))) AS h_$l"
+    }.mkString(",\n      |         ")
+    s"""WITH hits AS (
+      |  SELECT doc_id, lang,
+      |         $hitCols
+      |  FROM documents
+      |)
+      |SELECT lang,
+      |       CASE WHEN h_en >= greatest(h_de, h_es, h_fr) THEN 'en'
+      |            WHEN h_de >= greatest(h_es, h_fr) THEN 'de'
+      |            WHEN h_es >= h_fr THEN 'es'
+      |            ELSE 'fr' END AS predicted,
+      |       count(*) AS cnt
+      |FROM hits
+      |GROUP BY 1, 2
+      |ORDER BY lang, predicted""".stripMargin
+  },
+    doc = "language-ID heuristic (stopword lexicon hits; integer argmax)") { (spark, dir) =>
+    val withHits = lex.foldLeft(
+      Sources.table(spark, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))) { case (df, (l, ws)) =>
+      val in = ws.map(w => s"'$w'").mkString(", ")
+      df.withColumn(s"h_$l", expr(s"size(filter(toks, t -> t IN ($in)))"))
+    }
+    withHits
+      .withColumn("predicted",
+        when(col("h_en") >= greatest(col("h_de"), col("h_es"), col("h_fr")), "en")
+          .when(col("h_de") >= greatest(col("h_es"), col("h_fr")), "de")
+          .when(col("h_es") >= col("h_fr"), "es")
+          .otherwise("fr"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Document fingerprint: min/max hash over sliding character 8-grams
+    * (winnowing-style). The lateral position explode is a generator —
+    * at scale this is shuffle-free (explode + partial min/max re-group
+    * on the same doc key).
+    */
+  val t04 = OpQuery.oracled("t04_char_ngram_fingerprint",
+    """SELECT doc_id,
+      |       min(md5(substr(text, i, 8))) AS fp_min,
+      |       max(md5(substr(text, i, 8))) AS fp_max,
+      |       count(*) AS n_windows
+      |FROM documents, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS u(i)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin,
+    doc = "rolling-window document fingerprint (min-hash of char 8-grams)") { (spark, dir) =>
+    Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, greatest(length(text) - 7, 1))")).as("i"))
+      .groupBy("doc_id")
+      .agg(
+        min(expr("md5(substr(text, i, 8))")).as("fp_min"),
+        max(expr("md5(substr(text, i, 8))")).as("fp_max"),
+        count(lit(1)).as("n_windows"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[OpQuery] = Seq(t01, t02, t03, t04)
+}
