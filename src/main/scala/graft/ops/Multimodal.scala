@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Multimodal column plumbing: media payloads ride as opaque `binary`
+  * columns with typed metadata; decode / feature-extraction runs
+  * batch-wise inside `mapPartitions` (the JVM twin of a Pandas
+  * `mapInPandas` UDF: one iterator in, one iterator out, vectorizable
+  * batch shape).
+  *
+  * The decode step is a clearly-marked deterministic STUB — no image or
+  * audio codecs exist in this environment — but everything Spark-level
+  * is real and tested: the schema, the binary column, the partition-wise
+  * batch processing, and the downstream aggregation over extracted
+  * features.
+  */
+object Multimodal {
+
+  /** One media record: opaque payload + typed metadata. */
+  case class MediaRecord(
+      media_id: Long,
+      media_type: String,
+      payload: Array[Byte],
+      width: Int,
+      height: Int)
+
+  case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      n_bytes: Int,
+      // 16-bin byte histogram, L1-normalized — the stubbed "embedding"
+      features: Array[Float])
+
+  /** Synthesize a deterministic media corpus from the documents table:
+    * the text bytes play the role of an encoded image. At 100 TB the
+    * payloads would come from a binary-file datasource
+    * (`spark.read.format("binaryFile")`) with identical downstream code.
+    */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Sources.table(spark, dir, "documents")
+      .select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decode: a real pipeline would decode JPEG/PCM/frames here
+    * (per-partition, so codec state is initialized once per partition,
+    * not once per row). The stub extracts a 16-bin byte histogram —
+    * deterministic, so tests can golden-check the plumbing.
+    */
+  private def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xff) >> 4) += 1f
+      i += 1
+    }
+    val n = math.max(payload.length, 1).toFloat
+    hist.map(_ / n)
+  }
+
+  /** Partition-wise feature extraction — mapPartitions so per-partition
+    * setup (codec init, model load) amortizes across the batch, exactly
+    * like a Pandas UDF's batch shape.
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition init would go here (codec / model handles)
+      it.map { m =>
+        MediaFeatures(m.media_id, m.media_type, m.payload.length, decodeStub(m.payload))
+      }
+    }
+  }
+
+  /** End-to-end media profile: synthesize -> extract -> aggregate.
+    * Registered rows-only (the mapPartitions stub is not ANSI-SQL
+    * expressible).
+    */
+  val m02 = OpQuery.unoracled("m02_media_feature_profile",
+    doc = "multimodal plumbing: binary payload -> mapPartitions feature extraction -> aggregate") { (spark, dir) =>
+    import spark.implicits._
+    val feats = extractFeatures(mediaFromDocuments(spark, dir))
+    feats.toDF()
+      .groupBy("media_type")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        avg(element_at(col("features"), 7)).as("avg_bin7"))
+      .orderBy("media_type")
+  }
+
+  /** Binary column metadata — the SQL-visible half of the multimodal
+    * surface (octet length + content hash), oracle-checked.
+    */
+  val m01 = OpQuery.oracled("m01_binary_payload_meta",
+    """SELECT doc_id,
+      |       octet_length(text::BLOB) AS n_bytes,
+      |       sha256(text) AS content_sha,
+      |       substr(md5(text), 1, 16) AS content_key
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin,
+    doc = "opaque binary payload metadata (length + content hash)") { (spark, dir) =>
+    Sources.table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+        sha2(col("text"), 256).as("content_sha"),
+        substring(md5(col("text")), 1, 16).as("content_key"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[OpQuery] = Seq(m01, m02)
+}

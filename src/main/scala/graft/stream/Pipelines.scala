@@ -1,0 +1,112 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.clean.Cleaners
+import graft.io.Sources
+import graft.model.Schemas
+
+/** Structured-Streaming pipelines mirroring the reference's Kinesis
+  * notebook (`(Clone) kinesis_streaming_process_in_databricks.py`):
+  * envelope decode (S4) -> shared cleaning layer -> append sink with
+  * checkpoint (S5). The cleaning functions are the exact same code the
+  * batch path uses (the reference duplicates them; we factor —
+  * SURVEY.md §3.2).
+  *
+  * Differences from the reference, on purpose:
+  *  - `dropDuplicates` without a watermark (KINESIS:213) grows state
+  *    forever; streams with an event-time column get
+  *    `withWatermark + dropDuplicates(key, eventTime)` so state expires;
+  *  - the pin stream has no event time, so exact full-row dedup is
+  *    confined to each micro-batch (documented divergence) instead of
+  *    unbounded global state;
+  *  - sinks are parquet (Delta is a cloud-only jar); the writer shape is
+  *    identical, so a Delta/Kafka sink is a format swap.
+  */
+object Pipelines {
+
+  /** Decode the `(data string)` envelope of a streaming frame into the
+    * given entity schema — batch/stream agnostic (S4).
+    */
+  def decode(envelope: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    Sources.decodeEnvelope(envelope, schema)
+
+  /** Cleaned pin stream. Streaming median is unavailable (no sorting on
+    * unbounded input), so the fill is the constant 1000 exactly like the
+    * reference's streaming path (KINESIS:184-187).
+    */
+  def cleanPinStream(envelope: DataFrame): DataFrame =
+    Cleaners.cleanPin(decode(envelope, Schemas.pinRaw),
+      fillFollower = Some(1000), dedup = false)
+      .dropDuplicates() // per-micro-batch exact dedup; no event time on pin
+
+  /** Cleaned geo stream with watermarked keyed dedup (fixes the
+    * reference's unbounded-state dropDuplicates).
+    */
+  def cleanGeoStream(envelope: DataFrame, watermark: String = "1 hour"): DataFrame =
+    Cleaners.cleanGeo(decode(envelope, Schemas.geoRaw), dedup = false)
+      .withWatermark("timestamp", watermark)
+      .dropDuplicates("ind", "timestamp")
+
+  /** Cleaned user stream with watermarked keyed dedup on the join key +
+    * event time.
+    */
+  def cleanUserStream(envelope: DataFrame, watermark: String = "1 hour"): DataFrame =
+    Cleaners.cleanUser(decode(envelope, Schemas.userRaw), dedup = false)
+      .withWatermark("date_joined", watermark)
+      .dropDuplicates("ind", "date_joined")
+
+  /** Tumbling event-time window aggregation with watermark — the
+    * streaming twin of EventOps.e02 and the §2.9 generalization the
+    * reference lacks entirely.
+    */
+  def windowedCounts(events: DataFrame, eventTime: String, window_ : String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(eventTime, watermark)
+      .groupBy(window(col(eventTime), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("cnt"), col("total_value"))
+
+  /** Session windows per user with an inactivity gap — built-in
+    * session_window (the stateful operator the batch EventOps.e03
+    * mirrors).
+    */
+  def sessionCounts(events: DataFrame, eventTime: String, gap: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(eventTime, watermark)
+      .groupBy(session_window(col(eventTime), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** Append-mode checkpointed parquet sink (S5). Format is a parameter
+    * so the cloud path (delta/kafka) is a one-word change.
+    */
+  def sink(df: DataFrame, path: String, checkpoint: String,
+      format: String = "parquet"): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .format(format)
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
+  /** Convenience: run an envelope-file -> clean -> parquet pipeline to
+    * completion (AvailableNow processes the backlog then stops) —
+    * the offline stand-in for the reference's always-on Kinesis job.
+    */
+  def runToCompletion(writer: DataStreamWriter[Row]): Unit = {
+    val q: StreamingQuery = writer.start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{RelationalOps, StarQueries}
+
+/** Plan-shape assertions (SURVEY.md §5.6): the optimizer behaviors the
+  * engine relies on at 100 TB must be visible in the physical plan —
+  * filters reaching the parquet scan, dimension joins broadcast, global
+  * top-k as TakeOrderedAndProject, and the cleaning stage free of
+  * non-codegen barriers.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("r10: shipdate filter is pushed to the parquet scan") {
+    val p = plan(RelationalOps.r10.fn(spark, TestSpark.sf0001))
+    assert(p.contains("PushedFilters"), p.take(2000))
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p.take(2000))
+  }
+
+  test("q01: dimension joins broadcast") {
+    val p = plan(StarQueries.q01.fn(spark, TestSpark.sf0001))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q03b: global top-1 is TakeOrderedAndProject, not a window") {
+    val p = plan(StarQueries.q03b.fn(spark, TestSpark.sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("column pruning: q02 scans only the columns it needs") {
+    val p = plan(StarQueries.q02.fn(spark, TestSpark.sf0001))
+    assert(p.contains("ReadSchema: struct<o_orderdate"), p.take(2000))
+    assert(!p.contains("o_totalprice"), "q02 must not read o_totalprice")
+  }
+
+  test("cleaning stage stays in whole-stage codegen (no Python/UDF barrier)") {
+    val cleaned = graft.clean.Cleaners.cleanPin(
+      graft.fixtures.PinFixtures.pinRaw(spark), dedup = false)
+    val p = plan(cleaned)
+    // codegen stages print as "*(n)" in executedPlan.toString; the
+    // custom human_count expression must sit inside one
+    assert(p.contains("*(1) Project"), p.take(2000))
+    assert(p.contains("human_count"), p.take(2000))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p.take(2000))
+  }
+}

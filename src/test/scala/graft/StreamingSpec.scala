@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.clean.Cleaners
+import graft.fixtures.PinFixtures
+import graft.model.Schemas
+import graft.stream.Pipelines
+
+/** Structured-Streaming pipelines (SURVEY.md §5.4): envelope decode +
+  * shared cleaning must produce byte-identical results to the batch
+  * path; watermarks must drop late rows; windowed aggregations must emit
+  * on watermark advance.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("streamed pin cleaning equals batch cleaning on the same input") {
+    val raw = PinFixtures.pinRaw(spark)
+    val envelopeRows = PinFixtures.envelope(raw).as[String].collect().toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(envelopeRows)
+    val streamed = Pipelines.cleanPinStream(mem.toDF().select(col("value").as("data")))
+
+    val sink = tmp("graft_pin_sink")
+    val cp = tmp("graft_pin_cp")
+    val q = streamed.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", sink).option("checkpointLocation", cp)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.schema(Schemas.pinClean).parquet(sink)
+    val want = Cleaners.cleanPin(raw, fillFollower = Some(1000))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("watermarked geo dedup drops duplicate (ind, timestamp) rows") {
+    val raw = PinFixtures.geoRaw(spark) // contains 5 duplicated rows
+    val envelopeRows = PinFixtures.envelope(raw).as[String].collect().toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(envelopeRows)
+    val streamed = Pipelines.cleanGeoStream(mem.toDF().select(col("value").as("data")))
+
+    val sink = tmp("graft_geo_sink")
+    val cp = tmp("graft_geo_cp")
+    val q = streamed.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", sink).option("checkpointLocation", cp)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.schema(Schemas.geoClean).parquet(sink)
+    assert(got.count() == raw.dropDuplicates("ind", "timestamp").count())
+  }
+
+  test("tumbling window with watermark aggregates event time and drops late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Long, Double)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+
+    val events = mem.toDF()
+      .toDF("ts", "event_type", "user_id", "value")
+    val agg = Pipelines.windowedCounts(events, "ts", "10 minutes", "10 minutes")
+
+    val sink = tmp("graft_win_sink")
+    val cp = tmp("graft_win_cp")
+    val q = agg.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", sink).option("checkpointLocation", cp)
+      .start()
+
+    // batch 1: two windows of data; watermark advances to max(ts)-10m = 10:02
+    mem.addData((at(0), "click", 1L, 1.0), (at(5), "click", 2L, 2.0), (at(12), "view", 1L, 3.0))
+    q.processAllAvailable()
+    // batch 2: advance watermark far enough to close both windows, and
+    // include one row at 09:45 — behind the 10:02 watermark, so dropped
+    mem.addData((at(60), "click", 3L, 1.0), (at(-15), "click", 9L, 9.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.parquet(sink)
+    val rows = out.select("window_start", "event_type", "cnt")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.contains((at(0), "click", 2L)))
+    assert(rows.contains((at(10), "view", 1L)))
+    // the late row's 09:40 window must not exist
+    assert(!rows.exists(_._1 == at(-20)), s"late row leaked: $rows")
+  }
+
+  test("session windows split on the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Long, Double)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 08:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+
+    val events = mem.toDF().toDF("ts", "event_type", "user_id", "value")
+    val agg = Pipelines.sessionCounts(events, "ts", "15 minutes", "10 minutes")
+
+    val sink = tmp("graft_sess_sink")
+    val cp = tmp("graft_sess_cp")
+    val q = agg.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", sink).option("checkpointLocation", cp)
+      .start()
+    // user 1: events at 0,5 (one session), then 40,44 (second session)
+    mem.addData((at(0), "click", 1L, 1.0), (at(5), "click", 1L, 1.0),
+      (at(40), "click", 1L, 1.0), (at(44), "click", 1L, 1.0))
+    q.processAllAvailable()
+    mem.addData((at(120), "click", 2L, 1.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.parquet(sink)
+      .select("session_start", "user_id", "n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.contains((at(0), 1L, 2L)))
+    assert(out.contains((at(40), 1L, 2L)))
+    assert(out.count(_._2 == 1L) == 2, s"expected two sessions for user 1, got $out")
+  }
+}
