@@ -12,8 +12,9 @@ object SparkEntry {
 
   /** The full operator registry. */
   def registry: Seq[OpQuery] =
-    StarQueries.all ++ RelationalOps.all ++ EventOps.all ++
-      TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ Multimodal.all
+    StarQueries.all ++ ReferenceQueries.all ++ RelationalOps.all ++
+      EventOps.all ++ TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++
+      Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

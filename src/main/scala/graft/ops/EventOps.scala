@@ -74,8 +74,8 @@ object EventOps {
       |  FROM ordered
       |), numbered AS (
       |  SELECT user_id, ts_us,
-      |         sum(new_session) OVER (PARTITION BY user_id
-      |                                ORDER BY ts_us, event_id) AS session_id
+      |         CAST(sum(new_session) OVER (PARTITION BY user_id
+      |                                    ORDER BY ts_us, event_id) AS BIGINT) AS session_id
       |  FROM flagged
       |)
       |SELECT user_id, session_id,
@@ -107,7 +107,7 @@ object EventOps {
     */
   val e04 = OpQuery.oracled("e04_json_props_sum",
     """SELECT event_type,
-      |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |       count(*) AS cnt
       |FROM events
       |GROUP BY 1 ORDER BY event_type""".stripMargin,

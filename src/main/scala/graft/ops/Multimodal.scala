@@ -105,7 +105,7 @@ object Multimodal {
     */
   val m01 = OpQuery.oracled("m01_binary_payload_meta",
     """SELECT doc_id,
-      |       octet_length(text::BLOB) AS n_bytes,
+      |       CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
       |       sha256(text) AS content_sha,
       |       substr(md5(text), 1, 16) AS content_key
       |FROM documents

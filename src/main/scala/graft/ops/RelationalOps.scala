@@ -289,7 +289,7 @@ object RelationalOps {
   val r12 = OpQuery.oracled("r12_top_orders_building",
     """SELECT o_orderkey,
       |       CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
-      |       year(o_orderdate) AS order_year
+      |       CAST(year(o_orderdate) AS INT) AS order_year
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey

@@ -57,8 +57,8 @@ object SimilarityOps {
        |  WHERE c.vec_id <> p.vec_id
        |), ranked AS (
        |  SELECT q_id, neighbor_id, cos_sim,
-       |         row_number() OVER (PARTITION BY q_id
-       |                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
        |  FROM pairs
        |)
        |SELECT q_id, rank, neighbor_id, cos_sim
@@ -121,8 +121,8 @@ object SimilarityOps {
        |  FROM probes p JOIN b c ON c.bucket = p.bucket AND c.vec_id <> p.vec_id
        |), ranked AS (
        |  SELECT q_id, neighbor_id, cos_sim,
-       |         row_number() OVER (PARTITION BY q_id
-       |                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
        |  FROM pairs
        |)
        |SELECT q_id, rank, neighbor_id, cos_sim

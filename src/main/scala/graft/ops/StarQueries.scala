@@ -67,7 +67,7 @@ object StarQueries {
 
   /** Q2 shape: order counts per (year, priority) in a year range. */
   val q02 = OpQuery.oracled("q02_orders_per_year_priority",
-    """SELECT year(o_orderdate) AS order_year, o_orderpriority, count(*) AS cnt
+    """SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderpriority, count(*) AS cnt
       |FROM orders
       |WHERE year(o_orderdate) BETWEEN 1996 AND 2000
       |GROUP BY 1, 2
@@ -196,7 +196,7 @@ object StarQueries {
 
   /** Q6 shape: distinct active customers per year in a range. */
   val q06 = OpQuery.oracled("q06_active_customers_per_year",
-    """SELECT year(o_orderdate) AS order_year,
+    """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
       |       count(DISTINCT o_custkey) AS n_customers,
       |       count(*) AS n_orders
       |FROM orders
@@ -216,7 +216,7 @@ object StarQueries {
 
   /** Q7 shape (a): median spend per order-year. */
   val q07a = OpQuery.oracled("q07a_median_price_per_year",
-    """SELECT year(o_orderdate) AS order_year,
+    """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
       |       quantile_cont(o_totalprice, 0.5) AS median_price
       |FROM orders
       |GROUP BY 1
@@ -231,7 +231,7 @@ object StarQueries {
 
   /** Q7 shape (b): median spend per (order-year, balance band). */
   val q07b = OpQuery.oracled("q07b_median_price_per_year_band",
-    s"""SELECT year(o_orderdate) AS order_year,
+    s"""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
       |       $balanceBandSql AS balance_band,
       |       quantile_cont(o_totalprice, 0.5) AS median_price
       |FROM orders JOIN customer ON o_custkey = c_custkey
@@ -276,7 +276,7 @@ object StarQueries {
       |              ELSE CAST(human AS BIGINT) END AS followers
       |  FROM s
       |)
-      |SELECT o_orderpriority, sum(followers) AS total_followers, count(*) AS cnt
+      |SELECT o_orderpriority, CAST(sum(followers) AS BIGINT) AS total_followers, count(*) AS cnt
       |FROM parsed
       |GROUP BY 1
       |ORDER BY o_orderpriority""".stripMargin,

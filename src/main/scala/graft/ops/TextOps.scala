@@ -14,8 +14,8 @@ object TextOps {
   /** Whitespace tokenization + per-doc token statistics. */
   val t01 = OpQuery.oracled("t01_token_stats",
     """SELECT doc_id,
-      |       len(string_split(text, ' ')) AS n_tokens,
-      |       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
       |       CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS total_token_chars,
       |       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
       |         / len(string_split(text, ' ')) AS type_token_ratio
@@ -44,7 +44,7 @@ object TextOps {
   val t02 = OpQuery.oracled("t02_quality_score",
     s"""WITH f AS (
       |  SELECT doc_id,
-      |         len(string_split(text, ' ')) AS n_tokens,
+      |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
       |         len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS n_stop,
       |         CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS tok_chars
       |  FROM documents
