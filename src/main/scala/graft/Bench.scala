@@ -14,6 +14,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen/parquet-reader warm-up so the first measured query is
+    // not charged ~5s of classloading; not counted in any timing.
+    try {
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,16 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-surface registration for the engine's custom expressions, so the
+  * DataFrame API and `spark.sql` entry points stay in sync (SURVEY.md
+  * §3.3): after `Functions.register(spark)`,
+  * `SELECT human_count(follower_count) ...` parses and plans to the same
+  * codegen'd expression as the Column API.
+  */
+object Functions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "human_count", exprs => HumanCountExpr(exprs.head), "scala_udf")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expr.{ExactMedian, Functions}
+import graft.io.{Sinks, Sources}
+
+/** Extension-axis coverage: typed Aggregator, SQL function registration,
+  * sinks (partitioned + bucketed), and the S6 offset/limit row sampler.
+  */
+class ExprSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ExactMedian aggregator matches built-in percentile per group") {
+    val li = Sources.table(spark, TestSpark.sf0001, "lineitem")
+    val got = li.groupBy("l_returnflag")
+      .agg(
+        ExactMedian.udaf(col("l_quantity")).as("m_agg"),
+        percentile(col("l_quantity"), lit(0.5)).as("m_builtin"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9,
+        s"flag ${r.getString(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+    }
+  }
+
+  test("human_count registered as a SQL function (SQL/DataFrame parity)") {
+    Functions.register(spark)
+    val got = spark.sql(
+      "SELECT human_count('532k') AS a, human_count('0.9M') AS b, human_count('abc') AS c")
+      .head()
+    assert(got.getInt(0) == 532000)
+    assert(got.getInt(1) == 900000)
+    assert(got.isNullAt(2))
+  }
+
+  test("partitioned parquet sink round-trips with partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val orders = Sources.table(spark, TestSpark.sf0001, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+    Sinks.parquet(orders, dir, partitionBy = Seq("order_year"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == orders.count())
+    // partition pruning visible in the scan
+    val plan = back.filter(col("order_year") === 1997)
+      .queryExecution.executedPlan.toString
+    assert(back.filter(col("order_year") === 1997).count() ==
+      orders.filter(col("order_year") === 1997).count())
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+  }
+
+  test("bucketed table join avoids the shuffle on the bucket key") {
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    val orders = Sources.table(spark, TestSpark.sf0001, "orders")
+    Sinks.bucketed(orders, "orders_bucketed", Seq("o_custkey"), 4, Seq("o_custkey"))
+    val t = spark.table("orders_bucketed")
+    val agg = t.groupBy("o_custkey").count()
+    val plan = agg.queryExecution.executedPlan.toString
+    // aggregation on the bucket key needs no Exchange
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
+  test("S6 offset/limit row sampler is deterministic") {
+    val c = Sources.table(spark, TestSpark.sf0001, "customer")
+    def sample(n: Int) =
+      c.orderBy("c_custkey").offset(n).limit(1).select("c_custkey").head().getLong(0)
+    assert(sample(10) == sample(10))
+    assert(sample(10) != sample(11))
+  }
+}
