@@ -25,11 +25,11 @@ object DedupOps {
 
   private def docsWithShingles(spark: SparkSession, dir: String): DataFrame =
     Sources.table(spark, dir, "documents")
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", expr(
-        """array_distinct(transform(sequence(1, size(toks) - 2),
-          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))""".stripMargin))
+      // custom codegen expression: the equivalent
+      // array_distinct(transform(...concat_ws...)) runs interpreted
+      // (HOFs are CodegenFallback) and measured ~6s for 5k docs
+      .withColumn("shingles", graft.expr.WordShingles.word_shingles(col("text"), 3))
+      .filter(size(col("shingles")) > 0)
 
   private val duckShingles =
     """SELECT doc_id,
@@ -70,24 +70,42 @@ object DedupOps {
 
   private val nSeeds = 8
 
+  // Kirsch-Mitzenmacher double hashing: one md5 per shingle, split into
+  // two 60-bit halves h1/h2 (15 hex chars each), seeded hash i =
+  // (h1 + i*h2) mod 2^60. 7*2^60 < 2^63, so the arithmetic never
+  // overflows a signed 64-bit in either engine. 8x fewer md5 calls than
+  // hashing "<seed>:<shingle>" per seed.
+  private val mod60 = 1152921504606846976L // 2^60
+
+  /** Spark columns mh0..mh7 for the seeded min-hashes of column sh. */
+  private def sparkMinAggs = {
+    val h1 = "CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"
+    val h2 = "CAST(conv(substr(md5(sh), 17, 15), 16, 10) AS BIGINT)"
+    (0 until nSeeds).map(i =>
+      min(expr(s"($h1 + $i * $h2) % $mod60")).as(s"mh$i"))
+  }
+
+  private def duckMins = {
+    val h1 = "CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)"
+    val h2 = "CAST('0x' || substr(md5(sh), 17, 15) AS BIGINT)"
+    (0 until nSeeds).map(i => s"min(($h1 + $i * $h2) % $mod60) AS mh$i")
+  }
+
   /** MinHash signatures: 8 seeded min-hashes over word 3-gram shingles. */
   val d03 = OpQuery.oracled("d03_minhash_signatures", {
-    val mins = (0 until nSeeds)
-      .map(s => s"min(md5('$s:' || sh)) AS mh$s").mkString(",\n      |       ")
     s"""WITH sh AS (
       |  SELECT doc_id, unnest(shingles) AS sh FROM ($duckShingles)
       |)
       |SELECT doc_id,
-      |       $mins
+      |       ${duckMins.mkString(",\n      |       ")}
       |FROM sh
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
   },
-    doc = "MinHash signature computation (shingle -> seeded min-hash)") { (spark, dir) =>
+    doc = "MinHash signature computation (shingle -> double-hashed seeded min-hash)") { (spark, dir) =>
     val exploded = docsWithShingles(spark, dir)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val aggs = (0 until nSeeds)
-      .map(s => min(md5(concat(lit(s + ":"), col("sh")))).as(s"mh$s"))
+    val aggs = sparkMinAggs
     exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .orderBy("doc_id")
   }
@@ -99,15 +117,13 @@ object DedupOps {
     * cap on pathological shingles (commented) bounds the verify join.
     */
   val d04 = OpQuery.oracled("d04_lsh_near_dup_pairs", {
-    val mins = (0 until nSeeds)
-      .map(s => s"min(md5('$s:' || sh)) AS mh$s").mkString(", ")
     val bands = (0 until nSeeds / 2)
-      .map(b => s"SELECT doc_id, md5('$b:' || mh${2 * b} || mh${2 * b + 1}) AS bk FROM sig")
+      .map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || ':' || mh${2 * b + 1} AS bk FROM sig")
       .mkString("\n      |  UNION ALL\n      |  ")
     s"""WITH shs AS (
       |  SELECT doc_id, unnest(shingles) AS sh FROM ($duckShingles)
       |), sig AS (
-      |  SELECT doc_id, $mins FROM shs GROUP BY doc_id
+      |  SELECT doc_id, ${duckMins.mkString(", ")} FROM shs GROUP BY doc_id
       |), bands AS (
       |  $bands
       |), cand AS (
@@ -140,13 +156,14 @@ object DedupOps {
       .persist()
     // At real scale: shs.groupBy("sh").count.filter(count < CAP) joined
     // back here drops degenerate shingles before the candidate join.
-    val aggs = (0 until nSeeds)
-      .map(s => min(md5(concat(lit(s + ":"), col("sh")))).as(s"mh$s"))
+    val aggs = sparkMinAggs
     val sig = shs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     // one pass over sig: explode the 4 band keys instead of a 4-way
-    // union that would recompute the signature aggregation per band
+    // union that would recompute the signature aggregation per band;
+    // band keys join on plain concatenation (uniform already, no md5)
     val bandKeys = (0 until nSeeds / 2).map { b =>
-      md5(concat(lit(b + ":"), col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+      concat(lit(b + ":"), col(s"mh${2 * b}").cast("string"),
+        lit(":"), col(s"mh${2 * b + 1}").cast("string"))
     }
     val bands = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
     val cand = bands.as("a")

@@ -81,26 +81,36 @@ object SimilarityOps {
   }
 
   // Deterministic pseudo-random hyperplane sign for (plane p, dim d):
-  // +1 when the first md5 nibble of "p:d" is >= 8.  Same construction in
-  // both engines; planes never ship data, only a seed string.
-  private def signExpr(p: Int, dRef: String): String =
-    s"(CASE WHEN instr('0123456789abcdef', substr(md5('$p:' || $dRef), 1, 1)) - 1 >= 8 " +
-      s"THEN 1.0 ELSE -1.0 END)"
+  // +1 when the first md5 nibble of "p:d" is >= 8. The signs are plan
+  // constants, so they are computed HERE once and inlined as literal
+  // arrays in both dialects — no per-row hashing (the first version
+  // recomputed 512 md5s per vector).
+  private def planeSigns(p: Int, dims: Int): Seq[Double] = {
+    val mdd = java.security.MessageDigest.getInstance("MD5")
+    (1 to dims).map { d =>
+      val hex = mdd.digest(s"$p:$d".getBytes("UTF-8"))
+      val nibble = (hex(0) & 0xf0) >> 4
+      if (nibble >= 8) 1.0 else -1.0
+    }
+  }
 
   private val nPlanes = 8
+  private val dims = 64
 
-  /** Spark/DuckDB-shared SQL: the 8-bit LSH bucket of vector column v.
-    * Spark's concat needs explicit casts; DuckDB's || coerces — both are
-    * given the same rendered digits.
+  private def signsSqlArray(p: Int): String =
+    planeSigns(p, dims).map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")
+
+  /** The 8-bit LSH bucket of vector column v, quantized like the dot
+    * product so the sign decision is bit-identical across engines.
     */
   private def bucketSqlSpark: String =
     (0 until nPlanes).map { p =>
-      s"""(CASE WHEN aggregate(transform(sequence(1, size(v)), d -> CAST((${signExpr(p, "CAST(d AS STRING)")} * element_at(v, d)) * 1e12 AS BIGINT)), 0L, (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END)"""
+      s"""(CASE WHEN aggregate(zip_with(v, array(${signsSqlArray(p)}), (x, y) -> CAST((y * x) * 1e12 AS BIGINT)), 0L, (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END)"""
     }.mkString("concat(", ", ", ")")
 
   private def bucketSqlDuck: String =
     (0 until nPlanes).map { p =>
-      s"""(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), d -> CAST(trunc((${signExpr(p, "d")} * v[d]) * 1e12) AS BIGINT))) >= 0 THEN '1' ELSE '0' END)"""
+      s"""(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), d -> CAST(trunc(([${signsSqlArray(p)}]::DOUBLE[])[d] * v[d] * 1e12) AS BIGINT))) >= 0 THEN '1' ELSE '0' END)"""
     }.mkString(" || ")
 
   /** LSH-bucketed approximate nearest neighbors: random-hyperplane

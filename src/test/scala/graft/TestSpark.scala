@@ -16,6 +16,10 @@ object TestSpark {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fresh warehouse per test run: saveAsTable locations must not
+      // survive the JVM (the in-memory catalog does not)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
