@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.expr.{HumanCountExpr, WordShinglesExpr}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions with the SQL function registry at session build
+  * (`.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `--conf` on a cluster), so `spark.sql("SELECT human_count(c) ...")`
+  * plans the same codegen'd expression as the Column API. Runtime
+  * registration for an existing session: [[graft.expr.Functions]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("human_count"),
+      new ExpressionInfo(classOf[HumanCountExpr].getName, "human_count"),
+      (exprs: Seq[Expression]) => HumanCountExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(text) => WordShinglesExpr(text, 3)
+        case Seq(text, Literal(n: Int, IntegerType)) => WordShinglesExpr(text, n)
+        case _ => throw new IllegalArgumentException(
+          "word_shingles(text[, n constant int])")
+      }))
+  }
+}

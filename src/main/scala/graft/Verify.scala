@@ -17,6 +17,7 @@ object Verify {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
       // default; read it as a long of nanoseconds (SURVEY.md §7.4.6)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -12,5 +12,13 @@ object Functions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "human_count", exprs => HumanCountExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", {
+        case Seq(text) => WordShinglesExpr(text, 3)
+        case Seq(text, org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
+          org.apache.spark.sql.types.IntegerType)) => WordShinglesExpr(text, n)
+        case _ => throw new IllegalArgumentException(
+          "word_shingles(text[, n constant int])")
+      }, "scala_udf")
   }
 }

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Operators that exist specifically for the 100 TB shape of the
+  * problem: cube/grouping-set aggregation, the full ranking-window
+  * suite, salted two-phase aggregation for skewed keys, sliding
+  * event-time windows, and the approximate-percentile path. Each is
+  * oracle-checked where exact SQL semantics exist.
+  */
+object ScaleOps {
+
+  /** CUBE over two dimensions (rollup's sibling — all 4 grouping sets). */
+  val r13 = OpQuery.oracled("r13_cube_lineitem_status",
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       count(*) AS cnt,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin,
+    doc = "cube grouping sets (generalized aggregation surface)") { (spark, dir) =>
+    Sources.table(spark, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+      .createOrReplaceTempView("r13_flat")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM r13_flat
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
+  /** Ranking window suite: dense_rank, ntile, first/last_value with an
+    * explicit full frame — every ranking primitive the reference never
+    * used, on one deterministic ordering.
+    */
+  val r14 = OpQuery.oracled("r14_ranking_window_suite",
+    """SELECT c_custkey, c_mktsegment,
+      |       CAST(dense_rank() OVER w AS INT) AS balance_dense_rank,
+      |       CAST(ntile(4) OVER w AS INT) AS balance_quartile,
+      |       first_value(c_custkey) OVER w2 AS richest_custkey,
+      |       last_value(c_custkey) OVER w2 AS poorest_custkey
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC),
+      |       w2 AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY c_mktsegment, balance_dense_rank, c_custkey""".stripMargin,
+    doc = "dense_rank / ntile / first_value / last_value with explicit frames") { (spark, dir) =>
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Sources.table(spark, dir, "customer")
+      .select(
+        col("c_custkey"), col("c_mktsegment"),
+        dense_rank().over(w).as("balance_dense_rank"),
+        ntile(4).over(w).as("balance_quartile"),
+        first_value(col("c_custkey")).over(w2).as("richest_custkey"),
+        last_value(col("c_custkey")).over(w2).as("poorest_custkey"))
+      .orderBy("c_mktsegment", "balance_dense_rank", "c_custkey")
+  }
+
+  /** Salted two-phase aggregation: the standard fix for skewed keys
+    * (a handful of event types each holding 20% of a 100 TB stream).
+    * Phase 1 aggregates on (key, salt) spreading each hot key over 16
+    * partitions; phase 2 merges the partials. The oracle is the plain
+    * GROUP BY — salting must be invisible in the result.
+    */
+  val r15 = OpQuery.oracled("r15_salted_skew_aggregation",
+    """SELECT event_type,
+      |       count(*) AS cnt,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    doc = "salted two-phase aggregation over skewed keys; result provably equals direct GROUP BY") { (spark, dir) =>
+    val salted = Sources.table(spark, dir, "events")
+      .withColumn("_salt", pmod(col("event_id"), lit(16)))
+    val partial = salted
+      .groupBy("event_type", "_salt")
+      .agg(
+        count(lit(1)).as("p_cnt"),
+        sum(col("value").cast("decimal(18,6)")).as("p_val"),
+        collect_set(col("user_id")).as("p_users"))
+    partial
+      .groupBy("event_type")
+      .agg(
+        sum(col("p_cnt")).as("cnt"),
+        sum(col("p_val")).cast("double").as("total_value"),
+        size(array_distinct(flatten(collect_list(col("p_users")))))
+          .cast("long").as("n_users"))
+      .orderBy("event_type")
+  }
+
+  /** Sliding event-time windows in batch (1 h length, 30 min slide):
+    * each event belongs to exactly two windows; the explode mirrors what
+    * streaming `window(ts, "1 hour", "30 minutes")` does internally.
+    */
+  val e06 = OpQuery.oracled("e06_sliding_window_counts",
+    """WITH slid AS (
+      |  SELECT event_type,
+      |         (epoch_us(ts) // 1800000000) * 1800 - offs AS win_start
+      |  FROM events, (SELECT unnest([0, 1800]) AS offs)
+      |)
+      |SELECT win_start, event_type, count(*) AS cnt
+      |FROM slid
+      |GROUP BY 1, 2
+      |ORDER BY win_start, event_type""".stripMargin,
+    doc = "sliding event-time windows (1h length / 30min slide) in batch") { (spark, dir) =>
+    Sources.table(spark, dir, "events")
+      .withColumn("offs", explode(array(lit(0L), lit(1800L))))
+      .withColumn("win_start",
+        expr("(ts div 1000 div 1800000000) * 1800 - offs"))
+      .groupBy("win_start", "event_type").agg(count(lit(1)).as("cnt"))
+      .orderBy("win_start", "event_type")
+  }
+
+  /** Approximate percentile — the 100 TB path for quantiles (single
+    * pass, bounded sketch). Rows-only: approximation algorithms differ
+    * across engines by design.
+    */
+  val r16 = OpQuery.unoracled("r16_approx_percentiles",
+    doc = "percentile_approx sketch quantiles (scale path for A3)") { (spark, dir) =>
+    Sources.table(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50"),
+        percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("p95"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority")
+  }
+
+  val all: Seq[OpQuery] = Seq(r13, r14, r15, e06, r16)
+}
