@@ -180,5 +180,77 @@ object SimilarityOps {
       .orderBy("label")
   }
 
-  val all: Seq[OpQuery] = Seq(s01, s02, s03)
+  /** IVF-style ANN: a deterministic centroid subset (vec_id % 250 = 0)
+    * partitions the corpus into cells by nearest-centroid assignment;
+    * each probe searches only its 2 nearest cells (nprobe=2). At 100 TB
+    * the cell id is the partition key: build once, then every query
+    * touches k/nprobe of the corpus. Complements the hyperplane-LSH
+    * variant (s02) with the inverted-file shape.
+    */
+  val s04 = OpQuery.oracled("s04_ann_ivf_cells", {
+    s"""WITH e AS (
+       |  $duckEmbedded
+       |), cent AS (
+       |  SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id % 250 = 0
+       |), assign AS (
+       |  SELECT e.vec_id, cent.c_id,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY e.vec_id
+       |           ORDER BY ${duckDot("e.v", "cent.cv")} / (e.nrm * cent.cnrm) DESC, cent.c_id ASC)
+       |         AS INT) AS crn
+       |  FROM e, cent
+       |), cells AS (
+       |  SELECT vec_id, c_id FROM assign WHERE crn = 1
+       |), probe_cells AS (
+       |  SELECT vec_id, c_id FROM assign WHERE crn <= 2 AND vec_id % 50 = 0
+       |), cand AS (
+       |  SELECT DISTINCT p.vec_id AS q_id, c.vec_id AS neighbor_id
+       |  FROM probe_cells p JOIN cells c ON c.c_id = p.c_id AND c.vec_id <> p.vec_id
+       |), scored AS (
+       |  SELECT cand.q_id, cand.neighbor_id,
+       |         ${duckDot("pq.v", "cv2.v")} / (pq.nrm * cv2.nrm) AS cos_sim
+       |  FROM cand
+       |  JOIN e pq ON pq.vec_id = cand.q_id
+       |  JOIN e cv2 ON cv2.vec_id = cand.neighbor_id
+       |), ranked AS (
+       |  SELECT q_id, neighbor_id, cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored
+       |)
+       |SELECT q_id, rank, neighbor_id, cos_sim
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+  },
+    doc = "IVF-style ANN: nearest-centroid cells, nprobe=2 search (inverted-file scale path)") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = embedded(spark, dir).select("vec_id", "v", "nrm")
+    val cent = e.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("c_id").asc)
+    val assign = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(s"${dotDec("v", "cv")} / (nrm * cnrm)"))
+      .withColumn("crn", row_number().over(wAssign))
+      .select("vec_id", "c_id", "crn")
+    val cells = assign.filter(col("crn") === 1).select("vec_id", "c_id")
+    val probeCells = assign.filter(col("crn") <= 2 && col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("c_id"))
+    val cand = probeCells
+      .join(cells.select(col("vec_id").as("neighbor_id"), col("c_id")), Seq("c_id"))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .select("q_id", "neighbor_id").distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("pv"), col("nrm").as("pnrm")), Seq("q_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")), Seq("neighbor_id"))
+      .withColumn("cos_sim", expr(s"${dotDec("pv", "v")} / (pnrm * nrm)"))
+    val wRank = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "neighbor_id", "cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
+  val all: Seq[OpQuery] = Seq(s01, s02, s03, s04)
 }

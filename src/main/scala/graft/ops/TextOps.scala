@@ -145,5 +145,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[OpQuery] = Seq(t01, t02, t03, t04)
+  /** BPE-ish regex token counting: words, digit runs, and single
+    * non-space symbols as separate tokens (the GPT-2-style pre-tokenizer
+    * shape), plus a chars-per-token ratio — the cheap proxy for "how
+    * many BPE tokens will this doc cost".
+    */
+  val t05 = OpQuery.oracled("t05_regex_token_count",
+    """SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens,
+      |       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+      |       CAST(length(text) AS DOUBLE)
+      |         / greatest(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 1) AS chars_per_token
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin,
+    doc = "BPE-ish regex tokenizer counting (training-cost proxy)") { (spark, dir) =>
+    Sources.table(spark, dir, "documents")
+      .withColumn("bpe", expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+      .select(
+        col("doc_id"),
+        size(col("bpe")).as("n_bpe_tokens"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        (length(col("text")).cast("double") /
+          greatest(size(col("bpe")), lit(1))).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[OpQuery] = Seq(t01, t02, t03, t04, t05)
 }

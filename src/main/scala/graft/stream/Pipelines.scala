@@ -109,4 +109,33 @@ object Pipelines {
     val q: StreamingQuery = writer.start()
     q.awaitTermination()
   }
+
+  // --- custom keyed state (flatMapGroupsWithState) ---
+
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class UserState(n: Long, total: Double)
+  case class UserUpdate(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful operator: cumulative per-user totals across
+    * micro-batches via flatMapGroupsWithState — the arbitrary-state
+    * axis (SURVEY.md §2.9) that windowed aggregation can't express
+    * (state survives forever, one update row per key per batch).
+    */
+  def runningUserTotals(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: org.apache.spark.sql.streaming.GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.n
+          var tot = prev.total
+          it.foreach { e => n += 1; tot += e.value }
+          state.update(UserState(n, tot))
+          Iterator(UserUpdate(uid, n, tot))
+      }
+  }
 }

@@ -134,4 +134,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.contains((at(40), 1L, 2L)))
     assert(out.count(_._2 == 1L) == 2, s"expected two sessions for user 1, got $out")
   }
+
+  test("flatMapGroupsWithState keeps cumulative per-user state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Pipelines.UserEvent]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val updates = Pipelines.runningUserTotals(mem.toDS())
+    val q = updates.writeStream
+      .outputMode("update").format("memory").queryName("user_totals")
+      .start()
+    mem.addData(
+      Pipelines.UserEvent(1L, base, 10.0), Pipelines.UserEvent(1L, base, 5.0),
+      Pipelines.UserEvent(2L, base, 1.0))
+    q.processAllAvailable()
+    mem.addData(Pipelines.UserEvent(1L, base, 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("user_totals")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch 1 emitted (1, 2, 15.0); batch 2 must REMEMBER and emit (1, 3, 17.0)
+    assert(rows.contains((1L, 2L, 15.0)), rows.toString)
+    assert(rows.contains((1L, 3L, 17.0)), rows.toString)
+    assert(rows.contains((2L, 1L, 1.0)), rows.toString)
+  }
+
+  test("malformed envelope rows decode to null and are dropped by cleaning") {
+    val raw = PinFixtures.geoRaw(spark)
+    val good = PinFixtures.envelope(raw).as[String].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(good :+ """{"this is": not even json""" :+ """{"country": "Nowhere"}""")
+    val streamed = Pipelines.cleanGeoStream(mem.toDF().select(col("value").as("data")))
+    val sink = tmp("graft_badjson_sink")
+    val cp = tmp("graft_badjson_cp")
+    val q = streamed.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", sink).option("checkpointLocation", cp)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // the malformed row and the ind-less row are gone; the good rows kept
+    val got = spark.read.schema(Schemas.geoClean).parquet(sink)
+    assert(got.count() == raw.dropDuplicates("ind", "timestamp").count())
+  }
 }
