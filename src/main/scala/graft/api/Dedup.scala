@@ -1,0 +1,159 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expr.WordShingles.word_shingles
+
+/** Public DataFrame-level deduplication API — the library surface a
+  * user calls on their own tables (the named queries in
+  * [[graft.ops.DedupOps]] are thin wrappers over these).
+  *
+  * Every function takes a documents frame plus the id/text column names
+  * and returns a plain DataFrame, so it composes with arbitrary
+  * upstream cleaning and downstream joins.
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by content hash, with the
+    * deterministic keeper (min id). Join back on `text_hash` to drop
+    * copies.
+    */
+  def exactDupGroups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper"))
+      .filter(col("n_copies") > 1)
+
+  /** Exploded distinct word n-gram shingles: (id, sh). */
+  def shingles(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame =
+    docs
+      .withColumn("_sh", word_shingles(col(textCol), n))
+      .filter(size(col("_sh")) > 0)
+      .select(col(idCol), explode(col("_sh")).as("sh"))
+
+  // Kirsch-Mitzenmacher double hashing: one md5 per shingle, split into
+  // two 60-bit halves h1/h2 (15 hex chars each); seeded hash i =
+  // (h1 + i*h2) mod 2^60 — i*h2 stays under 2^63 for i <= 7.
+  private val mod60 = 1152921504606846976L // 2^60
+
+  private def minAggs(nSeeds: Int): Seq[Column] = {
+    val h1 = "CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"
+    val h2 = "CAST(conv(substr(md5(sh), 17, 15), 16, 10) AS BIGINT)"
+    (0 until nSeeds).map(i =>
+      min(expr(s"($h1 + $i * $h2) % $mod60")).as(s"mh$i"))
+  }
+
+  /** MinHash signatures over word n-gram shingles:
+    * (id, mh0..mh{seeds-1}).
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, seeds: Int = 8): DataFrame = {
+    val shs = shingles(docs, idCol, textCol, n)
+    val aggs = minAggs(seeds)
+    shs.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH near-duplicate pairs with exact-jaccard verification:
+    * (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
+    *
+    * `seeds` hashes banded into `seeds/bandSize` bands; a pair becomes a
+    * candidate when any band matches, then its true shingle jaccard is
+    * computed. The band join keys are uniform hashes (no hot
+    * partitions); `maxShingleFreq` drops degenerate shingles (boiler-
+    * plate shared by a large fraction of a 100 TB corpus) before the
+    * verify join.
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, seeds: Int = 8,
+      bandSize: Int = 2, threshold: Double = 0.5,
+      maxShingleFreq: Option[Long] = None): DataFrame = {
+    // the exploded shingle set feeds the signature, the sizes, and the
+    // verify join — persist instead of re-deriving from raw text
+    val shsRaw = shingles(docs, idCol, textCol, n)
+    val shs = (maxShingleFreq match {
+      case Some(cap) =>
+        val ok = shsRaw.groupBy("sh").agg(count(lit(1)).as("_f"))
+          .filter(col("_f") <= cap).select("sh")
+        shsRaw.join(ok, "sh").select(col(idCol), col("sh"))
+      case None => shsRaw
+    }).persist()
+    val aggs = minAggs(seeds)
+    val sig = shs.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    val bandKeys = (0 until seeds / bandSize).map { b =>
+      val parts = (0 until bandSize).flatMap(k =>
+        Seq(lit(":"), col(s"mh${bandSize * b + k}").cast("string"))).tail
+      concat((lit(b + ":") +: parts): _*)
+    }
+    val bands = sig.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    val sizes = shs.groupBy(idCol).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(shs.as("s1"), col(s"s1.$idCol") === col("doc_a"))
+      .join(shs.as("s2"),
+        col(s"s2.$idCol") === col("doc_b") && col("s2.sh") === col("s1.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    val j = col("n_common").cast("double") /
+      (col("sa.n") + col("sb.n") - col("n_common"))
+    common
+      .join(sizes.as("sa"), col(s"sa.$idCol") === col("doc_a"))
+      .join(sizes.as("sb"), col(s"sb.$idCol") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash: 64-bit fingerprint (16 hex chars) by bitwise majority
+    * vote over the distinct-token hashes: (id, simhash).
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), explode(array_distinct(split(col(textCol), " "))).as("t"))
+      .withColumn("h", md5(col("t")))
+      .select(col(idCol), col("h"), explode(expr("sequence(1, 16)")).as("p"))
+      .withColumn("d", expr("instr('0123456789abcdef', substr(h, p, 1)) - 1"))
+      .groupBy(col(idCol), col("p"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("shiftright(d, 3) & 1")).as("s3"),
+        sum(expr("shiftright(d, 2) & 1")).as("s2"),
+        sum(expr("shiftright(d, 1) & 1")).as("s1"),
+        sum(expr("d & 1")).as("s0"))
+      .withColumn("c", expr(
+        """substr('0123456789abcdef',
+          |       1 + (CASE WHEN 2*s3 > n THEN 8 ELSE 0 END
+          |          + CASE WHEN 2*s2 > n THEN 4 ELSE 0 END
+          |          + CASE WHEN 2*s1 > n THEN 2 ELSE 0 END
+          |          + CASE WHEN 2*s0 > n THEN 1 ELSE 0 END), 1)""".stripMargin))
+      .groupBy(idCol)
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(p, c))), x -> x.c), '')")
+        .as("simhash"))
+
+  /** Token-set jaccard pairs of probe docs vs the corpus:
+    * (doc_a, doc_b, jaccard) with doc_a matching `probe` and
+    * jaccard >= threshold.
+    */
+  def tokenJaccardPairs(docs: DataFrame, probe: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.95): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(array_distinct(split(col(textCol), " "))).as("t"))
+    val sizes = tok.groupBy(idCol).agg(count(lit(1)).as("n"))
+    val common = tok.as("a").filter(probe)
+      .join(tok.as("b"),
+        col("a.t") === col("b.t") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val j = col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))
+    common
+      .join(sizes.as("sa"), col(s"sa.$idCol") === col("doc_a"))
+      .join(sizes.as("sb"), col(s"sb.$idCol") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

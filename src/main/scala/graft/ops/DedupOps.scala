@@ -23,14 +23,6 @@ import graft.io.Sources
   */
 object DedupOps {
 
-  private def docsWithShingles(spark: SparkSession, dir: String): DataFrame =
-    Sources.table(spark, dir, "documents")
-      // custom codegen expression: the equivalent
-      // array_distinct(transform(...concat_ws...)) runs interpreted
-      // (HOFs are CodegenFallback) and measured ~6s for 5k docs
-      .withColumn("shingles", graft.expr.WordShingles.word_shingles(col("text"), 3))
-      .filter(size(col("shingles")) > 0)
-
   private val duckShingles =
     """SELECT doc_id,
       |       list_distinct(list_transform(generate_series(1, len(t) - 2),
@@ -61,10 +53,7 @@ object DedupOps {
       |GROUP BY 1 HAVING count(*) > 1
       |ORDER BY text_hash""".stripMargin,
     doc = "exact duplicate groups keyed by content hash") { (spark, dir) =>
-    Sources.table(spark, dir, "documents")
-      .groupBy(md5(col("text")).as("text_hash"))
-      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
-      .filter(col("n_copies") > 1)
+    graft.api.Dedup.exactDupGroups(Sources.table(spark, dir, "documents"))
       .orderBy("text_hash")
   }
 
@@ -76,14 +65,6 @@ object DedupOps {
   // overflows a signed 64-bit in either engine. 8x fewer md5 calls than
   // hashing "<seed>:<shingle>" per seed.
   private val mod60 = 1152921504606846976L // 2^60
-
-  /** Spark columns mh0..mh7 for the seeded min-hashes of column sh. */
-  private def sparkMinAggs = {
-    val h1 = "CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"
-    val h2 = "CAST(conv(substr(md5(sh), 17, 15), 16, 10) AS BIGINT)"
-    (0 until nSeeds).map(i =>
-      min(expr(s"($h1 + $i * $h2) % $mod60")).as(s"mh$i"))
-  }
 
   private def duckMins = {
     val h1 = "CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)"
@@ -103,10 +84,7 @@ object DedupOps {
       |ORDER BY doc_id""".stripMargin
   },
     doc = "MinHash signature computation (shingle -> double-hashed seeded min-hash)") { (spark, dir) =>
-    val exploded = docsWithShingles(spark, dir)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val aggs = sparkMinAggs
-    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    graft.api.Dedup.minhashSignatures(Sources.table(spark, dir, "documents"))
       .orderBy("doc_id")
   }
 
@@ -147,43 +125,8 @@ object DedupOps {
       |ORDER BY doc_a, doc_b""".stripMargin
   },
     doc = "MinHash-LSH candidate generation + exact jaccard verification") { (spark, dir) =>
-    // The exploded shingle set feeds the signature, the sizes, and the
-    // verify join — persist it once instead of re-deriving it from the
-    // raw text three times (at 100 TB: a checkpointed intermediate
-    // table).
-    val shs = docsWithShingles(spark, dir)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .persist()
-    // At real scale: shs.groupBy("sh").count.filter(count < CAP) joined
-    // back here drops degenerate shingles before the candidate join.
-    val aggs = sparkMinAggs
-    val sig = shs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    // one pass over sig: explode the 4 band keys instead of a 4-way
-    // union that would recompute the signature aggregation per band;
-    // band keys join on plain concatenation (uniform already, no md5)
-    val bandKeys = (0 until nSeeds / 2).map { b =>
-      concat(lit(b + ":"), col(s"mh${2 * b}").cast("string"),
-        lit(":"), col(s"mh${2 * b + 1}").cast("string"))
-    }
-    val bands = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sizes = shs.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = cand
-      .join(shs.as("s1"), col("s1.doc_id") === col("doc_a"))
-      .join(shs.as("s2"),
-        col("s2.doc_id") === col("doc_b") && col("s2.sh") === col("s1.sh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    val j = col("n_common").cast("double") /
-      (col("sa.n") + col("sb.n") - col("n_common"))
-    common
-      .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
-      .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+    graft.api.Dedup.nearDupPairs(Sources.table(spark, dir, "documents"),
+      threshold = 0.5)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -218,27 +161,7 @@ object DedupOps {
       |FROM ch GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin,
     doc = "SimHash fingerprint (bitwise majority of token hashes)") { (spark, dir) =>
-    Sources.table(spark, dir, "documents")
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
-      .withColumn("h", md5(col("t")))
-      .select(col("doc_id"), col("h"), explode(expr("sequence(1, 16)")).as("p"))
-      .withColumn("d", expr("instr('0123456789abcdef', substr(h, p, 1)) - 1"))
-      .groupBy("doc_id", "p")
-      .agg(
-        count(lit(1)).as("n"),
-        sum(expr("shiftright(d, 3) & 1")).as("s3"),
-        sum(expr("shiftright(d, 2) & 1")).as("s2"),
-        sum(expr("shiftright(d, 1) & 1")).as("s1"),
-        sum(expr("d & 1")).as("s0"))
-      .withColumn("c", expr(
-        """substr('0123456789abcdef',
-          |       1 + (CASE WHEN 2*s3 > n THEN 8 ELSE 0 END
-          |          + CASE WHEN 2*s2 > n THEN 4 ELSE 0 END
-          |          + CASE WHEN 2*s1 > n THEN 2 ELSE 0 END
-          |          + CASE WHEN 2*s0 > n THEN 1 ELSE 0 END), 1)""".stripMargin))
-      .groupBy("doc_id")
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(p, c))), x -> x.c), '')")
-        .as("simhash"))
+    graft.api.Dedup.simhash(Sources.table(spark, dir, "documents"))
       .orderBy("doc_id")
   }
 
@@ -264,19 +187,8 @@ object DedupOps {
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.95
       |ORDER BY doc_a, doc_b""".stripMargin,
     doc = "token-set jaccard near-dup (probe subset vs corpus)") { (spark, dir) =>
-    val tok = Sources.table(spark, dir, "documents")
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = tok.as("a").filter(col("a.doc_id") % 50 === 0)
-      .join(tok.as("b"), col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    val j = col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))
-    common
-      .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
-      .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
-      .filter(col("jaccard") >= 0.95)
+    graft.api.Dedup.tokenJaccardPairs(Sources.table(spark, dir, "documents"),
+      probe = col("doc_id") % 50 === 0, threshold = 0.95)
       .orderBy("doc_a", "doc_b")
   }
 

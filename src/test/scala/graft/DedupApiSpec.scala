@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Dedup
+
+/** The public dedup API on synthetic corpora with KNOWN duplicate
+  * structure — exact, near (one-word edit), and unrelated docs.
+  */
+class DedupApiSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat near the river bank today"), // near dup (1 word)
+    (4L, "completely different content about spark query engines and shuffles here"),
+    (5L, "another unrelated document mentioning window functions and broadcast joins")
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups finds the exact pair with min-id keeper") {
+    val groups = Dedup.exactDupGroups(corpus).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getLong(1) == 2L) // n_copies
+    assert(groups.head.getLong(2) == 1L) // keeper = min(doc_id)
+  }
+
+  test("nearDupPairs surfaces exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.nearDupPairs(corpus, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)), s"exact dup pair missing: ${pairs.mkString(",")}")
+    // the one-word edit shares most 3-gram shingles with 1 and 2
+    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L)),
+      s"near dup pairs missing: ${pairs.mkString(",")}")
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L || p._2 == 5L),
+      "unrelated docs must not pair")
+    val exact = pairs.find(p => (p._1, p._2) == ((1L, 2L))).get
+    assert(exact._3 == 1.0)
+  }
+
+  test("minhashSignatures: identical docs get identical signatures") {
+    val sig = Dedup.minhashSignatures(corpus).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(4L))
+  }
+
+  test("simhash: near dups differ in few nibbles, unrelated in many") {
+    val sh = Dedup.simhash(corpus).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hexHamming(a: String, b: String): Int =
+      a.zip(b).map { case (x, y) =>
+        Integer.bitCount(Integer.parseInt(x.toString, 16) ^ Integer.parseInt(y.toString, 16))
+      }.sum
+    assert(sh(1L) == sh(2L))
+    assert(hexHamming(sh(1L), sh(3L)) < hexHamming(sh(1L), sh(4L)),
+      s"near dup ${hexHamming(sh(1L), sh(3L))} vs unrelated ${hexHamming(sh(1L), sh(4L))}")
+  }
+
+  test("frequency cap drops boilerplate shingles from the verify join") {
+    // with a cap of 1, every shared shingle is dropped -> no pairs survive
+    val pairs = Dedup.nearDupPairs(corpus, threshold = 0.1, maxShingleFreq = Some(1L))
+    assert(pairs.count() == 0)
+  }
+
+  test("tokenJaccardPairs respects the probe predicate") {
+    val pairs = Dedup.tokenJaccardPairs(corpus, probe = col("doc_id") === 1L,
+      threshold = 0.5).collect()
+    assert(pairs.forall(_.getLong(0) == 1L))
+    assert(pairs.map(_.getLong(1)).toSet == Set(2L, 3L))
+  }
+}
