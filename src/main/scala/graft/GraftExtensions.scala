@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{HumanCountExpr, WordShinglesExpr}
+import graft.expr.{DotProductExpr, HumanCountExpr, WordShinglesExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions with the SQL function registry at session build
@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "word_shingles(text[, n constant int])")
       }))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1))))
   }
 }

@@ -1,0 +1,112 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expr.VectorExprs.dot
+
+/** Public DataFrame-level similarity-search API over an embedding
+  * column (`array<float>` or `array<double>`): brute-force cosine top-k
+  * as the exact baseline, plus two ANN shapes for scale — random-
+  * hyperplane LSH buckets and IVF nearest-centroid cells. Dot products
+  * run through the codegen'd [[graft.expr.DotProductExpr]].
+  *
+  * (The oracle-checked queries in [[graft.ops.SimilarityOps]] use a
+  * truncation-quantized dot instead, which is bit-portable to other
+  * engines; this API takes the fast IEEE path.)
+  */
+object Similarity {
+
+  private def withNorm(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("_nrm", sqrt(dot(col(vecCol), col(vecCol))))
+
+  /** Exact cosine top-k neighbors for every row matching `probe`:
+    * (q_id, rank, neighbor_id, cos_sim). Cost: |probes| * |corpus| —
+    * the baseline ANN variants are judged against.
+    */
+  def cosineTopK(emb: DataFrame, probe: Column, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = withNorm(emb.select(col(idCol), col(vecCol)), vecCol)
+    val probes = e.filter(probe)
+      .select(col(idCol).as("q_id"), col(vecCol).as("_pv"), col("_nrm").as("_pnrm"))
+    val pairs = probes
+      .join(broadcast(e), col(idCol) =!= col("q_id"))
+      .withColumn("cos_sim",
+        dot(col("_pv"), col(vecCol)) / (col("_pnrm") * col("_nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col(idCol).asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol).as("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Random-hyperplane LSH buckets: sign bits of `planes` deterministic
+    * pseudo-random projections (seeded by plane:dim md5). Returns the
+    * input plus a `bucket` string column — the partition key of the ANN
+    * index at scale.
+    */
+  def hyperplaneBuckets(emb: DataFrame, planes: Int = 8,
+      vecCol: String = "embedding", dims: Int = 64): DataFrame = {
+    val mdd = java.security.MessageDigest.getInstance("MD5")
+    def signs(p: Int): Seq[Double] = (1 to dims).map { d =>
+      val h = mdd.digest(s"$p:$d".getBytes("UTF-8"))
+      if (((h(0) & 0xf0) >> 4) >= 8) 1.0 else -1.0
+    }
+    val bits = (0 until planes).map { p =>
+      val plane = array(signs(p).map(lit): _*)
+      when(dot(col(vecCol), plane) >= 0, "1").otherwise("0")
+    }
+    emb.withColumn("bucket", concat(bits: _*))
+  }
+
+  /** ANN via hyperplane LSH: search only the probe's bucket. */
+  def annLsh(emb: DataFrame, probe: Column, k: Int, planes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dims: Int = 64): DataFrame = {
+    val b = withNorm(hyperplaneBuckets(emb.select(col(idCol), col(vecCol)),
+      planes, vecCol, dims), vecCol)
+    val probes = b.filter(probe)
+      .select(col(idCol).as("q_id"), col(vecCol).as("_pv"),
+        col("_nrm").as("_pnrm"), col("bucket").as("_pbucket"))
+    val pairs = probes
+      .join(b, col("bucket") === col("_pbucket") && col(idCol) =!= col("q_id"))
+      .withColumn("cos_sim",
+        dot(col("_pv"), col(vecCol)) / (col("_pnrm") * col("_nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col(idCol).asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol).as("neighbor_id"), col("cos_sim"))
+  }
+
+  /** IVF-style ANN: vectors matching `centroidPred` become cell
+    * centroids; every vector is assigned to its nearest centroid; a
+    * probe searches its `nprobe` nearest cells.
+    */
+  def annIvf(emb: DataFrame, centroidPred: Column, probe: Column, k: Int,
+      nprobe: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val e = withNorm(emb.select(col(idCol), col(vecCol)), vecCol)
+    val cent = e.filter(centroidPred)
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cv"), col("_nrm").as("_cnrm"))
+    val wAssign = Window.partitionBy(idCol).orderBy(col("_ccos").desc, col("_cid").asc)
+    val assign = e.crossJoin(broadcast(cent))
+      .withColumn("_ccos", dot(col(vecCol), col("_cv")) / (col("_nrm") * col("_cnrm")))
+      .withColumn("_crn", row_number().over(wAssign))
+    val cells = assign.filter(col("_crn") === 1)
+      .select(col(idCol).as("neighbor_id"), col("_cid"))
+    val probeCells = assign.filter(col("_crn") <= nprobe && probe)
+      .select(col(idCol).as("q_id"), col("_cid"))
+    val cand = probeCells.join(cells, Seq("_cid"))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .select("q_id", "neighbor_id").distinct()
+    val scored = cand
+      .join(e.select(col(idCol).as("q_id"), col(vecCol).as("_pv"), col("_nrm").as("_pnrm")), Seq("q_id"))
+      .join(e.select(col(idCol).as("neighbor_id"), col(vecCol), col("_nrm")), Seq("neighbor_id"))
+      .withColumn("cos_sim",
+        dot(col("_pv"), col(vecCol)) / (col("_pnrm") * col("_nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "neighbor_id", "cos_sim")
+  }
+}

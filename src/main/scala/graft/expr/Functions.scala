@@ -20,5 +20,7 @@ object Functions {
         case _ => throw new IllegalArgumentException(
           "word_shingles(text[, n constant int])")
       }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
   }
 }

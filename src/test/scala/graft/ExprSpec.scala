@@ -35,6 +35,9 @@ class ExprSpec extends AnyFunSuite {
     assert(got.getInt(0) == 532000)
     assert(got.getInt(1) == 900000)
     assert(got.isNullAt(2))
+    val dp = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
+    assert(dp.getDouble(0) == 11.0)
   }
 
   test("partitioned parquet sink round-trips with partition pruning") {

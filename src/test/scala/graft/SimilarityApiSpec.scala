@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Similarity
+import graft.expr.VectorExprs
+import graft.io.Sources
+
+/** Public similarity API on vectors with KNOWN neighbor structure, and
+  * the codegen'd dot product against the HOF formulation.
+  */
+class SimilarityApiSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 4-d toy space: 1≈2 (cos ~0.995), both orthogonal-ish to 3; 4 opposite of 1
+  private def vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.99f, 0.1f, 0.0f, 0.0f)),
+    (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+    (4L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)),
+    (5L, Seq(0.7f, 0.7f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("dot_product expression equals the HOF aggregate formulation") {
+    val e = Sources.table(spark, TestSpark.sf0001, "embeddings").limit(100)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("fast", VectorExprs.dot(col("v"), col("v")))
+      .withColumn("slow", expr(
+        "aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"))
+    assert(e.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("cosineTopK ranks the known nearest neighbor first") {
+    val top = Similarity.cosineTopK(vecs, probe = col("vec_id") === 1L, k = 4)
+      .orderBy("rank").collect()
+    assert(top.map(_.getLong(2)).toSeq == Seq(2L, 5L, 3L, 4L))
+    assert(top.head.getDouble(3) > 0.99)
+    assert(top.last.getDouble(3) == -1.0)
+  }
+
+  test("annLsh buckets separate opposite vectors and find the near neighbor") {
+    val out = Similarity.annLsh(vecs, probe = col("vec_id") === 1L, k = 3,
+      planes = 4, dims = 4).collect()
+    val neighbors = out.map(_.getLong(2)).toSet
+    // 2 projects to the same side of every hyperplane as 1 (vectors are
+    // nearly parallel); 4 is the exact opposite corner -> different bucket
+    assert(neighbors.contains(2L))
+    assert(!neighbors.contains(4L))
+  }
+
+  test("annIvf searches only nearby cells yet finds the true neighbor") {
+    val out = Similarity.annIvf(vecs,
+      centroidPred = col("vec_id").isin(1L, 3L), // two cells: +x-ish and +z
+      probe = col("vec_id") === 2L, k = 2, nprobe = 1)
+      .orderBy("rank").collect()
+    assert(out.head.getLong(2) == 1L, out.mkString(","))
+    assert(out.head.getDouble(3) > 0.99)
+    // 4 (opposite) lands in the z-cell or ranks below — true neighbor first
+  }
+
+  test("hyperplaneBuckets is deterministic and 2^planes-bounded") {
+    val b1 = Similarity.hyperplaneBuckets(vecs, planes = 4, dims = 4)
+      .select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val b2 = Similarity.hyperplaneBuckets(vecs, planes = 4, dims = 4)
+      .select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(b1 == b2)
+    assert(b1.values.forall(_.length == 4))
+  }
+}
