@@ -89,9 +89,14 @@ object Similarity {
     val cent = e.filter(centroidPred)
       .select(col(idCol).as("_cid"), col(vecCol).as("_cv"), col("_nrm").as("_cnrm"))
     val wAssign = Window.partitionBy(idCol).orderBy(col("_ccos").desc, col("_cid").asc)
+    // materialize the assignment once so cells and probe_cells share
+    // one centroid cross-join subtree
     val assign = e.crossJoin(broadcast(cent))
       .withColumn("_ccos", dot(col(vecCol), col("_cv")) / (col("_nrm") * col("_cnrm")))
       .withColumn("_crn", row_number().over(wAssign))
+      .filter(col("_crn") <= nprobe)
+      .select(col(idCol), col("_cid"), col("_crn"))
+      .persist()
     val cells = assign.filter(col("_crn") === 1)
       .select(col(idCol).as("neighbor_id"), col("_cid"))
     val probeCells = assign.filter(col("_crn") <= nprobe && probe)

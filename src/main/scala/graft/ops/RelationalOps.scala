@@ -96,8 +96,9 @@ object RelationalOps {
     def active(yr: Int) = orders
       .filter(year(col("o_orderdate")) === yr)
       .select("o_custkey").distinct()
-    val y97 = active(1997)
-    val y98 = active(1998)
+    // each except/intersect branch scans both sets; persist them once
+    val y97 = active(1997).persist()
+    val y98 = active(1998).persist()
     def counted(df: DataFrame, bucket: String) =
       df.agg(count(lit(1)).as("cnt")).select(lit(bucket).as("bucket"), col("cnt"))
     counted(y97.intersect(y98), "both")

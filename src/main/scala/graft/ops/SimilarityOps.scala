@@ -229,10 +229,14 @@ object SimilarityOps {
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("c_id").asc)
+    // materialize the assignment once: cells and probe_cells otherwise
+    // each re-run the centroid cross join (audit showed 2x BNLJ)
     val assign = e.crossJoin(broadcast(cent))
       .withColumn("ccos", expr(s"${dotDec("v", "cv")} / (nrm * cnrm)"))
       .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") <= 2)
       .select("vec_id", "c_id", "crn")
+      .persist()
     val cells = assign.filter(col("crn") === 1).select("vec_id", "c_id")
     val probeCells = assign.filter(col("crn") <= 2 && col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("c_id"))
