@@ -27,7 +27,7 @@ object DedupOps {
     """SELECT doc_id,
       |       list_distinct(list_transform(generate_series(1, len(t) - 2),
       |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
-      |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM read_parquet('{SFDIR}/documents.parquet'))
       |WHERE len(t) >= 3""".stripMargin
 
   /** Exact duplication profile of the corpus. */
@@ -35,7 +35,7 @@ object DedupOps {
     """SELECT count(*) AS n_docs,
       |       count(DISTINCT text) AS n_unique_texts,
       |       count(DISTINCT md5(text)) AS n_unique_hashes
-      |FROM documents""".stripMargin,
+      |FROM read_parquet('{SFDIR}/documents.parquet')""".stripMargin,
     doc = "exact dedup cardinalities (hash group-by)") { (spark, dir) =>
     Sources.table(spark, dir, "documents")
       .agg(
@@ -49,7 +49,7 @@ object DedupOps {
     */
   val d02 = OpQuery.oracled("d02_exact_dup_groups",
     """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper
-      |FROM documents
+      |FROM read_parquet('{SFDIR}/documents.parquet')
       |GROUP BY 1 HAVING count(*) > 1
       |ORDER BY text_hash""".stripMargin,
     doc = "exact duplicate groups keyed by content hash") { (spark, dir) =>
@@ -135,7 +135,7 @@ object DedupOps {
     */
   val d05 = OpQuery.oracled("d05_simhash",
     """WITH tok AS (
-      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM read_parquet('{SFDIR}/documents.parquet')
       |), h AS (
       |  SELECT doc_id, md5(t) AS h FROM tok
       |), bits AS (
@@ -170,7 +170,7 @@ object DedupOps {
     */
   val d06 = OpQuery.oracled("d06_token_jaccard_near_dup",
     """WITH tok AS (
-      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM read_parquet('{SFDIR}/documents.parquet')
       |), sizes AS (
       |  SELECT doc_id, count(*) AS n FROM tok GROUP BY 1
       |), common AS (

@@ -108,7 +108,7 @@ object Multimodal {
       |       CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
       |       sha256(text) AS content_sha,
       |       substr(md5(text), 1, 16) AS content_key
-      |FROM documents
+      |FROM read_parquet('{SFDIR}/documents.parquet')
       |ORDER BY doc_id""".stripMargin,
     doc = "opaque binary payload metadata (length + content hash)") { (spark, dir) =>
     Sources.table(spark, dir, "documents")

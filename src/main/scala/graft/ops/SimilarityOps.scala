@@ -40,7 +40,7 @@ object SimilarityOps {
 
   private val duckEmbedded =
     s"""SELECT vec_id, label, v, sqrt(${duckDot("v", "v")}) AS nrm
-       |FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
+       |FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM read_parquet('{SFDIR}/embeddings.parquet'))""".stripMargin
 
   /** Brute-force cosine top-5 for a probe subset — the exactness
     * baseline every ANN variant is judged against.

@@ -19,7 +19,7 @@ object TextOps {
       |       CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS total_token_chars,
       |       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
       |         / len(string_split(text, ' ')) AS type_token_ratio
-      |FROM documents
+      |FROM read_parquet('{SFDIR}/documents.parquet')
       |ORDER BY doc_id""".stripMargin,
     doc = "token counting (north-star text analysis); HOF sum of token lengths") { (spark, dir) =>
     Sources.table(spark, dir, "documents")
@@ -47,7 +47,7 @@ object TextOps {
       |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
       |         len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS n_stop,
       |         CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS tok_chars
-      |  FROM documents
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
       |)
       |SELECT doc_id, n_tokens,
       |       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
@@ -91,7 +91,7 @@ object TextOps {
     s"""WITH hits AS (
       |  SELECT doc_id, lang,
       |         $hitCols
-      |  FROM documents
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
       |)
       |SELECT lang,
       |       CASE WHEN h_en >= greatest(h_de, h_es, h_fr) THEN 'en'
@@ -130,7 +130,7 @@ object TextOps {
       |       min(md5(substr(text, i, 8))) AS fp_min,
       |       max(md5(substr(text, i, 8))) AS fp_max,
       |       count(*) AS n_windows
-      |FROM documents, unnest(generate_series(1, greatest(length(text) - 7, 1))) AS u(i)
+      |FROM read_parquet('{SFDIR}/documents.parquet'), unnest(generate_series(1, greatest(length(text) - 7, 1))) AS u(i)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin,
     doc = "rolling-window document fingerprint (min-hash of char 8-grams)") { (spark, dir) =>
@@ -156,7 +156,7 @@ object TextOps {
       |       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
       |       CAST(length(text) AS DOUBLE)
       |         / greatest(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 1) AS chars_per_token
-      |FROM documents
+      |FROM read_parquet('{SFDIR}/documents.parquet')
       |ORDER BY doc_id""".stripMargin,
     doc = "BPE-ish regex tokenizer counting (training-cost proxy)") { (spark, dir) =>
     Sources.table(spark, dir, "documents")
