@@ -256,5 +256,36 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
-  val all: Seq[OpQuery] = Seq(s01, s02, s03, s04)
+  /** Embedding-cosine near-duplicate pairs: LSH buckets prune the pair
+    * space, then candidates above the cosine threshold are emitted —
+    * the embedding flavor of the dedup suite (token/shingle flavors in
+    * DedupOps). Random test vectors rarely clear 0.8, so the result is
+    * small-to-empty by design; the oracle must agree exactly either way.
+    */
+  val s05 = OpQuery.oracled("s05_embedding_near_dup_pairs", {
+    s"""WITH e AS (
+       |  $duckEmbedded
+       |), b AS (
+       |  SELECT vec_id, v, nrm, $bucketSqlDuck AS bucket FROM e
+       |)
+       |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       |       ${duckDot("a.v", "c.v")} / (a.nrm * c.nrm) AS cos_sim
+       |FROM b a JOIN b c ON c.bucket = a.bucket AND a.vec_id < c.vec_id
+       |WHERE ${duckDot("a.v", "c.v")} / (a.nrm * c.nrm) >= 0.8
+       |ORDER BY vec_a, vec_b""".stripMargin
+  },
+    doc = "embedding-cosine near-dup pairs (LSH-pruned, thresholded)") { (spark, dir) =>
+    val b = embedded(spark, dir)
+      .withColumn("bucket", expr(bucketSqlSpark))
+      .select("vec_id", "v", "nrm", "bucket")
+    val pairs = b.as("a")
+      .join(b.as("c"),
+        col("c.bucket") === col("a.bucket") && col("a.vec_id") < col("c.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("c.vec_id").as("vec_b"),
+        expr(s"${dotDec("a.v", "c.v")} / (a.nrm * c.nrm)").as("cos_sim"))
+    pairs.filter(col("cos_sim") >= 0.8)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05)
 }
