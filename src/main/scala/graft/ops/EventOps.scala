@@ -144,5 +144,43 @@ object EventOps {
       .orderBy("user_id")
   }
 
-  val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05)
+  /** As-of join: for every purchase, the most recent click by the same
+    * user at-or-before the purchase time. Implemented as a single
+    * carry-forward window (running max of click times) instead of a
+    * range self-join — one shuffle on user_id, no O(n*m) pair blowup,
+    * the scalable formulation of an as-of join when both sides share a
+    * partition key.
+    */
+  val e07 = OpQuery.oracled("e07_asof_click_before_purchase",
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, event_type,
+      |         epoch_us(ts) AS ts_us,
+      |         max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+      |           OVER (PARTITION BY user_id
+      |                 ORDER BY epoch_us(ts), event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+      |  FROM events
+      |)
+      |SELECT user_id, event_id, ts_us,
+      |       last_click_us,
+      |       ts_us - last_click_us AS us_since_click
+      |FROM ordered
+      |WHERE event_type = 'purchase'
+      |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    doc = "as-of join via carry-forward window (generalized operator the reference lacks)") { (spark, dir) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Sources.table(spark, dir, "events")
+      .withColumn("ts_us", tsUs)
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", col("ts_us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("last_click_us"),
+        (col("ts_us") - col("last_click_us")).as("us_since_click"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07)
 }

@@ -41,7 +41,13 @@ object Pipelines {
   def cleanPinStream(envelope: DataFrame): DataFrame =
     Cleaners.cleanPin(decode(envelope, Schemas.pinRaw),
       fillFollower = Some(1000), dedup = false)
-      .dropDuplicates() // per-micro-batch exact dedup; no event time on pin
+      // streaming dropDuplicates = GLOBAL stateful dedup (state lives in
+      // the checkpoint and survives restarts — see the recovery test).
+      // Pin has no event-time column, so this state never expires:
+      // reference-parity behavior (KINESIS:213), acceptable for bounded
+      // replays; bound it with a synthetic ingest-time watermark if the
+      // stream is unbounded.
+      .dropDuplicates()
 
   /** Cleaned geo stream with watermarked keyed dedup (fixes the
     * reference's unbounded-state dropDuplicates).

@@ -158,6 +158,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((2L, 1L, 1.0)), rows.toString)
   }
 
+  test("checkpoint recovery: a restarted query resumes without duplicating output") {
+    val raw = PinFixtures.pinRaw(spark)
+    val envelopeRows = PinFixtures.envelope(raw).as[String].collect().toSeq
+    val (first, second) = envelopeRows.splitAt(envelopeRows.size / 2)
+
+    implicit val sqlCtx = spark.sqlContext
+    val sink = tmp("graft_recover_sink")
+    val cp = tmp("graft_recover_cp")
+
+    // run 1: process the first half, then stop (simulated crash point)
+    val mem1 = MemoryStream[String]
+    mem1.addData(first)
+    val q1 = Pipelines.cleanPinStream(mem1.toDF().select(col("value").as("data")))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", sink).option("checkpointLocation", cp).start()
+    q1.processAllAvailable()
+    q1.stop()
+    val afterFirst = spark.read.schema(Schemas.pinClean).parquet(sink).count()
+
+    // run 2: new query, SAME checkpoint — must pick up where run 1 left
+    // off; re-adding the first half simulates source replay from offset 0
+    val mem2 = MemoryStream[String]
+    mem2.addData(first) // already-committed offsets: must NOT be re-emitted
+    mem2.addData(second)
+    val q2 = Pipelines.cleanPinStream(mem2.toDF().select(col("value").as("data")))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", sink).option("checkpointLocation", cp).start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.schema(Schemas.pinClean).parquet(sink)
+    val want = Cleaners.cleanPin(raw, fillFollower = Some(1000))
+    assert(afterFirst > 0 && afterFirst < want.count())
+    assert(got.count() == want.count(),
+      s"restart duplicated or lost rows: got ${got.count()}, want ${want.count()}")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("malformed envelope rows decode to null and are dropped by cleaning") {
     val raw = PinFixtures.geoRaw(spark)
     val good = PinFixtures.envelope(raw).as[String].collect().toSeq
