@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{DotProductExpr, HumanCountExpr, WordShinglesExpr}
+import graft.expr.{DotProductExpr, HumanCountExpr, QuantizedDotExpr, WordShinglesExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions with the SQL function registry at session build
@@ -34,5 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("quantized_dot"),
+      new ExpressionInfo(classOf[QuantizedDotExpr].getName, "quantized_dot"),
+      (exprs: Seq[Expression]) => QuantizedDotExpr(exprs(0), exprs(1))))
   }
 }

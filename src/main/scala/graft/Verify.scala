@@ -26,6 +26,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a stale result dir from an earlier run must not mask the
+        // failure as a pass in the downstream compare
+        val stale = new java.io.File(s"$outDir/$name")
+        if (stale.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(stale)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -22,5 +22,7 @@ object Functions {
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantized_dot", exprs => QuantizedDotExpr(exprs(0), exprs(1)), "scala_udf")
   }
 }

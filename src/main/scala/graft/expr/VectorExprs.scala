@@ -31,8 +31,32 @@ object VectorExprs {
     acc
   }
 
+  /** The oracle-portable quantized dot: per element, product in IEEE
+    * double, scaled by 1e12, truncated toward zero to a long, summed
+    * exactly; result divided back. Bit-identical to the SQL
+    * `aggregate(zip_with(a, b, (x, y) -> CAST((x*y)*1e12 AS BIGINT)))`
+    * formula (same op sequence per element; long sum is exact and
+    * order-free) but codegen'd instead of interpreted.
+    */
+  def quantizedDot(ad: ArrayData, bd: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(ad.numElements(), bd.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) ad.getFloat(i).toDouble else ad.getDouble(i)
+      val y = if (bFloat) bd.getFloat(i).toDouble else bd.getDouble(i)
+      acc += ((x * y) * 1e12).toLong // toLong truncates toward zero, like CAST
+      i += 1
+    }
+    acc.toDouble / 1e12
+  }
+
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def quantized_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(QuantizedDotExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def cosine(a: Column, b: Column): Column = {
@@ -64,5 +88,32 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd [[VectorExprs.quantizedDot]] — see that scaladoc. */
+case class QuantizedDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quantized_dot"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"quantized_dot expects array<float|double>, got $t")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorExprs.quantizedDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.VectorExprs.quantizedDot($a, $b, ${isFloat(left)}, ${isFloat(right)});")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizedDotExpr =
     copy(left = newLeft, right = newRight)
 }

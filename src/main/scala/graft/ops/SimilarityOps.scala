@@ -25,18 +25,20 @@ object SimilarityOps {
     * explicit truncation in both dialects.
     */
   private def dotDec(a: String, b: String): String =
-    s"""(CAST(aggregate(zip_with($a, $b, (x, y) -> CAST((x * y) * 1e12 AS BIGINT)),
-       |     0L, (acc, x) -> acc + x) AS DOUBLE) / 1e12)""".stripMargin
+    s"quantized_dot($a, $b)" // codegen'd; bit-identical to the SQL
+                             // aggregate/zip_with fold (see VectorExprs)
 
   /** DuckDB side of the same truncation-quantized dot product. */
   private def duckDot(a: String, b: String): String =
     s"""(CAST(list_sum(list_transform(generate_series(1, len($a)),
        |     i -> CAST(trunc(($a[i] * $b[i]) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)""".stripMargin
 
-  private def embedded(spark: SparkSession, dir: String): DataFrame =
+  private def embedded(spark: SparkSession, dir: String): DataFrame = {
+    graft.expr.Functions.register(spark) // quantized_dot for expr() text
     Sources.table(spark, dir, "embeddings")
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", expr(s"sqrt(${dotDec("v", "v")})"))
+  }
 
   private val duckEmbedded =
     s"""SELECT vec_id, label, v, sqrt(${duckDot("v", "v")}) AS nrm
@@ -105,7 +107,9 @@ object SimilarityOps {
     */
   private def bucketSqlSpark: String =
     (0 until nPlanes).map { p =>
-      s"""(CASE WHEN aggregate(zip_with(v, array(${signsSqlArray(p)}), (x, y) -> CAST((y * x) * 1e12 AS BIGINT)), 0L, (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END)"""
+      // D-suffixed literals: bare 1.0 parses as DECIMAL(2,1) in Spark SQL
+      val signsD = planeSigns(p, dims).map(v => if (v > 0) "1.0D" else "-1.0D").mkString(", ")
+      s"""(CASE WHEN quantized_dot(v, array($signsD)) >= 0 THEN '1' ELSE '0' END)"""
     }.mkString("concat(", ", ", ")")
 
   private def bucketSqlDuck: String =
