@@ -79,8 +79,10 @@ object Dedup {
         shsRaw.join(ok, "sh").select(col(idCol), col("sh"))
       case None => shsRaw
     }).persist()
-    val aggs = minAggs(seeds)
-    val sig = shs.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    // one shuffle on the doc key yields the signature AND the shingle
+    // count (the later jaccard denominator) — no separate sizes pass
+    val aggs = minAggs(seeds) :+ count(lit(1)).as("n")
+    val sig = shs.groupBy(idCol).agg(aggs.head, aggs.tail: _*).persist()
     val bandKeys = (0 until seeds / bandSize).map { b =>
       val parts = (0 until bandSize).flatMap(k =>
         Seq(lit(":"), col(s"mh${bandSize * b + k}").cast("string"))).tail
@@ -92,7 +94,7 @@ object Dedup {
         col("a.bk") === col("b.bk") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
-    val sizes = shs.groupBy(idCol).agg(count(lit(1)).as("n"))
+    val sizes = sig.select(col(idCol), col("n"))
     val common = cand
       .join(shs.as("s1"), col(s"s1.$idCol") === col("doc_a"))
       .join(shs.as("s2"),
