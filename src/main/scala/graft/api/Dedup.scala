@@ -139,14 +139,48 @@ object Dedup {
   /** Token-set jaccard pairs of probe docs vs the corpus:
     * (doc_a, doc_b, jaccard) with doc_a matching `probe` and
     * jaccard >= threshold.
+    *
+    * Skew design for the raw-token join key ("the" is in nearly every
+    * document — a planet-sized hot key at 100 TB):
+    *
+    *  - `maxTokenDfFraction` drops tokens whose document frequency
+    *    exceeds that fraction of the corpus (IR's classic max_df). A
+    *    fraction — not an absolute count — because absolute caps don't
+    *    survive a corpus-size change: at 100 TB even rare informative
+    *    tokens appear in millions of documents. Dropped tokens leave
+    *    BOTH the join and the jaccard denominator (sizes are computed
+    *    on the capped sets), so the result stays an exact jaccard — of
+    *    the informative-token sets. The cutoff count is derived inside
+    *    the plan (broadcast 1-row corpus count), never collected.
+    *  - `maxTokenFreq` is the absolute variant for when the caller
+    *    knows the corpus; both may be set (tighter wins).
+    *  - The probe side is broadcast: the probe set is small by
+    *    contract, so the corpus-side token list never shuffles at all
+    *    and a frequent surviving token costs only its intrinsic
+    *    probe×occurrence matches, streamed map-side.
     */
   def tokenJaccardPairs(docs: DataFrame, probe: Column,
       idCol: String = "doc_id", textCol: String = "text",
-      threshold: Double = 0.95): DataFrame = {
-    val tok = docs.select(col(idCol),
+      threshold: Double = 0.95,
+      maxTokenFreq: Option[Long] = None,
+      maxTokenDfFraction: Option[Double] = None): DataFrame = {
+    val tokRaw = docs.select(col(idCol),
       explode(array_distinct(split(col(textCol), " "))).as("t"))
+    val tok = if (maxTokenFreq.isEmpty && maxTokenDfFraction.isEmpty) tokRaw
+    else {
+      val nDocs = docs.agg(count(lit(1)).as("_nd"))
+      val capCol = least(
+        maxTokenFreq.map(lit(_)).getOrElse(lit(Long.MaxValue)),
+        maxTokenDfFraction
+          .map(f => ceil(lit(f) * col("_nd")).cast("long"))
+          .getOrElse(lit(Long.MaxValue)))
+      val ok = tokRaw.groupBy("t").agg(count(lit(1)).as("_f"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("_f") <= capCol).select("t")
+      tokRaw.join(ok, "t").select(col(idCol), col("t")).persist()
+    }
     val sizes = tok.groupBy(idCol).agg(count(lit(1)).as("n"))
-    val common = tok.as("a").filter(probe)
+    val common = broadcast(tok.as("a").filter(probe))
       .join(tok.as("b"),
         col("a.t") === col("b.t") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))

@@ -88,18 +88,32 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Boilerplate guard for d04: a shingle present in more than this many
+    * documents (license headers, templated markup) is dropped before the
+    * signature AND the verify join — one viral shingle at 100 TB would
+    * otherwise fan the verify join out quadratically. The oracle applies
+    * the identical HAVING cap, so hash-parity proves the capped
+    * semantics, not just the uncapped ones.
+    */
+  private val maxShingleDocFreq = 50L
+
   /** LSH near-dup pairs: band the 8-hash signature into 4 bands of 2,
     * bucket-join on band key, then verify candidates with exact shingle
     * jaccard >= 0.5. At 100 TB the band join is the only shuffle that
-    * grows with corpus size and its keys are uniform md5s; a frequency
-    * cap on pathological shingles (commented) bounds the verify join.
+    * grows with corpus size and its keys are uniform md5s; the
+    * document-frequency cap on pathological shingles bounds the verify
+    * join.
     */
   val d04 = OpQuery.oracled("d04_lsh_near_dup_pairs", {
     val bands = (0 until nSeeds / 2)
       .map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || ':' || mh${2 * b + 1} AS bk FROM sig")
       .mkString("\n      |  UNION ALL\n      |  ")
-    s"""WITH shs AS (
+    s"""WITH shs0 AS (
       |  SELECT doc_id, unnest(shingles) AS sh FROM ($duckShingles)
+      |), ok AS (
+      |  SELECT sh FROM shs0 GROUP BY sh HAVING count(*) <= $maxShingleDocFreq
+      |), shs AS (
+      |  SELECT s.doc_id, s.sh FROM shs0 s JOIN ok USING (sh)
       |), sig AS (
       |  SELECT doc_id, ${duckMins.mkString(", ")} FROM shs GROUP BY doc_id
       |), bands AS (
@@ -124,9 +138,10 @@ object DedupOps {
       |WHERE CAST(m.n_common AS DOUBLE) / (sa.n + sb.n - m.n_common) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
   },
-    doc = "MinHash-LSH candidate generation + exact jaccard verification") { (spark, dir) =>
+    doc = "MinHash-LSH candidate generation + exact jaccard verification, " +
+      "with the boilerplate-shingle frequency cap active") { (spark, dir) =>
     graft.api.Dedup.nearDupPairs(Sources.table(spark, dir, "documents"),
-      threshold = 0.5)
+      threshold = 0.5, maxShingleFreq = Some(maxShingleDocFreq))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -165,12 +180,32 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Stopword guard for d06: tokens present in more than this fraction
+    * of the corpus carry no dedup signal and are planet-sized hot join
+    * keys at 100 TB ("the" is in nearly every English document). A
+    * fraction, not an absolute count — an absolute cap can't survive a
+    * corpus-size change (at 100 TB even informative tokens appear in
+    * millions of documents). The oracle applies the identical cap, so
+    * the capped jaccard is what hash-parity proves. Both engines
+    * compute ceil(f * n) on IEEE doubles, so the cutoff is identical.
+    */
+  private val maxTokenDf = 0.9
+
   /** Token-set jaccard near-dup against a probe subset (doc_id % 50 = 0)
-    * — the n-gram jaccard axis at unigram granularity, threshold 0.95.
+    * — the n-gram jaccard axis at unigram granularity, threshold 0.95,
+    * with the fractional document-frequency cap active so the token
+    * join has no hot keys, and the probe side broadcast so the corpus
+    * never shuffles.
     */
   val d06 = OpQuery.oracled("d06_token_jaccard_near_dup",
-    """WITH tok AS (
+    s"""WITH tok0 AS (
       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM read_parquet('{SFDIR}/documents.parquet')
+      |), nd AS (
+      |  SELECT CAST(ceil($maxTokenDf * count(*)) AS BIGINT) AS cap FROM read_parquet('{SFDIR}/documents.parquet')
+      |), ok AS (
+      |  SELECT t FROM tok0 GROUP BY t HAVING count(*) <= (SELECT cap FROM nd)
+      |), tok AS (
+      |  SELECT k.doc_id, k.t FROM tok0 k JOIN ok USING (t)
       |), sizes AS (
       |  SELECT doc_id, count(*) AS n FROM tok GROUP BY 1
       |), common AS (
@@ -186,9 +221,11 @@ object DedupOps {
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.95
       |ORDER BY doc_a, doc_b""".stripMargin,
-    doc = "token-set jaccard near-dup (probe subset vs corpus)") { (spark, dir) =>
+    doc = "token-set jaccard near-dup (probe subset vs corpus), " +
+      "fractional-df-capped, probe side broadcast") { (spark, dir) =>
     graft.api.Dedup.tokenJaccardPairs(Sources.table(spark, dir, "documents"),
-      probe = col("doc_id") % 50 === 0, threshold = 0.95)
+      probe = col("doc_id") % 50 === 0, threshold = 0.95,
+      maxTokenDfFraction = Some(maxTokenDf))
       .orderBy("doc_a", "doc_b")
   }
 

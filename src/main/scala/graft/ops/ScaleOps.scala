@@ -79,21 +79,28 @@ object ScaleOps {
       |FROM events
       |GROUP BY 1 ORDER BY event_type""".stripMargin,
     doc = "salted two-phase aggregation over skewed keys; result provably equals direct GROUP BY") { (spark, dir) =>
-    val salted = Sources.table(spark, dir, "events")
-      .withColumn("_salt", pmod(col("event_id"), lit(16)))
+    val events = Sources.table(spark, dir, "events")
+    val salted = events.withColumn("_salt", pmod(col("event_id"), lit(16)))
     val partial = salted
       .groupBy("event_type", "_salt")
       .agg(
         count(lit(1)).as("p_cnt"),
-        sum(col("value").cast("decimal(18,6)")).as("p_val"),
-        collect_set(col("user_id")).as("p_users"))
-    partial
+        sum(col("value").cast("decimal(18,6)")).as("p_val"))
+    val merged = partial
       .groupBy("event_type")
       .agg(
         sum(col("p_cnt")).as("cnt"),
-        sum(col("p_val")).cast("double").as("total_value"),
-        size(array_distinct(flatten(collect_list(col("p_users")))))
-          .cast("long").as("n_users"))
+        sum(col("p_val")).cast("double").as("total_value"))
+    // Exact distinct via two-phase group-by: the first shuffle is on
+    // (event_type, user_id) — high cardinality, so a hot event_type
+    // spreads across partitions without salting — and the second merges
+    // tiny per-type counts. Both stages hash-aggregate and spill;
+    // nothing is ever materialized as one driver-sized array.
+    val users = events.select("event_type", "user_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    merged.join(users, Seq("event_type"))
+      .select(col("event_type"), col("cnt"), col("total_value"),
+        col("n_users"))
       .orderBy("event_type")
   }
 

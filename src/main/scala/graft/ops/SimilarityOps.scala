@@ -86,8 +86,9 @@ object SimilarityOps {
   // +1 when the first md5 nibble of "p:d" is >= 8. The signs are plan
   // constants, so they are computed HERE once and inlined as literal
   // arrays in both dialects — no per-row hashing (the first version
-  // recomputed 512 md5s per vector).
-  private def planeSigns(p: Int, dims: Int): Seq[Double] = {
+  // recomputed 512 md5s per vector). Shared with api.Similarity so the
+  // library surface and the registered queries agree on the planes.
+  private[graft] def planeSigns(p: Int, dims: Int): Seq[Double] = {
     val mdd = java.security.MessageDigest.getInstance("MD5")
     (1 to dims).map { d =>
       val hex = mdd.digest(s"$p:$d".getBytes("UTF-8"))
@@ -112,10 +113,11 @@ object SimilarityOps {
       s"""(CASE WHEN quantized_dot(v, array($signsD)) >= 0 THEN '1' ELSE '0' END)"""
     }.mkString("concat(", ", ", ")")
 
+  private def duckSignBit(p: Int): String =
+    s"""(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), d -> CAST(trunc(([${signsSqlArray(p)}]::DOUBLE[])[d] * v[d] * 1e12) AS BIGINT))) >= 0 THEN '1' ELSE '0' END)"""
+
   private def bucketSqlDuck: String =
-    (0 until nPlanes).map { p =>
-      s"""(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), d -> CAST(trunc(([${signsSqlArray(p)}]::DOUBLE[])[d] * v[d] * 1e12) AS BIGINT))) >= 0 THEN '1' ELSE '0' END)"""
-    }.mkString(" || ")
+    (0 until nPlanes).map(duckSignBit).mkString(" || ")
 
   /** LSH-bucketed approximate nearest neighbors: random-hyperplane
     * signatures partition the corpus into 2^8 buckets; search only the
@@ -260,34 +262,65 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs: LSH buckets prune the pair
-    * space, then candidates above the cosine threshold are emitted —
-    * the embedding flavor of the dedup suite (token/shingle flavors in
-    * DedupOps). Random test vectors rarely clear 0.8, so the result is
+  // s05 banding parameters: 4 bands x 8 sign bits (32 planes). bandBits
+  // is the knob that must scale ~log2(N / targetBucket) with corpus
+  // size; see api.Similarity.cosineNearDupPairs for the pair-count
+  // bound. At sf0.01 (N=500) 2^8 buckets/band hold ~2 vectors each.
+  private val ndBands = 4
+  private val ndBandBits = 8
+
+  /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH:
+    * candidates share ALL bits of ANY band, then the exact quantized
+    * cosine verifies. This replaces the round-1 single fixed 8-bit
+    * bucket, whose within-bucket all-pairs was O(N^2/256); the banded
+    * form bounds expected candidates at nBands * N^2 / 2^(bandBits+1)
+    * with bandBits sized to the corpus — linear in N when 2^bandBits
+    * tracks N. Random test vectors rarely clear 0.8, so the result is
     * small-to-empty by design; the oracle must agree exactly either way.
     */
   val s05 = OpQuery.oracled("s05_embedding_near_dup_pairs", {
+    val bandSelects = (0 until ndBands).map { b =>
+      val bits = (b * ndBandBits until (b + 1) * ndBandBits)
+        .map(duckSignBit).mkString(" || ")
+      s"SELECT vec_id, '$b:' || $bits AS bk FROM e"
+    }.mkString("\n       |  UNION ALL\n       |  ")
     s"""WITH e AS (
        |  $duckEmbedded
-       |), b AS (
-       |  SELECT vec_id, v, nrm, $bucketSqlDuck AS bucket FROM e
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b ON b.bk = a.bk AND a.vec_id < b.vec_id
        |)
-       |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-       |       ${duckDot("a.v", "c.v")} / (a.nrm * c.nrm) AS cos_sim
-       |FROM b a JOIN b c ON c.bucket = a.bucket AND a.vec_id < c.vec_id
-       |WHERE ${duckDot("a.v", "c.v")} / (a.nrm * c.nrm) >= 0.8
+       |SELECT vec_a, vec_b,
+       |       ${duckDot("ea.v", "eb.v")} / (ea.nrm * eb.nrm) AS cos_sim
+       |FROM cand
+       |JOIN e ea ON ea.vec_id = vec_a
+       |JOIN e eb ON eb.vec_id = vec_b
+       |WHERE ${duckDot("ea.v", "eb.v")} / (ea.nrm * eb.nrm) >= 0.8
        |ORDER BY vec_a, vec_b""".stripMargin
   },
-    doc = "embedding-cosine near-dup pairs (LSH-pruned, thresholded)") { (spark, dir) =>
-    val b = embedded(spark, dir)
-      .withColumn("bucket", expr(bucketSqlSpark))
-      .select("vec_id", "v", "nrm", "bucket")
-    val pairs = b.as("a")
-      .join(b.as("c"),
-        col("c.bucket") === col("a.bucket") && col("a.vec_id") < col("c.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("c.vec_id").as("vec_b"),
-        expr(s"${dotDec("a.v", "c.v")} / (a.nrm * c.nrm)").as("cos_sim"))
-    pairs.filter(col("cos_sim") >= 0.8)
+    doc = "embedding-cosine near-dup pairs (banded hyperplane LSH + exact verify)") { (spark, dir) =>
+    val e = embedded(spark, dir).select("vec_id", "v", "nrm").persist()
+    val bandKeys = (0 until ndBands).map { b =>
+      val bits = (b * ndBandBits until (b + 1) * ndBandBits).map { p =>
+        val signsD = planeSigns(p, dims).map(v => if (v > 0) "1.0D" else "-1.0D").mkString(", ")
+        s"(CASE WHEN quantized_dot(v, array($signsD)) >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(", ")
+      expr(s"concat('$b:', $bits)")
+    }
+    val bands = e.select(col("vec_id"), explode(array(bandKeys: _*)).as("bk"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vec_b"))
+      .withColumn("cos_sim", expr(s"${dotDec("va", "vb")} / (na * nb)"))
+      .filter(col("cos_sim") >= 0.8)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
 

@@ -72,4 +72,22 @@ class DedupApiSpec extends AnyFunSuite {
     assert(pairs.forall(_.getLong(0) == 1L))
     assert(pairs.map(_.getLong(1)).toSet == Set(2L, 3L))
   }
+
+  test("tokenJaccardPairs fractional df cap drops ubiquitous tokens") {
+    // "the" appears in 3/5 docs = 0.6 df; a 0.5 cap drops it but keeps
+    // the informative tokens, so 1-2 (identical) still pair at 1.0
+    // while 1-3's jaccard shifts because the shared stopwords are gone
+    val capped = Dedup.tokenJaccardPairs(corpus, probe = col("doc_id") === 1L,
+      threshold = 0.9, maxTokenDfFraction = Some(0.5))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(capped.keySet == Set(2L), s"only the exact dup survives 0.9: $capped")
+    assert(capped(2L) == 1.0)
+    // a cap of 1.0 keeps everything: same result as uncapped
+    val full = Dedup.tokenJaccardPairs(corpus, probe = col("doc_id") === 1L,
+      threshold = 0.5).collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    val capped1 = Dedup.tokenJaccardPairs(corpus, probe = col("doc_id") === 1L,
+      threshold = 0.5, maxTokenDfFraction = Some(1.0))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(capped1 == full)
+  }
 }

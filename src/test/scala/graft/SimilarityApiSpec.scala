@@ -60,6 +60,20 @@ class SimilarityApiSpec extends AnyFunSuite {
     // 4 (opposite) lands in the z-cell or ranks below — true neighbor first
   }
 
+  test("cosineNearDupPairs: banded LSH finds the near-dup, skips opposites") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, threshold = 0.9,
+      nBands = 4, bandBits = 2, dims = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    // 1 and 2 are nearly parallel (cos ~0.995): some band of sign bits
+    // must agree, and the verify keeps them above 0.9
+    assert(keys.contains((1L, 2L)), s"near-dup pair missing: ${pairs.mkString(",")}")
+    // opposite vectors can share no band (every sign bit flips) and
+    // would fail the verify anyway
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(pairs.forall(_._3 >= 0.9))
+  }
+
   test("hyperplaneBuckets is deterministic and 2^planes-bounded") {
     val b1 = Similarity.hyperplaneBuckets(vecs, planes = 4, dims = 4)
       .select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getString(1))).toMap
