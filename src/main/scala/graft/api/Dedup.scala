@@ -12,6 +12,14 @@ import graft.expr.WordShingles.word_shingles
   * Every function takes a documents frame plus the id/text column names
   * and returns a plain DataFrame, so it composes with arbitrary
   * upstream cleaning and downstream joins.
+  *
+  * Caching contract: functions whose plan reuses a subtree more than
+  * once ([[nearDupPairs]], [[tokenJaccardPairs]]) persist that subtree
+  * at MEMORY_AND_DISK. The blocks stay cached until the caller drops
+  * them — after the terminal action, call `spark.catalog.clearCache()`
+  * (or `unpersist` the returned frame's cached lineage) in long-lived
+  * applications; the bundled Bench/Verify drivers do exactly that
+  * between queries.
   */
 object Dedup {
 
@@ -154,16 +162,20 @@ object Dedup {
     *    the plan (broadcast 1-row corpus count), never collected.
     *  - `maxTokenFreq` is the absolute variant for when the caller
     *    knows the corpus; both may be set (tighter wins).
-    *  - The probe side is broadcast: the probe set is small by
-    *    contract, so the corpus-side token list never shuffles at all
-    *    and a frequent surviving token costs only its intrinsic
-    *    probe×occurrence matches, streamed map-side.
+    *  - `broadcastProbe` (opt-in) broadcasts the probe-side token set
+    *    so the corpus side never shuffles — correct ONLY when the
+    *    caller knows the probe set fits an executor (Spark hard-fails
+    *    broadcasts past its table limit rather than falling back). The
+    *    default lets AQE decide from the probe's actual runtime size:
+    *    a fractional probe of a 100 TB corpus is itself TB-sized, and
+    *    a forced broadcast of it would kill the job.
     */
   def tokenJaccardPairs(docs: DataFrame, probe: Column,
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.95,
       maxTokenFreq: Option[Long] = None,
-      maxTokenDfFraction: Option[Double] = None): DataFrame = {
+      maxTokenDfFraction: Option[Double] = None,
+      broadcastProbe: Boolean = false): DataFrame = {
     val tokRaw = docs.select(col(idCol),
       explode(array_distinct(split(col(textCol), " "))).as("t"))
     val tok = if (maxTokenFreq.isEmpty && maxTokenDfFraction.isEmpty) tokRaw
@@ -180,7 +192,8 @@ object Dedup {
       tokRaw.join(ok, "t").select(col(idCol), col("t")).persist()
     }
     val sizes = tok.groupBy(idCol).agg(count(lit(1)).as("n"))
-    val common = broadcast(tok.as("a").filter(probe))
+    val probeTok = tok.as("a").filter(probe)
+    val common = (if (broadcastProbe) broadcast(probeTok) else probeTok)
       .join(tok.as("b"),
         col("a.t") === col("b.t") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))

@@ -15,6 +15,13 @@ import graft.expr.VectorExprs.dot
   * (The oracle-checked queries in [[graft.ops.SimilarityOps]] use a
   * truncation-quantized dot instead, which is bit-portable to other
   * engines; this API takes the fast IEEE path.)
+  *
+  * Caching contract: [[annIvf]] and [[cosineNearDupPairs]] persist a
+  * shared subtree (the centroid assignment / the bucketed corpus). The
+  * blocks stay cached until the caller drops them — after the terminal
+  * action, call `spark.catalog.clearCache()` in long-lived
+  * applications; the bundled Bench/Verify drivers do that between
+  * queries.
   */
 object Similarity {
 
@@ -43,17 +50,15 @@ object Similarity {
   /** Random-hyperplane LSH buckets: sign bits of `planes` deterministic
     * pseudo-random projections (seeded by plane:dim md5). Returns the
     * input plus a `bucket` string column — the partition key of the ANN
-    * index at scale.
+    * index at scale. The plane signs are
+    * [[graft.ops.SimilarityOps.planeSigns]] — the single source of
+    * truth, so this API and the registered oracle queries always agree
+    * on the planes.
     */
   def hyperplaneBuckets(emb: DataFrame, planes: Int = 8,
       vecCol: String = "embedding", dims: Int = 64): DataFrame = {
-    val mdd = java.security.MessageDigest.getInstance("MD5")
-    def signs(p: Int): Seq[Double] = (1 to dims).map { d =>
-      val h = mdd.digest(s"$p:$d".getBytes("UTF-8"))
-      if (((h(0) & 0xf0) >> 4) >= 8) 1.0 else -1.0
-    }
     val bits = (0 until planes).map { p =>
-      val plane = array(signs(p).map(lit): _*)
+      val plane = array(graft.ops.SimilarityOps.planeSigns(p, dims).map(lit): _*)
       when(dot(col(vecCol), plane) >= 0, "1").otherwise("0")
     }
     emb.withColumn("bucket", concat(bits: _*))

@@ -194,8 +194,10 @@ object DedupOps {
   /** Token-set jaccard near-dup against a probe subset (doc_id % 50 = 0)
     * — the n-gram jaccard axis at unigram granularity, threshold 0.95,
     * with the fractional document-frequency cap active so the token
-    * join has no hot keys, and the probe side broadcast so the corpus
-    * never shuffles.
+    * join has no hot keys. The probe side is NOT force-broadcast: a
+    * fixed 1/50 of a 100 TB corpus is TB-sized, past Spark's broadcast
+    * limit — AQE broadcasts it when (and only when) it is actually
+    * small at runtime.
     */
   val d06 = OpQuery.oracled("d06_token_jaccard_near_dup",
     s"""WITH tok0 AS (
@@ -222,7 +224,7 @@ object DedupOps {
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.95
       |ORDER BY doc_a, doc_b""".stripMargin,
     doc = "token-set jaccard near-dup (probe subset vs corpus), " +
-      "fractional-df-capped, probe side broadcast") { (spark, dir) =>
+      "fractional-df-capped, AQE-sized probe join") { (spark, dir) =>
     graft.api.Dedup.tokenJaccardPairs(Sources.table(spark, dir, "documents"),
       probe = col("doc_id") % 50 === 0, threshold = 0.95,
       maxTokenDfFraction = Some(maxTokenDf))

@@ -96,8 +96,11 @@ object ScaleOps {
     // spreads across partitions without salting — and the second merges
     // tiny per-type counts. Both stages hash-aggregate and spill;
     // nothing is ever materialized as one driver-sized array.
+    // count(user_id), not count(*): distinct() keeps an
+    // (event_type, NULL) row that count(DISTINCT user_id) — the oracle
+    // semantics — excludes; on nullable data count(*) here would be +1.
     val users = events.select("event_type", "user_id").distinct()
-      .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+      .groupBy("event_type").agg(count(col("user_id")).as("n_users"))
     merged.join(users, Seq("event_type"))
       .select(col("event_type"), col("cnt"), col("total_value"),
         col("n_users"))
