@@ -8,26 +8,71 @@ import org.apache.spark.sql.SparkSession
   * near-zero. A noop write evaluates every output column of every row
   * and discards the bytes, so the timing is the real work.
   *
+  * Failures are reported, not timed: a query that throws gets value -1
+  * and its name in the top-level "errors" array — timing the failure
+  * path would silently deflate totals and poison cross-SF ratios.
+  *
+  * The cache is cleared between queries: several library operators
+  * persist shared subtrees (LSH signatures, IVF assignments), and
+  * letting those blocks accumulate across 60+ queries squeezes
+  * execution memory for every query that runs later — round 2's bench
+  * showed exactly that as phantom super-linear flags on plain scans.
+  *
   * Cross-SF curve: when a sibling sf0.01 dir exists (and the primary is
   * a different SF), every query is also timed there and the per-query
-  * ratio emitted. Data grows 10x between sf0.01 and sf0.1, so with
-  * constant per-query overhead a linear operator stays well under 10x;
+  * ratio emitted. Data grows 10x between sf0.01 and sf0.1, so with the
+  * per-query fixed cost removed a linear operator stays well under 10x;
   * ratios above SUPERLINEAR_RATIO flag a super-linear scale bug (the
-  * kind invisible at any single SF). Disable with SPARK_GRAFT_CURVE=0.
+  * kind invisible at any single SF). The fixed cost (stage scheduling,
+  * codegen, noop-write setup — ~0.1-0.3 s at local[32]) is measured on
+  * a trivial shuffle+write and subtracted from BOTH sides before the
+  * ratio: at sf0.01 most queries are 90% fixed cost, and the raw ratio
+  * flagged half a dozen provably linear scans in round 2. A query whose
+  * small-SF adjusted time is below MIN_SMALL_SECONDS has no measurable
+  * algorithmic cost at sf0.01, so its ratio is noise and is never
+  * flagged. Disable the curve with SPARK_GRAFT_CURVE=0.
   */
 object Bench {
 
   private val SuperlinearRatio = 12.0
   // below this, sf0.1 timing is scheduling noise, not algorithmic cost
   private val MinFlagSeconds = 1.0
+  // below this ADJUSTED small-SF time, the ratio denominator is noise:
+  // the overhead constant is measured on a 1-stage job, so a 3-stage
+  // query at sf0.01 still carries ~2 stages of unsubtracted scheduling
+  // (~0.1s) — r13 (scan→expand→agg→sort, 0.08s adjusted) demonstrated
+  // exactly that as a phantom 17x flag
+  private val MinSmallSeconds = 0.15
 
-  private def timeAll(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+  private final case class Timing(name: String, sec: Double, failed: Boolean)
+
+  private def timeAll(spark: SparkSession, sfDir: String): Seq[Timing] =
+    SparkEntry.registry.sortBy(_.name).map { q =>
+      // one-time builds (bucketed tables, media staging) are amortized
+      // costs, not per-query throughput — keep them outside the clock
+      try q.prepare(spark, sfDir) catch { case _: Throwable => () }
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val failed =
+        try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
+        catch { case _: Throwable => true }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop blocks persisted inside the query so they don't squeeze
+      // execution memory for everything that runs after it
+      spark.catalog.clearCache()
+      Timing(q.name, if (failed) -1.0 else dt, failed)
     }
+
+  /** Median wall time of a trivial shuffle + noop write: the per-query
+    * cost floor that has nothing to do with data volume.
+    */
+  private def fixedOverhead(spark: SparkSession): Double = {
+    val ts = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1000).repartition(32).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    ts(ts.size / 2)
+  }
 
   private def jsonMap(xs: Seq[(String, Double)]): String =
     xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -53,9 +98,13 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     } catch { case _: Throwable => () }
+    val overhead = fixedOverhead(spark)
 
     val results = timeAll(spark, sfDir)
-    val total = results.map(_._2).sum
+    val ok = results.filterNot(_.failed)
+    val total = ok.map(_.sec).sum
+    val errors = results.filter(_.failed).map(_.name)
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     val curveDir = {
       val sibling = new java.io.File(new java.io.File(sfDir).getParent, "sf0.01")
@@ -67,20 +116,26 @@ object Bench {
     }
     val curve = curveDir.map { dir =>
       val small = timeAll(spark, dir)
-      val smallMap = small.toMap
-      val ratios = results.map { case (k, v) =>
-        k -> (if (smallMap.getOrElse(k, 0.0) > 0.0) v / smallMap(k) else -1.0)
+      val smallMap = small.map(t => t.name -> t.sec).toMap
+      val bigMap = results.map(t => t.name -> t.sec).toMap
+      def adj(v: Double): Double = math.max(v - overhead, 0.0)
+      val ratios = results.map { t =>
+        val s = smallMap.getOrElse(t.name, -1.0)
+        val r =
+          if (t.failed || s < 0.0) -1.0
+          else if (adj(s) < MinSmallSeconds) -1.0 // denominator is noise
+          else adj(t.sec) / adj(s)
+        t.name -> r
       }
       val superlinear = ratios.collect {
-        case (k, r) if r > SuperlinearRatio &&
-          results.toMap.getOrElse(k, 0.0) > MinFlagSeconds => k
+        case (k, r) if r > SuperlinearRatio && bigMap.getOrElse(k, 0.0) > MinFlagSeconds => k
       }
-      s""","curve":{"dir":"$dir","queries":${jsonMap(small)},""" +
+      s""","curve":{"dir":"$dir","overhead":$overhead,"queries":${jsonMap(small.map(t => t.name -> t.sec))},""" +
         s""""ratio":${jsonMap(ratios)},""" +
         s""""superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir"$curve}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map(t => t.name -> t.sec))},"errors":$errJson,"sf":"$sfDir"$curve}""")
     spark.stop()
   }
 }

@@ -21,9 +21,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+    SparkEntry.registry.sortBy(_.name).foreach { q =>
+      val name = q.name
+      try {
+        q.prepare(spark, sfDir)
+        q.fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a stale result dir from an earlier run must not mask the
@@ -36,6 +40,9 @@ object Verify {
           rm(stale)
         }
       }
+      // drop blocks persisted inside the query (LSH signatures, IVF
+      // assignments) so 60+ queries don't accumulate cached partitions
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -18,7 +18,13 @@ final case class OpQuery(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    doc: String = "")
+    doc: String = "",
+    /** One-time build step (bucketed table, media staging) — idempotent,
+      * also invoked from `fn` so the query is standalone; Bench runs it
+      * OUTSIDE the timed section because an index build is a one-time
+      * cost the per-query throughput number must not re-pay every run.
+      */
+    prepare: (SparkSession, String) => Unit = (_, _) => ())
 
 object OpQuery {
   def oracled(name: String, sql: String, doc: String = "")(
