@@ -1,0 +1,59 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed interval/range joins.
+  *
+  * Spark plans a plain non-equi time-range join as
+  * BroadcastNestedLoopJoin (fine only when one side is tiny) or a
+  * cartesian product (never fine). This is the missing whole-operator:
+  * a range join that shuffles on a derived equi-key so both sides can
+  * be 100 TB.
+  */
+object Joins {
+
+  /** All (left, right) pairs with
+    * `right[rightTsCol] ∈ [left[leftTsCol] + lowerUs, left[leftTsCol] + upperUs)`.
+    *
+    * Implementation — bucketed time join:
+    *  - the right side gets one equi-key: its time bucket
+    *    `rightTs div bucketUs`;
+    *  - each left row explodes to the (few) buckets its interval
+    *    `[lts+lower, lts+upper)` overlaps — `(upper-lower)/bucketUs + 1`
+    *    of them, = 2 at the default bucket width;
+    *  - the join is a plain shuffle hash/sort-merge join on the bucket,
+    *    followed by the exact range predicate.
+    *
+    * Scale properties: the only data-sized shuffle key is the time
+    * bucket, so neither side is ever broadcast and no user/entity key is
+    * assumed shared (the case an as-of join with a partition key cannot
+    * cover). `bucketUs` trades duplication for parallelism: the default
+    * (= the window width) explodes the left side 2x; a busy stream whose
+    * single-bucket volume exceeds a partition should pass a SMALLER
+    * bucket (k+1 copies, k = window/bucket) to spread each window over
+    * more keys — with AQE splitting any residual hot bucket. Timestamps
+    * must be non-negative epoch micros (integer `div` floors toward
+    * negative infinity only for non-negative operands).
+    *
+    * Column names of `left` and `right` must be disjoint (standard
+    * Spark join hygiene; the internal bucket columns are dropped).
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame,
+      leftTsCol: String, rightTsCol: String,
+      lowerUs: Long, upperUs: Long,
+      bucketUs: Option[Long] = None): DataFrame = {
+    require(upperUs > lowerUs, s"empty interval: [$lowerUs, $upperUs)")
+    val w = bucketUs.getOrElse(upperUs - lowerUs)
+    require(w > 0, s"bucket width must be positive: $w")
+    val lb = expr(s"explode(sequence(($leftTsCol + $lowerUs) div $w, " +
+      s"($leftTsCol + $upperUs - 1) div $w))")
+    val l = left.withColumn("_graft_lb", lb)
+    val r = right.withColumn("_graft_rb", expr(s"$rightTsCol div $w"))
+    l.join(r,
+        col("_graft_lb") === col("_graft_rb") &&
+          col(rightTsCol) >= col(leftTsCol) + lowerUs &&
+          col(rightTsCol) < col(leftTsCol) + upperUs)
+      .drop("_graft_lb", "_graft_rb")
+  }
+}

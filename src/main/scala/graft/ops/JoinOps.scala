@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.api.Joins
+import graft.io.Sources
+
+/** Join operators beyond the equi-join family: the bucketed-time range
+  * join (an interval predicate with NO shared entity key — the case the
+  * as-of join e07 cannot cover) and Bloom-filter join pruning (the
+  * runtime-filter pattern that keeps a 100 TB fact table from shuffling
+  * rows the other side will discard anyway).
+  */
+object JoinOps {
+
+  // 5 minutes in epoch micros; events.ts is long nanos in Spark
+  // (nanosAsLong) and TIMESTAMP in DuckDB — both sides compare in µs.
+  private val windowUs = 300000000L
+
+  /** Range join: for every purchase, how many clicks — from ANY user —
+    * landed in the 5 minutes before it. There is deliberately no join
+    * key besides time: [[graft.api.Joins.rangeJoin]] derives the
+    * equi-key (the time bucket) so the join shuffles instead of going
+    * BroadcastNestedLoop/cartesian. Purchases with a quiet 5 minutes
+    * stay in the result with n_clicks = 0 (left join back to the
+    * purchase spine).
+    */
+  val r17 = OpQuery.oracled("r17_range_join_clicks_before_purchase",
+    s"""WITH p AS (
+      |  SELECT event_id AS purchase_id, epoch_us(ts) AS p_us
+      |  FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'
+      |), j AS (
+      |  SELECT purchase_id, count(*) AS n
+      |  FROM p JOIN c ON c_us >= p_us - $windowUs AND c_us < p_us
+      |  GROUP BY 1
+      |)
+      |SELECT purchase_id, CAST(coalesce(n, 0) AS BIGINT) AS n_clicks
+      |FROM p LEFT JOIN j USING (purchase_id)
+      |ORDER BY purchase_id""".stripMargin,
+    doc = "bucketed-time range join (interval predicate, no shared entity key)") { (spark, dir) =>
+    val ev = Sources.table(spark, dir, "events")
+      .withColumn("us", expr("ts div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("us").as("p_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("us").as("c_us"))
+    val counts = Joins
+      .rangeJoin(purchases, clicks, "p_us", "c_us", -windowUs, 0L)
+      .groupBy("purchase_id").agg(count(lit(1)).as("n"))
+    purchases.select("purchase_id")
+      .join(counts, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), coalesce(col("n"), lit(0L)).as("n_clicks"))
+      .orderBy("purchase_id")
+  }
+
+  /** Bloom-filter join pruning on the fact-fact shape (r11/r12 family):
+    * lineitem ⋈ a highly filtered orders side. The selective side
+    * builds a Bloom filter over its join keys (a bounded-size sketch —
+    * ~1.2 MB here, still MBs at 100 TB because it scales with DISTINCT
+    * KEYS PASSING THE FILTER, not table bytes); the fact side applies
+    * `might_contain` AT THE SCAN, so ~97% of lineitem never enters the
+    * shuffle. False positives are dropped by the real join, which is
+    * why the oracle is the plain unpruned SQL — pruning must be
+    * invisible in the result. PlanSpec asserts the filter actually sits
+    * on the scan side of the join.
+    */
+  val r18 = OpQuery.oracled("r18_bloom_pruned_revenue",
+    """SELECT CAST(month(o_orderdate) AS INT) AS order_month,
+      |       CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1997
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    doc = "Bloom-filter join pruning: fact scan pre-filtered by the dim side's key sketch") { (spark, dir) =>
+    val orders = Sources.table(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) === 1997)
+    // Build the key sketch: one pass over the (small, post-filter)
+    // orders side. Sized for keys-after-filter; at a real 100 TB the
+    // expectedNumItems comes from table stats, and the sketch is still
+    // a driver-safe few MBs.
+    val bloom = orders.stat.bloomFilter("o_orderkey", 1000000L, 0.03)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    spark.udf.register("bloom_might_contain",
+      (k: Long) => bloomBc.value.mightContainLong(k))
+    val li = Sources.table(spark, dir, "lineitem")
+      .filter(expr("bloom_might_contain(l_orderkey)"))
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .groupBy(month(col("o_orderdate")).cast("int").as("order_month"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("order_month")
+  }
+
+  /** One-time build of bucketed twins of orders/lineitem for `dir`:
+    * both tables hash-bucketed INTO the same bucket count ON the join
+    * key, so an orderkey join needs no shuffle at all — the physical
+    * layout IS the partitioning. This is the 100 TB pattern for a join
+    * that runs every day on the same key: pay the shuffle once at write
+    * time, never again at read time. Files land under target/bucketed;
+    * when they already exist (a later JVM), only the catalog entry is
+    * re-attached — Spark keeps bucketing metadata in the catalog, not
+    * the files.
+    */
+  def ensureBucketed(spark: org.apache.spark.sql.SparkSession, dir: String): (String, String) = synchronized {
+    import java.nio.file.{Files, Paths}
+    val sf = new java.io.File(dir).getName.replace(".", "_")
+    val names = Seq(("orders", "o_orderkey"), ("lineitem", "l_orderkey")).map { case (t, k) =>
+      val name = s"graft_${t}_bucketed_$sf"
+      if (!spark.catalog.tableExists(name)) {
+        val loc = s"/root/repo/target/bucketed/$sf/$t"
+        val src = Sources.table(spark, dir, t)
+        if (Files.exists(Paths.get(s"$loc/_SUCCESS"))) {
+          spark.sql(s"CREATE TABLE $name (${src.schema.toDDL}) USING parquet " +
+            s"CLUSTERED BY ($k) INTO 8 BUCKETS LOCATION '$loc'")
+        } else {
+          src.write.mode("overwrite")
+            .bucketBy(8, k).sortBy(k)
+            .option("path", loc).saveAsTable(name)
+        }
+      }
+      name
+    }
+    (names.head, names(1))
+  }
+
+  /** Co-located join over the bucketed twins: lineitem ⋈ orders on
+    * orderkey with ZERO join-side shuffle (PlanSpec asserts the scans
+    * read `Bucketed: true` and the only exchange in the plan is the
+    * final small aggregation's). The merge hint pins sort-merge join so
+    * the assertion is about bucketing, not AQE's broadcast choice.
+    */
+  val r19 = OpQuery(
+    name = "r19_bucketed_colocated_join",
+    fn = { (spark, dir) =>
+      val (ordersT, lineitemT) = ensureBucketed(spark, dir)
+      val o = spark.table(ordersT)
+      val l = spark.table(lineitemT)
+      l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderstatus")
+    },
+    oracle = Some(
+      """SELECT o_orderstatus,
+        |       CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin),
+    doc = "bucketed co-located join: both facts pre-bucketed on the join key, zero join-side shuffle",
+    prepare = (spark, dir) => { ensureBucketed(spark, dir); () })
+
+  val all: Seq[OpQuery] = Seq(r17, r18, r19)
+}

@@ -53,6 +53,71 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Root for the per-SF media fixture directories (one opaque .bin
+    * file per sampled document — the on-disk shape a real media corpus
+    * has in an object store).
+    */
+  private val mediaFixtureRoot = "/root/repo/target/fixtures"
+
+  /** Ensure the media fixture directory for `dir` exists: every 10th
+    * document's text bytes become `media_<doc_id>.bin`. The files are
+    * written by the EXECUTORS (`foreachPartition`, exactly how a real
+    * cluster job would stage media into a shared store) — never
+    * collected to the driver. Idempotent: content is a pure function of
+    * the documents table, so presence of the _DONE marker skips the
+    * write.
+    */
+  def ensureMediaFiles(spark: SparkSession, dir: String): String = synchronized {
+    import java.nio.file.{Files, Paths}
+    val sfName = new java.io.File(dir).getName
+    val out = s"$mediaFixtureRoot/media_$sfName"
+    if (!Files.exists(Paths.get(s"$out/_DONE"))) {
+      Files.createDirectories(Paths.get(out))
+      Sources.table(spark, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
+          rows.forEachRemaining { row =>
+            Files.write(
+              Paths.get(s"$out/media_${row.getLong(0)}.bin"),
+              row.getAs[Array[Byte]](1))
+          }
+        }
+      Files.createFile(Paths.get(s"$out/_DONE"))
+    }
+    out
+  }
+
+  /** The scale path: payloads read through the `binaryFile` datasource
+    * (path/length/content columns straight off the store — the same
+    * reader that serves a 100 TB image corpus), metadata joined from
+    * the documents table by the id parsed out of the filename.
+    */
+  def mediaFromBinaryFiles(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val path = ensureMediaFiles(spark, dir)
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(path)
+      .select(
+        regexp_extract(col("path"), "media_(\\d+)\\.bin$", 1)
+          .cast("long").as("media_id"),
+        col("content").as("payload"))
+    val meta = Sources.table(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"))
+    bin.join(meta, Seq("media_id"))
+      .select(col("media_id"), col("media_type"), col("payload"),
+        col("width"), col("height"))
+      .as[MediaRecord]
+  }
+
   /** STUB decode: a real pipeline would decode JPEG/PCM/frames here
     * (per-partition, so codec state is initialized once per partition,
     * not once per row). The stub extracts a 16-bin byte histogram —
@@ -83,14 +148,14 @@ object Multimodal {
     }
   }
 
-  /** End-to-end media profile: synthesize -> extract -> aggregate.
-    * Registered rows-only (the mapPartitions stub is not ANSI-SQL
-    * expressible).
+  /** End-to-end media profile: binaryFile datasource -> mapPartitions
+    * feature extraction -> aggregate. Registered rows-only (the
+    * mapPartitions stub is not ANSI-SQL expressible).
     */
   val m02 = OpQuery.unoracled("m02_media_feature_profile",
-    doc = "multimodal plumbing: binary payload -> mapPartitions feature extraction -> aggregate") { (spark, dir) =>
+    doc = "multimodal plumbing: binaryFile source -> mapPartitions feature extraction -> aggregate") { (spark, dir) =>
     import spark.implicits._
-    val feats = extractFeatures(mediaFromDocuments(spark, dir))
+    val feats = extractFeatures(mediaFromBinaryFiles(spark, dir))
     feats.toDF()
       .groupBy("media_type")
       .agg(
@@ -98,7 +163,7 @@ object Multimodal {
         sum(col("n_bytes")).as("total_bytes"),
         avg(element_at(col("features"), 7)).as("avg_bin7"))
       .orderBy("media_type")
-  }
+  }.copy(prepare = (spark, dir) => { ensureMediaFiles(spark, dir); () })
 
   /** Binary column metadata — the SQL-visible half of the multimodal
     * surface (octet length + content hash), oracle-checked.

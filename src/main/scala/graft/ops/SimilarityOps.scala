@@ -324,5 +324,72 @@ object SimilarityOps {
       .orderBy("vec_a", "vec_b")
   }
 
-  val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05)
+  /** Recall@3 of both ANN variants (s02 hyperplane-LSH, s04 IVF)
+    * against the brute-force baseline (s01) — the acceptance metric of
+    * a similarity-search component. Deterministic: the planes and the
+    * centroid subset are fixed, so recall is exactly reproducible and
+    * fully SQL-expressible (the oracle re-derives all three searches).
+    * One row per (method, probe): hits = |approx top-3 ∩ exact top-3|,
+    * recall_at_3 = hits/3. Distributed shape: the intersection is a
+    * join on (q_id, neighbor_id) — no per-probe collect; at 100 TB the
+    * probe grid stays a frame and recall aggregates shuffle on q_id.
+    */
+  val s06 = OpQuery.oracled("s06_ann_recall_at_3", {
+    def strip(sql: String): String = sql.trim
+    s"""WITH exact AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |${strip(s01.oracle.get)}
+       |  ) WHERE rank <= 3
+       |), lsh AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |${strip(s02.oracle.get)}
+       |  )
+       |), ivf AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |${strip(s04.oracle.get)}
+       |  )
+       |), m AS (
+       |  SELECT 'lsh' AS method, q_id, neighbor_id FROM lsh
+       |  UNION ALL
+       |  SELECT 'ivf' AS method, q_id, neighbor_id FROM ivf
+       |), matched AS (
+       |  SELECT m.method, m.q_id, count(*) AS hits
+       |  FROM m JOIN exact e ON e.q_id = m.q_id AND e.neighbor_id = m.neighbor_id
+       |  GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT method, vec_id AS q_id
+       |  FROM read_parquet('{SFDIR}/embeddings.parquet')
+       |  CROSS JOIN (SELECT unnest(['lsh', 'ivf']) AS method)
+       |  WHERE vec_id % 50 = 0
+       |)
+       |SELECT g.method, g.q_id,
+       |       CAST(coalesce(h.hits, 0) AS INT) AS hits,
+       |       CAST(coalesce(h.hits, 0) AS DOUBLE) / 3 AS recall_at_3
+       |FROM grid g LEFT JOIN matched h ON h.method = g.method AND h.q_id = g.q_id
+       |ORDER BY 1, 2""".stripMargin
+  },
+    doc = "recall@3 of the ANN paths (s02 LSH, s04 IVF) vs the exact baseline (s01)") { (spark, dir) =>
+    val exact = s01.fn(spark, dir).filter(col("rank") <= 3)
+      .select("q_id", "neighbor_id")
+    val approx = s02.fn(spark, dir).select("q_id", "neighbor_id")
+      .withColumn("method", lit("lsh"))
+      .unionByName(s04.fn(spark, dir).select("q_id", "neighbor_id")
+        .withColumn("method", lit("ivf")))
+    val matched = approx.join(exact, Seq("q_id", "neighbor_id"))
+      .groupBy("method", "q_id").agg(count(lit(1)).as("hits0"))
+    val methods = spark.range(1)
+      .select(explode(array(lit("lsh"), lit("ivf"))).as("method"))
+    val probeGrid = Sources.table(spark, dir, "embeddings")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"))
+      .crossJoin(methods)
+    probeGrid.join(matched, Seq("method", "q_id"), "left")
+      .select(
+        col("method"), col("q_id"),
+        coalesce(col("hits0"), lit(0L)).cast("int").as("hits"),
+        (coalesce(col("hits0"), lit(0L)).cast("double") / lit(3.0)).as("recall_at_3"))
+      .orderBy("method", "q_id")
+  }
+
+  val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06)
 }

@@ -170,5 +170,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[OpQuery] = Seq(t01, t02, t03, t04, t05)
+  /** Deterministic stratified train/test split: assignment is a pure
+    * hash of doc_id ([[graft.api.Sampling]]), so membership is
+    * reproducible across runs, engines, and partial re-processing —
+    * `rand()`-based splits are none of those. Verified per language
+    * stratum so a skewed split would show up as a per-lang imbalance.
+    */
+  val t06 = OpQuery.oracled("t06_train_test_split",
+    """WITH s AS (
+      |  SELECT lang, n_chars,
+      |         CASE WHEN (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |                 + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 205
+      |              THEN 'train' ELSE 'test' END AS split
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |)
+      |SELECT lang, split, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+      |FROM s GROUP BY 1, 2
+      |ORDER BY lang, split""".stripMargin,
+    doc = "deterministic hash-bucketed train/test split, verified per language stratum") { (spark, dir) =>
+    graft.api.Sampling.withTrainTestSplit(
+      Sources.table(spark, dir, "documents"), "doc_id", trainFraction = 0.8)
+      .groupBy("lang", "split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy("lang", "split")
+  }
+
+  val all: Seq[OpQuery] = Seq(t01, t02, t03, t04, t05, t06)
 }

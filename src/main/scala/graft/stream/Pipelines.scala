@@ -1,6 +1,6 @@
 package graft.stream
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
@@ -48,6 +48,31 @@ object Pipelines {
       // replays; bound it with a synthetic ingest-time watermark if the
       // stream is unbounded.
       .dropDuplicates()
+
+  /** Pin stream with BOUNDED dedup state — the mitigation
+    * [[cleanPinStream]]'s comment promises. Pins carry no event time,
+    * so a synthetic ingest-time column drives the watermark and
+    * `dropDuplicatesWithinWatermark` expires each key's state once the
+    * watermark passes first-sight + `retention`. The trade, stated:
+    * a duplicate arriving within `retention` of the original is
+    * dropped (guaranteed); one arriving later re-emits. That is the
+    * correct contract for an unbounded stream where at-least-once
+    * delivery produces duplicates SECONDS apart, not hours — and it
+    * caps state at (keys seen in the last `retention`) instead of
+    * (keys seen since the job started).
+    *
+    * `ingestTs` is injectable so tests can drive the watermark
+    * deterministically; production uses the wall clock.
+    */
+  def cleanPinStreamBounded(envelope: DataFrame,
+      retention: String = "10 minutes",
+      ingestTs: Column = current_timestamp()): DataFrame =
+    Cleaners.cleanPin(decode(envelope, Schemas.pinRaw),
+      fillFollower = Some(1000), dedup = false)
+      .withColumn("_ingest_ts", ingestTs)
+      .withWatermark("_ingest_ts", retention)
+      .dropDuplicatesWithinWatermark("ind")
+      .drop("_ingest_ts")
 
   /** Cleaned geo stream with watermarked keyed dedup (fixes the
     * reference's unbounded-state dropDuplicates).

@@ -32,9 +32,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.head.features.length == 16)
   }
 
-  test("m02 aggregates extracted features per media type") {
+  test("binaryFile datasource round-trips the payloads bit-exactly") {
+    val fromFiles = Multimodal.mediaFromBinaryFiles(spark, TestSpark.sf0001)
+      .collect().sortBy(_.media_id)
+    val expected = Multimodal.mediaFromDocuments(spark, TestSpark.sf0001)
+      .filter(_.media_id % 10 == 0)
+      .collect().sortBy(_.media_id)
+    assert(fromFiles.length == expected.length && fromFiles.nonEmpty)
+    assert(fromFiles.zip(expected).forall { case (f, e) =>
+      f.media_id == e.media_id && f.media_type == e.media_type &&
+        f.width == e.width && f.height == e.height &&
+        f.payload.sameElements(e.payload)
+    })
+  }
+
+  test("m02 aggregates binaryFile-sourced features per media type") {
     val out = Multimodal.m02.fn(spark, TestSpark.sf0001).collect()
     assert(out.length == 3)
-    assert(out.map(_.getLong(1)).sum == 500)
+    assert(out.map(_.getLong(1)).sum == 50) // every 10th of 500 docs
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{RelationalOps, StarQueries}
+import graft.ops.{JoinOps, RelationalOps, StarQueries}
 
 /** Plan-shape assertions (SURVEY.md §5.6): the optimizer behaviors the
   * engine relies on at 100 TB must be visible in the physical plan —
@@ -37,6 +37,29 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(StarQueries.q02.fn(spark, TestSpark.sf0001))
     assert(p.contains("ReadSchema: struct<o_orderdate"), p.take(2000))
     assert(!p.contains("o_totalprice"), "q02 must not read o_totalprice")
+  }
+
+  test("r17: range join is an equi-join on the time bucket, not nested-loop") {
+    val p = plan(JoinOps.r17.fn(spark, TestSpark.sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("r18: bloom filter sits on the lineitem scan side of the join") {
+    val p = plan(JoinOps.r18.fn(spark, TestSpark.sf0001))
+    // the filter appears as bloom_might_contain(knownnotnull(l_orderkey#N))
+    // in the Filter node directly above the lineitem FileScan
+    assert(p.split("\n").exists(l =>
+      l.contains("Filter") && l.contains("bloom_might_contain")), p.take(4000))
+  }
+
+  test("r19: bucketed join scans read Bucketed: true; only the aggregate shuffles") {
+    val p = plan(JoinOps.r19.fn(spark, TestSpark.sf0001))
+    assert(p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("Bucketed: true"), p.take(3000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected only the aggregate's exchange, got $exchanges\n${p.take(3000)}")
   }
 
   test("cleaning stage stays in whole-stage codegen (no Python/UDF barrier)") {

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Sampling
+import graft.io.Sources
+
+/** Deterministic sampling: same rows every run, monotone nesting
+  * (a 50% sample is a subset of an 80% sample), and a split whose
+  * fractions land near the target without any RNG state.
+  */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs = Sources.table(spark, TestSpark.sf0001, "documents")
+
+  test("train/test split is deterministic and near the target fraction") {
+    val a = Sampling.withTrainTestSplit(docs, "doc_id", 0.8)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Sampling.withTrainTestSplit(docs, "doc_id", 0.8)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    val total = a.values.sum
+    assert(total == 500)
+    val trainFrac = a("train").toDouble / total
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac")
+  }
+
+  test("samples nest: smaller fractions are subsets of larger ones") {
+    val half = Sampling.deterministicSample(docs, "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val most = Sampling.deterministicSample(docs, "doc_id", 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(half.nonEmpty && half.size < most.size)
+    assert(half.subsetOf(most))
+  }
+
+  test("bucket bounds: every bucket is in [0, 256)") {
+    import org.apache.spark.sql.functions.col
+    val range = docs.select(Sampling.hashBucket(col("doc_id")).as("b"))
+      .agg(org.apache.spark.sql.functions.min("b"),
+        org.apache.spark.sql.functions.max("b"))
+      .collect().head
+    assert(range.getInt(0) >= 0 && range.getInt(1) < 256, range.toString)
+  }
+}

@@ -196,6 +196,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("bounded pin dedup expires state after the retention window") {
+    val raw = PinFixtures.pinRaw(spark).limit(1)
+    val row = PinFixtures.envelope(raw).as[String].collect().head
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val streamed = Pipelines.cleanPinStreamBounded(
+      mem.toDF().select(col("value").as("data")), retention = "1 second")
+    val sink = tmp("graft_pinb_sink")
+    val cp = tmp("graft_pinb_cp")
+    val q = streamed.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", sink).option("checkpointLocation", cp)
+      .start()
+
+    // batch 1: in-batch duplicate -> exactly one survivor, state holds
+    // the key until the watermark passes first-sight + 1s
+    mem.addData(row, row)
+    q.processAllAvailable()
+    // batch 2 (well past retention): the PREVIOUS watermark still holds
+    // the key live, so this duplicate is dropped — and processing the
+    // batch advances the watermark past the key's expiry, evicting it
+    Thread.sleep(4000)
+    mem.addData(row)
+    q.processAllAvailable()
+    // batch 3: state for the key is gone (bounded!), so the row
+    // re-emits — the documented trade for state that cannot grow with
+    // the lifetime of the stream
+    mem.addData(row)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.schema(Schemas.pinClean).parquet(sink)
+    assert(got.count() == 2,
+      s"expected batch-1 survivor + post-expiry re-emit, got ${got.count()}")
+  }
+
+  test("cloud connector swap is a format string: delta sink fails only on the missing jar") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(PinFixtures.envelope(PinFixtures.pinRaw(spark).limit(1)).as[String].collect().head)
+    val writer = Pipelines.sink(
+      Pipelines.cleanPinStream(mem.toDF().select(col("value").as("data"))),
+      tmp("graft_delta_sink"), tmp("graft_delta_cp"), format = "delta")
+    // the writer builds — the swap surface is complete; starting it can
+    // only fail on datasource resolution (the delta jar is cloud-only)
+    val ex = intercept[Exception] { writer.start() }
+    val msg = ex.getMessage.toLowerCase
+    assert(msg.contains("delta"), s"unexpected failure: $msg")
+  }
+
   test("malformed envelope rows decode to null and are dropped by cleaning") {
     val raw = PinFixtures.geoRaw(spark)
     val good = PinFixtures.envelope(raw).as[String].collect().toSeq
