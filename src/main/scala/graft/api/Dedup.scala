@@ -118,9 +118,24 @@ object Dedup {
   }
 
   /** SimHash: 64-bit fingerprint (16 hex chars) by bitwise majority
-    * vote over the distinct-token hashes: (id, simhash).
+    * vote over the distinct-token hashes: (id, simhash). One
+    * zero-shuffle codegen'd map stage ([[graft.expr.SimHashExpr]]) —
+    * the d05 oracle and `ExprSpec` pin it to the relational
+    * explode-two-shuffle formulation ([[simhashRelational]]) it
+    * replaced for scale.
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      graft.expr.SimHash.sim_hash(col(textCol)).as("simhash"))
+
+  /** The relational SimHash formulation (explode distinct tokens ->
+    * md5 -> per-nibble majority vote): semantically identical to
+    * [[simhash]] but pays two shuffles over a 16x-exploded token frame.
+    * Kept as the executable specification the custom expression is
+    * tested against.
+    */
+  private[graft] def simhashRelational(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     docs
       .select(col(idCol), explode(array_distinct(split(col(textCol), " "))).as("t"))

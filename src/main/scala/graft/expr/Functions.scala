@@ -21,6 +21,8 @@ object Functions {
           "word_shingles(text[, n constant int])")
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sim_hash", exprs => SimHashExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "quantized_dot", exprs => QuantizedDotExpr(exprs(0), exprs(1)), "scala_udf")

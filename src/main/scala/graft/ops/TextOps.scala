@@ -134,14 +134,13 @@ object TextOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin,
     doc = "rolling-window document fingerprint (min-hash of char 8-grams)") { (spark, dir) =>
+    // zero-shuffle codegen'd expression; the relational
+    // explode-per-position twin lives in ExprSpec as its executable spec
     Sources.table(spark, dir, "documents")
-      .select(col("doc_id"), col("text"),
-        explode(expr("sequence(1, greatest(length(text) - 7, 1))")).as("i"))
-      .groupBy("doc_id")
-      .agg(
-        min(expr("md5(substr(text, i, 8))")).as("fp_min"),
-        max(expr("md5(substr(text, i, 8))")).as("fp_max"),
-        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"),
+        graft.expr.RollingFingerprint.rolling_fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), col("fp.fp_min").as("fp_min"),
+        col("fp.fp_max").as("fp_max"), col("fp.n_windows").as("n_windows"))
       .orderBy("doc_id")
   }
 

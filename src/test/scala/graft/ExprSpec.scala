@@ -66,6 +66,49 @@ class ExprSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan.take(1500))
   }
 
+  test("sim_hash expression equals the relational majority-vote formulation") {
+    // real corpus + adversarial edges: empty text, single token,
+    // repeated tokens (distinctness), trailing space (empty token)
+    val docs = Sources.table(spark, TestSpark.sf0001, "documents")
+      .select("doc_id", "text")
+      .unionByName(Seq(
+        (100001L, ""), (100002L, "one"), (100003L, "a a a b"),
+        (100004L, "tail space "), (100005L, "the the the"))
+        .toDF("doc_id", "text"))
+    val fast = graft.api.Dedup.simhash(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val spec = graft.api.Dedup.simhashRelational(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fast.size == spec.size)
+    val diffs = fast.collect { case (k, v) if spec(k) != v => (k, v, spec(k)) }
+    assert(diffs.isEmpty, s"simhash divergence: ${diffs.take(3)}")
+  }
+
+  test("rolling_fingerprint equals the relational explode-per-position formulation") {
+    val docs = Sources.table(spark, TestSpark.sf0001, "documents")
+      .select("doc_id", "text")
+      .unionByName(Seq(
+        (200001L, ""), (200002L, "short"), (200003L, "exactly8"),
+        (200004L, "just over 8 chars"))
+        .toDF("doc_id", "text"))
+    val fast = docs
+      .select(col("doc_id"),
+        graft.expr.RollingFingerprint.rolling_fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), col("fp.fp_min"), col("fp.fp_max"), col("fp.n_windows"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    val spec = docs
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, greatest(length(text) - 7, 1))")).as("i"))
+      .groupBy("doc_id")
+      .agg(min(expr("md5(substr(text, i, 8))")).as("fp_min"),
+        max(expr("md5(substr(text, i, 8))")).as("fp_max"),
+        count(lit(1)).as("n_windows"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    assert(fast.size == spec.size)
+    val diffs = fast.collect { case (k, v) if spec(k) != v => (k, v, spec(k)) }
+    assert(diffs.isEmpty, s"fingerprint divergence: ${diffs.take(3)}")
+  }
+
   test("S6 offset/limit row sampler is deterministic") {
     val c = Sources.table(spark, TestSpark.sf0001, "customer")
     def sample(n: Int) =
