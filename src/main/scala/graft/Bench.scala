@@ -46,8 +46,14 @@ object Bench {
 
   private final case class Timing(name: String, sec: Double, failed: Boolean)
 
+  // dev knob: SPARK_GRAFT_ONLY=t04,d05 times only matching prefixes
+  private val only: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+
   private def timeAll(spark: SparkSession, sfDir: String): Seq[Timing] =
-    SparkEntry.registry.sortBy(_.name).map { q =>
+    SparkEntry.registry.sortBy(_.name)
+      .filter(q => only.forall(_.exists(q.name.startsWith)))
+      .map { q =>
       // one-time builds (bucketed tables, media staging) are amortized
       // costs, not per-query throughput — keep them outside the clock
       try q.prepare(spark, sfDir) catch { case _: Throwable => () }

@@ -141,6 +141,32 @@ object Pipelines {
     q.awaitTermination()
   }
 
+  /** Stream-stream interval join: left rows matched to right rows with
+    * the same `key` whose event time falls in
+    * `[leftTs + lower, leftTs + upper]`. Both sides carry watermarks, so
+    * Spark can bound the join state: a buffered row is dropped once the
+    * other side's watermark passes the end of its match window — without
+    * the time bound the state grows with the stream's lifetime.
+    *
+    * The batch twin of the no-key case is [[graft.api.Joins.rangeJoin]];
+    * stream-stream joins REQUIRE an equality key plus the time-range
+    * predicate (Spark cannot cleanup state for a pure-inequality
+    * stream-stream join — that case belongs in batch over a bounded
+    * slice).
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      lower: String, upper: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).as("l")
+    val r = right.withWatermark(rightTs, watermark).as("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= expr(s"l.$leftTs + INTERVAL $lower") &&
+        col(s"r.$rightTs") <= expr(s"l.$leftTs + INTERVAL $upper"))
+      .drop(col(s"r.$key"))
+  }
+
   // --- custom keyed state (flatMapGroupsWithState) ---
 
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

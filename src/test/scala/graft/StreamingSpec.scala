@@ -247,6 +247,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(msg.contains("delta"), s"unexpected failure: $msg")
   }
 
+  test("stream-stream interval join equals the batch join on the same slice") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 09:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+
+    val clicks = Seq(
+      (1L, at(0), "c1"), (1L, at(3), "c2"), (2L, at(1), "c3"),
+      (1L, at(20), "c4")) // outside every purchase's look-back window
+    val purchases = Seq((1L, at(5), "p1"), (2L, at(2), "p2"))
+
+    val memC = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val memP = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = Pipelines.streamIntervalJoin(
+      memP.toDF().toDF("user_id", "p_ts", "purchase"),
+      memC.toDF().toDF("user_id", "c_ts", "click"),
+      key = "user_id", leftTs = "p_ts", rightTs = "c_ts",
+      lower = "-5 MINUTES", upper = "0 MINUTES")
+
+    val sink = tmp("graft_ssj_sink")
+    val cp = tmp("graft_ssj_cp")
+    val q = joined.select("purchase", "click").writeStream
+      .outputMode("append").format("parquet")
+      .option("path", sink).option("checkpointLocation", cp)
+      .start()
+    memC.addData(clicks: _*)
+    memP.addData(purchases: _*)
+    q.processAllAvailable()
+    // advance both watermarks so all joinable pairs flush to the sink
+    memC.addData((9L, at(60), "cx"))
+    memP.addData((9L, at(60), "px"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(sink)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // batch truth: clicks within [p_ts - 5 min, p_ts] for the same user
+    val want = Set(("p1", "c1"), ("p1", "c2"), ("p2", "c3"), ("px", "cx"))
+    assert(got == want, s"got $got")
+  }
+
+  test("kafka source swap fails only on the missing jar, not on the plumbing") {
+    val ex = intercept[Exception] {
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", "localhost:9092")
+        .option("subscribe", "pin").load()
+    }
+    val msg = ex.getMessage.toLowerCase
+    assert(msg.contains("kafka"), s"unexpected failure: $msg")
+  }
+
   test("malformed envelope rows decode to null and are dropped by cleaning") {
     val raw = PinFixtures.geoRaw(spark)
     val good = PinFixtures.envelope(raw).as[String].collect().toSeq
