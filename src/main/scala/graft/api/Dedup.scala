@@ -159,6 +159,56 @@ object Dedup {
       .agg(expr("array_join(transform(array_sort(collect_list(struct(p, c))), x -> x.c), '')")
         .as("simhash"))
 
+  /** Transitive near-duplicate clusters from a pair list (e.g.
+    * [[nearDupPairs]] output): every document that appears in a pair is
+    * assigned the smallest doc id reachable through the pair graph —
+    * connected components via iterative min-label propagation, the
+    * standard way to turn pairwise near-dup evidence into "keep one per
+    * cluster" decisions (A~B and B~C must dedup to ONE survivor even
+    * when A~C was never tested).
+    *
+    * Distributed shape: each round is one join + one aggregate, both
+    * shuffling on uniform doc ids; rounds needed = graph diameter in
+    * doubling steps (near-dup clusters are shallow — boilerplate
+    * families, mirror chains — so this converges in a handful). The
+    * per-round fixpoint check is a count() action; lineage is cut with
+    * localCheckpoint each round (a production job on a cluster would
+    * use reliable checkpointing, same algorithm).
+    *
+    * Returns (doc_id, cluster_id, cluster_size).
+    */
+  def nearDupClusters(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxRounds: Int = 32): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val edges = fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
+        .groupBy(edges("u").as("nb_id")).agg(min("label").as("nl"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("nb_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select("doc_id", "cluster_id", "cluster_size")
+  }
+
   /** Token-set jaccard pairs of probe docs vs the corpus:
     * (doc_a, doc_b, jaccard) with doc_a matching `probe` and
     * jaccard >= threshold.

@@ -145,6 +145,39 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Transitive closure of d04's near-dup pairs: connected components
+    * via min-label propagation (Spark side) vs a recursive CTE (oracle)
+    * — two entirely different algorithms that must land on identical
+    * clusters. This is the operator that turns pairwise evidence into
+    * per-cluster keeper decisions.
+    */
+  val d07 = OpQuery.oracled("d07_near_dup_clusters", {
+    s"""WITH RECURSIVE pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |${d04.oracle.get}
+      |  )
+      |), edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b AS u, doc_a AS v FROM pairs
+      |), reach AS (
+      |  SELECT u, u AS l FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v
+      |), lab AS (
+      |  SELECT u AS doc_id, min(l) AS cluster_id FROM reach GROUP BY 1
+      |), sz AS (
+      |  SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1
+      |)
+      |SELECT doc_id, cluster_id, cluster_size
+      |FROM lab JOIN sz USING (cluster_id)
+      |ORDER BY doc_id""".stripMargin
+  },
+    doc = "transitive near-dup clusters (label propagation vs recursive-CTE oracle)") { (spark, dir) =>
+    graft.api.Dedup.nearDupClusters(d04.fn(spark, dir))
+      .orderBy("doc_id")
+  }
+
   /** SimHash: 64-bit (16 hex nibble) majority-vote fingerprint over the
     * distinct-token md5s. Near-identical docs differ in few bits.
     */
@@ -231,5 +264,5 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[OpQuery] = Seq(d01, d02, d03, d04, d05, d06)
+  val all: Seq[OpQuery] = Seq(d01, d02, d03, d04, d05, d06, d07)
 }

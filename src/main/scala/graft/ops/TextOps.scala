@@ -197,5 +197,53 @@ object TextOps {
       .orderBy("lang", "split")
   }
 
-  val all: Seq[OpQuery] = Seq(t01, t02, t03, t04, t05, t06)
+  /** Salient terms per document: tf x (N/df) — the linear-idf variant
+    * of tf-idf, chosen because it needs no transcendental function
+    * (ln differs in the last ulp across libm implementations, which
+    * would break cross-engine hash parity; the RANKING is what the
+    * operator is for). Shapes: one shuffle for tf (doc_id, term), one
+    * for df (term), corpus count broadcast as a 1-row frame — no
+    * driver collect.
+    */
+  val t07 = OpQuery.oracled("t07_salient_terms",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM read_parquet('{SFDIR}/documents.parquet')
+      |), tf AS (
+      |  SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2
+      |), df AS (
+      |  SELECT t, count(*) AS df FROM (SELECT DISTINCT doc_id, t FROM tok) GROUP BY 1
+      |), nd AS (
+      |  SELECT count(*) AS n FROM read_parquet('{SFDIR}/documents.parquet')
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.t AS term,
+      |         CAST(tf.tf AS DOUBLE) * (SELECT n FROM nd) / df.df AS score,
+      |         CAST(row_number() OVER (
+      |           PARTITION BY tf.doc_id
+      |           ORDER BY CAST(tf.tf AS DOUBLE) * (SELECT n FROM nd) / df.df DESC, tf.t ASC)
+      |         AS INT) AS rank
+      |  FROM tf JOIN df ON df.t = tf.t
+      |)
+      |SELECT doc_id, rank, term, score
+      |FROM scored WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin,
+    doc = "salient terms per doc (tf x N/df, top-3) — keyword extraction for corpus curation") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Sources.table(spark, dir, "documents")
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.select("doc_id", "t").distinct()
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("t").asc)
+    tf.join(dfreq, "t")
+      .crossJoin(broadcast(nd))
+      .withColumn("score", col("tf").cast("double") * col("n") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("t").as("term"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val all: Seq[OpQuery] = Seq(t01, t02, t03, t04, t05, t06, t07)
 }

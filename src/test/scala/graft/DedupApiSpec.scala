@@ -90,4 +90,21 @@ class DedupApiSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
     assert(capped1 == full)
   }
+
+  test("nearDupClusters resolves transitive chains to one component") {
+    // a long chain (10..18) needs several propagation rounds; a
+    // triangle with an extra edge (1-2, 2-3, 1-3) and an isolated pair
+    // (5-6) exercise cycles and trivial components
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (14L, 15L), (15L, 16L), (16L, 17L), (17L, 18L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val chain = (10L to 18L).map(id => (id, 10L, 9L)).toSet
+    val want = Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (5L, 5L, 2L), (6L, 5L, 2L)) ++ chain
+    assert(got == want, s"got $got")
+  }
 }
