@@ -54,10 +54,31 @@ object Dedup {
   }
 
   /** MinHash signatures over word n-gram shingles:
-    * (id, mh0..mh{seeds-1}).
+    * (id, mh0..mh{seeds-1}). One zero-shuffle codegen'd map
+    * ([[graft.expr.MinHashSigExpr]]) — a signature is a per-document
+    * value, so the explode + shuffle + groupBy the relational
+    * formulation pays ([[minhashSignaturesRelational]], kept as the
+    * executable spec) buys nothing. Docs with fewer than n tokens have
+    * no shingles and are dropped, matching the relational form.
     */
   def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, seeds: Int = 8): DataFrame = {
+    val sig = docs.select(col(idCol),
+      graft.expr.MinHashSig.min_hash_sig(col(textCol), n, seeds).as("_mh"))
+      .filter(col("_mh").isNotNull)
+    sig.select(col(idCol) +:
+      (0 until seeds).map(i => element_at(col("_mh"), i + 1).as(s"mh$i")): _*)
+  }
+
+  /** The relational MinHash formulation (explode shingles -> seeded
+    * min aggregates) — semantically identical to [[minhashSignatures]];
+    * kept as the executable specification the expression is tested
+    * against, and as the shape d04 reuses where the exploded shingle
+    * frame is genuinely needed downstream.
+    */
+  private[graft] def minhashSignaturesRelational(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, seeds: Int = 8): DataFrame = {
     val shs = shingles(docs, idCol, textCol, n)
     val aggs = minAggs(seeds)
     shs.groupBy(idCol).agg(aggs.head, aggs.tail: _*)

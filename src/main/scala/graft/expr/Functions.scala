@@ -23,6 +23,8 @@ object Functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sim_hash", exprs => SimHashExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "min_hash_sig", exprs => MinHashSigExpr(exprs.head, 3, 8), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "quantized_dot", exprs => QuantizedDotExpr(exprs(0), exprs(1)), "scala_udf")

@@ -159,5 +159,36 @@ object JoinOps {
     doc = "bucketed co-located join: both facts pre-bucketed on the join key, zero join-side shuffle",
     prepare = (spark, dir) => { ensureBucketed(spark, dir); () })
 
-  val all: Seq[OpQuery] = Seq(r17, r18, r19)
+  /** SCD-1 upsert / MERGE shape over the customer dimension: a
+    * deterministic update batch (every 10th customer re-segmented with
+    * a shifted balance) merged into the base — matched keys take the
+    * update, unmatched pass through. The oracle re-derives the merge as
+    * a FULL OUTER coalesce, which is exactly what the operator is.
+    */
+  val r20 = OpQuery.oracled("r20_upsert_merge",
+    """WITH updates AS (
+      |  SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment,
+      |         c_acctbal + 100 AS c_acctbal
+      |  FROM customer WHERE c_custkey % 10 = 0
+      |)
+      |SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+      |       coalesce(u.c_name, b.c_name) AS c_name,
+      |       coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+      |       CAST(coalesce(u.c_acctbal, b.c_acctbal) AS DOUBLE) AS acctbal
+      |FROM customer b FULL OUTER JOIN updates u ON u.c_custkey = b.c_custkey
+      |ORDER BY c_custkey""".stripMargin,
+    doc = "SCD-1 upsert (MERGE shape): full-outer key join, update side wins") { (spark, dir) =>
+    val base = Sources.table(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    val updates = base.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        lit("UPDATED").as("c_mktsegment"),
+        (col("c_acctbal") + 100).as("c_acctbal"))
+    graft.api.Tables.upsert(base, updates, "c_custkey")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal").as("acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  val all: Seq[OpQuery] = Seq(r17, r18, r19, r20)
 }

@@ -109,6 +109,22 @@ class ExprSpec extends AnyFunSuite {
     assert(diffs.isEmpty, s"fingerprint divergence: ${diffs.take(3)}")
   }
 
+  test("min_hash_sig expression equals the relational explode+groupBy formulation") {
+    val docs = Sources.table(spark, TestSpark.sf0001, "documents")
+      .select("doc_id", "text")
+      .unionByName(Seq(
+        (300001L, "a b"), // <3 tokens: no shingles, dropped on both paths
+        (300002L, "a b c"), (300003L, "x x x x"))
+        .toDF("doc_id", "text"))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    val fast = toMap(graft.api.Dedup.minhashSignatures(docs))
+    val spec = toMap(graft.api.Dedup.minhashSignaturesRelational(docs))
+    assert(fast.size == spec.size && !fast.contains(300001L))
+    val diffs = fast.collect { case (k, v) if spec(k) != v => k }
+    assert(diffs.isEmpty, s"minhash divergence at docs $diffs")
+  }
+
   test("S6 offset/limit row sampler is deterministic") {
     val c = Sources.table(spark, TestSpark.sf0001, "customer")
     def sample(n: Int) =
