@@ -67,4 +67,49 @@ object Sources {
         org.apache.spark.sql.types.StructField(
           "data", org.apache.spark.sql.types.StringType))))
       .json(dir)
+
+  /** Connector profile: the ONLY thing that changes between a laptop
+    * run and a cloud deployment. Pipelines are written once against the
+    * `(data string)` envelope; the profile decides whether that
+    * envelope comes from JSON files (offline/tests) or a message bus
+    * (whose jars ship with the cluster), and which sink format the
+    * cleaned frames take.
+    */
+  final case class IoProfile(
+      sourceFormat: String,
+      sourceOptions: Map[String, String],
+      sinkFormat: String)
+
+  object IoProfile {
+    /** Offline/test profile: JSON envelope files in, parquet out. */
+    def localFiles(dir: String): IoProfile =
+      IoProfile("json", Map("path" -> dir), "parquet")
+
+    /** Cloud profile: Kafka topic in, Delta out. Compiles and builds
+      * everywhere; `.load()` resolves the connector jar at runtime.
+      */
+    def kafka(brokers: String, topic: String): IoProfile =
+      IoProfile("kafka",
+        Map("kafka.bootstrap.servers" -> brokers, "subscribe" -> topic),
+        "delta")
+  }
+
+  /** Profile-driven streaming envelope source: same downstream code for
+    * every profile. File sources carry the envelope schema explicitly;
+    * bus sources (kafka/kinesis) expose the wire `value`, cast to the
+    * envelope column.
+    */
+  def streamEnvelopeVia(spark: SparkSession, profile: IoProfile): DataFrame = {
+    val reader = spark.readStream.format(profile.sourceFormat)
+    profile.sourceOptions.foreach { case (k, v) => reader.option(k, v) }
+    profile.sourceFormat match {
+      case "json" | "text" | "csv" | "parquet" =>
+        reader.schema(StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "data", org.apache.spark.sql.types.StringType))))
+          .load().select(col("data"))
+      case _ => // kafka/kinesis wire shape: (key, value, ...) binary
+        reader.load().select(col("value").cast("string").as("data"))
+    }
+  }
 }

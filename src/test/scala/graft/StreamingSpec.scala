@@ -297,6 +297,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(msg.contains("kafka"), s"unexpected failure: $msg")
   }
 
+  test("IoProfile drives the full pipeline: local profile runs, cloud profile fails only on the jar") {
+    import graft.io.Sources
+    // stage envelope rows as JSON files — the local profile's source
+    val raw = PinFixtures.pinRaw(spark)
+    val dir = tmp("graft_profile_src")
+    PinFixtures.envelope(raw).toDF("data").coalesce(1)
+      .write.mode("overwrite").json(dir)
+
+    val local = Sources.IoProfile.localFiles(dir)
+    val cleaned = Pipelines.cleanPinStream(Sources.streamEnvelopeVia(spark, local))
+    val sink = tmp("graft_profile_sink")
+    val cp = tmp("graft_profile_cp")
+    Pipelines.runToCompletion(
+      Pipelines.sink(cleaned, sink, cp, format = local.sinkFormat))
+    val got = spark.read.schema(Schemas.pinClean).parquet(sink)
+    val want = Cleaners.cleanPin(raw, fillFollower = Some(1000))
+    assert(got.count() == want.count())
+
+    // identical pipeline code against the cloud profile: the ONLY
+    // failure point is connector-jar resolution inside .load()
+    val cloud = Sources.IoProfile.kafka("broker:9092", "pin")
+    val ex = intercept[Exception] {
+      Pipelines.cleanPinStream(Sources.streamEnvelopeVia(spark, cloud))
+    }
+    assert(ex.getMessage.toLowerCase.contains("kafka"), ex.getMessage)
+  }
+
   test("malformed envelope rows decode to null and are dropped by cleaning") {
     val raw = PinFixtures.geoRaw(spark)
     val good = PinFixtures.envelope(raw).as[String].collect().toSeq
