@@ -44,7 +44,29 @@ object Bench {
   // exactly that as a phantom 17x flag
   private val MinSmallSeconds = 0.15
 
-  private final case class Timing(name: String, sec: Double, failed: Boolean)
+  private final case class Timing(name: String, sec: Double, failed: Boolean,
+      shuffleMB: Double)
+
+  /** Accumulates shuffle-write bytes across completed stages; read and
+    * reset between queries so each timing carries its shuffle volume —
+    * the number that actually predicts 100 TB behavior (a fast query
+    * that shuffles its whole input is a scale bug waiting for data).
+    */
+  private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
+    private val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      ()
+    }
+    def drain(spark: SparkSession): Double = {
+      // listener events are async: flush the bus before reading
+      org.apache.spark.sql.GraftSqlBridge.flushListenerBus(spark.sparkContext)
+      bytes.getAndSet(0L) / 1e6
+    }
+  }
+
+  private val meter = new ShuffleMeter
 
   // dev knob: SPARK_GRAFT_ONLY=t04,d05 times only matching prefixes
   private val only: Option[Set[String]] =
@@ -57,15 +79,17 @@ object Bench {
       // one-time builds (bucketed tables, media staging) are amortized
       // costs, not per-query throughput — keep them outside the clock
       try q.prepare(spark, sfDir) catch { case _: Throwable => () }
+      meter.drain(spark) // discard prepare's (and predecessors') shuffles
       val t0 = System.nanoTime()
       val failed =
         try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
         catch { case _: Throwable => true }
       val dt = (System.nanoTime() - t0) / 1e9
+      val shuffleMB = meter.drain(spark)
       // drop blocks persisted inside the query so they don't squeeze
       // execution memory for everything that runs after it
       spark.catalog.clearCache()
-      Timing(q.name, if (failed) -1.0 else dt, failed)
+      Timing(q.name, if (failed) -1.0 else dt, failed, shuffleMB)
     }
 
   /** Median wall time of a trivial shuffle + noop write: the per-query
@@ -97,6 +121,7 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(meter)
     // JVM/codegen/parquet-reader warm-up so the first measured query is
     // not charged ~5s of classloading; not counted in any timing.
     try {
@@ -141,7 +166,9 @@ object Bench {
         s""""superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map(t => t.name -> t.sec))},"errors":$errJson,"sf":"$sfDir"$curve}""")
+    val shuffleJson = jsonMap(results.map(t =>
+      t.name -> math.round(t.shuffleMB * 1000.0) / 1000.0))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map(t => t.name -> t.sec))},"shuffle_mb":$shuffleJson,"errors":$errJson,"sf":"$sfDir"$curve}""")
     spark.stop()
   }
 }

@@ -13,4 +13,11 @@ object GraftSqlBridge {
 
   def column(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Listener events are delivered async; `listenerBus` is
+    * `private[spark]`, so the flush Bench needs between per-query
+    * shuffle-volume readings lives in this shim too.
+    */
+  def flushListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty(10000)
 }
