@@ -87,8 +87,14 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       val shuffleMB = meter.drain(spark)
       // drop blocks persisted inside the query so they don't squeeze
-      // execution memory for everything that runs after it
+      // execution memory for everything that runs after it. clearCache
+      // only covers catalog-cached plans; localCheckpoint blocks (d07's
+      // fixpoint rounds) sit in the block manager until driver GC, and
+      // measurably inflated every query that ran after d07 — unpersist
+      // every persistent RDD explicitly.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
       Timing(q.name, if (failed) -1.0 else dt, failed, shuffleMB)
     }
 
@@ -168,7 +174,33 @@ object Bench {
 
     val shuffleJson = jsonMap(results.map(t =>
       t.name -> math.round(t.shuffleMB * 1000.0) / 1000.0))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map(t => t.name -> t.sec))},"shuffle_mb":$shuffleJson,"errors":$errJson,"sf":"$sfDir"$curve}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map(t => t.name -> t.sec))},"shuffle_mb":$shuffleJson,"errors":$errJson,"sf":"$sfDir"$curve}"""
+    // Full diagnostics: printed early and persisted to a file, because
+    // the driver records only the LAST ~2000 chars of stdout and parses
+    // the JSON line inside that window. A 10 KB line starts outside the
+    // window and is unparseable there (rounds 1-3 all show parsed:null),
+    // so the line printed LAST must be compact enough to fit whole.
+    println(fullLine)
+    try {
+      val w = new java.io.PrintWriter("bench_full.json", "UTF-8")
+      try w.println(fullLine) finally w.close()
+    } catch { case _: Throwable => () }
+
+    // Compact final line: short ids (prefix before the first '_'; full
+    // name kept on collision), 3-decimal seconds. ~1.1 KB for 69 queries.
+    val shortIds: Map[String, String] = {
+      val byPrefix = results.groupBy(_.name.takeWhile(_ != '_'))
+      results.map { t =>
+        val p = t.name.takeWhile(_ != '_')
+        t.name -> (if (byPrefix(p).size == 1) p else t.name)
+      }.toMap
+    }
+    def fmt(v: Double): String = f"$v%.3f"
+    val compactQueries = results
+      .map(t => "\"" + shortIds(t.name) + "\":" + fmt(t.sec))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQueries,"errors":$errJson,"sf":"$sfDir","full":"bench_full.json"}""")
     spark.stop()
   }
 }

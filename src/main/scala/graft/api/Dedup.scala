@@ -188,21 +188,39 @@ object Dedup {
     * cluster" decisions (A~B and B~C must dedup to ONE survivor even
     * when A~C was never tested).
     *
-    * Distributed shape: each round is one join + one aggregate, both
-    * shuffling on uniform doc ids; rounds needed = graph diameter in
-    * doubling steps (near-dup clusters are shallow — boilerplate
-    * families, mirror chains — so this converges in a handful). The
-    * per-round fixpoint check is a count() action; lineage is cut with
+    * Distributed shape: the pair list is materialized ONCE up front
+    * (its producing pipeline — LSH, token-jaccard — is typically the
+    * expensive part, and both union directions plus every round must
+    * read it). Each round combines two label sources, shuffling on
+    * uniform doc ids:
+    *
+    *  - neighbor min: the smallest label among a node's direct
+    *    neighbors (moves labels one hop per round);
+    *  - pointer jump: `label(label(u))` — a label is itself a doc id
+    *    with its own current label, so one self-join of the label table
+    *    shortcuts chains (halves the remaining distance per round).
+    *
+    * With both, rounds needed = O(log diameter) rather than diameter;
+    * near-dup graphs are shallow anyway, so this converges in a
+    * handful. The fixpoint check rides on the previous label carried
+    * through the round's frame — a filter-count over the freshly
+    * checkpointed blocks, no extra join. Lineage is cut with
     * localCheckpoint each round (a production job on a cluster would
     * use reliable checkpointing, same algorithm).
+    *
+    * If `maxRounds` is hit before the fixpoint, the labels are NOT yet
+    * connected components — this throws rather than silently returning
+    * partially-merged clusters.
     *
     * Returns (doc_id, cluster_id, cluster_size).
     */
   def nearDupClusters(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxRounds: Int = 32): DataFrame = {
+    // eager: evaluate the (often expensive) pair pipeline exactly once —
+    // a lazy persist would race its two union branches in one job
     val fwd = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .localCheckpoint(true)
     val edges = fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
-      .persist()
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint(true)
@@ -211,18 +229,24 @@ object Dedup {
     while (changed > 0 && round < maxRounds) {
       val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
         .groupBy(edges("u").as("nb_id")).agg(min("label").as("nl"))
+      val jump = labels.as("a")
+        .join(labels.as("b"), col("a.label") === col("b.doc_id"))
+        .select(col("a.doc_id").as("j_id"), col("b.label").as("jl"))
       val next = labels.join(nbrMin, labels("doc_id") === nbrMin("nb_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .join(jump, labels("doc_id") === col("j_id"), "left")
+        .select(col("doc_id"), col("label").as("prev"),
+          least(col("label"),
+            coalesce(col("nl"), col("label")),
+            coalesce(col("jl"), col("label"))).as("label"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("o"), "doc_id")
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
-      labels = next
+      changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select("doc_id", "label")
       round += 1
     }
-    edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxRounds rounds " +
+          s"($changed labels still moving); raise maxRounds")
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("doc_id"), col("label").as("cluster_id"))
