@@ -12,10 +12,21 @@ object Tables {
     *
     * This is the relational core of a Delta/Iceberg MERGE (minus the
     * transaction log, which is the format's job, not the engine's):
-    * one full-outer shuffle join on the key, update side wins per
-    * column. At scale the join shuffles both sides on the key — and
-    * when the update batch is small (the usual case for dimension
-    * refresh), AQE turns it into a broadcast join with no base-side
+    * one full-outer shuffle join on the key, and the update row wins
+    * WHOLESALE when matched — including its NULLs, so an update can
+    * genuinely null out a base value (a per-column coalesce cannot; it
+    * silently keeps the base value). Matched-ness is carried as a flag
+    * on the update side, not inferred from column nullness.
+    *
+    * MERGE also requires each target row to match at most one source
+    * row; a duplicate update key would fan out its base row. That
+    * precondition is enforced INSIDE the plan: the update-side join key
+    * is wrapped so a key seen twice raises at execution (the guard is
+    * load-bearing — it computes the join key — so column pruning cannot
+    * drop it). The duplicate check is one window count on the update
+    * side, which is the small side of a dimension refresh. At scale the
+    * join shuffles both sides on the key — and when the update batch is
+    * small, AQE turns it into a broadcast join with no base-side
     * shuffle at all.
     */
   def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
@@ -23,8 +34,22 @@ object Tables {
       s"schema mismatch: base=${base.columns.mkString(",")} " +
         s"updates=${updates.columns.mkString(",")}")
     val cols = base.columns
-    base.as("b").join(updates.as("u"),
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+    val u = updates
+      .withColumn("_graft_n", count(lit(1)).over(w))
+      .withColumn(key,
+        when(col("_graft_n") > 1,
+          raise_error(concat(lit(s"upsert: duplicate update key $key="),
+            col(key).cast("string"))))
+          .otherwise(col(key)))
+      .drop("_graft_n")
+      .withColumn("_graft_matched", lit(true))
+    base.as("b").join(u.as("u"),
         col(s"b.$key") === col(s"u.$key"), "full_outer")
-      .select(cols.map(c => coalesce(col(s"u.$c"), col(s"b.$c")).as(c)): _*)
+      .select(cols.map { c =>
+        if (c == key) coalesce(col(s"u.$c"), col(s"b.$c")).as(c)
+        else when(col("u._graft_matched").isNotNull, col(s"u.$c"))
+          .otherwise(col(s"b.$c")).as(c)
+      }: _*)
   }
 }

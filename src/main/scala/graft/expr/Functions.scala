@@ -23,7 +23,17 @@ object Functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sim_hash", exprs => SimHashExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "min_hash_sig", exprs => MinHashSigExpr(exprs.head, 3, 8), "scala_udf")
+      "min_hash_sig", {
+        case Seq(text) => MinHashSigExpr(text, 3, 8)
+        case Seq(text,
+          org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.catalyst.expressions.Literal(seeds: Int,
+            org.apache.spark.sql.types.IntegerType)) =>
+          MinHashSigExpr(text, n, seeds)
+        case _ => throw new IllegalArgumentException(
+          "min_hash_sig(text[, n constant int, seeds constant int])")
+      }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -53,16 +53,39 @@ object RollingFingerprint {
   }
 
   def compute(text: UTF8String): InternalRow = {
-    val s = text.toString
-    val wins = math.max(s.length - 7, 1)
+    // Windows are 8 Unicode CODE POINTS, matching the relational
+    // formulation's length()/substr() (DuckDB counts code points).
+    // Java String.length/substring count UTF-16 units, which diverges on
+    // supplementary characters and can split surrogate pairs — so walk
+    // the UTF-8 bytes once, recording the byte offset where each code
+    // point starts (a UTF-8 continuation byte is 10xxxxxx), and hash
+    // byte slices directly.
+    val bytes = text.getBytes
+    var n = 0
+    var b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xc0) != 0x80) n += 1
+      b += 1
+    }
+    val offsets = new Array[Int](n + 1)
+    var cp = 0
+    b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xc0) != 0x80) { offsets(cp) = b; cp += 1 }
+      b += 1
+    }
+    offsets(n) = bytes.length
+    val wins = math.max(n - 7, 1)
     val digest = md5.get()
     var mn: Array[Byte] = null
     var mx: Array[Byte] = null
     var i = 0
     while (i < wins) {
       digest.reset()
-      val end = math.min(i + 8, s.length)
-      val d = digest.digest(s.substring(i, end).getBytes("UTF-8"))
+      val start = offsets(i)
+      val end = offsets(math.min(i + 8, n))
+      digest.update(bytes, start, end - start)
+      val d = digest.digest()
       if (mn == null || less(d, mn)) mn = d
       if (mx == null || less(mx, d)) mx = d
       i += 1

@@ -89,7 +89,12 @@ class ExprSpec extends AnyFunSuite {
       .select("doc_id", "text")
       .unionByName(Seq(
         (200001L, ""), (200002L, "short"), (200003L, "exactly8"),
-        (200004L, "just over 8 chars"))
+        (200004L, "just over 8 chars"),
+        // non-ASCII: multi-byte and supplementary (surrogate-pair) code
+        // points — windows must count CODE POINTS, not UTF-16 units
+        (200005L, "héllo wörld çafé niño"),
+        (200006L, "music 𝄞 clef and 😀 emoji pad"),
+        (200007L, "😀😁😂😃😄😅😆😇😈😉"))
         .toDF("doc_id", "text"))
     val fast = docs
       .select(col("doc_id"),
