@@ -178,6 +178,83 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** The production dedup DECISION: for each near-dup cluster, keep the
+    * highest-quality member (t02's quality score; ties break to the
+    * smallest doc id) and report what gets dropped. This is the
+    * operator a training-data pipeline actually runs — clusters alone
+    * are diagnostics; keeper selection is the output that feeds the
+    * training set.
+    *
+    * Scale shape: clusters come from the label-propagation fixpoint
+    * (bounded rounds, uniform keys), quality is a map-stage expression,
+    * keeper selection is one row_number window partitioned by
+    * cluster_id — cluster sizes are near-dup family sizes (tiny), so
+    * the window partitions are bounded regardless of corpus size.
+    */
+  val d08 = OpQuery.oracled("d08_dedup_keep_best", {
+    s"""WITH RECURSIVE pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |${d04.oracle.get}
+      |  )
+      |), edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b AS u, doc_a AS v FROM pairs
+      |), reach AS (
+      |  SELECT u, u AS l FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v
+      |), lab AS (
+      |  SELECT u AS doc_id, min(l) AS cluster_id FROM reach GROUP BY 1
+      |), sz AS (
+      |  SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1
+      |), f AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |         len(list_filter(string_split(text, ' '), t -> t IN (${TextOps.stopList}))) AS n_stop
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), q AS (
+      |  SELECT doc_id,
+      |         (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5
+      |           + (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0) * 0.5 AS quality_score
+      |  FROM f
+      |), r AS (
+      |  SELECT lab.cluster_id, sz.cluster_size, lab.doc_id, q.quality_score,
+      |         row_number() OVER (PARTITION BY lab.cluster_id
+      |                            ORDER BY q.quality_score DESC, lab.doc_id ASC) AS rn
+      |  FROM lab JOIN sz USING (cluster_id) JOIN q USING (doc_id)
+      |)
+      |SELECT cluster_id, doc_id AS keeper_doc_id,
+      |       CAST(quality_score AS DOUBLE) AS keeper_quality,
+      |       cluster_size,
+      |       CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+      |FROM r WHERE rn = 1
+      |ORDER BY cluster_id""".stripMargin
+  },
+    doc = "keeper selection per near-dup cluster (highest quality wins; the production dedup decision)") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val clusters = graft.api.Dedup.nearDupClusters(d04.fn(spark, dir))
+    val quality = Sources.table(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, t -> t IN (${TextOps.stopList})))"))
+      .select(col("doc_id"),
+        ((col("n_stop").cast("double") / col("n_tokens")) * 0.5
+          + (least(col("n_tokens"), lit(200)).cast("double") / 200.0) * 0.5)
+          .as("quality_score"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper_doc_id"),
+        col("quality_score").cast("double").as("keeper_quality"),
+        col("cluster_size"),
+        (col("cluster_size") - 1).cast("bigint").as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
   /** SimHash: 64-bit (16 hex nibble) majority-vote fingerprint over the
     * distinct-token md5s. Near-identical docs differ in few bits.
     */
@@ -264,5 +341,5 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[OpQuery] = Seq(d01, d02, d03, d04, d05, d06, d07)
+  val all: Seq[OpQuery] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
 }

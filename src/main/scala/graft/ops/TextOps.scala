@@ -35,8 +35,8 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
-  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+  private[ops] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private[ops] val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   /** Heuristic quality score: stopword ratio + length saturation —
     * the shape of C4/RefinedWeb-style quality filters.
@@ -245,5 +245,181 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
-  val all: Seq[OpQuery] = Seq(t01, t02, t03, t04, t05, t06, t07)
+  /** Train/test contamination check: a test document is contaminated
+    * when any of its word 5-grams also appears in ANY train document —
+    * the standard n-gram-overlap decontamination test run before
+    * training on a scraped corpus (test-set leakage inflates evals).
+    *
+    * Scale shape: shingling is the codegen'd [[graft.expr.WordShingles]]
+    * expression (one map stage, no per-position explode of the text);
+    * both sides are reduced to DISTINCT shingle keys BEFORE the join,
+    * so even a shingle occurring in millions of train docs is ONE row
+    * on the build side — the join key distribution is uniform by
+    * construction and no frequency cap is needed. The train set
+    * collapses to its distinct-shingle set (the only thing the
+    * semantics need), the test side stays (doc, shingle).
+    */
+  val t08 = OpQuery.oracled("t08_contamination_check",
+    """WITH s AS (
+      |  SELECT doc_id, text,
+      |         CASE WHEN (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |                 + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 205
+      |              THEN 'train' ELSE 'test' END AS split
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), tok AS (
+      |  SELECT doc_id, split, string_split(text, ' ') AS ts FROM s
+      |), sh AS (
+      |  SELECT doc_id, split,
+      |         concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3], ts[i+4]) AS g
+      |  FROM tok, unnest(generate_series(1, len(ts) - 4)) AS u(i)
+      |  WHERE len(ts) >= 5
+      |), tr AS (
+      |  SELECT DISTINCT g FROM sh WHERE split = 'train'
+      |), te AS (
+      |  SELECT DISTINCT doc_id, g FROM sh WHERE split = 'test'
+      |), shared AS (
+      |  SELECT te.doc_id, count(*) AS n_shared
+      |  FROM te JOIN tr USING (g) GROUP BY 1
+      |)
+      |SELECT s.doc_id,
+      |       CAST(coalesce(shared.n_shared, 0) AS BIGINT) AS n_shared_shingles,
+      |       CAST(CASE WHEN coalesce(shared.n_shared, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+      |FROM s LEFT JOIN shared USING (doc_id)
+      |WHERE s.split = 'test'
+      |ORDER BY doc_id""".stripMargin,
+    doc = "train/test n-gram contamination check (5-gram overlap, distinct-key join)") { (spark, dir) =>
+    val docs = graft.api.Sampling.withTrainTestSplit(
+      Sources.table(spark, dir, "documents"), "doc_id", trainFraction = 0.8)
+    val sh = docs
+      .select(col("doc_id"), col("split"),
+        explode(graft.expr.WordShingles.word_shingles(col("text"), 5)).as("g"))
+    val tr = sh.filter(col("split") === "train").select("g").distinct()
+    val te = sh.filter(col("split") === "test").select("doc_id", "g").distinct()
+    val shared = te.join(tr, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    docs.filter(col("split") === "test").select("doc_id")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_shingles"),
+        when(coalesce(col("n_shared"), lit(0L)) > 0, 1).otherwise(0)
+          .cast("int").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  // Redaction patterns: chosen to be identical under Java regex (Spark)
+  // and RE2 (DuckDB) — ASCII classes, \b word boundaries, no lookaround.
+  // The email pattern matches nothing in the synthetic corpus (the
+  // zero-match path is still verified end-to-end); the term pattern
+  // stands in for a deny-list scrub and matches heavily.
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val termPat = "\\b(key|hash|value)[a-z]*"
+
+  /** PII-style regex redaction profile: per-document match counts for
+    * each pattern plus the post-redaction length. At 100 TB this is a
+    * pure map stage (regexp_count / regexp_replace are codegen'd); the
+    * patterns are the knob, the plumbing is the operator.
+    */
+  val t09 = OpQuery.oracled("t09_regex_redaction",
+    s"""SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text, '$emailPat')) AS INT) AS n_email,
+      |       CAST(len(regexp_extract_all(text, '$termPat')) AS INT) AS n_term,
+      |       CAST(length(regexp_replace(text, '$termPat', '<T>', 'g')) AS INT) AS redacted_len
+      |FROM read_parquet('{SFDIR}/documents.parquet')
+      |ORDER BY doc_id""".stripMargin,
+    doc = "regex redaction stats (PII scrub shape): match counts + redacted length, one map stage") { (spark, dir) =>
+    Sources.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(emailPat)).cast("int").as("n_email"),
+        regexp_count(col("text"), lit(termPat)).cast("int").as("n_term"),
+        length(regexp_replace(col("text"), termPat, "<T>")).cast("int")
+          .as("redacted_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary coverage: the top-100 token types by corpus frequency
+    * and the cumulative fraction of all tokens they cover — the Zipf
+    * curve a tokenizer/vocab decision is based on.
+    *
+    * Scale shape: explode + groupBy(token) with map-side partial
+    * aggregation (token frequencies collapse per partition before the
+    * shuffle — Zipf skew is absorbed there, not at the reducer); top-100
+    * via TakeOrdered; ONLY the 100 survivors hit the single-partition
+    * cumulative window.
+    */
+  val t10 = OpQuery.oracled("t10_vocab_coverage",
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS t FROM read_parquet('{SFDIR}/documents.parquet')
+      |), freq AS (
+      |  SELECT t, count(*) AS cnt FROM tok GROUP BY 1
+      |), total AS (
+      |  SELECT count(*) AS n FROM tok
+      |), top AS (
+      |  SELECT t, cnt FROM freq ORDER BY cnt DESC, t ASC LIMIT 100
+      |)
+      |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, t ASC) AS INT) AS rank,
+      |       t AS token, cnt,
+      |       CAST(sum(cnt) OVER (ORDER BY cnt DESC, t ASC) AS DOUBLE)
+      |         / (SELECT n FROM total) AS cum_frac
+      |FROM top
+      |ORDER BY rank""".stripMargin,
+    doc = "vocabulary coverage: top-100 token types + cumulative corpus fraction (Zipf curve)") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = Sources.table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val total = tok.agg(count(lit(1)).as("n"))
+    val top = freq.orderBy(col("cnt").desc, col("t").asc).limit(100)
+    // single-partition window is fine: exactly 100 rows reach it
+    val w = Window.orderBy(col("cnt").desc, col("t").asc)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .withColumn("cum_frac",
+        sum(col("cnt")).over(w).cast("double") / col("n"))
+      .select("rank", "t", "cnt", "cum_frac")
+      .withColumnRenamed("t", "token")
+      .orderBy("rank")
+  }
+
+  // Per-language sampling rates for the stratified sample: the shape of
+  // a language-rebalancing pass over a multilingual crawl (downsample
+  // the dominant language, keep the rare ones).
+  private[ops] val strataRates: Seq[(String, Double)] =
+    Seq("en" -> 0.10, "de" -> 0.50, "es" -> 0.05, "fr" -> 1.00, "zh" -> 0.25)
+
+  /** Deterministic stratified sample: per-language keep rates applied
+    * through the same md5 hash bucket as the train/test split — pure
+    * map-side filter, reproducible across engines and reruns, no rand().
+    */
+  val t11 = OpQuery.oracled("t11_stratified_sample", {
+    val rateCase = strataRates.map { case (l, r) =>
+      s"WHEN lang = '$l' THEN ${math.round(r * 256)}"
+    }.mkString(" ")
+    s"""WITH b AS (
+      |  SELECT lang,
+      |         (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |           + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket,
+      |         CASE $rateCase ELSE 0 END AS threshold
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |)
+      |SELECT lang, count(*) AS n_total,
+      |       CAST(sum(CASE WHEN bucket < threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM b GROUP BY 1
+      |ORDER BY lang""".stripMargin
+  },
+    doc = "deterministic stratified (per-language) sampling via hash buckets") { (spark, dir) =>
+    val threshold = strataRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(math.round(r * 256).toInt)).otherwise(acc)
+    }
+    Sources.table(spark, dir, "documents")
+      .withColumn("bucket", graft.api.Sampling.hashBucket(col("doc_id")))
+      .withColumn("threshold", threshold)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("bucket") < col("threshold"), 1).otherwise(0))
+          .cast("bigint").as("n_sampled"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[OpQuery] =
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
 }
