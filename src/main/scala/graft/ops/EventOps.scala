@@ -182,5 +182,116 @@ object EventOps {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
-  val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07)
+  /** Ordered conversion funnel: first view → first click within an
+    * hour of it → first purchase within an hour of that, per user. The
+    * sequential-pattern query behind every "where do users drop off"
+    * dashboard; order matters (a click before the view does not count),
+    * which is what separates this from e01's flat type counts.
+    *
+    * Scale shape: each stage is a type-filtered scan aggregated to one
+    * row per user (min-ts), then an equi-join on user_id to gate the
+    * next stage — uniform keys, three shuffles total, no windows over
+    * the full stream and no per-user event lists.
+    */
+  val e08 = OpQuery.oracled("e08_funnel_conversion",
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS v_us
+      |  FROM events WHERE event_type = 'view' GROUP BY 1
+      |), c AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS c_us
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click'
+      |    AND epoch_us(e.ts) > v.v_us
+      |    AND epoch_us(e.ts) <= v.v_us + 3600000000
+      |  GROUP BY 1
+      |), p AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND epoch_us(e.ts) > c.c_us
+      |    AND epoch_us(e.ts) <= c.c_us + 3600000000
+      |  GROUP BY 1
+      |)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_view_click,
+      |       (SELECT count(*) FROM p) AS n_full_funnel,
+      |       CAST((SELECT count(*) FROM c) AS DOUBLE)
+      |         / (SELECT count(*) FROM v) AS view_click_rate,
+      |       CAST((SELECT count(*) FROM p) AS DOUBLE)
+      |         / (SELECT count(*) FROM v) AS full_funnel_rate""".stripMargin,
+    doc = "ordered view→click→purchase funnel with per-stage time gates") { (spark, dir) =>
+    val hourUs = 3600000000L
+    val ev = Sources.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), tsUs.as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("v_us"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("us") > col("v_us") && col("us") <= col("v_us") + hourUs)
+      .groupBy("user_id").agg(min("us").as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("us") > col("c_us") && col("us") <= col("c_us") + hourUs)
+      .groupBy("user_id").agg(min("us").as("p_us"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+      .select(col("n_view"), col("n_view_click"), col("n_full_funnel"),
+        (col("n_view_click").cast("double") / col("n_view")).as("view_click_rate"),
+        (col("n_full_funnel").cast("double") / col("n_view")).as("full_funnel_rate"))
+  }
+
+  /** Weekly cohort retention: users cohorted by the week of their first
+    * signup event; retention(k) = fraction of the cohort active (any
+    * event) k weeks later, k = 0..3. Weeks are epoch-microsecond
+    * buckets (`us div week`), not calendar weeks — integer arithmetic
+    * both engines compute identically, immune to locale/week-start
+    * differences.
+    *
+    * Scale shape: cohort assignment is one min-aggregate per user;
+    * activity is a distinct on (user, week) — both shuffle on uniform
+    * user ids; the retention matrix is tiny (weeks x 4) however large
+    * the stream.
+    */
+  val e09 = OpQuery.oracled("e09_cohort_retention",
+    """WITH su AS (
+      |  SELECT user_id, min(epoch_us(ts)) // 604800000000 AS w0
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1
+      |), act AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w
+      |  FROM events
+      |), cs AS (
+      |  SELECT w0, count(*) AS cohort_size FROM su GROUP BY 1
+      |), r AS (
+      |  SELECT su.user_id, su.w0, act.w - su.w0 AS k
+      |  FROM act JOIN su USING (user_id)
+      |  WHERE act.w - su.w0 BETWEEN 0 AND 3
+      |)
+      |SELECT r.w0 AS cohort_week, CAST(r.k AS BIGINT) AS k,
+      |       count(DISTINCT r.user_id) AS n_active,
+      |       CAST(max(cs.cohort_size) AS BIGINT) AS cohort_size,
+      |       CAST(count(DISTINCT r.user_id) AS DOUBLE)
+      |         / max(cs.cohort_size) AS retention
+      |FROM r JOIN cs ON cs.w0 = r.w0
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin,
+    doc = "weekly signup-cohort retention matrix (k = 0..3 weeks out)") { (spark, dir) =>
+    val weekUs = 604800000000L
+    val ev = Sources.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), tsUs.as("us"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(expr(s"min(us) div $weekUs").as("w0"))
+    val act = ev.select(col("user_id"), expr(s"us div $weekUs").as("w")).distinct()
+    val cs = su.groupBy("w0").agg(count(lit(1)).as("cohort_size"))
+    val r = act.join(su, "user_id")
+      .withColumn("k", col("w") - col("w0"))
+      .filter(col("k").between(0, 3))
+    r.join(cs, "w0")
+      .groupBy(col("w0").as("cohort_week"), col("k").cast("bigint").as("k"))
+      .agg(countDistinct("user_id").as("n_active"),
+        max("cohort_size").cast("bigint").as("cohort_size"),
+        (countDistinct("user_id").cast("double") / max("cohort_size"))
+          .as("retention"))
+      .orderBy("cohort_week", "k")
+  }
+
+  val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09)
 }

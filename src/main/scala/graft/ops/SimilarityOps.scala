@@ -391,5 +391,90 @@ object SimilarityOps {
       .orderBy("method", "q_id")
   }
 
-  val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06)
+  /** One distributed k-means (Lloyd) iteration over the embeddings:
+    * assign every vector to its nearest centroid (s04's deterministic
+    * centroid subset), recompute each cell's mean, report member count
+    * and how far the centroid moved. This is the building block of
+    * embedding-space clustering for corpus curation (topic balancing,
+    * semantic dedup at the cluster level); iterating it is a driver
+    * loop, each round exactly this shape.
+    *
+    * Scale shape: assignment is a broadcast of the (small) centroid set
+    * against the corpus — no shuffle of the big side; the mean is a
+    * posexplode to (cell, dim) rows aggregated with map-side partial
+    * sums — 64 uniform keys per cell, no driver collect, no
+    * collect_list of vectors. Per-dim sums are truncation-quantized to
+    * integer picounits and summed exactly as longs, so the new centroid
+    * is bit-identical across engines and summation orders (the same
+    * trick the cosine queries use; double addition is not associative,
+    * exact long addition is).
+    */
+  val s07 = OpQuery.oracled("s07_kmeans_iteration", {
+    s"""WITH e AS (
+       |  $duckEmbedded
+       |), cent AS (
+       |  SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id % 250 = 0
+       |), assign AS (
+       |  SELECT e.vec_id, cent.c_id,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY e.vec_id
+       |           ORDER BY ${duckDot("e.v", "cent.cv")} / (e.nrm * cent.cnrm) DESC, cent.c_id ASC)
+       |         AS INT) AS crn
+       |  FROM e, cent
+       |), cells AS (
+       |  SELECT vec_id, c_id FROM assign WHERE crn = 1
+       |), mem AS (
+       |  SELECT c.c_id, e.v FROM cells c JOIN e ON e.vec_id = c.vec_id
+       |), dims AS (
+       |  SELECT c_id, i AS dim, CAST(trunc(v[i] * 1e12) AS BIGINT) AS q
+       |  FROM mem, unnest(generate_series(1, len(v))) AS u(i)
+       |), newc AS (
+       |  SELECT c_id, dim,
+       |         CAST(sum(q) AS DOUBLE) / 1e12 / count(*) AS nd,
+       |         count(*) AS n
+       |  FROM dims GROUP BY 1, 2
+       |), oldc AS (
+       |  SELECT c_id, i AS dim, cv[i] AS od
+       |  FROM cent, unnest(generate_series(1, len(cv))) AS u(i)
+       |), j AS (
+       |  SELECT newc.c_id, newc.n,
+       |         CAST(trunc((nd - od) * (nd - od) * 1e12) AS BIGINT) AS d2q
+       |  FROM newc JOIN oldc USING (c_id, dim)
+       |)
+       |SELECT c_id, CAST(max(n) AS BIGINT) AS n_members,
+       |       sqrt(CAST(sum(d2q) AS DOUBLE) / 1e12) AS centroid_shift
+       |FROM j GROUP BY 1
+       |ORDER BY c_id""".stripMargin
+  },
+    doc = "one distributed k-means iteration: broadcast assignment + exact quantized per-dim means") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = embedded(spark, dir).select("vec_id", "v", "nrm")
+    val cent2 = e.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("c_id").asc)
+    val cells = e.crossJoin(broadcast(cent2))
+      .withColumn("ccos", expr(s"${dotDec("v", "cv")} / (nrm * cnrm)"))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select("vec_id", "c_id")
+    val mem = cells.join(e.select("vec_id", "v"), "vec_id")
+    val dims = mem
+      .select(col("c_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("c_id"), col("dim"),
+        expr("CAST(x * 1e12 AS BIGINT)").as("q"))
+    val newc = dims.groupBy("c_id", "dim")
+      .agg(sum("q").as("s"), count(lit(1)).as("n"))
+      .withColumn("nd", col("s").cast("double") / 1e12 / col("n"))
+    val oldc = cent2.select(col("c_id"), posexplode(col("cv")).as(Seq("dim", "od")))
+    newc.join(oldc, Seq("c_id", "dim"))
+      .select(col("c_id"), col("n"),
+        expr("CAST((nd - od) * (nd - od) * 1e12 AS BIGINT)").as("d2q"))
+      .groupBy("c_id")
+      .agg(max("n").cast("bigint").as("n_members"),
+        sqrt(sum("d2q").cast("double") / 1e12).as("centroid_shift"))
+      .orderBy("c_id")
+  }
+
+  val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06, s07)
 }
