@@ -72,4 +72,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("human_count"), p.take(2000))
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p.take(2000))
   }
+
+  test("t08: contamination join is an equi-join on the shingle, never nested-loop") {
+    val p = plan(graft.ops.TextOps.t08.fn(spark, TestSpark.sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // both sides must collapse to distinct shingles BEFORE the join:
+    // the join keys are aggregate outputs, so HashAggregate nodes must
+    // outnumber the probe-side join (2 distincts + 1 count group)
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
+
+  test("t09: redaction profile is a single map stage over the scan (no shuffle)") {
+    val p = plan(graft.ops.TextOps.t09.fn(spark, TestSpark.sf0001))
+    // the final orderBy range-partitions; there must be NO hash shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 0,
+      s"redaction must not hash-shuffle, got $exchanges\n${p.take(3000)}")
+  }
+
+  test("s07: centroid assignment broadcasts the small side") {
+    val p = plan(graft.ops.SimilarityOps.s07.fn(spark, TestSpark.sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+    // the per-dimension mean must be a hash aggregate, not a vector
+    // collect: no collect_list anywhere in the plan
+    assert(!p.contains("collect_list"), p.take(3000))
+  }
 }
