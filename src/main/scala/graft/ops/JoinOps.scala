@@ -190,5 +190,49 @@ object JoinOps {
       .orderBy("c_custkey")
   }
 
-  val all: Seq[OpQuery] = Seq(r17, r18, r19, r20)
+  /** One-time build of a date-partitioned copy of `events` (Hive-style
+    * `day=<epoch-day>` directories). Idempotent per scale factor; the
+    * layout a 100 TB event store actually ships with.
+    */
+  def ensurePartitioned(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    import java.nio.file.{Files, Paths}
+    val sf = new java.io.File(dir).getName.replace(".", "_")
+    val loc = s"/root/repo/target/partitioned/$sf/events_by_day"
+    if (!Files.exists(Paths.get(s"$loc/_SUCCESS"))) {
+      Sources.table(spark, dir, "events")
+        .withColumn("day", expr("ts div 1000 div 86400000000"))
+        .write.mode("overwrite").partitionBy("day").parquet(loc)
+    }
+    loc
+  }
+
+  /** Partition pruning — THE scan optimization at 100 TB: a one-week
+    * filter over a day-partitioned event store must read 7 partitions'
+    * files and skip the rest at PLANNING time (directory listing), not
+    * filter rows after reading them. PlanSpec asserts `PartitionFilters`
+    * carries the day bounds. The oracle computes the same week from the
+    * unpartitioned table — the layout must be invisible in the result.
+    */
+  val r21 = OpQuery(
+    name = "r21_partition_pruned_scan",
+    fn = { (spark, dir) =>
+      val loc = ensurePartitioned(spark, dir)
+      spark.read.parquet(loc)
+        .filter(col("day").between(19730, 19736))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+        .orderBy("event_type")
+    },
+    oracle = Some(
+      """SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE epoch_us(ts) // 86400000000 BETWEEN 19730 AND 19736
+        |GROUP BY 1 ORDER BY event_type""".stripMargin),
+    doc = "partition pruning: day-partitioned event store, week filter resolved at planning time",
+    prepare = (spark, dir) => { ensurePartitioned(spark, dir); () })
+
+  val all: Seq[OpQuery] = Seq(r17, r18, r19, r20, r21)
 }

@@ -91,6 +91,16 @@ class PlanSpec extends AnyFunSuite {
       s"redaction must not hash-shuffle, got $exchanges\n${p.take(3000)}")
   }
 
+  test("r21: week filter becomes PartitionFilters on the day-partitioned scan") {
+    val p = plan(JoinOps.r21.fn(spark, TestSpark.sf0001))
+    val scan = p.split("\n").find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("PartitionFilters: [isnotnull(day"), scan)
+    assert(scan.contains("(day") && scan.contains(">= 19730)"), scan)
+    // the day predicate must NOT survive as a post-scan row filter
+    assert(scan.contains("DataFilters: []"), scan)
+    assert(scan.contains("PushedFilters: []"), scan)
+  }
+
   test("s07: centroid assignment broadcasts the small side") {
     val p = plan(graft.ops.SimilarityOps.s07.fn(spark, TestSpark.sf0001))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
