@@ -453,13 +453,14 @@ object SimilarityOps {
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("c_id").asc)
+    // the vector rides through the assignment window, so membership
+    // needs NO second corpus join — one pass assigns and carries v
     val cells = e.crossJoin(broadcast(cent2))
       .withColumn("ccos", expr(s"${dotDec("v", "cv")} / (nrm * cnrm)"))
       .withColumn("crn", row_number().over(wAssign))
       .filter(col("crn") === 1)
-      .select("vec_id", "c_id")
-    val mem = cells.join(e.select("vec_id", "v"), "vec_id")
-    val dims = mem
+      .select("vec_id", "c_id", "v")
+    val dims = cells
       .select(col("c_id"), posexplode(col("v")).as(Seq("dim", "x")))
       .select(col("c_id"), col("dim"),
         expr("CAST(x * 1e12 AS BIGINT)").as("q"))

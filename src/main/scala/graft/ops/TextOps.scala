@@ -352,7 +352,7 @@ object TextOps {
       |), freq AS (
       |  SELECT t, count(*) AS cnt FROM tok GROUP BY 1
       |), total AS (
-      |  SELECT count(*) AS n FROM tok
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS n FROM freq
       |), top AS (
       |  SELECT t, cnt FROM freq ORDER BY cnt DESC, t ASC LIMIT 100
       |)
@@ -367,7 +367,9 @@ object TextOps {
     val tok = Sources.table(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("t"))
     val freq = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
-    val total = tok.agg(count(lit(1)).as("n"))
+    // total tokens = sum over the (small) type-frequency frame — NOT a
+    // second explode of the corpus
+    val total = freq.agg(sum("cnt").cast("bigint").as("n"))
     val top = freq.orderBy(col("cnt").desc, col("t").asc).limit(100)
     // single-partition window is fine: exactly 100 rows reach it
     val w = Window.orderBy(col("cnt").desc, col("t").asc)
