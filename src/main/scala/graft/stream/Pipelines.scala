@@ -195,4 +195,52 @@ object Pipelines {
           Iterator(UserUpdate(uid, n, tot))
       }
   }
+
+  case class FunnelEvent(user_id: Long, event_type: String, us: Long)
+  /** -1 = stage not reached. */
+  case class FunnelState(v_us: Long, c_us: Long, p_us: Long)
+  case class FunnelUpdate(user_id: Long, stage: Int,
+      v_us: Long, c_us: Long, p_us: Long)
+
+  /** Streaming twin of the batch funnel (EventOps.e08): per-user
+    * view → click → purchase progression with a time gate between
+    * stages, tracked as arbitrary keyed state across micro-batches.
+    * Emits the user's funnel stage (0-3) after every batch that
+    * touches the user.
+    *
+    * Each stage pins the FIRST qualifying event time, exactly like the
+    * batch min-aggregates — PROVIDED per-user events arrive in
+    * event-time order (within a batch this sorts; across batches it is
+    * the upstream watermark's job). An out-of-order view that would
+    * re-open an earlier window is not replayed — the state holds first
+    * observations only, which is what keeps it O(1) per user instead
+    * of buffering the stream.
+    */
+  def funnelStages(events: org.apache.spark.sql.Dataset[FunnelEvent],
+      gapUs: Long = 3600000000L)
+      : org.apache.spark.sql.Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FunnelEvent], state: org.apache.spark.sql.streaming.GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          var v = prev.v_us; var c = prev.c_us; var p = prev.p_us
+          it.toSeq.sortBy(e => (e.us, e.event_type)).foreach { e =>
+            e.event_type match {
+              case "view" if v < 0 => v = e.us
+              case "click" if v >= 0 && c < 0 && e.us > v && e.us <= v + gapUs =>
+                c = e.us
+              case "purchase" if c >= 0 && p < 0 && e.us > c && e.us <= c + gapUs =>
+                p = e.us
+              case _ => ()
+            }
+          }
+          state.update(FunnelState(v, c, p))
+          val stage = if (p >= 0) 3 else if (c >= 0) 2 else if (v >= 0) 1 else 0
+          Iterator(FunnelUpdate(uid, stage, v, c, p))
+      }
+  }
 }

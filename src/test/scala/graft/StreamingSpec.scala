@@ -158,6 +158,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((2L, 1L, 1.0)), rows.toString)
   }
 
+  test("streaming funnel tracks per-user stages across batches and enforces time gates") {
+    implicit val sqlCtx = spark.sqlContext
+    val hour = 3600000000L
+    val mem = MemoryStream[Pipelines.FunnelEvent]
+    val q = Pipelines.funnelStages(mem.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("funnel")
+      .start()
+    // batch 1: user 1 views; user 2 clicks with NO prior view (no-op);
+    // user 3 views and clicks in one batch, delivered out of order
+    mem.addData(
+      Pipelines.FunnelEvent(1L, "view", 1000L),
+      Pipelines.FunnelEvent(2L, "click", 1000L),
+      Pipelines.FunnelEvent(3L, "click", 2000L),
+      Pipelines.FunnelEvent(3L, "view", 1000L))
+    q.processAllAvailable()
+    // batch 2: user 1 clicks within the gate, then purchases within the
+    // gate; user 3 purchases TOO LATE after its click (gate violated)
+    mem.addData(
+      Pipelines.FunnelEvent(1L, "click", 2000L),
+      Pipelines.FunnelEvent(1L, "purchase", 3000L),
+      Pipelines.FunnelEvent(3L, "purchase", 2000L + hour + 1))
+    q.processAllAvailable()
+    q.stop()
+    val byBatch = spark.table("funnel")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // batch 1: u1 reached view(1), u2 still 0, u3 reached click(2)
+    assert(byBatch.contains((1L, 1)), byBatch.toString)
+    assert(byBatch.contains((2L, 0)), byBatch.toString)
+    assert(byBatch.contains((3L, 2)), byBatch.toString)
+    // batch 2: u1 completed the funnel(3) — state remembered the view;
+    // u3 stays at click(2) because the purchase missed the gate
+    assert(byBatch.contains((1L, 3)), byBatch.toString)
+    assert(byBatch.count { case (u, s) => u == 3L && s == 2 } == 2, byBatch.toString)
+  }
+
   test("checkpoint recovery: a restarted query resumes without duplicating output") {
     val raw = PinFixtures.pinRaw(spark)
     val envelopeRows = PinFixtures.envelope(raw).as[String].collect().toSeq
