@@ -138,6 +138,60 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-duplicate detection: which documents of a NEW
+    * batch are near-dups of an EXISTING corpus — the production path
+    * (dedup runs per ingest batch, not as a global recompute). Returns
+    * (doc_new, doc_dup, jaccard) with jaccard >= threshold.
+    *
+    * Same banded-MinHash machinery as [[nearDupPairs]], but the two
+    * sides are asymmetric and that is the scale story: the corpus
+    * side's signatures/bands are a write-once INDEX (in production,
+    * persisted as a table and reused every batch; here re-derived
+    * because the oracle must see one self-contained query), while the
+    * incoming batch is small — so its band keys broadcast, candidates
+    * are bounded by real band collisions, and the corpus's shingle
+    * store is only touched on the candidate doc ids (AQE broadcasts
+    * the candidate set; the corpus side never fully shuffles).
+    */
+  def incrementalNearDups(incoming: DataFrame, corpus: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, seeds: Int = 8, bandSize: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    def prep(side: DataFrame): (DataFrame, DataFrame) = {
+      val shs = shingles(side, idCol, textCol, n).persist()
+      val aggs = minAggs(seeds) :+ count(lit(1)).as("n")
+      (shs, shs.groupBy(idCol).agg(aggs.head, aggs.tail: _*))
+    }
+    def bandsOf(sig: DataFrame): DataFrame = {
+      val bandKeys = (0 until seeds / bandSize).map { b =>
+        val parts = (0 until bandSize).flatMap(k =>
+          Seq(lit(":"), col(s"mh${bandSize * b + k}").cast("string"))).tail
+        concat((lit(b + ":") +: parts): _*)
+      }
+      sig.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+    }
+    val (inShs, inSig) = prep(incoming)
+    val (coShs, coSig) = prep(corpus)
+    val cand = bandsOf(inSig).as("a")
+      .join(bandsOf(coSig).as("b"), col("a.bk") === col("b.bk"))
+      .select(col(s"a.$idCol").as("doc_new"), col(s"b.$idCol").as("doc_old"))
+      .distinct()
+    val common = cand
+      .join(inShs.as("s1"), col(s"s1.$idCol") === col("doc_new"))
+      .join(coShs.as("s2"),
+        col(s"s2.$idCol") === col("doc_old") && col("s2.sh") === col("s1.sh"))
+      .groupBy("doc_new", "doc_old").agg(count(lit(1)).as("n_common"))
+    val j = col("n_common").cast("double") /
+      (col("sa.n") + col("sb.n") - col("n_common"))
+    common
+      .join(inSig.select(col(idCol), col("n")).as("sa"),
+        col(s"sa.$idCol") === col("doc_new"))
+      .join(coSig.select(col(idCol), col("n")).as("sb"),
+        col(s"sb.$idCol") === col("doc_old"))
+      .select(col("doc_new"), col("doc_old").as("doc_dup"), j.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash: 64-bit fingerprint (16 hex chars) by bitwise majority
     * vote over the distinct-token hashes: (id, simhash). One
     * zero-shuffle codegen'd map stage ([[graft.expr.SimHashExpr]]) —

@@ -341,5 +341,63 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[OpQuery] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
+  // the same md5 hash bucket t06/t11 use: a deterministic 80/20 split
+  // standing in for "corpus so far" vs "new ingest batch"
+  private val duckBucket =
+    "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16" +
+      " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+
+  /** Incremental dedup: near-dups of a new ingest batch against the
+    * existing corpus — [[graft.api.Dedup.incrementalNearDups]], the
+    * per-batch production path (the corpus side is a reusable signature
+    * index; only the incoming batch is new work each run).
+    */
+  val d09 = OpQuery.oracled("d09_incremental_near_dups", {
+    val bands = (0 until nSeeds / 2)
+      .map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || ':' || mh${2 * b + 1} AS bk FROM sig")
+      .mkString("\n      |  UNION ALL\n      |  ")
+    s"""WITH shs AS (
+      |  SELECT doc_id, unnest(shingles) AS sh FROM ($duckShingles)
+      |), sig AS (
+      |  SELECT doc_id, ${duckMins.mkString(", ")} FROM shs GROUP BY doc_id
+      |), bands AS (
+      |  $bands
+      |), sp AS (
+      |  SELECT doc_id,
+      |         CASE WHEN $duckBucket < 205 THEN 'old' ELSE 'new' END AS side
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+      |  FROM bands a
+      |  JOIN sp pa ON pa.doc_id = a.doc_id AND pa.side = 'new'
+      |  JOIN bands b ON b.bk = a.bk
+      |  JOIN sp pb ON pb.doc_id = b.doc_id AND pb.side = 'old'
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id
+      |), common AS (
+      |  SELECT c.doc_new, c.doc_old, count(*) AS n_common
+      |  FROM cand c
+      |  JOIN shs s1 ON s1.doc_id = c.doc_new
+      |  JOIN shs s2 ON s2.doc_id = c.doc_old AND s2.sh = s1.sh
+      |  GROUP BY 1, 2
+      |)
+      |SELECT m.doc_new, m.doc_old AS doc_dup,
+      |       CAST(m.n_common AS DOUBLE) / (sa.n + sb.n - m.n_common) AS jaccard
+      |FROM common m
+      |JOIN sizes sa ON sa.doc_id = m.doc_new
+      |JOIN sizes sb ON sb.doc_id = m.doc_old
+      |WHERE CAST(m.n_common AS DOUBLE) / (sa.n + sb.n - m.n_common) >= 0.5
+      |ORDER BY doc_new, doc_dup""".stripMargin
+  },
+    doc = "incremental near-dup detection: new ingest batch vs existing corpus signature index") { (spark, dir) =>
+    val docs = Sources.table(spark, dir, "documents")
+    val bucket = graft.api.Sampling.hashBucket(col("doc_id"))
+    graft.api.Dedup.incrementalNearDups(
+      incoming = docs.filter(bucket >= 205),
+      corpus = docs.filter(bucket < 205),
+      threshold = 0.5)
+      .orderBy("doc_new", "doc_dup")
+  }
+
+  val all: Seq[OpQuery] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
 }

@@ -107,4 +107,30 @@ class DedupApiSpec extends AnyFunSuite {
       (5L, 5L, 2L), (6L, 5L, 2L)) ++ chain
     assert(got == want, s"got $got")
   }
+
+  test("incrementalNearDups matches new-batch docs against the corpus only") {
+    // corpus: docs 1 and 4; incoming: an exact dup of 1, a near dup of
+    // 1, a novel doc, and a near-dup PAIR WITHIN the batch (6,7) that
+    // must NOT be reported (in-batch dedup is nearDupPairs' job)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (4L, "completely different content about spark query engines and shuffles here")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (12L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+      (13L, "a wholly novel document with no overlap to anything stored before now"),
+      (6L, "window functions and broadcast joins explained for engine developers"),
+      (7L, "window functions and broadcast joins explained for engine developers")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDups(incoming, corpus, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = got.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((11L, 1L)), s"exact dup missed: ${got.mkString(",")}")
+    assert(keys.contains((12L, 1L)), s"near dup missed: ${got.mkString(",")}")
+    assert(!keys.exists(p => p._1 == 13L), "novel doc must not match")
+    assert(!keys.exists(p => p._1 == 6L || p._1 == 7L || p._2 == 6L || p._2 == 7L),
+      "in-batch pairs must not be reported")
+    assert(got.find(p => (p._1, p._2) == ((11L, 1L))).get._3 == 1.0)
+  }
 }
