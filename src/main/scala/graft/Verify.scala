@@ -41,8 +41,12 @@ object Verify {
         }
       }
       // drop blocks persisted inside the query (LSH signatures, IVF
-      // assignments) so 60+ queries don't accumulate cached partitions
+      // assignments) so 70+ queries don't accumulate cached partitions;
+      // localCheckpoint blocks (cluster fixpoints) live outside the
+      // catalog cache and need explicit unpersist, same as Bench
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
