@@ -196,6 +196,22 @@ object Pipelines {
       }
   }
 
+  /** Streaming-ingest dedup gate: drop incoming documents whose exact
+    * text already exists in the stored corpus — a stream-static LEFT
+    * ANTI join on the content hash, the shape every ingestion pipeline
+    * puts in front of its training corpus. The static side is the
+    * corpus's md5 content-hash set (in production a table maintained by
+    * the batch dedup job — [[graft.api.Dedup]]); Spark broadcasts or
+    * re-reads it per micro-batch, and the stream side needs no state of
+    * its own, which is what keeps the gate O(batch) instead of
+    * O(corpus) per trigger.
+    */
+  def streamDedupAgainstCorpus(docs: DataFrame,
+      corpusHashes: DataFrame): DataFrame =
+    docs.withColumn("_h", md5(col("text")))
+      .join(corpusHashes.select(col("h").as("_h")), Seq("_h"), "left_anti")
+      .drop("_h")
+
   case class FunnelEvent(user_id: Long, event_type: String, us: Long)
   /** -1 = stage not reached. */
   case class FunnelState(v_us: Long, c_us: Long, p_us: Long)

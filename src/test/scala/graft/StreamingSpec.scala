@@ -193,6 +193,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(byBatch.count { case (u, s) => u == 3L && s == 2 } == 2, byBatch.toString)
   }
 
+  test("stream-static anti join drops docs already in the corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq((100L, "already stored document text"))
+      .toDF("doc_id", "text")
+      .select(org.apache.spark.sql.functions.md5($"text").as("h"))
+    val mem = MemoryStream[(Long, String)]
+    val gated = Pipelines.streamDedupAgainstCorpus(
+      mem.toDF().toDF("doc_id", "text"), corpus)
+    val q = gated.writeStream
+      .outputMode("append").format("memory").queryName("ingest_gate")
+      .start()
+    mem.addData(
+      (1L, "already stored document text"), // exact dup of the corpus
+      (2L, "a genuinely new document"),
+      (3L, "another new one"))
+    q.processAllAvailable()
+    // second batch: the duplicate arrives again — still dropped
+    mem.addData((4L, "already stored document text"), (5L, "fresh again"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("ingest_gate").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 5L), kept.toString)
+  }
+
   test("checkpoint recovery: a restarted query resumes without duplicating output") {
     val raw = PinFixtures.pinRaw(spark)
     val envelopeRows = PinFixtures.envelope(raw).as[String].collect().toSeq
