@@ -422,6 +422,84 @@ object TextOps {
       .orderBy("lang")
   }
 
+  // Count-min sketch geometry: d hash rows x w buckets. w deliberately
+  // tiny (8) against this corpus's ~30-type vocabulary so collisions —
+  // the thing the sketch trades space for — actually happen and the
+  // overcount column demonstrates the one-sided error (cms >= exact).
+  private val cmsRows = 4
+  private val cmsWidth = 8
+
+  // seeded bucket: two md5 nibbles of "<row>:<token>" mod w — the same
+  // instr/substr construction as Sampling.hashBucket, so any ANSI-ish
+  // engine lands every (row, token) in the identical cell
+  private def duckCmsBucket(i: String, t: String): String =
+    s"""((instr('0123456789abcdef', substr(md5($i || ':' || $t), 1, 1)) - 1) * 16
+       | + (instr('0123456789abcdef', substr(md5($i || ':' || $t), 2, 1)) - 1)) % $cmsWidth""".stripMargin
+
+  /** Count-min-sketch heavy hitters with an EXACTLY reproducible
+    * sketch: md5-seeded buckets make the sketch — and therefore the
+    * estimates and their overcounts — deterministic and cross-engine
+    * oracled, unlike the usual rows-only fate of approximate operators
+    * (r09/r16). Output: top-20 exact tokens with exact count, CMS
+    * estimate (min over d=4 rows of the bucket sums), and the
+    * guaranteed-non-negative overcount.
+    *
+    * Scale shape: the sketch is built from the ALREADY-AGGREGATED
+    * type-frequency frame (types x d rows, collapsing to d x w
+    * integers), not from the raw token stream — CMS cell updates are
+    * associative, so summing per-type counts into cells is equivalent
+    * to streaming every token, and the sketch stays d x w integers at
+    * any corpus size. That constant size is the whole point: frequency
+    * queries against a 100 TB corpus from a few hundred bytes of state.
+    */
+  val t12 = OpQuery.oracled("t12_cms_heavy_hitters",
+    s"""WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS t FROM read_parquet('{SFDIR}/documents.parquet')
+      |), freq AS (
+      |  SELECT t, count(*) AS cnt FROM tok GROUP BY 1
+      |), rows_ AS (
+      |  SELECT unnest(generate_series(0, ${cmsRows - 1})) AS i
+      |), cells AS (
+      |  SELECT i, ${duckCmsBucket("i", "t")} AS b,
+      |         CAST(sum(cnt) AS BIGINT) AS cell
+      |  FROM freq, rows_ GROUP BY 1, 2
+      |), top AS (
+      |  SELECT t, cnt FROM freq ORDER BY cnt DESC, t LIMIT 20
+      |), est AS (
+      |  SELECT top.t, top.cnt, min(cells.cell) AS cms
+      |  FROM top JOIN rows_ ON true
+      |  JOIN cells ON cells.i = rows_.i
+      |   AND cells.b = ${duckCmsBucket("rows_.i", "top.t")}
+      |  GROUP BY 1, 2
+      |)
+      |SELECT t AS token, cnt, CAST(cms AS BIGINT) AS cms,
+      |       CAST(cms - cnt AS BIGINT) AS overcount
+      |FROM est
+      |ORDER BY cnt DESC, token""".stripMargin,
+    doc = "count-min-sketch heavy hitters with deterministic md5 buckets (oracled approximation)") { (spark, dir) =>
+    def bucket(i: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) = {
+      val h = md5(concat(i.cast("string"), lit(":"), t))
+      def nib(pos: Int) = instr(lit("0123456789abcdef"), substring(h, pos, 1)) - 1
+      (nib(1) * 16 + nib(2)) % cmsWidth
+    }
+    val tok = Sources.table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val hashRows = spark.range(cmsRows).select(col("id").cast("int").as("i"))
+    val cells = freq.crossJoin(broadcast(hashRows))
+      .withColumn("b", bucket(col("i"), col("t")))
+      .groupBy("i", "b").agg(sum("cnt").as("cell"))
+    val top = freq.orderBy(col("cnt").desc, col("t").asc).limit(20)
+    top.crossJoin(broadcast(hashRows))
+      .withColumn("b", bucket(col("i"), col("t")))
+      .join(cells, Seq("i", "b"))
+      .groupBy("t", "cnt").agg(min("cell").as("cms"))
+      .select(col("t").as("token"), col("cnt"),
+        col("cms").cast("bigint").as("cms"),
+        (col("cms") - col("cnt")).cast("bigint").as("overcount"))
+      .orderBy(col("cnt").desc, col("token").asc)
+  }
+
   val all: Seq[OpQuery] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
 }
