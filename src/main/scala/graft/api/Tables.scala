@@ -52,4 +52,40 @@ object Tables {
           .otherwise(col(s"b.$c")).as(c)
       }: _*)
   }
+
+  /** Small-files compaction — the table-maintenance job every
+    * streaming/incremental sink eventually needs (a 100 TB table fed by
+    * per-minute micro-batches accretes millions of KB-sized files; scan
+    * cost becomes file-listing + task-scheduling bound long before it is
+    * IO bound).
+    *
+    * Rewrites `inPath` to `outPath` with output files sized near
+    * `targetFileBytes`. The target file count comes from the actual
+    * on-disk bytes (driver-side directory listing — metadata, not
+    * data). Reducing file count uses `coalesce`, which merges
+    * partitions WITHOUT a shuffle — the whole point of compaction is
+    * not to pay data movement twice; `repartition` is reserved for the
+    * rare grow case (target > current partitions, e.g. one giant file
+    * that must split for parallelism).
+    *
+    * Returns the number of output files requested.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      inPath: String, outPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, s"bad target $targetFileBytes")
+    val bytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else if (f.getName.startsWith("part-")) f.length()
+        else 0L
+      walk(new java.io.File(inPath))
+    }
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(inPath)
+    val sized =
+      if (n <= df.rdd.getNumPartitions) df.coalesce(n) else df.repartition(n)
+    sized.write.mode("overwrite").parquet(outPath)
+    n
+  }
 }

@@ -40,6 +40,23 @@ class TablesSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((2L, None, 99L)))
   }
 
+  test("compact merges a splintered table into few right-sized files, content intact") {
+    val in = java.nio.file.Files.createTempDirectory("graft_compact_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_out").toString + "/t"
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    docs.repartition(16).write.mode("overwrite").parquet(in) // splinter: 16 small files
+    def partFiles(p: String) =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .count(_.getName.startsWith("part-"))
+    assert(partFiles(in) == 16)
+    val n = Tables.compact(spark, in, out, targetFileBytes = 64L * 1024)
+    assert(n < 16, s"expected fewer files than 16, got $n")
+    assert(partFiles(out) == n, s"requested $n files, found ${partFiles(out)}")
+    val a = docs.orderBy("doc_id").collect().map(_.toString).toSeq
+    val b = spark.read.parquet(out).orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(a == b, "compaction must not change table content")
+  }
+
   test("duplicate update keys raise instead of fanning out the base row") {
     val updates = Seq(
       (2L, Option("x"), Option(1L)),
