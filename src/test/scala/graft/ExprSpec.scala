@@ -114,6 +114,40 @@ class ExprSpec extends AnyFunSuite {
     assert(diffs.isEmpty, s"fingerprint divergence: ${diffs.take(3)}")
   }
 
+  test("property: rolling fingerprint counts windows in code points on random unicode") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // code points across 1/2/3/4-byte UTF-8, including supplementary
+    val genCp = Gen.frequency(
+      5 -> Gen.choose(0x20, 0x7e),        // ASCII
+      2 -> Gen.choose(0xa1, 0x2ff),      // 2-byte
+      2 -> Gen.choose(0x4e00, 0x9fff),   // 3-byte (CJK)
+      1 -> Gen.choose(0x1f300, 0x1f64f)) // 4-byte (emoji, surrogate pairs)
+    val genStr = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, genCp).map(_.flatMap(Character.toChars(_).toSeq).mkString))
+    val samples = Gen.listOfN(300, genStr)
+      .apply(Gen.Parameters.default, Seed(7L)).get
+    // naive reference: walk by code points with offsetByCodePoints
+    def ref(s: String): (String, String, Long) = {
+      val n = s.codePointCount(0, s.length)
+      val wins = math.max(n - 7, 1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(b: Array[Byte]) = b.map(x => f"$x%02x").mkString
+      val hs = (0 until wins).map { i =>
+        val from = s.offsetByCodePoints(0, i)
+        val to = s.offsetByCodePoints(0, math.min(i + 8, n))
+        md.reset(); hex(md.digest(s.substring(from, to).getBytes("UTF-8")))
+      }
+      (hs.min, hs.max, wins.toLong)
+    }
+    samples.foreach { s =>
+      val row = graft.expr.RollingFingerprint.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val got = (row.getUTF8String(0).toString, row.getUTF8String(1).toString, row.getLong(2))
+      assert(got == ref(s), s"diverged on ${s.take(40).codePoints().toArray.mkString(",")}")
+    }
+  }
+
   test("min_hash_sig expression equals the relational explode+groupBy formulation") {
     val docs = Sources.table(spark, TestSpark.sf0001, "documents")
       .select("doc_id", "text")
