@@ -38,5 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("quantized_dot"),
       new ExpressionInfo(classOf[QuantizedDotExpr].getName, "quantized_dot"),
       (exprs: Seq[Expression]) => QuantizedDotExpr(exprs(0), exprs(1))))
+    // whole-operator axis: plans the GroupTopK logical node
+    // (api.Windows.topKPerGroup) as the bounded-heap two-phase exec
+    e.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
   }
 }

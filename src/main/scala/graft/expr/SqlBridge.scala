@@ -14,6 +14,15 @@ object GraftSqlBridge {
   def column(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** Build a DataFrame from a hand-constructed logical plan —
+    * `Dataset.ofRows` is `private[sql]`, needed by the custom
+    * whole-operator API ([[graft.api.Windows.topKPerGroup]]).
+    */
+  def dataFrame(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Listener events are delivered async; `listenerBus` is
     * `private[spark]`, so the flush Bench needs between per-query
     * shuffle-volume readings lives in this shim too. A slow drain makes

@@ -234,5 +234,32 @@ object JoinOps {
     doc = "partition pruning: day-partitioned event store, week filter resolved at planning time",
     prepare = (spark, dir) => { ensurePartitioned(spark, dir); () })
 
-  val all: Seq[OpQuery] = Seq(r17, r18, r19, r20, r21)
+  /** Group-wise top-k through the custom whole-operator path
+    * ([[graft.plans.GroupTopK]] via [[graft.api.Windows.topKPerGroup]]):
+    * top-3 most expensive parts per brand. The oracle is the
+    * row_number window formulation — the bounded-heap plan must be
+    * output-equivalent to the full-sort plan it replaces, which is
+    * exactly what makes it a safe substitution at 100 TB.
+    */
+  val r22 = OpQuery.oracled("r22_group_topk_parts",
+    """WITH r AS (
+      |  SELECT p_brand, p_partkey, p_retailprice,
+      |         row_number() OVER (PARTITION BY p_brand
+      |                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+      |  FROM part
+      |)
+      |SELECT p_brand, p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice
+      |FROM r WHERE rn <= 3
+      |ORDER BY p_brand, p_retailprice DESC, p_partkey""".stripMargin,
+    doc = "group-wise top-k via the custom bounded-heap operator (GroupTopK exec)") { (spark, dir) =>
+    val p = Sources.table(spark, dir, "part")
+      .select("p_brand", "p_partkey", "p_retailprice")
+    graft.api.Windows.topKPerGroup(p, Seq("p_brand"),
+      Seq(("p_retailprice", true), ("p_partkey", false)), 3)
+      .select(col("p_brand"), col("p_partkey"),
+        col("p_retailprice").cast("double").as("p_retailprice"))
+      .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey"))
+  }
+
+  val all: Seq[OpQuery] = Seq(r17, r18, r19, r20, r21, r22)
 }

@@ -16,6 +16,7 @@ object TestSpark {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // fresh warehouse per test run: saveAsTable locations must not
       // survive the JVM (the in-memory catalog does not)
       .config("spark.sql.warehouse.dir",
