@@ -39,7 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[QuantizedDotExpr].getName, "quantized_dot"),
       (exprs: Seq[Expression]) => QuantizedDotExpr(exprs(0), exprs(1))))
     // whole-operator axis: plans the GroupTopK logical node
-    // (api.Windows.topKPerGroup) as the bounded-heap two-phase exec
+    // (api.Windows.topKPerGroup) as the bounded-heap two-phase exec,
+    // and rewrites the row_number()-window top-k idiom into it
     e.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
+    e.injectOptimizerRule(_ => graft.plans.GroupTopKRewrite)
   }
 }

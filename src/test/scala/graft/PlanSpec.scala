@@ -101,6 +101,18 @@ class PlanSpec extends AnyFunSuite {
     assert(scan.contains("PushedFilters: []"), scan)
   }
 
+  test("q01/qr1: the row_number top-k idiom auto-rewrites to GroupTopK") {
+    for (q <- Seq(StarQueries.q01, graft.ops.ReferenceQueries.qr1)) {
+      val p = plan(q.fn(spark, TestSpark.sf0001))
+      assert("GroupTopK ".r.findAllIn(p).size == 2,
+        s"${q.name} did not rewrite:\n${p.take(3000)}")
+      assert(!p.contains("Window"), s"${q.name} still has a Window:\n${p.take(3000)}")
+    }
+    // rank()/dense_rank() (tie-admitting) must NOT rewrite: r14 keeps its windows
+    val r14 = plan(graft.ops.ScaleOps.r14.fn(spark, TestSpark.sf0001))
+    assert(r14.contains("Window"), r14.take(3000))
+  }
+
   test("s07: centroid assignment broadcasts the small side") {
     val p = plan(graft.ops.SimilarityOps.s07.fn(spark, TestSpark.sf0001))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
