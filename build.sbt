@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver captures stdout and parses the LAST line as
+// JSON. Two sbt behaviors break that: (1) the default LoggedOutput
+// strategy re-logs the forked program's stdout with an "[info] " prefix,
+// and (2) sbt prints "[success] Total time: ..." as the final line.
+// Route forked run output straight through, and drop the success line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
