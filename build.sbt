@@ -18,6 +18,7 @@ run / fork := true
 // Route forked run output straight through, and drop the success line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -261,5 +261,62 @@ object JoinOps {
       .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey"))
   }
 
-  val all: Seq[OpQuery] = Seq(r17, r18, r19, r20, r21, r22)
+  // Bit-interleave (Morton/Z-order) of the low 8 bits of two dimensions:
+  // dim-x bits land at even positions, dim-y bits at odd. Generated as
+  // the same arithmetic in both dialects (shifts + masks; no UDF).
+  private def zSpark(x: String, y: String): String =
+    (0 until 8).map(i =>
+      s"(shiftleft(shiftright($x, $i) & 1, ${2 * i}) + shiftleft(shiftright($y, $i) & 1, ${2 * i + 1}))")
+      .mkString("(", " + ", ")")
+  private def zDuck(x: String, y: String): String =
+    (0 until 8).map(i =>
+      s"(((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1}))")
+      .mkString("(", " + ", ")")
+
+  /** Z-order (Morton) clustering of `orders` on (customer, order day) —
+    * the multi-dimensional layout trick behind Delta/Iceberg OPTIMIZE
+    * ZORDER: interleaving the bits of both keys makes rows that are
+    * close in EITHER dimension land in the same file, so min/max file
+    * statistics prune scans filtered on either one. The query computes
+    * the z-value, range-partitions on it (the write-side layout step),
+    * and verifies locality: each of the 64 z-buckets must span at most
+    * a 32-value slab of each dimension's low byte — that tightness IS
+    * what data skipping buys at 100 TB, and it is exactly what a
+    * single-column sort cannot deliver for the second dimension.
+    *
+    * Scale shape: z-value is a pure map stage; repartitionByRange
+    * samples the z distribution (one pass) and range-shuffles once —
+    * the same cost profile as any sorted write; the locality check is
+    * a 64-group aggregate.
+    */
+  val r23 = OpQuery.oracled("r23_zorder_layout", {
+    s"""WITH d AS (
+      |  SELECT CAST(o_custkey % 256 AS BIGINT) AS xlo,
+      |         CAST(date_diff('day', DATE '1992-01-01', o_orderdate) % 256 AS BIGINT) AS ylo
+      |  FROM orders
+      |), z AS (
+      |  SELECT xlo, ylo, ${zDuck("xlo", "ylo")} AS zval FROM d
+      |)
+      |SELECT CAST(zval >> 10 AS INT) AS z_bucket,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(min(xlo) AS INT) AS min_cust_lo, CAST(max(xlo) AS INT) AS max_cust_lo,
+      |       CAST(min(ylo) AS INT) AS min_day_lo, CAST(max(ylo) AS INT) AS max_day_lo
+      |FROM z GROUP BY 1
+      |ORDER BY z_bucket""".stripMargin
+  },
+    doc = "Z-order layout: bit-interleaved clustering key + per-bucket locality proof") { (spark, dir) =>
+    val d = Sources.table(spark, dir, "orders")
+      .select((col("o_custkey") % 256).cast("bigint").as("xlo"),
+        (datediff(col("o_orderdate"), lit("1992-01-01")) % 256).cast("bigint").as("ylo"))
+      .withColumn("zval", expr(zSpark("xlo", "ylo")))
+    d.repartitionByRange(16, col("zval"))
+      .select(col("xlo"), col("ylo"), expr("shiftright(zval, 10)").cast("int").as("z_bucket"))
+      .groupBy("z_bucket")
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        min("xlo").cast("int").as("min_cust_lo"), max("xlo").cast("int").as("max_cust_lo"),
+        min("ylo").cast("int").as("min_day_lo"), max("ylo").cast("int").as("max_day_lo"))
+      .orderBy("z_bucket")
+  }
+
+  val all: Seq[OpQuery] = Seq(r17, r18, r19, r20, r21, r22, r23)
 }

@@ -477,5 +477,128 @@ object SimilarityOps {
       .orderBy("c_id")
   }
 
-  val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06, s07)
+  /** Int8 scalar quantization profile: symmetric absmax quantization of
+    * every embedding (q_i = round(x_i * 127 / max|x|)) with the three
+    * numbers a quantized-index rollout decision needs — saturation
+    * count, quantized checksum, and worst per-dimension reconstruction
+    * error. This is the compression step that makes a 100 TB float
+    * index fit in a quarter of the space; the profile tells you what
+    * recall it will cost BEFORE you rebuild the index.
+    *
+    * Determinism: float→double widening is exact; the scale division
+    * and round-half-up (floor(x + 0.5)) are identical IEEE operations
+    * in both engines; the reconstruction error is truncation-quantized
+    * to integer picounits like every cosine in this file. Everything is
+    * within-row (one codegen'd map stage, no shuffle at all — the
+    * aggregate is per-vector, not cross-vector).
+    */
+  val s08 = OpQuery.oracled("s08_embedding_quantization",
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM read_parquet('{SFDIR}/embeddings.parquet')
+      |), m AS (
+      |  SELECT vec_id, v,
+      |         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+      |              THEN 1.0 ELSE list_max(list_transform(v, x -> abs(x))) END AS maxabs
+      |  FROM e
+      |), q AS (
+      |  SELECT vec_id, v, maxabs,
+      |         list_transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)) AS qv
+      |  FROM m
+      |)
+      |SELECT vec_id, maxabs,
+      |       CAST(len(list_filter(qv, y -> abs(y) >= 127)) AS INT) AS n_sat,
+      |       CAST(list_sum(qv) AS BIGINT) AS sum_q,
+      |       CAST(list_max(list_transform(generate_series(1, len(v)),
+      |            i -> CAST(floor(abs(v[i] - qv[i] * maxabs / 127.0) * 1e12) AS BIGINT))) AS BIGINT) AS max_err_pico
+      |FROM q
+      |ORDER BY vec_id""".stripMargin,
+    doc = "int8 absmax quantization profile: saturation, checksum, max reconstruction error") { (spark, dir) =>
+    Sources.table(spark, dir, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("maxabs",
+        expr("""CASE WHEN array_max(transform(v, x -> abs(x))) = 0D
+               |THEN 1.0D ELSE array_max(transform(v, x -> abs(x))) END""".stripMargin))
+      .withColumn("qv",
+        expr("transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT))"))
+      .select(col("vec_id"), col("maxabs"),
+        expr("CAST(size(filter(qv, y -> abs(y) >= 127)) AS INT)").as("n_sat"),
+        expr("CAST(aggregate(qv, 0L, (a, y) -> a + y) AS BIGINT)").as("sum_q"),
+        expr("""CAST(array_max(zip_with(v, qv,
+               |(x, y) -> CAST(floor(abs(x - y * maxabs / 127.0) * 1e12) AS BIGINT))) AS BIGINT)""".stripMargin)
+          .as("max_err_pico"))
+      .orderBy("vec_id")
+  }
+
+  /** Product quantization (PQ) encode: split every vector into two
+    * subvectors, assign each half to its nearest codebook centroid
+    * (squared-L2, picounit-quantized), emit the code pair and the two
+    * residual errors. PQ is how a 100 TB float index becomes a
+    * byte-per-subvector index (IVF-PQ = s04's cells + these codes);
+    * log2(k) bits per subvector replaces 32 bits per dimension, and
+    * distance queries become table lookups over the codebook.
+    *
+    * Codebooks here are the s04/s07 deterministic centroid subset
+    * (vec_id % 250) restricted to each half — training them is s07
+    * iterated per half. Scale shape: the codebook is broadcast (k
+    * centroids x half-dim — kilobytes); assignment is one map-side
+    * broadcast join over the corpus, ranked per (vector, half) by a
+    * window whose partitions are k rows — no shuffle of the corpus
+    * beyond the final per-vector regroup, same profile as s04's build.
+    */
+  val s09 = OpQuery.oracled("s09_product_quantization",
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM read_parquet('{SFDIR}/embeddings.parquet')
+      |), halves AS (
+      |  SELECT vec_id, 0 AS h, list_slice(v, 1, len(v) // 2) AS sv FROM e
+      |  UNION ALL
+      |  SELECT vec_id, 1 AS h, list_slice(v, len(v) // 2 + 1, len(v)) AS sv FROM e
+      |), cents AS (
+      |  SELECT vec_id AS c_id, h, sv AS cv FROM halves WHERE vec_id % 250 = 0
+      |), pairs AS (
+      |  SELECT halves.vec_id, halves.h, cents.c_id,
+      |         CAST(list_sum(list_transform(generate_series(1, len(halves.sv)),
+      |              i -> CAST(trunc((halves.sv[i] - cents.cv[i]) * (halves.sv[i] - cents.cv[i]) * 1e12) AS BIGINT))) AS BIGINT) AS qd
+      |  FROM halves JOIN cents ON cents.h = halves.h
+      |), assign AS (
+      |  SELECT vec_id, h, c_id, qd,
+      |         row_number() OVER (PARTITION BY vec_id, h ORDER BY qd ASC, c_id ASC) AS rn
+      |  FROM pairs
+      |)
+      |SELECT vec_id,
+      |       CAST(max(CASE WHEN h = 0 THEN c_id END) AS BIGINT) AS code0,
+      |       CAST(max(CASE WHEN h = 1 THEN c_id END) AS BIGINT) AS code1,
+      |       CAST(max(CASE WHEN h = 0 THEN qd END) AS BIGINT) AS err0_pico,
+      |       CAST(max(CASE WHEN h = 1 THEN qd END) AS BIGINT) AS err1_pico
+      |FROM assign WHERE rn = 1
+      |GROUP BY 1
+      |ORDER BY vec_id""".stripMargin,
+    doc = "product-quantization encode: per-subvector nearest codebook centroid + residual") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Sources.table(spark, dir, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val halves = e.select(col("vec_id"), lit(0).as("h"),
+        expr("slice(v, 1, size(v) DIV 2)").as("sv"))
+      .unionAll(e.select(col("vec_id"), lit(1).as("h"),
+        expr("slice(v, size(v) DIV 2 + 1, size(v) - size(v) DIV 2)").as("sv")))
+    val cents = halves.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("c_id"), col("h"), col("sv").as("cv"))
+    // CAST(double AS BIGINT) truncates toward zero in Spark = DuckDB's
+    // explicit trunc(); squared residuals are non-negative either way
+    val pairs = halves.join(broadcast(cents), Seq("h"))
+      .withColumn("qd",
+        expr("""CAST(aggregate(zip_with(sv, cv,
+               |(x, c) -> CAST((x - c) * (x - c) * 1e12 AS BIGINT)),
+               |0L, (a, y) -> a + y) AS BIGINT)""".stripMargin))
+    val w = Window.partitionBy("vec_id", "h").orderBy(col("qd").asc, col("c_id").asc)
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(
+        max(when(col("h") === 0, col("c_id"))).cast("bigint").as("code0"),
+        max(when(col("h") === 1, col("c_id"))).cast("bigint").as("code1"),
+        max(when(col("h") === 0, col("qd"))).cast("bigint").as("err0_pico"),
+        max(when(col("h") === 1, col("qd"))).cast("bigint").as("err1_pico"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
 }

@@ -500,6 +500,196 @@ object TextOps {
       .orderBy(col("cnt").desc, col("token").asc)
   }
 
+  /** Gopher-style repetition profile: how much of a document is repeated
+    * n-grams — after length filters, the most effective crawl-quality
+    * rule family (boilerplate and machine-generated spam score high).
+    * `top_bigram_frac` = share of all bigram occurrences taken by the
+    * most frequent bigram; `dup_*_frac` = share of occurrences whose
+    * gram appears more than once. Thresholding these is the filter; the
+    * profile is the operator.
+    *
+    * Scale shape: grams explode from a position sequence (a generator —
+    * no quadratic intermediate), then shuffle on (doc_id, gram) and
+    * reduce to doc_id. Per-document keys, so group sizes are bounded by
+    * document length — no corpus-wide hot key is possible, unlike a
+    * gram-keyed global count. Two gram sizes = two such pipelines joined
+    * on doc_id.
+    */
+  val t13 = OpQuery.oracled("t13_repetition_profile",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM read_parquet('{SFDIR}/documents.parquet')
+      |), bi AS (
+      |  SELECT doc_id, concat_ws(' ', ts[i], ts[i+1]) AS g
+      |  FROM tok, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+      |  WHERE len(ts) >= 2
+      |), bc AS (
+      |  SELECT doc_id, g, count(*) AS cnt FROM bi GROUP BY 1, 2
+      |), bstat AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+      |         CAST(max(cnt) AS BIGINT) AS top_bigram_cnt,
+      |         CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_bigram
+      |  FROM bc GROUP BY 1
+      |), tri AS (
+      |  SELECT doc_id, concat_ws(' ', ts[i], ts[i+1], ts[i+2]) AS g
+      |  FROM tok, unnest(generate_series(1, len(ts) - 2)) AS u(i)
+      |  WHERE len(ts) >= 3
+      |), tc AS (
+      |  SELECT doc_id, g, count(*) AS cnt FROM tri GROUP BY 1, 2
+      |), tstat AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_trigrams,
+      |         CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_trigram
+      |  FROM tc GROUP BY 1
+      |)
+      |SELECT b.doc_id, n_bigrams, top_bigram_cnt,
+      |       CAST(top_bigram_cnt AS DOUBLE) / n_bigrams AS top_bigram_frac,
+      |       CAST(dup_bigram AS DOUBLE) / n_bigrams AS dup_bigram_frac,
+      |       CAST(dup_trigram AS DOUBLE) / n_trigrams AS dup_trigram_frac
+      |FROM bstat b JOIN tstat t ON t.doc_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin,
+    doc = "Gopher-style n-gram repetition profile (top-bigram + duplicate-gram fractions)") { (spark, dir) =>
+    val docs = Sources.table(spark, dir, "documents")
+      .withColumn("ts", split(col("text"), " "))
+    // counted grams per doc; WordShinglesExpr dedups (right for MinHash,
+    // wrong here — repetition is exactly what dedup erases), so grams
+    // come from a position-sequence generator instead
+    def grams(n: Int) = {
+      val mk = (0 until n).map(k => s"element_at(ts, i + $k)")
+        .mkString("concat_ws(' ', ", ", ", ")")
+      docs.filter(size(col("ts")) >= n)
+        .select(col("doc_id"),
+          explode(expr(s"transform(sequence(1, size(ts) - ${n - 1}), i -> $mk)")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+    }
+    val bstat = grams(2).groupBy("doc_id").agg(
+      sum("cnt").cast("bigint").as("n_bigrams"),
+      max("cnt").cast("bigint").as("top_bigram_cnt"),
+      sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).cast("bigint").as("dup_bigram"))
+    val tstat = grams(3).groupBy("doc_id").agg(
+      sum("cnt").cast("bigint").as("n_trigrams"),
+      sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).cast("bigint").as("dup_trigram"))
+    bstat.join(tstat, "doc_id")
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_cnt"),
+        (col("top_bigram_cnt").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
+        (col("dup_bigram").cast("double") / col("n_bigrams")).as("dup_bigram_frac"),
+        (col("dup_trigram").cast("double") / col("n_trigrams")).as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  // Context-window token budget for sequence packing. Documents pack in
+  // doc_id order; a doc is assigned to the bin its starting offset falls
+  // in (linear packing — the deterministic, single-pass strategy; bins
+  // can overflow by at most one document, they never under-fill).
+  private val packBudget = 1000L
+
+  /** Sequence packing: group documents into fixed token-budget bins
+    * (context windows) per source shard — the step that turns a cleaned
+    * corpus into training sequences. Emits per-bin document count,
+    * token total, and fill ratio.
+    *
+    * Scale shape: one running-total window PER SOURCE SHARD (never a
+    * global sort) — at 100 TB the partition key becomes (source, file
+    * split) so every window partition stays executor-sized; packing is
+    * embarrassingly parallel across shards by construction, and the
+    * final per-bin aggregate shares the window's partitioning prefix.
+    */
+  val t14 = OpQuery.oracled("t14_sequence_packing",
+    s"""WITH d AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), c AS (
+      |  SELECT source, doc_id, n_tok,
+      |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d
+      |), b AS (
+      |  SELECT source, CAST(floor((cum - n_tok) / $packBudget.0) AS INT) AS bin, n_tok
+      |  FROM c
+      |)
+      |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+      |       CAST(sum(n_tok) AS DOUBLE) / $packBudget.0 AS fill_ratio
+      |FROM b GROUP BY 1, 2
+      |ORDER BY source, bin""".stripMargin,
+    doc = "sequence packing: per-shard token-budget bins (context-window assembly)") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Sources.table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_tok")) / lit(packBudget.toDouble)).cast("int"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_tok").cast("bigint").as("bin_tokens"),
+        (sum("n_tok").cast("double") / packBudget.toDouble).as("fill_ratio"))
+      .orderBy("source", "bin")
+  }
+
+  /** Domain-mixture rebalance: deterministic per-source downsampling
+    * toward target mixture weights — the "30% web, 20% code, ..." knob
+    * of a training-data recipe. Target weight 3 for even-numbered
+    * sources, 1 for odd (standing in for a weights table); the keep
+    * rate for source s is min(1, N_total * w_s / (W_total * n_s)),
+    * applied through the same md5 hash bucket as the train/test split,
+    * so the sample is reproducible across engines and reruns.
+    *
+    * Scale shape: phase 1 aggregates per-source counts (|sources| rows);
+    * phase 2 broadcasts the thresholds back and filters map-side — the
+    * corpus is never shuffled, only scanned twice (or once, if phase 1
+    * reads a catalog statistic instead).
+    */
+  val t15 = OpQuery.oracled("t15_mixture_rebalance",
+    """WITH pc AS (
+      |  SELECT source, count(*) AS n_src FROM read_parquet('{SFDIR}/documents.parquet') GROUP BY 1
+      |), w AS (
+      |  SELECT source, n_src,
+      |         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 3.0 ELSE 1.0 END AS wt
+      |  FROM pc
+      |), tot AS (
+      |  SELECT CAST(sum(n_src) AS DOUBLE) AS n_total, sum(wt) AS w_total FROM w
+      |), th AS (
+      |  SELECT source,
+      |         CAST(least(256.0, floor(256.0 * (SELECT n_total FROM tot) * wt
+      |              / ((SELECT w_total FROM tot) * n_src))) AS INT) AS threshold
+      |  FROM w
+      |), j AS (
+      |  SELECT d.source, th.threshold,
+      |         (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |           + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+      |  FROM read_parquet('{SFDIR}/documents.parquet') d JOIN th ON th.source = d.source
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(max(threshold) AS INT) AS threshold,
+      |       CAST(sum(CASE WHEN bucket < threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM j GROUP BY 1
+      |ORDER BY source""".stripMargin,
+    doc = "domain-mixture rebalance: data-derived per-source keep rates via hash buckets") { (spark, dir) =>
+    val docs = Sources.table(spark, dir, "documents")
+    val pc = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+      .withColumn("wt",
+        when(expr("CAST(substring(source, 4) AS INT) % 2 = 0"), lit(3.0))
+          .otherwise(lit(1.0)))
+    val tot = pc.agg(sum(col("n_src")).cast("double").as("n_total"),
+      sum("wt").as("w_total"))
+    val th = pc.crossJoin(broadcast(tot))
+      .select(col("source"),
+        least(lit(256.0), floor(lit(256.0) * col("n_total") * col("wt")
+          / (col("w_total") * col("n_src")))).cast("int").as("threshold"))
+    docs.select(col("source"),
+        graft.api.Sampling.hashBucket(col("doc_id")).as("bucket"))
+      .join(broadcast(th), "source")
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        max("threshold").cast("int").as("threshold"),
+        sum(when(col("bucket") < col("threshold"), 1).otherwise(0))
+          .cast("bigint").as("n_sampled"))
+      .orderBy("source")
+  }
+
   val all: Seq[OpQuery] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
+      t14, t15)
 }

@@ -141,6 +141,57 @@ object Pipelines {
     q.awaitTermination()
   }
 
+  /** Streaming MERGE sink: every micro-batch is applied to a parquet
+    * table as an upsert (`MERGE INTO` from a stream — the Delta
+    * `foreachBatch` merge recipe, minus the Delta jar). Within a batch,
+    * several updates for one key collapse to the latest by `orderCol`
+    * BEFORE the merge ([[graft.api.Tables.upsert]] requires unique
+    * update keys — at-least-once sources redeliver). The merged table
+    * is staged to a sibling dir and swapped in only after the write
+    * succeeds, so a crash mid-write leaves the previous table intact
+    * (the same publish-by-rename contract a table format's commit
+    * protocol provides).
+    *
+    * At scale the read-merge-rewrite becomes a real table format's
+    * MERGE (Delta/Iceberg) — this sink IS that call site: swap the
+    * body of the `foreachBatch` for `deltaTable.merge(...)` and
+    * nothing upstream changes.
+    */
+  def upsertSink(updates: DataFrame, tablePath: String, checkpoint: String,
+      key: String, orderCol: String): DataStreamWriter[Row] = {
+    updates.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(key).orderBy(col(orderCol).desc)
+        val latest = batch
+          .withColumn("_graft_rn", row_number().over(w))
+          .filter(col("_graft_rn") === 1).drop("_graft_rn")
+        val table = new java.io.File(tablePath)
+        // an existing-but-empty dir (fresh temp dir, wiped table) is a
+        // first write, not a merge target
+        val hasData = table.isDirectory && Option(table.listFiles())
+          .exists(_.exists(_.getName.startsWith("part-")))
+        val merged =
+          if (hasData)
+            graft.api.Tables.upsert(spark.read.parquet(tablePath), latest, key)
+          else latest
+        val staged = tablePath + ".staged"
+        merged.write.mode("overwrite").parquet(staged)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(table)
+        if (!new java.io.File(staged).renameTo(table))
+          throw new java.io.IOException(s"upsertSink: commit rename failed for $tablePath")
+        ()
+      }
+  }
+
   /** Stream-stream interval join: left rows matched to right rows with
     * the same `key` whose event time falls in
     * `[leftTs + lower, leftTs + upper]`. Both sides carry watermarks, so

@@ -121,4 +121,26 @@ class PlanSpec extends AnyFunSuite {
     // collect: no collect_list anywhere in the plan
     assert(!p.contains("collect_list"), p.take(3000))
   }
+
+  test("t15: per-source thresholds broadcast back; the corpus is never sort-merge joined") {
+    val p = plan(graft.ops.TextOps.t15.fn(spark, TestSpark.sf0001))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("r23: z-order layout range-partitions on the interleaved key") {
+    val p = plan(JoinOps.r23.fn(spark, TestSpark.sf0001))
+    assert(p.toLowerCase.contains("rangepartitioning"), p.take(3000))
+  }
+
+  test("s08: quantization profile is a single map stage (no shuffle before the sort)") {
+    val p = plan(graft.ops.SimilarityOps.s08.fn(spark, TestSpark.sf0001))
+    // exactly one exchange: the final presentation ORDER BY
+    assert("Exchange ".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("s09: PQ codebook side is broadcast") {
+    val p = plan(graft.ops.SimilarityOps.s09.fn(spark, TestSpark.sf0001))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }

@@ -219,6 +219,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L, 5L), kept.toString)
   }
 
+  test("streaming upsert sink merges micro-batches into a parquet table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, String)]
+    val table = tmp("graft_upsert_table")
+    val cp = tmp("graft_upsert_cp")
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.upsertSink(mem.toDF().toDF("id", "ver", "payload"),
+        table, cp, key = "id", orderCol = "ver"))
+    def snapshot(): Map[Long, (Long, String)] =
+      spark.read.parquet(table).as[(Long, Long, String)].collect()
+        .map { case (id, ver, p) => id -> (ver, p) }.toMap
+
+    // batch 1: three inserts + a within-batch duplicate key (redelivery
+    // shape) — the later version must win before the merge
+    mem.addData((1L, 1L, "a1"), (2L, 1L, "b1"), (3L, 1L, "c1"),
+      (4L, 1L, "dup-old"), (4L, 2L, "dup-new"))
+    run()
+    assert(snapshot() == Map(
+      1L -> (1L, "a1"), 2L -> (1L, "b1"), 3L -> (1L, "c1"),
+      4L -> (2L, "dup-new")))
+
+    // batch 2 (same checkpoint — only the new rows are processed):
+    // one update, one insert; untouched keys survive the merge
+    mem.addData((2L, 2L, "b2"), (5L, 1L, "e1"))
+    run()
+    assert(snapshot() == Map(
+      1L -> (1L, "a1"), 2L -> (2L, "b2"), 3L -> (1L, "c1"),
+      4L -> (2L, "dup-new"), 5L -> (1L, "e1")))
+  }
+
   test("checkpoint recovery: a restarted query resumes without duplicating output") {
     val raw = PinFixtures.pinRaw(spark)
     val envelopeRows = PinFixtures.envelope(raw).as[String].collect().toSeq
