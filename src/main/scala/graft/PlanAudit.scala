@@ -10,6 +10,9 @@ object PlanAudit {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the registry includes custom-operator queries (GroupTopK):
+      // without the extension their logical plans have no strategy
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.registry.foreach { q =>

@@ -547,31 +547,21 @@ object TextOps {
       |FROM bstat b JOIN tstat t ON t.doc_id = b.doc_id
       |ORDER BY b.doc_id""".stripMargin,
     doc = "Gopher-style n-gram repetition profile (top-bigram + duplicate-gram fractions)") { (spark, dir) =>
-    val docs = Sources.table(spark, dir, "documents")
-      .withColumn("ts", split(col("text"), " "))
-    // counted grams per doc; WordShinglesExpr dedups (right for MinHash,
-    // wrong here — repetition is exactly what dedup erases), so grams
-    // come from a position-sequence generator instead
-    def grams(n: Int) = {
-      val mk = (0 until n).map(k => s"element_at(ts, i + $k)")
-        .mkString("concat_ws(' ', ", ", ", ")")
-      docs.filter(size(col("ts")) >= n)
-        .select(col("doc_id"),
-          explode(expr(s"transform(sequence(1, size(ts) - ${n - 1}), i -> $mk)")).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
-    }
-    val bstat = grams(2).groupBy("doc_id").agg(
-      sum("cnt").cast("bigint").as("n_bigrams"),
-      max("cnt").cast("bigint").as("top_bigram_cnt"),
-      sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).cast("bigint").as("dup_bigram"))
-    val tstat = grams(3).groupBy("doc_id").agg(
-      sum("cnt").cast("bigint").as("n_trigrams"),
-      sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).cast("bigint").as("dup_trigram"))
-    bstat.join(tstat, "doc_id")
-      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_cnt"),
-        (col("top_bigram_cnt").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
-        (col("dup_bigram").cast("double") / col("n_bigrams")).as("dup_bigram_frac"),
-        (col("dup_trigram").cast("double") / col("n_trigrams")).as("dup_trigram_frac"))
+    // zero-shuffle codegen'd expression (WordShinglesExpr dedups — right
+    // for MinHash, wrong here: repetition is exactly what dedup erases);
+    // the relational explode-per-gram twin is its executable spec in
+    // ExprSpec. The n_trigrams > 0 filter mirrors the oracle's inner
+    // join (docs need at least one trigram to appear).
+    Sources.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.expr.RepetitionProfile.repetition_profile(col("text")).as("rp"))
+      .filter(col("rp.n_trigrams") > 0)
+      .select(col("doc_id"),
+        col("rp.n_bigrams").as("n_bigrams"),
+        col("rp.top_bigram_cnt").as("top_bigram_cnt"),
+        (col("rp.top_bigram_cnt").cast("double") / col("rp.n_bigrams")).as("top_bigram_frac"),
+        (col("rp.dup_bigram").cast("double") / col("rp.n_bigrams")).as("dup_bigram_frac"),
+        (col("rp.dup_trigram").cast("double") / col("rp.n_trigrams")).as("dup_trigram_frac"))
       .orderBy("doc_id")
   }
 

@@ -114,6 +114,53 @@ class ExprSpec extends AnyFunSuite {
     assert(diffs.isEmpty, s"fingerprint divergence: ${diffs.take(3)}")
   }
 
+  test("repetition_profile equals the relational explode-per-gram formulation") {
+    val docs = Sources.table(spark, TestSpark.sf0001, "documents")
+      .select("doc_id", "text")
+      .unionByName(Seq(
+        (300001L, "a b c"), (300002L, "a a a a a"),
+        (300003L, "x y x y x y z"),
+        // consecutive / leading / trailing spaces: split keeps empty
+        // tokens and the expression must agree with split()'s view
+        (300004L, "a  b  a  b"), (300005L, " a b "),
+        (300006L, "one two"), (300007L, "solo"), (300008L, ""))
+        .toDF("doc_id", "text"))
+    def fieldMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val fast = fieldMap(docs
+      .select(col("doc_id"),
+        graft.expr.RepetitionProfile.repetition_profile(col("text")).as("rp"))
+      .select(col("doc_id"), col("rp.n_bigrams"), col("rp.top_bigram_cnt"),
+        col("rp.dup_bigram"), col("rp.n_trigrams"), col("rp.dup_trigram")))
+    // relational spec: explode every gram, count per (doc, gram), reduce
+    val tokens = docs.withColumn("ts", split(col("text"), " "))
+    def stats(n: Int) = {
+      val mk = (0 until n).map(k => s"element_at(ts, i + $k)")
+        .mkString("concat_ws(' ', ", ", ", ")")
+      tokens.filter(size(col("ts")) >= n)
+        .select(col("doc_id"),
+          explode(expr(s"transform(sequence(1, size(ts) - ${n - 1}), i -> $mk)")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(
+          sum("cnt").as("total"), max("cnt").as("top"),
+          sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup"))
+    }
+    val spec = stats(2).as("b").join(stats(3).as("t"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("b.total"), col("b.top"), col("b.dup"),
+        coalesce(col("t.total"), lit(0L)), coalesce(col("t.dup"), lit(0L)))
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // docs with <2 tokens have no relational row; the expression reports
+    // zeros for them
+    spec.foreach { case (k, v) =>
+      assert(fast(k) == v, s"doc $k: fast=${fast(k)} spec=$v")
+    }
+    fast.collect { case (k, v) if !spec.contains(k) =>
+      assert(v == ((0L, 0L, 0L, 0L, 0L)), s"doc $k unexpected profile $v")
+    }
+  }
+
   test("property: rolling fingerprint counts windows in code points on random unicode") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
