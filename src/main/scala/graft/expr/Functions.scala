@@ -38,5 +38,9 @@ object Functions {
       "dot_product", exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "quantized_dot", exprs => QuantizedDotExpr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_fingerprint", exprs => RollingFingerprintExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "repetition_profile", exprs => RepetitionProfileExpr(exprs.head), "scala_udf")
   }
 }

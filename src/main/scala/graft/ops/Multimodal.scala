@@ -149,19 +149,52 @@ object Multimodal {
   }
 
   /** End-to-end media profile: binaryFile datasource -> mapPartitions
-    * feature extraction -> aggregate. Registered rows-only (the
-    * mapPartitions stub is not ANSI-SQL expressible).
+    * feature extraction -> aggregate — ORACLED, stub and all. The
+    * oracle reproduces the byte histogram from the blob itself: a
+    * byte's high nibble is the odd-position hex digit of `hex(blob)`,
+    * so bin-7 counts are substring matches — no codec, no UDF, valid
+    * for arbitrary bytes. The float-normalized feature the stub emits
+    * round-trips exactly back to the integer count (count <= n_bytes
+    * <= a few KB, and float's 2^-24 relative error stays far below the
+    * 0.5 rounding margin), which pins the WHOLE pipeline — staged .bin
+    * files, binaryFile reader, metadata join, mapPartitions batch,
+    * normalization — to a DuckDB-checkable integer.
     */
-  val m02 = OpQuery.unoracled("m02_media_feature_profile",
-    doc = "multimodal plumbing: binaryFile source -> mapPartitions feature extraction -> aggregate") { (spark, dir) =>
+  val m02 = OpQuery.oracled("m02_media_feature_profile",
+    """WITH med AS (
+      |  SELECT doc_id AS media_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS media_type,
+      |         text::BLOB AS payload
+      |  FROM read_parquet('{SFDIR}/documents.parquet') WHERE doc_id % 10 = 0
+      |), h AS (
+      |  SELECT media_id, media_type, octet_length(payload) AS n_bytes,
+      |         hex(payload) AS hx
+      |  FROM med
+      |), b AS (
+      |  SELECT media_id, media_type, n_bytes,
+      |         len(list_filter(generate_series(1, n_bytes),
+      |             i -> substr(hx, 2 * i - 1, 1) = '7')) AS bin7
+      |  FROM h
+      |)
+      |SELECT media_type, CAST(count(*) AS BIGINT) AS n_media,
+      |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |       CAST(sum(bin7) AS BIGINT) AS total_bin7
+      |FROM b GROUP BY 1
+      |ORDER BY media_type""".stripMargin,
+    doc = "multimodal plumbing: binaryFile source -> mapPartitions feature extraction -> aggregate (oracled via hex-nibble histogram)") { (spark, dir) =>
     import spark.implicits._
     val feats = extractFeatures(mediaFromBinaryFiles(spark, dir))
     feats.toDF()
       .groupBy("media_type")
       .agg(
-        count(lit(1)).as("n_media"),
-        sum(col("n_bytes")).as("total_bytes"),
-        avg(element_at(col("features"), 7)).as("avg_bin7"))
+        count(lit(1)).cast("bigint").as("n_media"),
+        sum(col("n_bytes")).cast("bigint").as("total_bytes"),
+        // features[7] (1-based element 8) is the L1-normalized bin-7
+        // weight; * n_bytes recovers the exact integer count
+        sum(round(element_at(col("features"), 8) * col("n_bytes")))
+          .cast("bigint").as("total_bin7"))
       .orderBy("media_type")
   }.copy(prepare = (spark, dir) => { ensureMediaFiles(spark, dir); () })
 
