@@ -45,6 +45,21 @@ class SqlParitySpec extends AnyFunSuite {
     assert(two == Seq("a b", "b c"))
   }
 
+  test("rolling_fingerprint and repetition_profile resolve from SQL text") {
+    graft.expr.Functions.register(spark)
+    val fp = spark.sql(
+      "SELECT rolling_fingerprint('abcdefghij').n_windows AS n").head().getLong(0)
+    assert(fp == 3L) // 10 chars -> 3 windows of 8
+    val rp = spark.sql(
+      """SELECT rp.n_bigrams, rp.top_bigram_cnt, rp.dup_bigram,
+        |       rp.n_trigrams, rp.dup_trigram
+        |FROM (SELECT repetition_profile('a b a b a') AS rp)""".stripMargin).head()
+    // bigrams: "a b","b a","a b","b a" -> 4 total, top 2, all duplicated
+    assert(rp.getLong(0) == 4L && rp.getLong(1) == 2L && rp.getLong(2) == 4L)
+    // trigrams: "a b a","b a b","a b a" -> 3 total, "a b a" duplicated (2)
+    assert(rp.getLong(3) == 3L && rp.getLong(4) == 2L)
+  }
+
   test("word_shingles equals the interpreted HOF formulation on real docs") {
     val docs = Sources.table(spark, TestSpark.sf0001, "documents").limit(100)
       .withColumn("toks", split(col("text"), " "))
