@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.api.Joins
@@ -318,5 +319,55 @@ object JoinOps {
       .orderBy("z_bucket")
   }
 
-  val all: Seq[OpQuery] = Seq(r17, r18, r19, r20, r21, r22, r23)
+  /** Incremental aggregate maintenance: a stored rollup (count / sum /
+    * min / max per group) is brought up to date by aggregating ONLY the
+    * new partition and merging partials — count+count, sum+sum,
+    * min(min), max(max), avg re-derived from the merged sums. That
+    * partial-aggregation algebra is what makes a 100 TB materialized
+    * view maintainable: the base is never rescanned (here both branches
+    * derive from the same table split at a date cutoff, so the oracle —
+    * one flat GROUP BY over everything — can certify the merge is
+    * lossless).
+    *
+    * Decimal-exact money keeps the merge order-insensitive: the merged
+    * double would differ from the flat aggregation's double by summation
+    * order, the merged DECIMAL cannot.
+    */
+  val r24 = OpQuery.oracled("r24_incremental_rollup",
+    """SELECT o_orderpriority AS pri,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+      |       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY pri""".stripMargin,
+    doc = "incremental rollup maintenance: delta partials merged into the base aggregate") { (spark, dir) =>
+    val o = Sources.table(spark, dir, "orders")
+      .select(col("o_orderpriority").as("pri"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"),
+        col("o_orderdate"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("pri").agg(
+        count(lit(1)).as("n"), sum("p").as("s"),
+        min("p").as("mn"), max("p").as("mx"))
+    // "base" = the stored rollup (derived here; a real pipeline reads
+    // it); "delta" = the newly-landed partition, the only data scanned
+    val base = partial(o.filter(col("o_orderdate") < "1995-01-01"))
+    val delta = partial(o.filter(col("o_orderdate") >= "1995-01-01"))
+    base.unionByName(delta)
+      .groupBy("pri")
+      .agg(sum("n").as("n2"), sum("s").as("s2"),
+        min("mn").as("mn2"), max("mx").as("mx2"))
+      .select(col("pri"),
+        col("n2").cast("bigint").as("n_orders"),
+        col("s2").cast("double").as("revenue"),
+        col("mn2").cast("double").as("min_price"),
+        col("mx2").cast("double").as("max_price"),
+        (col("s2").cast("double") / col("n2")).as("avg_price"))
+      .orderBy("pri")
+  }
+
+  val all: Seq[OpQuery] = Seq(r17, r18, r19, r20, r21, r22, r23, r24)
 }
