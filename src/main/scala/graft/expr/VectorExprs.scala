@@ -51,12 +51,37 @@ object VectorExprs {
     acc.toDouble / 1e12
   }
 
+  /** Quantized squared-L2 distance in integer picounits: per element,
+    * the squared difference in IEEE double, scaled by 1e12, truncated
+    * toward zero to a long, summed exactly. Bit-identical to the SQL
+    * `aggregate(zip_with(a, b, (x, y) -> CAST(((x-y)*(x-y))*1e12 AS
+    * BIGINT)), 0L, (a, y) -> a + y)` fold — the innermost loop of a
+    * PQ / k-means assignment, codegen'd instead of interpreted.
+    */
+  def quantizedL2(ad: ArrayData, bd: ArrayData, aFloat: Boolean, bFloat: Boolean): Long = {
+    val n = math.min(ad.numElements(), bd.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) ad.getFloat(i).toDouble else ad.getDouble(i)
+      val y = if (bFloat) bd.getFloat(i).toDouble else bd.getDouble(i)
+      val d = x - y
+      acc += ((d * d) * 1e12).toLong // toLong truncates toward zero, like CAST
+      i += 1
+    }
+    acc
+  }
+
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def quantized_dot(a: Column, b: Column): Column =
     ColumnBridge.column(QuantizedDotExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def quantized_l2(a: Column, b: Column): Column =
+    ColumnBridge.column(QuantizedL2Expr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def cosine(a: Column, b: Column): Column = {
@@ -115,5 +140,32 @@ case class QuantizedDotExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): QuantizedDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd [[VectorExprs.quantizedL2]] — picounit long result. */
+case class QuantizedL2Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "quantized_l2"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"quantized_l2 expects array<float|double>, got $t")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorExprs.quantizedL2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.VectorExprs.quantizedL2($a, $b, ${isFloat(left)}, ${isFloat(right)});")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizedL2Expr =
     copy(left = newLeft, right = newRight)
 }

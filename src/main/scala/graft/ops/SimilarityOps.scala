@@ -582,13 +582,12 @@ object SimilarityOps {
         expr("slice(v, size(v) DIV 2 + 1, size(v) - size(v) DIV 2)").as("sv")))
     val cents = halves.filter(col("vec_id") % 250 === 0)
       .select(col("vec_id").as("c_id"), col("h"), col("sv").as("cv"))
-    // CAST(double AS BIGINT) truncates toward zero in Spark = DuckDB's
-    // explicit trunc(); squared residuals are non-negative either way
+    // codegen'd quantized squared-L2 (picounit longs — truncation
+    // toward zero matches DuckDB's trunc on the non-negative squares);
+    // the interpreted zip_with fold lives in ExprSpec as its spec
     val pairs = halves.join(broadcast(cents), Seq("h"))
       .withColumn("qd",
-        expr("""CAST(aggregate(zip_with(sv, cv,
-               |(x, c) -> CAST((x - c) * (x - c) * 1e12 AS BIGINT)),
-               |0L, (a, y) -> a + y) AS BIGINT)""".stripMargin))
+        graft.expr.VectorExprs.quantized_l2(col("sv"), col("cv")))
     val w = Window.partitionBy("vec_id", "h").orderBy(col("qd").asc, col("c_id").asc)
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .groupBy("vec_id")

@@ -114,6 +114,23 @@ class ExprSpec extends AnyFunSuite {
     assert(diffs.isEmpty, s"fingerprint divergence: ${diffs.take(3)}")
   }
 
+  test("quantized_l2 equals the interpreted zip_with fold on real embeddings") {
+    val e = Sources.table(spark, TestSpark.sf0001, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val pairs = e.select(col("vec_id").as("ida"), col("v").as("va"))
+      .crossJoin(e.select(col("vec_id").as("idb"), col("v").as("vb"))
+        .filter(col("idb") % 7 === 0))
+    val diffs = pairs
+      .withColumn("fast", graft.expr.VectorExprs.quantized_l2(col("va"), col("vb")))
+      .withColumn("spec",
+        expr("""CAST(aggregate(zip_with(va, vb,
+               |(x, y) -> CAST((x - y) * (x - y) * 1e12 AS BIGINT)),
+               |0L, (a, y) -> a + y) AS BIGINT)""".stripMargin))
+      .filter(col("fast") =!= col("spec"))
+      .count()
+    assert(diffs == 0L)
+  }
+
   test("repetition_profile equals the relational explode-per-gram formulation") {
     val docs = Sources.table(spark, TestSpark.sf0001, "documents")
       .select("doc_id", "text")
