@@ -200,7 +200,15 @@ object Bench {
     val compactQueries = results
       .map(t => "\"" + shortIds(t.name) + "\":" + fmt(t.sec))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQueries,"errors":$errJson,"sf":"$sfDir","full":"bench_full.json"}""")
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQueries,"errors":$errJson,"sf":"$sfDir","full":"bench_full.json"}"""
+    // The harness parses only the tail of stdout (~2000 chars); if the
+    // registry ever grows the compact line past that, degrade to a
+    // queries-free line rather than silently breaking the parse — the
+    // per-query map is still in bench_full.json and the earlier line.
+    println(
+      if (compact.length <= 1800) compact
+      else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"errors":$errJson,"sf":"$sfDir","full":"bench_full.json"}""")
     spark.stop()
   }
 }

@@ -141,6 +141,39 @@ object Pipelines {
     q.awaitTermination()
   }
 
+  /** Streaming trending top-k: event-time windowed counts per key, with
+    * each CLOSED window's top-k keys appended to a parquet table — the
+    * "trending categories this hour" pipeline over an event stream.
+    * The windowed count runs in the streaming engine (watermarked,
+    * append mode = each window emitted exactly once, after it closes);
+    * ranking runs per micro-batch of closed windows through the custom
+    * bounded-heap [[graft.plans.GroupTopK]] operator, so the key space
+    * of a window is never fully sorted — the same contract that makes
+    * the batch operator safe at 100 TB keys.
+    */
+  def trendingTopK(events: DataFrame, timeCol: String, keyCol: String,
+      windowDur: String, watermarkDelay: String, k: Int,
+      outPath: String, checkpoint: String): DataStreamWriter[Row] = {
+    val counts = events
+      .withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col(keyCol), col("cnt"))
+    counts.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.api.Windows.topKPerGroup(batch, Seq("w_start"),
+              Seq(("cnt", true), (keyCol, false)), k)
+            .write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+  }
+
   /** Streaming MERGE sink: every micro-batch is applied to a parquet
     * table as an upsert (`MERGE INTO` from a stream — the Delta
     * `foreachBatch` merge recipe, minus the Delta jar). Within a batch,

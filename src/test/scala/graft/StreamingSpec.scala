@@ -219,6 +219,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L, 5L), kept.toString)
   }
 
+  test("streaming trending top-k ranks each closed window through GroupTopK") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val out = tmp("graft_trend_out")
+    val cp = tmp("graft_trend_cp")
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.trendingTopK(mem.toDF().toDF("ts", "cat"),
+        "ts", "cat", windowDur = "10 minutes", watermarkDelay = "0 seconds",
+        k = 2, outPath = out, checkpoint = cp))
+
+    // window 0 (minutes 0-10): catA x3, catB x2, catC x1
+    mem.addData((ts(1), "catA"), (ts(2), "catA"), (ts(3), "catA"),
+      (ts(4), "catB"), (ts(5), "catB"), (ts(6), "catC"))
+    run() // nothing closed yet — watermark sits at minute 6
+    // far-future event pushes the watermark past window 0's end
+    mem.addData((ts(25), "catZ"))
+    run()
+    val rows = spark.read.parquet(out)
+      .select("cat", "cnt").as[(String, Long)].collect().toSet
+    // top-2 of the closed window only: catA(3), catB(2) — catC pruned,
+    // catZ's window still open
+    assert(rows == Set(("catA", 3L), ("catB", 2L)), rows.toString)
+  }
+
   test("streaming upsert sink merges micro-batches into a parquet table") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
