@@ -6,6 +6,36 @@ import org.apache.spark.sql.functions._
 /** Table-maintenance operations a pipeline runs between queries. */
 object Tables {
 
+  /** Snapshot diff (CDC classification): every key of two snapshots of
+    * a keyed table labeled `added` / `removed` / `changed` /
+    * `unchanged`. Change detection hashes the non-key columns
+    * (md5 over a unit-separator concat — engine-portable, so an oracle
+    * can recompute it), which keeps the join payload ONE 32-byte hash
+    * per row regardless of table width: at 100 TB the full-outer join
+    * shuffles keys and hashes, never the wide rows.
+    *
+    * NULL caveat (same as any concat-based row hash): concat_ws skips
+    * NULLs, so ('a', NULL) and (NULL, 'a') collide — acceptable for
+    * change DETECTION (a collision reads as `unchanged`), documented
+    * because it is the standard trade of the portable formulation.
+    */
+  def diff(before: DataFrame, after: DataFrame, key: String): DataFrame = {
+    require(before.columns.sameElements(after.columns),
+      s"schema mismatch: before=${before.columns.mkString(",")} " +
+        s"after=${after.columns.mkString(",")}")
+    val payload = before.columns.filterNot(_ == key)
+    def hashed(df: DataFrame) = df.select(col(key),
+      md5(concat_ws("\u0001", payload.map(c => col(c).cast("string")): _*)).as("_h"))
+    hashed(before).as("b")
+      .join(hashed(after).as("a"), col(s"b.$key") === col(s"a.$key"), "full_outer")
+      .select(
+        coalesce(col(s"b.$key"), col(s"a.$key")).as(key),
+        when(col("b._h").isNull, "added")
+          .when(col("a._h").isNull, "removed")
+          .when(col("b._h") === col("a._h"), "unchanged")
+          .otherwise("changed").as("change"))
+  }
+
   /** SCD-1 upsert: rows of `updates` replace same-key rows of `base`;
     * unmatched update keys are inserted; everything else passes
     * through. `updates` must carry the same columns as `base`.

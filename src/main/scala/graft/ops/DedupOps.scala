@@ -23,7 +23,7 @@ import graft.io.Sources
   */
 object DedupOps {
 
-  private val duckShingles =
+  private[ops] val duckShingles =
     """SELECT doc_id,
       |       list_distinct(list_transform(generate_series(1, len(t) - 2),
       |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles

@@ -293,5 +293,38 @@ object EventOps {
       .orderBy("cohort_week", "k")
   }
 
-  val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09)
+  /** Batch twin of [[graft.stream.Pipelines.trendingTopK]]: the top-2
+    * event types of every hour window, ranked through the custom
+    * bounded-heap [[graft.plans.GroupTopK]] operator. The oracle is the
+    * row_number window formulation — the heap-based plan must be
+    * output-equivalent to the full per-window sort it replaces, which
+    * is exactly the substitution contract that makes it safe when a
+    * window holds millions of keys.
+    */
+  val e10 = OpQuery.oracled("e10_trending_topk_per_hour",
+    """WITH c AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+      |         event_type, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), r AS (
+      |  SELECT hour_start, event_type, cnt,
+      |         row_number() OVER (PARTITION BY hour_start
+      |                            ORDER BY cnt DESC, event_type ASC) AS rn
+      |  FROM c
+      |)
+      |SELECT hour_start, event_type, CAST(cnt AS BIGINT) AS cnt
+      |FROM r WHERE rn <= 2
+      |ORDER BY hour_start, cnt DESC, event_type""".stripMargin,
+    doc = "trending top-k per hour window via the custom GroupTopK operator (batch twin of the streaming pipeline)") { (spark, dir) =>
+    val c = Sources.table(spark, dir, "events")
+      .withColumn("hour_start", expr("(ts div 3600000000000) * 3600"))
+      .groupBy("hour_start", "event_type").agg(count(lit(1)).as("cnt"))
+    graft.api.Windows.topKPerGroup(c, Seq("hour_start"),
+        Seq(("cnt", true), ("event_type", false)), 2)
+      .select(col("hour_start"), col("event_type"),
+        col("cnt").cast("bigint").as("cnt"))
+      .orderBy(col("hour_start"), col("cnt").desc, col("event_type"))
+  }
+
+  val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10)
 }

@@ -369,5 +369,87 @@ object JoinOps {
       .orderBy("pri")
   }
 
-  val all: Seq[OpQuery] = Seq(r17, r18, r19, r20, r21, r22, r23, r24)
+  /** Snapshot diff (CDC classification) between two versions of the
+    * orders table: the later snapshot gains a year of orders (added),
+    * drops every 89th key (removed), and bumps every 97th price
+    * (changed). [[graft.api.Tables.diff]] classifies via per-row
+    * payload hashes — one 32-byte hash per row crosses the full-outer
+    * join, never the wide row — while the oracle classifies by
+    * comparing the columns directly, so the hash-based implementation
+    * is checked against the plain semantics it must preserve.
+    */
+  val r25 = OpQuery.oracled("r25_snapshot_diff",
+    """WITH b AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |         CAST(o_totalprice AS DECIMAL(15,2)) AS pr
+      |  FROM orders WHERE o_orderdate < DATE '1997-01-01'
+      |), a AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |         CAST(o_totalprice AS DECIMAL(15,2))
+      |           + CASE WHEN o_orderkey % 97 = 0 THEN 10 ELSE 0 END AS pr
+      |  FROM orders WHERE o_orderdate < DATE '1998-01-01' AND o_orderkey % 89 <> 0
+      |), j AS (
+      |  SELECT CASE WHEN b.k IS NULL THEN 'added'
+      |              WHEN a.k IS NULL THEN 'removed'
+      |              WHEN b.st = a.st AND b.pr = a.pr THEN 'unchanged'
+      |              ELSE 'changed' END AS change
+      |  FROM b FULL JOIN a ON a.k = b.k
+      |)
+      |SELECT change, CAST(count(*) AS BIGINT) AS n_keys
+      |FROM j GROUP BY 1
+      |ORDER BY change""".stripMargin,
+    doc = "snapshot diff / CDC classification (added/removed/changed/unchanged via payload hash)") { (spark, dir) =>
+    val o = Sources.table(spark, dir, "orders")
+    val before = o.filter(col("o_orderdate") < "1997-01-01")
+      .select(col("o_orderkey"), col("o_orderstatus").as("st"),
+        col("o_totalprice").cast("decimal(15,2)").as("pr"))
+    val after = o
+      .filter(col("o_orderdate") < "1998-01-01" && col("o_orderkey") % 89 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus").as("st"),
+        (col("o_totalprice").cast("decimal(15,2)")
+          + when(col("o_orderkey") % 97 === 0, 10).otherwise(0)).as("pr"))
+    graft.api.Tables.diff(before, after, "o_orderkey")
+      .groupBy("change").agg(count(lit(1)).cast("bigint").as("n_keys"))
+      .orderBy("change")
+  }
+
+  private val pivotYears = 1992 to 1998
+
+  /** Pivot: revenue per nation with one column per order year — the
+    * wide-report shape (`df.groupBy(...).pivot(...)`). The pivot values
+    * are DECLARED, not discovered: an undeclared pivot() first runs a
+    * distinct scan over the pivot column to learn its values — a whole
+    * extra pass over a 100 TB fact table that a one-line value list
+    * avoids. The oracle is the portable CASE-per-column formulation.
+    */
+  val r26 = OpQuery.oracled("r26_pivot_revenue_by_year", {
+    val cases = pivotYears.map(y =>
+      s"CAST(sum(CASE WHEN year(o_orderdate) = $y THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS y$y")
+      .mkString(",\n      |       ")
+    s"""SELECT n_name,
+      |       $cases
+      |FROM orders
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation ON n_nationkey = c_nationkey
+      |GROUP BY 1
+      |ORDER BY n_name""".stripMargin
+  },
+    doc = "pivot to one revenue column per year (declared pivot values; oracle = CASE columns)") { (spark, dir) =>
+    val df = Sources.table(spark, dir, "orders")
+      .join(Sources.table(spark, dir, "customer"),
+        col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Sources.table(spark, dir, "nation")),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).as("yr"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+    df.groupBy("n_name")
+      .pivot("yr", pivotYears.map(y => y: Integer))
+      .agg(sum("p"))
+      .select(col("n_name") +: pivotYears.map(y =>
+        col(s"$y").cast("double").as(s"y$y")): _*)
+      .orderBy("n_name")
+  }
+
+  val all: Seq[OpQuery] = Seq(r17, r18, r19, r20, r21, r22, r23, r24, r25,
+    r26)
 }

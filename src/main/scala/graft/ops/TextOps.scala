@@ -679,7 +679,48 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Novelty / boilerplate share: the fraction of a document's distinct
+    * 3-shingles found in NO other document. Boilerplate and template
+    * text scores near 0 (its shingles recur corpus-wide), original
+    * prose near 1 — the inverse signal of the repetition profile, and a
+    * standard crawl-curation feature next to d04's near-dup machinery.
+    *
+    * Scale shape: shingling is the codegen'd (deduping) WordShingles
+    * expression; document frequency aggregates one row per distinct
+    * (doc, shingle) with map-side partials; the df join's build side is
+    * one row per shingle TYPE, so a viral boilerplate shingle is one
+    * build row, not a hot key (the same distinct-key discipline as
+    * t08).
+    */
+  val t16 = OpQuery.oracled("t16_novelty_share",
+    s"""WITH shs AS (
+      |  SELECT doc_id, unnest(shingles) AS g FROM (${DedupOps.duckShingles})
+      |), df AS (
+      |  SELECT g, count(*) AS df FROM shs GROUP BY 1
+      |), per AS (
+      |  SELECT shs.doc_id, count(*) AS n_shingles,
+      |         CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+      |  FROM shs JOIN df ON df.g = shs.g GROUP BY 1
+      |)
+      |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, n_unique,
+      |       CAST(n_unique AS DOUBLE) / n_shingles AS novelty
+      |FROM per
+      |ORDER BY doc_id""".stripMargin,
+    doc = "novelty share: fraction of a doc's distinct shingles unique to it (boilerplate inverse)") { (spark, dir) =>
+    val sh = Sources.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.expr.WordShingles.word_shingles(col("text"), 3)).as("g"))
+    val dfreq = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_shingles"),
+        sum(when(col("df") === 1, 1).otherwise(0)).cast("bigint").as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_shingles")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15)
+      t14, t15, t16)
 }

@@ -40,6 +40,22 @@ class TablesSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((2L, None, 99L)))
   }
 
+  test("diff classifies added / removed / changed / unchanged keys") {
+    val before = Seq(
+      (1L, Option("alice"), Option(10L)),
+      (2L, Option("bob"), Option(20L)),
+      (3L, Option("carol"), Option(30L))).toDF("id", "name", "score")
+    val after = Seq(
+      (1L, Option("alice"), Option(10L)),   // unchanged
+      (2L, Option("bob"), Option(21L)),     // changed
+      (4L, Option("dave"), Option(40L)))    // added; 3 removed
+    .toDF("id", "name", "score")
+    val got = Tables.diff(before, after, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("compact merges a splintered table into few right-sized files, content intact") {
     val in = java.nio.file.Files.createTempDirectory("graft_compact_in").toString
     val out = java.nio.file.Files.createTempDirectory("graft_compact_out").toString + "/t"
