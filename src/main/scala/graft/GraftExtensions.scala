@@ -43,5 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // and rewrites the row_number()-window top-k idiom into it
     e.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.GroupTopKRewrite)
+    // as-of join (api.Joins.asOfJoin): one merge pass over co-partitioned
+    // sorted sides instead of a candidate-pair explosion
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

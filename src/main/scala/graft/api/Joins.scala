@@ -56,4 +56,42 @@ object Joins {
           col(rightTsCol) < col(leftTsCol) + upperUs)
       .drop("_graft_lb", "_graft_rb")
   }
+
+  /** As-of (backward) join through the custom [[graft.plans.AsOfJoin]]
+    * operator: every left row paired with the single right row of equal
+    * keys and the greatest `rightTimeCol <= leftTimeCol` (left outer —
+    * right columns NULL when no prior row). One merge pass per
+    * co-partition; see the operator Scaladoc for the scale contract.
+    *
+    * Time columns must be LONG (epoch micros by this engine's
+    * convention). `rightTiebreak` columns make the match deterministic
+    * when right rows share a timestamp (last in ascending tiebreak
+    * order wins). Left and right column names must be disjoint.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTimeCol: String, rightTimeCol: String,
+      rightTiebreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, NullsFirst, SortOrder}
+    import org.apache.spark.sql.types.LongType
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "as-of join requires disjoint column names (rename one side)")
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) = plan.output
+      .find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $name not in ${plan.output.map(_.name).mkString(",")}"))
+    val lt = attr(lPlan, leftTimeCol)
+    val rt = attr(rPlan, rightTimeCol)
+    require(lt.dataType == LongType && rt.dataType == LongType,
+      s"as-of time columns must be LONG epoch micros, got ${lt.dataType}/${rt.dataType}")
+    val tb = rightTiebreak.map(c =>
+      SortOrder(attr(rPlan, c), Ascending, NullsFirst, Seq.empty))
+    org.apache.spark.sql.GraftSqlBridge.dataFrame(left.sparkSession,
+      graft.plans.AsOfJoin(
+        leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
+        lt, rt, tb, lPlan, rPlan))
+  }
 }

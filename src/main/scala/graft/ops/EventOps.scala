@@ -326,5 +326,52 @@ object EventOps {
       .orderBy(col("hour_start"), col("cnt").desc, col("event_type"))
   }
 
-  val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10)
+  /** As-of join as a NATIVE operator ([[graft.plans.AsOfJoin]] via
+    * [[graft.api.Joins.asOfJoin]]): every purchase matched to the last
+    * click at or before it, per user, with the click's event id as the
+    * deterministic tie-break. Where e07 composes the semantics from a
+    * union + carry-forward window (both streams globally sorted per
+    * key) and the oracle's formulation explodes every
+    * (purchase, earlier-click) candidate pair before ranking, the
+    * native exec asks the planner for co-partitioned key-sorted inputs
+    * and produces the answer in ONE merge pass per partition holding a
+    * single current-best row — the shape that survives a hot user with
+    * millions of clicks.
+    */
+  val e11 = OpQuery.oracled("e11_asof_join_native",
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+      |), p AS (
+      |  SELECT event_id, user_id, ts_us, value FROM e WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT event_id AS c_event, user_id AS c_user, ts_us AS c_ts, value AS c_value
+      |  FROM e WHERE event_type = 'click'
+      |), cand AS (
+      |  SELECT p.event_id, c.c_ts, c.c_value,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |                            ORDER BY c.c_ts DESC, c.c_event DESC) AS rn
+      |  FROM p JOIN c ON c.c_user = p.user_id AND c.c_ts <= p.ts_us
+      |)
+      |SELECT p.event_id, p.user_id, p.ts_us, m.c_ts, m.c_value
+      |FROM p LEFT JOIN (SELECT event_id, c_ts, c_value FROM cand WHERE rn = 1) m
+      |  ON m.event_id = p.event_id
+      |ORDER BY p.event_id""".stripMargin,
+    doc = "native as-of join operator: last click at-or-before each purchase, one merge pass") { (spark, dir) =>
+    val e = Sources.table(spark, dir, "events").withColumn("ts_us", tsUs)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
+        col("ts_us").as("c_ts"), col("value").as("c_value"))
+    graft.api.Joins.asOfJoin(p, c,
+        leftKeys = Seq("user_id"), rightKeys = Seq("c_user"),
+        leftTimeCol = "ts_us", rightTimeCol = "c_ts",
+        rightTiebreak = Seq("c_event"))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("c_ts"),
+        col("c_value"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
+    e11)
 }

@@ -43,6 +43,46 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("asOfJoin equals the candidate-join + rank formulation on random data") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // few keys + a narrow time range force shared timestamps (tie-break
+    // coverage) and keys that exist on only one side (outer coverage)
+    val left = spark.createDataFrame(
+      (1 to 300).map(i => (i.toLong, (rnd.nextInt(7) + 1).toLong, rnd.nextInt(50).toLong)))
+      .toDF("l_id", "l_key", "l_ts")
+    val right = spark.createDataFrame(
+      (1 to 300).map(i => (1000L + i, (rnd.nextInt(9) + 1).toLong, rnd.nextInt(50).toLong)))
+      .toDF("r_id", "r_key", "r_ts")
+    val got = Joins.asOfJoin(left, right,
+        Seq("l_key"), Seq("r_key"), "l_ts", "r_ts", rightTiebreak = Seq("r_id"))
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val w = Window.partitionBy("l_id").orderBy(col("r_ts").desc, col("r_id").desc)
+    val want = left
+      .join(right, col("r_key") === col("l_key") && col("r_ts") <= col("l_ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got.size == want.size && left.count() == got.size)
+    val diffs = got.collect { case (k, v) if want(k) != v => (k, v, want(k)) }
+    assert(diffs.isEmpty, s"as-of divergence: ${diffs.take(5)}")
+  }
+
+  test("asOfJoin handles empty right side and rejects overlapping names") {
+    val left = spark.createDataFrame(
+      Seq((1L, 1L, 10L))).toDF("l_id", "l_key", "l_ts")
+    val right = spark.createDataFrame(
+      Seq.empty[(Long, Long, Long)]).toDF("r_id", "r_key", "r_ts")
+    val out = Joins.asOfJoin(left, right, Seq("l_key"), Seq("r_key"),
+      "l_ts", "r_ts").collect()
+    assert(out.length == 1 && out.head.isNullAt(3))
+    intercept[IllegalArgumentException] {
+      Joins.asOfJoin(left, left, Seq("l_key"), Seq("l_key"), "l_ts", "l_ts")
+    }
+  }
+
   test("rangeJoin rejects empty intervals and non-positive buckets") {
     val (left, right) = frames
     intercept[IllegalArgumentException] {

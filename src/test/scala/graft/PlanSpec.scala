@@ -143,4 +143,11 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(graft.ops.SimilarityOps.s09.fn(spark, TestSpark.sf0001))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("e11: native as-of join plans the custom exec, no candidate explosion") {
+    val p = plan(graft.ops.EventOps.e11.fn(spark, TestSpark.sf0001))
+    assert(p.contains("AsOfJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoop") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+  }
 }
