@@ -20,7 +20,17 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // start from an EMPTY output dir: results of queries that no longer
+    // exist (renames, removals) — or of a run that died before this one
+    // compiled — must not leak into the compare as phantom passes
+    val out = new java.io.File(outDir)
+    if (out.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out)
+    }
+    out.mkdirs()
     SparkEntry.registry.sortBy(_.name).foreach { q =>
       val name = q.name
       try {

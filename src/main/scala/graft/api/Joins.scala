@@ -66,12 +66,16 @@ object Joins {
     * Time columns must be LONG (epoch micros by this engine's
     * convention). `rightTiebreak` columns make the match deterministic
     * when right rows share a timestamp (last in ascending tiebreak
-    * order wins). Left and right column names must be disjoint.
+    * order wins). `toleranceUs` bounds the look-back: a match further
+    * than that behind the left time emits NULLs instead (pandas
+    * merge_asof's tolerance). Left and right column names must be
+    * disjoint.
     */
   def asOfJoin(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
-      rightTiebreak: Seq[String] = Nil): DataFrame = {
+      rightTiebreak: Seq[String] = Nil,
+      toleranceUs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Ascending, NullsFirst, SortOrder}
     import org.apache.spark.sql.types.LongType
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
@@ -92,6 +96,6 @@ object Joins {
     org.apache.spark.sql.GraftSqlBridge.dataFrame(left.sparkSession,
       graft.plans.AsOfJoin(
         leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
-        lt, rt, tb, lPlan, rPlan))
+        lt, rt, tb, toleranceUs, lPlan, rPlan))
   }
 }

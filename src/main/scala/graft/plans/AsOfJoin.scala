@@ -37,7 +37,9 @@ case class AsOfJoin(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Seq[SortOrder],
+    toleranceUs: Option[Long],
     left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
+  require(toleranceUs.forall(_ >= 0), s"negative tolerance: $toleranceUs")
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching non-empty key lists")
   override def output: Seq[Attribute] =
@@ -49,8 +51,8 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(lk, rk, lt, rt, tb, l, r) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(lk, rk, lt, rt, tb, tol, l, r) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -59,6 +61,7 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Seq[SortOrder],
+    toleranceUs: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -83,6 +86,7 @@ case class AsOfJoinExec(
     val rKeys = rightKeys
     val lTime = leftTime
     val rTime = rightTime
+    val tol = toleranceUs
     val lOutput = left.output
     val rOutput = right.output
     val allOutput = output
@@ -131,7 +135,15 @@ case class AsOfJoinExec(
               else if (rT == null) rit.next() // null time never matches
               else advancing = false
             }
-            resultProj(joiner(l, if (best != null) best else nullRight))
+            // tolerance gates only the EMIT: `best` is the max right
+            // time <= lT, so if it misses the window no earlier row can
+            // make it — but a later left row of the same key still can,
+            // so the state must survive
+            val inWindow = best != null && tol.forall { t =>
+              val bT = rTimeBound.eval(best)
+              bT != null && lTv - bT.asInstanceOf[Long] <= t
+            }
+            resultProj(joiner(l, if (inWindow) best else nullRight))
           } else {
             // null left time: no match by contract
             resultProj(joiner(l, nullRight))

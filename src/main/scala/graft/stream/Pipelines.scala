@@ -316,6 +316,53 @@ object Pipelines {
     * observations only, which is what keeps it O(1) per user instead
     * of buffering the stream.
     */
+  case class AsOfEvent(user_id: Long, ts_us: Long, kind: String, value: Double)
+  case class AsOfMatch(user_id: Long, ts_us: Long, value: Double,
+      matched_ts: Option[Long], matched_value: Option[Double])
+
+  /** Streaming twin of the native as-of join ([[graft.plans.AsOfJoin]],
+    * `api.Joins.asOfJoin`): `kind = "right"` events update the per-key
+    * "latest state" and every other event emits a match against it —
+    * the click-before-purchase join running continuously. State is the
+    * single latest right row per key (the same O(1)-per-key contract
+    * the batch exec's merge holds), tracked with
+    * flatMapGroupsWithState across micro-batches.
+    *
+    * Within a batch, events are processed in (ts, kind, value) order —
+    * rights before lefts at the same timestamp, matching the batch
+    * operator's inclusive `rt <= lt`; ties between rights resolve to
+    * the greatest value (callers needing a different tie-break sort a
+    * different field into `value`). Across batches, exactness needs
+    * per-key event-time order (the upstream watermark's job, same
+    * caveat as [[funnelStages]]): a right event arriving after a later
+    * left was already emitted is not replayed.
+    */
+  def streamAsOf(events: org.apache.spark.sql.Dataset[AsOfEvent])
+      : org.apache.spark.sql.Dataset[AsOfMatch] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[AsOfEvent], state: org.apache.spark.sql.streaming.GroupState[(Long, Double)]) =>
+          var best = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfMatch]
+          it.toSeq
+            .sortBy(e => (e.ts_us, if (e.kind == "right") 0 else 1, e.value))
+            .foreach { e =>
+            if (e.kind == "right") {
+              if (best.forall(_._1 <= e.ts_us)) best = Some((e.ts_us, e.value))
+            } else {
+              out += AsOfMatch(uid, e.ts_us, e.value,
+                best.map(_._1), best.map(_._2))
+            }
+          }
+          best.foreach(b => state.update(b))
+          out.iterator
+      }
+  }
+
   def funnelStages(events: org.apache.spark.sql.Dataset[FunnelEvent],
       gapUs: Long = 3600000000L)
       : org.apache.spark.sql.Dataset[FunnelUpdate] = {

@@ -70,6 +70,22 @@ class JoinsSpec extends AnyFunSuite {
     assert(diffs.isEmpty, s"as-of divergence: ${diffs.take(5)}")
   }
 
+  test("asOfJoin tolerance bounds the look-back like merge_asof") {
+    val left = spark.createDataFrame(Seq(
+      (1L, 1L, 100L),  // click at 95: within 10
+      (2L, 1L, 120L),  // last click 95: 25 behind, outside 10
+      (3L, 2L, 50L)))  // no click at all
+      .toDF("l_id", "l_key", "l_ts")
+    val right = spark.createDataFrame(Seq(
+      (10L, 1L, 90L), (11L, 1L, 95L)))
+      .toDF("r_id", "r_key", "r_ts")
+    val got = Joins.asOfJoin(left, right, Seq("l_key"), Seq("r_key"),
+        "l_ts", "r_ts", rightTiebreak = Seq("r_id"), toleranceUs = Some(10L))
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(1L -> 11L, 2L -> -1L, 3L -> -1L), got.toString)
+  }
+
   test("asOfJoin handles empty right side and rejects overlapping names") {
     val left = spark.createDataFrame(
       Seq((1L, 1L, 10L))).toDF("l_id", "l_key", "l_ts")

@@ -219,6 +219,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L, 5L), kept.toString)
   }
 
+  test("streaming as-of matches the batch operator's semantics across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Pipelines.AsOfEvent]
+    val q = Pipelines.streamAsOf(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("asof_stream")
+      .start()
+    // batch 1: user 1 click then purchase; user 2 purchase, no click yet
+    mem.addData(
+      Pipelines.AsOfEvent(1L, 100L, "right", 5.0),
+      Pipelines.AsOfEvent(1L, 110L, "left", 1.0),
+      Pipelines.AsOfEvent(2L, 50L, "left", 2.0))
+    q.processAllAvailable()
+    // batch 2: user 1's state persists across batches; user 2 gets two
+    // same-timestamp rights (value tie-break -> 9.0) and a same-ts left
+    // (rights process first: inclusive rt <= lt)
+    mem.addData(
+      Pipelines.AsOfEvent(1L, 200L, "left", 3.0),
+      Pipelines.AsOfEvent(2L, 60L, "right", 7.0),
+      Pipelines.AsOfEvent(2L, 60L, "right", 9.0),
+      Pipelines.AsOfEvent(2L, 60L, "left", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_stream").as[Pipelines.AsOfMatch].collect()
+      .map(m => (m.user_id, m.ts_us) -> ((m.matched_ts, m.matched_value))).toMap
+    assert(got == Map(
+      (1L, 110L) -> ((Some(100L), Some(5.0))),
+      (2L, 50L) -> ((None, None)),
+      (1L, 200L) -> ((Some(100L), Some(5.0))),
+      (2L, 60L) -> ((Some(60L), Some(9.0)))), got.toString)
+  }
+
   test("streaming trending top-k ranks each closed window through GroupTopK") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
