@@ -372,6 +372,47 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** e11 with a look-back bound: the click must fall within the hour
+    * before the purchase (attribution windows expire). Exercises the
+    * operator's merge_asof-style tolerance — the match state still
+    * carries forward (a later purchase can match the same click), only
+    * the emit is gated.
+    */
+  val e12 = OpQuery.oracled("e12_asof_join_tolerance",
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+      |), p AS (
+      |  SELECT event_id, user_id, ts_us, value FROM e WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT event_id AS c_event, user_id AS c_user, ts_us AS c_ts, value AS c_value
+      |  FROM e WHERE event_type = 'click'
+      |), cand AS (
+      |  SELECT p.event_id, c.c_ts, c.c_value,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |                            ORDER BY c.c_ts DESC, c.c_event DESC) AS rn
+      |  FROM p JOIN c ON c.c_user = p.user_id AND c.c_ts <= p.ts_us
+      |   AND c.c_ts >= p.ts_us - 3600000000
+      |)
+      |SELECT p.event_id, p.user_id, p.ts_us, m.c_ts, m.c_value
+      |FROM p LEFT JOIN (SELECT event_id, c_ts, c_value FROM cand WHERE rn = 1) m
+      |  ON m.event_id = p.event_id
+      |ORDER BY p.event_id""".stripMargin,
+    doc = "as-of join with a one-hour look-back tolerance (attribution window)") { (spark, dir) =>
+    val e = Sources.table(spark, dir, "events").withColumn("ts_us", tsUs)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
+        col("ts_us").as("c_ts"), col("value").as("c_value"))
+    graft.api.Joins.asOfJoin(p, c,
+        leftKeys = Seq("user_id"), rightKeys = Seq("c_user"),
+        leftTimeCol = "ts_us", rightTimeCol = "c_ts",
+        rightTiebreak = Seq("c_event"), toleranceUs = Some(3600000000L))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("c_ts"),
+        col("c_value"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
-    e11)
+    e11, e12)
 }
