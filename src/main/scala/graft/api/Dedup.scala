@@ -369,4 +369,65 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Span-level exact dedup (C4/Lee-et-al style): cut each document
+    * into consecutive non-overlapping `spanTokens`-token spans, drop
+    * every span whose exact text occurs more than once in the corpus
+    * (boilerplate, licence headers, templated markup), and reassemble
+    * what is left. The trailing partial span (< `spanTokens` tokens)
+    * is never a dedup candidate and is excluded from the span count —
+    * fixed-length spans are what make the "same text ⇒ same span
+    * boundaries" guarantee hold, which is the whole trick that turns
+    * suffix-array substring dedup into a hash aggregation.
+    *
+    * Returns one row per input document:
+    * (id, n_spans, n_kept, n_dropped, kept_md5) where kept_md5 hashes
+    * the space-joined surviving spans in document order (md5('') for a
+    * document that loses everything or is shorter than one span).
+    *
+    * Scale shape — two shuffles, no joins on the span key:
+    *  - the keep decision is ONE hash aggregation on the span text:
+    *    `groupBy(span).agg(count, first(id), first(pos))` keeps a
+    *    span's sole location exactly when count == 1, so no join back
+    *    onto the exploded spans is needed (the classic formulation
+    *    joins counts back on span text — re-shuffling the hot
+    *    boilerplate keys the operator exists to remove). Map-side
+    *    partial aggregation absorbs viral spans before the exchange.
+    *  - reassembly shuffles the SURVIVORS (not all spans) by doc id;
+    *    `sort_array` over (pos, span) structs restores document order
+    *    without an ordered-window exchange.
+    */
+  def spanDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", spanTokens: Int = 10): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val base = docs.select(col(idCol),
+      floor(size(toks) / spanTokens).cast("long").as("n_spans"))
+    val spans = docs
+      .select(col(idCol), toks.as("_t"),
+        floor(size(toks) / spanTokens).cast("long").as("_nsp"))
+      .filter(col("_nsp") >= 1)
+      .select(col(idCol), col("_t"),
+        explode(sequence(lit(1L), col("_nsp"))).as("pos"))
+      .select(col(idCol), col("pos"),
+        concat_ws(" ", slice(col("_t"),
+          ((col("pos") - 1) * spanTokens + 1).cast("int"),
+          lit(spanTokens))).as("span"))
+    val kept = spans.groupBy("span")
+      .agg(count(lit(1)).as("_cnt"),
+        first(col(idCol)).as(idCol), first(col("pos")).as("pos"))
+      .filter(col("_cnt") === 1)
+    val reassembled = kept
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(
+            sort_array(collect_list(struct(col("pos"), col("span")))),
+            s => s.getField("span")),
+          " ")).as("kept_md5"))
+    base.join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+  }
 }

@@ -399,5 +399,46 @@ object DedupOps {
       .orderBy("doc_new", "doc_dup")
   }
 
-  val all: Seq[OpQuery] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
+  /** Span-level exact dedup ([[graft.api.Dedup.spanDedup]]): C4-style
+    * removal of 10-token spans that occur more than once anywhere in
+    * the corpus, reassembling each document from its surviving spans.
+    * The scalable stand-in for suffix-array exact-substring dedup:
+    * fixed span boundaries make duplicated text hash to identical
+    * spans, so the keep decision is one aggregation, not a pairwise
+    * comparison.
+    */
+  val d10 = OpQuery.oracled("d10_span_exact_dedup",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |         unnest(generate_series(1, nsp)) AS pos,
+      |         unnest(list_transform(generate_series(1, nsp),
+      |                i -> array_to_string(list_slice(t, (i-1)*10+1, i*10), ' '))) AS span
+      |  FROM (SELECT doc_id, t, len(t)//10 AS nsp
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM read_parquet('{SFDIR}/documents.parquet')))
+      |  WHERE nsp >= 1
+      |), k AS (
+      |  SELECT min(doc_id) AS doc_id, min(pos) AS pos, span
+      |  FROM s GROUP BY span HAVING count(*) = 1
+      |), r AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |         md5(string_agg(span, ' ' ORDER BY pos)) AS kept_md5
+      |  FROM k GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, d.nsp AS n_spans,
+      |       coalesce(r.n_kept, 0) AS n_kept,
+      |       d.nsp - coalesce(r.n_kept, 0) AS n_dropped,
+      |       coalesce(r.kept_md5, md5('')) AS kept_md5
+      |FROM (SELECT doc_id, len(string_split(text, ' '))//10 AS nsp
+      |      FROM read_parquet('{SFDIR}/documents.parquet')) d
+      |LEFT JOIN r ON r.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin,
+    doc = "span-level exact dedup (C4-style): drop 10-token spans occurring " +
+      "more than once corpus-wide, reassemble surviving text") { (spark, dir) =>
+    graft.api.Dedup.spanDedup(Sources.table(spark, dir, "documents"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[OpQuery] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09,
+    d10)
 }

@@ -720,7 +720,60 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Sliding-window chunking with overlap: cut each document into
+    * 50-token windows advancing by 25 (RAG / context-window chunking,
+    * the complement of t14's packing — packing concatenates SHORT docs
+    * up to a budget, chunking splits LONG docs down to one). The last
+    * window is clipped to the document end; a window whose content is
+    * fully covered by its predecessor is not emitted (standard HF
+    * chunker rule), which the chunk-count formula
+    * `1 + ceil((n - W) / S)` encodes exactly.
+    *
+    * Scale shape: a single map stage — tokenize, explode the chunk
+    * index sequence (fan-out W/S ≈ 2×), slice, hash; all codegen'd
+    * builtins, no shuffle anywhere (the ORDER BY is presentation
+    * only). Chunk rows inherit the scan's partitioning, so a
+    * downstream embed/index stage starts co-located with the source
+    * document bytes.
+    */
+  val t17 = OpQuery.oracled("t17_overlap_chunking",
+    """WITH d AS (
+      |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+      |         1 + CASE WHEN len(t) > 50 THEN (len(t) - 50 + 24)//25 ELSE 0 END AS nch
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |        FROM read_parquet('{SFDIR}/documents.parquet'))
+      |), c AS (
+      |  SELECT doc_id, n,
+      |         unnest(generate_series(0, nch - 1)) AS chunk_idx,
+      |         unnest(list_transform(generate_series(0, nch - 1),
+      |                i -> array_to_string(list_slice(t, i*25 + 1, least(i*25 + 50, n)), ' '))) AS chunk
+      |  FROM d
+      |)
+      |SELECT doc_id, chunk_idx,
+      |       CAST(least(50, n - chunk_idx*25) AS BIGINT) AS n_tokens,
+      |       md5(chunk) AS chunk_md5
+      |FROM c
+      |ORDER BY doc_id, chunk_idx""".stripMargin,
+    doc = "sliding-window chunking: 50-token windows, stride 25, clipped tail (RAG chunker)") { (spark, dir) =>
+    val (w, s) = (50, 25)
+    Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .withColumn("nch", lit(1L) +
+        when(col("n") > w, floor((col("n") - w + (s - 1)) / s))
+          .otherwise(lit(0L)))
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0L), col("nch") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(50L), col("n") - col("chunk_idx") * s).as("n_tokens"),
+        md5(concat_ws(" ", slice(col("t"),
+          (col("chunk_idx") * s + 1).cast("int"),
+          least(lit(w), col("n") - col("chunk_idx") * s).cast("int"))))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16)
+      t14, t15, t16, t17)
 }

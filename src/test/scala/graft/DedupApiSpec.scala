@@ -133,4 +133,23 @@ class DedupApiSpec extends AnyFunSuite {
       "in-batch pairs must not be reported")
     assert(got.find(p => (p._1, p._2) == ((11L, 1L))).get._3 == 1.0)
   }
+
+  test("spanDedup drops corpus-repeated spans, keeps order, handles short docs") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "a b c d e f g"),        // spans: "a b c"(dup), "d e f"; tail "g" ignored
+      (2L, "a b c x y z p q r"),    // spans: "a b c"(dup), "x y z", "p q r"
+      (3L, "x y"),                  // shorter than one span
+      (4L, "m n o m n o")           // within-doc repeat: both spans dropped
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, spanTokens = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 1L, md5hex("d e f"))))
+    assert(got(2L) == ((3L, 2L, 1L, md5hex("x y z p q r"))))
+    assert(got(3L) == ((0L, 0L, 0L, md5hex(""))))
+    assert(got(4L) == ((2L, 0L, 2L, md5hex(""))))
+  }
 }
