@@ -31,7 +31,14 @@ object Verify {
       rm(out)
     }
     out.mkdirs()
-    SparkEntry.registry.sortBy(_.name).foreach { q =>
+    // dev knob (same as Bench): SPARK_GRAFT_ONLY=d11,r2 verifies only
+    // matching prefixes — the driver never sets it, so driver runs
+    // always dump the full registry
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    SparkEntry.registry.sortBy(_.name)
+      .filter(q => only.forall(_.exists(q.name.startsWith)))
+      .foreach { q =>
       val name = q.name
       try {
         q.prepare(spark, sfDir)

@@ -138,6 +138,62 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** MinHash-LSH near-CONTAINMENT pairs: (doc_a, doc_b, containment,
+    * jaccard), id-ordered, where containment = |A∩B| / min(|A|, |B|)
+    * — the share of the SMALLER document's shingles found in the
+    * larger. Jaccard misses subsumption (a paragraph quoted inside a
+    * 100x larger page scores near zero); containment is the metric
+    * that catches it, and is what quote/boilerplate screens in a
+    * training-data pipeline actually want. Candidate generation is the
+    * same banded-MinHash join as [[nearDupPairs]] (same uniform-key
+    * scale contract, same `maxShingleFreq` boilerplate cap); only the
+    * verify metric differs, so a contained-but-not-similar pair must
+    * still collide on a band to be seen — the documented recall trade
+    * of LSH-by-jaccard candidates (full-recall containment needs an
+    * inclusion-probe index; out of scope).
+    */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, seeds: Int = 8,
+      bandSize: Int = 2, threshold: Double = 0.6,
+      maxShingleFreq: Option[Long] = None): DataFrame = {
+    val shsRaw = shingles(docs, idCol, textCol, n)
+    val shs = (maxShingleFreq match {
+      case Some(cap) =>
+        val ok = shsRaw.groupBy("sh").agg(count(lit(1)).as("_f"))
+          .filter(col("_f") <= cap).select("sh")
+        shsRaw.join(ok, "sh").select(col(idCol), col("sh"))
+      case None => shsRaw
+    }).persist()
+    val aggs = minAggs(seeds) :+ count(lit(1)).as("n")
+    val sig = shs.groupBy(idCol).agg(aggs.head, aggs.tail: _*).persist()
+    val bandKeys = (0 until seeds / bandSize).map { b =>
+      val parts = (0 until bandSize).flatMap(k =>
+        Seq(lit(":"), col(s"mh${bandSize * b + k}").cast("string"))).tail
+      concat((lit(b + ":") +: parts): _*)
+    }
+    val bands = sig.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    val sizes = sig.select(col(idCol), col("n"))
+    val common = cand
+      .join(shs.as("s1"), col(s"s1.$idCol") === col("doc_a"))
+      .join(shs.as("s2"),
+        col(s"s2.$idCol") === col("doc_b") && col("s2.sh") === col("s1.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    val cont = col("n_common").cast("double") / least(col("sa.n"), col("sb.n"))
+    val j = col("n_common").cast("double") /
+      (col("sa.n") + col("sb.n") - col("n_common"))
+    common
+      .join(sizes.as("sa"), col(s"sa.$idCol") === col("doc_a"))
+      .join(sizes.as("sb"), col(s"sb.$idCol") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), cont.as("containment"),
+        j.as("jaccard"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Incremental near-duplicate detection: which documents of a NEW
     * batch are near-dups of an EXISTING corpus — the production path
     * (dedup runs per ingest batch, not as a global recompute). Returns

@@ -57,6 +57,79 @@ object Joins {
       .drop("_graft_lb", "_graft_rb")
   }
 
+  /** All (left, right) pairs whose half-open intervals
+    * `[left.lStart, left.lEnd)` and `[right.rStart, right.rEnd)` overlap
+    * — the interval-interval generalization of [[rangeJoin]] (which
+    * handles point-in-interval). No shared entity key is assumed.
+    *
+    * Implementation: both sides explode to the time buckets their
+    * interval covers and equi-join on the bucket; two overlapping
+    * intervals share the bucket containing `max(lStart, rStart)`, and
+    * the join keeps a pair only in THAT bucket, so no dedup pass is
+    * needed afterwards. Rows with empty intervals (end <= start) are
+    * dropped — they overlap nothing, and exploding their descending
+    * bucket sequence would fabricate buckets.
+    *
+    * Scale properties: the shuffle key is the time bucket; per-row
+    * fan-out is `interval_length/bucketUs + 1`, so `bucketUs` should be
+    * on the order of the TYPICAL interval length (fan-out stays small)
+    * while AQE splits any residual hot bucket. Timestamps are
+    * non-negative epoch micros; column names must be disjoint.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucket width must be positive: $bucketUs")
+    val l = left.filter(col(lEnd) > col(lStart))
+      .withColumn("_graft_lb",
+        expr(s"explode(sequence($lStart div $bucketUs, ($lEnd - 1) div $bucketUs))"))
+    val r = right.filter(col(rEnd) > col(rStart))
+      .withColumn("_graft_rb",
+        expr(s"explode(sequence($rStart div $bucketUs, ($rEnd - 1) div $bucketUs))"))
+    l.join(r,
+        col("_graft_lb") === col("_graft_rb") &&
+          col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+          col("_graft_lb") === expr(s"greatest($lStart, $rStart) div $bucketUs"))
+      .drop("_graft_lb", "_graft_rb")
+  }
+
+  /** Hybrid skew join: equi-join `facts ⋈ dim` where the most frequent
+    * fact-side keys bypass the shuffle. The `topHotKeys` heaviest keys
+    * (deterministic tie-break on the key) are routed through a
+    * broadcast join against just the dim rows they need, while the
+    * remaining (near-uniform) keys take the ordinary shuffle join; the
+    * union is the plain join, bit for bit.
+    *
+    * This is the manual form of what AQE's skew-join split does at
+    * runtime — spelled out as an operator because (a) AQE only splits
+    * SORT-MERGE sides, not the aggregate-after-join pattern where the
+    * skewed key survives into the next stage, and (b) a pipeline that
+    * KNOWS its hot keys (viral items, bot users) should not re-discover
+    * them per query. The frequency scan is one map-side-combined
+    * aggregate over the fact keys; production pipelines replace it with
+    * stored table stats and pass the known hot set.
+    *
+    * `dim` must be unique on `dimKey` (standard dim contract); the hot
+    * set (`topHotKeys` rows) and its dim subset must fit in a broadcast.
+    */
+  def skewSplitJoin(facts: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, topHotKeys: Int): DataFrame = {
+    // evaluated once, reused by three joins; tiny by construction
+    val hot = facts.groupBy(col(factKey)).agg(count(lit(1)).as("_graft_n"))
+      .orderBy(col("_graft_n").desc, col(factKey))
+      .limit(topHotKeys)
+      .select(col(factKey).as("_graft_hk"))
+      .localCheckpoint(true)
+    val factsHot = facts
+      .join(broadcast(hot), col(factKey) === col("_graft_hk")).drop("_graft_hk")
+    val factsCold = facts
+      .join(broadcast(hot), col(factKey) === col("_graft_hk"), "left_anti")
+    val dimHot = dim
+      .join(broadcast(hot), col(dimKey) === col("_graft_hk")).drop("_graft_hk")
+    factsCold.join(dim, col(factKey) === col(dimKey))
+      .unionByName(factsHot.join(broadcast(dimHot), col(factKey) === col(dimKey)))
+  }
+
   /** As-of (backward) join through the custom [[graft.plans.AsOfJoin]]
     * operator: every left row paired with the single right row of equal
     * keys and the greatest `rightTimeCol <= leftTimeCol` (left outer —

@@ -439,6 +439,54 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Near-containment pairs: same banded-LSH candidates as d04, but
+    * verified on containment = |A∩B| / min(|A|,|B|) — the metric that
+    * catches a document SUBSUMED by a larger one, which jaccard
+    * dilutes toward zero. Threshold 0.6 with the same boilerplate-
+    * shingle cap; the oracle re-derives candidates AND both metrics in
+    * SQL, so the pair set and the float ratios are hash-compared.
+    */
+  val d11 = OpQuery.oracled("d11_containment_pairs", {
+    val bands = (0 until nSeeds / 2)
+      .map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || ':' || mh${2 * b + 1} AS bk FROM sig")
+      .mkString("\n      |  UNION ALL\n      |  ")
+    s"""WITH shs0 AS (
+      |  SELECT doc_id, unnest(shingles) AS sh FROM ($duckShingles)
+      |), ok AS (
+      |  SELECT sh FROM shs0 GROUP BY sh HAVING count(*) <= $maxShingleDocFreq
+      |), shs AS (
+      |  SELECT s.doc_id, s.sh FROM shs0 s JOIN ok USING (sh)
+      |), sig AS (
+      |  SELECT doc_id, ${duckMins.mkString(", ")} FROM shs GROUP BY doc_id
+      |), bands AS (
+      |  $bands
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id
+      |), common AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      |  FROM cand c
+      |  JOIN shs s1 ON s1.doc_id = c.doc_a
+      |  JOIN shs s2 ON s2.doc_id = c.doc_b AND s2.sh = s1.sh
+      |  GROUP BY 1, 2
+      |)
+      |SELECT m.doc_a, m.doc_b,
+      |       CAST(m.n_common AS DOUBLE) / least(sa.n, sb.n) AS containment,
+      |       CAST(m.n_common AS DOUBLE) / (sa.n + sb.n - m.n_common) AS jaccard
+      |FROM common m
+      |JOIN sizes sa ON sa.doc_id = m.doc_a
+      |JOIN sizes sb ON sb.doc_id = m.doc_b
+      |WHERE CAST(m.n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin
+  },
+    doc = "near-containment pairs (subsumption detection): LSH candidates verified on |A∩B|/min(|A|,|B|)") { (spark, dir) =>
+    graft.api.Dedup.containmentPairs(Sources.table(spark, dir, "documents"),
+      threshold = 0.6, maxShingleFreq = Some(maxShingleDocFreq))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[OpQuery] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    d10)
+    d10, d11)
 }

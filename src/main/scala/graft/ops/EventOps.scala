@@ -413,6 +413,35 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Event-transition matrix: for each user's time-ordered stream, the
+    * (event_type -> next event_type) bigram counts — the Markov-chain
+    * fuel behind funnel diagnostics and next-action models. One window
+    * pass (lead over user partitions, event_id tie-break for equal
+    * timestamps) then a 25-cell aggregate: the shuffle is on user_id
+    * once, never on the transition pairs.
+    */
+  val e13 = OpQuery.oracled("e13_event_transitions",
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY epoch_us(ts), event_id) AS next_type
+      |  FROM events
+      |)
+      |SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      |FROM o WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2
+      |ORDER BY from_type, to_type""".stripMargin,
+    doc = "per-user event-transition bigram counts (Markov transition matrix)") { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Sources.table(spark, dir, "events")
+      .withColumn("ts_us", tsUs)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
-    e11, e12)
+    e11, e12, e13)
 }

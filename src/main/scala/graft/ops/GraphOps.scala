@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Graph analytics over relational data — the co-purchase graph: two
+  * parts are connected when some order contains both. Complements the
+  * label-propagation connected components already in
+  * [[graft.api.Dedup.nearDupClusters]] (d07) with the other canonical
+  * massive-graph kernel, triangle counting.
+  *
+  * The graph is deterministically sparsified (an arithmetic filter on
+  * the endpoint keys, mirrored exactly in the oracle) so the edge set
+  * stays analyzable at every scale factor; the ALGORITHM is the
+  * unsparsified one.
+  */
+object GraphOps {
+
+  // Keep ~10% of edges, by endpoint arithmetic both engines share.
+  private val edgeKeep = "(7 * pa + 13 * pb) % 10 = 0"
+
+  /** Distinct undirected co-purchase edges (pa < pb), sparsified. */
+  private def edges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val li = Sources.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.select(col("ok"), col("pk").as("pa"))
+    val b = li.select(col("ok").as("ok2"), col("pk").as("pb"))
+    a.join(b, col("ok") === col("ok2") && col("pa") < col("pb"))
+      .select("pa", "pb")
+      .filter(expr(edgeKeep))
+      .distinct()
+  }
+
+  /** Triangle count by degree orientation — the standard bound on the
+    * quadratic wedge blowup: each undirected edge is oriented from its
+    * lower-(degree, id) endpoint to its higher one, wedges are built
+    * only at a triangle's MINIMUM vertex (so a star of degree d spawns
+    * `out-deg(d) choose 2` wedges instead of `d choose 2`, and out-
+    * degree is O(sqrt(edges)) for ANY graph), and a wedge closes by an
+    * equi-join back to the oriented edge list. Three shuffles total —
+    * degree agg, wedge join, closing join — every one on uniform
+    * endpoint keys; no step is quadratic in a hub's degree, which is
+    * the whole game on a 100 TB power-law graph.
+    *
+    * The oracle counts the same triangles the naive way (three-way
+    * self-join with a < b < c), which is exactly the equivalence the
+    * orientation trick must preserve.
+    */
+  val g01 = OpQuery.oracled("g01_triangle_count", {
+    s"""WITH pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), e AS (
+      |  SELECT DISTINCT pa, pb FROM pairs WHERE $edgeKeep
+      |), nodes AS (
+      |  SELECT pa AS n FROM e UNION SELECT pb FROM e
+      |)
+      |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+      |       (SELECT count(*) FROM e) AS n_edges,
+      |       (SELECT count(*)
+      |        FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+      |        JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS n_triangles""".stripMargin
+  },
+    doc = "triangle count via degree orientation (co-purchase graph; oracle = naive 3-way self-join)") { (spark, dir) =>
+    triangleStats(edges(spark, dir))
+  }
+
+  /** (n_nodes, n_edges, n_triangles) of an undirected simple graph
+    * given as distinct (pa, pb) edges with pa < pb. See [[g01]] for the
+    * degree-orientation contract.
+    */
+  private[graft] def triangleStats(edgeList: DataFrame): DataFrame = {
+    val e = edgeList.persist()
+    val deg = e.select(col("pa").as("node"))
+      .unionAll(e.select(col("pb").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient each edge from lower (deg, id) to higher (deg, id)
+    val withDeg = e
+      .join(deg.select(col("node").as("pa"), col("deg").as("da")), "pa")
+      .join(deg.select(col("node").as("pb"), col("deg").as("db")), "pb")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("pa") < col("pb")),
+        struct(col("pa").as("src"), col("pb").as("dst"),
+          col("db").as("ddeg"), col("pb").as("did")))
+        .otherwise(struct(col("pb").as("src"), col("pa").as("dst"),
+          col("da").as("ddeg"), col("pa").as("did"))).as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"),
+        col("o.ddeg").as("ddeg"), col("o.did").as("did"))
+      .persist()
+    // wedges at the minimum vertex, endpoints ordered by (deg, id)
+    val w1 = oriented.select(col("src"), col("dst").as("v1"),
+      col("ddeg").as("d1"), col("did").as("i1"))
+    val w2 = oriented.select(col("src").as("src2"), col("dst").as("v2"),
+      col("ddeg").as("d2"), col("did").as("i2"))
+    val wedges = w1.join(w2,
+      col("src") === col("src2") &&
+        (col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("i1") < col("i2"))))
+    val closing = oriented.select(col("src").as("cv1"), col("dst").as("cv2"))
+    // three scalar aggregates cross-joined into the one-row report —
+    // no driver-side action, so the whole job is one materialization
+    val nTri = wedges.join(closing,
+        col("v1") === col("cv1") && col("v2") === col("cv2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    nNodes.crossJoin(nEdges).crossJoin(nTri)
+  }
+
+  val all: Seq[OpQuery] = Seq(g01)
+}

@@ -450,6 +450,150 @@ object JoinOps {
       .orderBy("n_name")
   }
 
+  /** Hybrid skew join (manual hot-key split): revenue per part brand
+    * with the 20 most frequent part keys routed around the shuffle
+    * through a broadcast join ([[graft.api.Joins.skewSplitJoin]]). On
+    * this synthetic (uniform) data the hot set is just the mild top of
+    * the frequency curve — the point is the operator's contract: the
+    * union of the two paths must equal the plain join bit for bit,
+    * which is exactly what the oracle (the plain join in SQL) checks.
+    * At 100 TB the hot set comes from stored stats (viral items, bot
+    * users) and this is the shape that keeps one key from pinning a
+    * whole executor.
+    */
+  val r27 = OpQuery.oracled("r27_hotkey_split_join",
+    """SELECT p_brand,
+      |       CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |GROUP BY 1 ORDER BY p_brand""".stripMargin,
+    doc = "hybrid skew join: top-20 hot fact keys broadcast-joined, cold keys shuffle-joined, union == plain join") { (spark, dir) =>
+    val li = Sources.table(spark, dir, "lineitem")
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val part = Sources.table(spark, dir, "part").select("p_partkey", "p_brand")
+    Joins.skewSplitJoin(li, part, "l_partkey", "p_partkey", topHotKeys = 20)
+      .groupBy("p_brand")
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  /** Interval-overlap join ([[graft.api.Joins.intervalJoin]]): per-user
+    * daily activity intervals [first event, last event] overlapped with
+    * "incident windows" (the 20 busiest error hours — deterministic
+    * top-k with an hour tie-break). There is no shared entity key —
+    * an incident touches every user active during it — which is the
+    * case neither the as-of join (needs a key) nor r17's point-in-
+    * interval range join (needs a point side) covers: both sides here
+    * are genuine intervals. 6-hour buckets keep the fan-out at <=5
+    * copies per user-day and 1-2 per incident.
+    */
+  val r28 = OpQuery.oracled("r28_interval_overlap_join",
+    """WITH ue AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |         min(epoch_us(ts)) AS a_start, max(epoch_us(ts)) + 1 AS a_end
+      |  FROM events GROUP BY 1, 2
+      |), eh AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*) AS n
+      |  FROM events WHERE event_type = 'error' GROUP BY 1
+      |), inc AS (
+      |  SELECT hr * 3600000000 AS i_start, (hr + 1) * 3600000000 AS i_end
+      |  FROM eh ORDER BY n DESC, hr LIMIT 20
+      |)
+      |SELECT CAST(i_start // 1000000 AS BIGINT) AS incident_start_s,
+      |       count(*) AS n_user_days
+      |FROM inc JOIN ue ON a_start < i_end AND i_start < a_end
+      |GROUP BY 1 ORDER BY incident_start_s""".stripMargin,
+    doc = "interval-interval overlap join via bucketed time (no shared entity key, both sides intervals)") { (spark, dir) =>
+    val ev = Sources.table(spark, dir, "events")
+      .withColumn("us", expr("ts div 1000"))
+    val userDays = ev
+      .groupBy(col("user_id"), expr("us div 86400000000").as("day"))
+      .agg(min("us").as("a_start"), (max("us") + 1).as("a_end"))
+    val incidents = ev.filter(col("event_type") === "error")
+      .groupBy(expr("us div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("hr"))
+      .limit(20)
+      .select((col("hr") * 3600000000L).as("i_start"),
+        ((col("hr") + 1) * 3600000000L).as("i_end"))
+    Joins.intervalJoin(incidents, userDays,
+        "i_start", "i_end", "a_start", "a_end", bucketUs = 21600000000L)
+      .groupBy((col("i_start") / 1000000L).cast("bigint").as("incident_start_s"))
+      .agg(count(lit(1)).as("n_user_days"))
+      .orderBy("incident_start_s")
+  }
+
+  /** One-time build of a time-clustered copy of `events` (range-
+    * partitioned on epoch-µs into 16 files) plus its ZONE MAP: a tiny
+    * stats table of per-file (min_us, max_us), written at layout time.
+    * This is the file-level data-skipping machinery of Delta/Iceberg/
+    * parquet row-group pruning, made explicit: clustering makes the
+    * per-file ranges tight, and tight ranges are what make min/max
+    * stats selective.
+    */
+  def ensureZoneMapped(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = synchronized {
+    import java.nio.file.{Files, Paths}
+    val sf = new java.io.File(dir).getName.replace(".", "_")
+    val loc = s"/root/repo/target/zonemap/$sf/events_by_time"
+    val statsLoc = s"/root/repo/target/zonemap/$sf/stats"
+    if (!Files.exists(Paths.get(s"$statsLoc/_SUCCESS"))) {
+      Sources.table(spark, dir, "events")
+        .withColumn("us", expr("ts div 1000"))
+        .repartitionByRange(16, col("us"))
+        .sortWithinPartitions("us")
+        .write.mode("overwrite").parquet(loc)
+      spark.read.parquet(loc)
+        .groupBy(input_file_name().as("file"))
+        .agg(min("us").as("min_us"), max("us").as("max_us"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(statsLoc)
+    }
+    (loc, statsLoc)
+  }
+
+  /** Zone-map file skipping: a one-week time filter answered by reading
+    * ONLY the files whose stored [min_us, max_us] range intersects the
+    * predicate. The stats table is rows-per-FILE (a few KB per PB), so
+    * consulting it costs nothing; false inclusions are filtered by the
+    * real predicate, so — like r18's Bloom filter and r21's partition
+    * pruning — skipping must be invisible in the result, and the oracle
+    * is the plain unskipped filter. Unlike r21 the layout needs no
+    * partition directories: clustering + stats prune INSIDE a flat
+    * file set, which is how table formats skip at 100 TB without a
+    * directory explosion.
+    */
+  val r31 = OpQuery(
+    name = "r31_zonemap_file_skip",
+    fn = { (spark, dir) =>
+      val (loc, statsLoc) = ensureZoneMapped(spark, dir)
+      val lo = 19738L * 86400000000L
+      val hi = 19745L * 86400000000L
+      val files = spark.read.parquet(statsLoc)
+        .filter(col("max_us") >= lo && col("min_us") < hi)
+        .select("file").collect().map(_.getString(0))
+      // the pruned listing IS the scan's file list — same driver-side
+      // path list every parquet scan builds, minus the skipped files
+      spark.read.parquet(files: _*)
+        .filter(col("us") >= lo && col("us") < hi)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+        .orderBy("event_type")
+    },
+    oracle = Some(
+      """SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE epoch_us(ts) >= 19738 * 86400000000 AND epoch_us(ts) < 19745 * 86400000000
+        |GROUP BY 1 ORDER BY event_type""".stripMargin),
+    doc = "zone-map file skipping: time-clustered layout + per-file min/max stats prune a flat file set",
+    prepare = (spark, dir) => { ensureZoneMapped(spark, dir); () })
+
   val all: Seq[OpQuery] = Seq(r17, r18, r19, r20, r21, r22, r23, r24, r25,
-    r26)
+    r26, r27, r28, r31)
 }

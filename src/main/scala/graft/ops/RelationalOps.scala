@@ -312,5 +312,36 @@ object RelationalOps {
       .limit(10)
   }
 
-  val all: Seq[OpQuery] = Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09, r10, r11, r12)
+  /** TPC-H Q13 shape (public spec): the distribution of customers by
+    * how many open orders they have — a left join with a JOIN-SIDE
+    * predicate (so zero-order customers survive with count 0), then an
+    * aggregate OF an aggregate. The second group-by runs on one row per
+    * customer, so the heavy shuffle happens exactly once, on the join
+    * key; the count-of-counts rollup is near-free.
+    */
+  val r30 = OpQuery.oracled("r30_order_count_distribution",
+    """WITH pc AS (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer
+      |  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus = 'O'
+      |  GROUP BY 1
+      |)
+      |SELECT c_count, count(*) AS custdist
+      |FROM pc GROUP BY 1
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    doc = "TPC-H Q13 shape: left join with join-side predicate, then count-of-counts distribution (public TPC-H spec)") { (spark, dir) =>
+    val c = Sources.table(spark, dir, "customer").select("c_custkey")
+    val o = Sources.table(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .select("o_custkey", "o_orderkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val all: Seq[OpQuery] = Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09,
+    r10, r11, r12, r30)
 }

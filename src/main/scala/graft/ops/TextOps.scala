@@ -773,7 +773,58 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Cross-source duplicate overlap matrix: for every pair of corpus
+    * sources, how many distinct 10-token SPANS they share — the
+    * source-provenance audit run before mixing crawls (which sources
+    * re-crawl each other; where dedup will bite hardest). Span-level
+    * (d10's fixed windows) rather than whole-text because real crawl
+    * overlap is partial. Distinct (span-hash, source) FIRST, then the
+    * self-join on the hash: a span repeated k times inside one source
+    * costs one row, and the pair fan-out per hash is bounded by the
+    * number of SOURCES (~dozens), never by the duplicate count — that
+    * bound is what makes the self-join safe on a 100 TB corpus with
+    * million-copy boilerplate spans.
+    */
+  val t18 = OpQuery.oracled("t18_source_overlap",
+    """WITH s AS (
+      |  SELECT source,
+      |         unnest(list_transform(generate_series(1, nsp),
+      |                i -> array_to_string(list_slice(t, (i-1)*10+1, i*10), ' '))) AS span
+      |  FROM (SELECT source, t, len(t)//10 AS nsp
+      |        FROM (SELECT source, string_split(text, ' ') AS t
+      |              FROM read_parquet('{SFDIR}/documents.parquet')))
+      |  WHERE nsp >= 1
+      |), h AS (
+      |  SELECT DISTINCT md5(span) AS h, source FROM s
+      |)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |       count(*) AS n_shared
+      |FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+      |GROUP BY 1, 2
+      |ORDER BY source_a, source_b""".stripMargin,
+    doc = "cross-source span-overlap matrix (provenance audit; per-hash fan-out bounded by source count)") { (spark, dir) =>
+    val spanTokens = 10
+    val toks = split(col("text"), " ")
+    val h = Sources.table(spark, dir, "documents")
+      .select(col("source"), toks.as("_t"),
+        floor(size(toks) / spanTokens).cast("long").as("_nsp"))
+      .filter(col("_nsp") >= 1)
+      .select(col("source"), col("_t"),
+        explode(sequence(lit(1L), col("_nsp"))).as("pos"))
+      .select(col("source"),
+        md5(concat_ws(" ", slice(col("_t"),
+          ((col("pos") - 1) * spanTokens + 1).cast("int"),
+          lit(spanTokens)))).as("h"))
+      .distinct()
+    val a = h.select(col("h"), col("source").as("source_a"))
+    val b = h.select(col("h").as("h2"), col("source").as("source_b"))
+    a.join(b, col("h") === col("h2") && col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17)
+      t14, t15, t16, t17, t18)
 }

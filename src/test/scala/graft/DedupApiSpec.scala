@@ -152,4 +152,26 @@ class DedupApiSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L, 0L, md5hex(""))))
     assert(got(4L) == ((2L, 0L, 2L, md5hex(""))))
   }
+
+  test("containmentPairs catches subsumption that jaccard dilutes") {
+    // doc 2 is doc 1 verbatim inside 3x more surrounding text: shingle
+    // containment of 1-in-2 is high while jaccard is well under 0.5
+    val small = "the quick brown fox jumps over the lazy dog near the river"
+    val filler = (1 to 15).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, small),
+      (2L, s"$filler $small ${(16 to 30).map(i => s"w$i").mkString(" ")}"),
+      (3L, "completely different content about spark query engines here")
+    ).toDF("doc_id", "text")
+    // bandSize=1 (8 single-hash bands) is the max-recall banding a
+    // subsumption screen wants: candidate probability 1-(1-J)^8 instead
+    // of the jaccard-squared suppression of 2-hash bands
+    val got = Dedup.containmentPairs(docs, threshold = 0.6, bandSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 1, got.mkString(","))
+    val (a, b, cont, jac) = got.head
+    assert((a, b) == ((1L, 2L)))
+    assert(cont > 0.8, s"containment $cont")
+    assert(jac < 0.5, s"jaccard should be diluted, got $jac")
+  }
 }

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.GraphOps
+
+/** Triangle counting must agree with hand-counted graphs, including the
+  * degree-tie cases where the orientation falls back to the id order.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def stats(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val df = spark.createDataFrame(edges).toDF("pa", "pb")
+    val r = GraphOps.triangleStats(df).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("K4 plus a pendant edge: 4 triangles") {
+    // complete graph on {1,2,3,4} (every degree equal — all ties) + 4-5
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(stats(k4 :+ (4L, 5L)) == (5L, 7L, 4L))
+  }
+
+  test("triangle-free star and path: 0 triangles") {
+    assert(stats(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))) == (5L, 4L, 0L))
+    assert(stats(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == (4L, 3L, 0L))
+  }
+
+  test("two triangles sharing an edge") {
+    // {1,2,3} and {2,3,4}: mixed degrees (2,3,3,2)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(stats(e) == (4L, 5L, 2L))
+  }
+}

@@ -108,4 +108,56 @@ class JoinsSpec extends AnyFunSuite {
       Joins.rangeJoin(left, right, "lts", "rts", 0L, 10L, Some(0L))
     }
   }
+
+  test("intervalJoin equals the naive overlap join, without duplicates") {
+    val rnd = new scala.util.Random(13)
+    // varied lengths (1..5000) so intervals span 0..6 buckets; a few
+    // empty intervals (end == start) that must match nothing
+    val left = spark.createDataFrame((1 to 200).map { i =>
+      val s = rnd.nextInt(50000).toLong
+      (i.toLong, s, s + (if (i % 17 == 0) 0L else rnd.nextInt(5000).toLong + 1))
+    }).toDF("l_id", "ls", "le")
+    val right = spark.createDataFrame((1 to 300).map { i =>
+      val s = rnd.nextInt(50000).toLong
+      (1000L + i, s, s + (if (i % 13 == 0) 0L else rnd.nextInt(5000).toLong + 1))
+    }).toDF("r_id", "rs", "re")
+    for (bucket <- Seq(1000L, 4000L, 100000L)) {
+      val got = Joins.intervalJoin(left, right, "ls", "le", "rs", "re", bucket)
+        .select("l_id", "r_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = left.crossJoin(right)
+        .filter(col("ls") < col("re") && col("rs") < col("le") &&
+          col("le") > col("ls") && col("re") > col("rs"))
+        .select("l_id", "r_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.sorted == want.sorted, s"bucket=$bucket")
+      assert(got.distinct.size == got.size, s"duplicate pairs, bucket=$bucket")
+    }
+  }
+
+  test("skewSplitJoin equals the plain join and keeps both physical paths") {
+    val rnd = new scala.util.Random(99)
+    // one planet-sized key (0) + a uniform tail — the shape the split is for
+    val facts = spark.createDataFrame((1 to 2000).map { i =>
+      val k = if (i % 3 == 0) 0L else rnd.nextInt(200).toLong + 1
+      (i.toLong, k)
+    }).toDF("f_id", "f_key")
+    val dim = spark.createDataFrame(
+      (0 to 200).map(k => (k.toLong, s"d$k"))).toDF("d_key", "d_name")
+    // disable size-based auto-broadcast so the plan split is the
+    // operator's explicit hints, not the tiny test fixture's size
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val got = Joins.skewSplitJoin(facts, dim, "f_key", "d_key", topHotKeys = 5)
+      val want = facts.join(dim, col("f_key") === col("d_key"))
+      assert(got.select("f_id", "d_name").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+        .sameElements(want.select("f_id", "d_name").collect().map(r => (r.getLong(0), r.getString(1))).sorted))
+      // the hot path must be a broadcast join, the cold path a shuffle join
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        "cold path should stay a shuffle join:\n" + plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -150,4 +150,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoop") &&
       !p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("r28: interval overlap join is an equi-join on the bucket, not nested-loop") {
+    val p = plan(JoinOps.r28.fn(spark, TestSpark.sf0001))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("r31: the zone map actually skips files for the week window") {
+    import org.apache.spark.sql.functions.col
+    val (_, statsLoc) = JoinOps.ensureZoneMapped(spark, TestSpark.sf0001)
+    val stats = spark.read.parquet(statsLoc)
+    val total = stats.count()
+    val lo = 19738L * 86400000000L
+    val hi = 19745L * 86400000000L
+    val selected = stats
+      .filter(col("max_us") >= lo && col("min_us") < hi).count()
+    assert(total == 16L, s"expected 16 zone-mapped files, got $total")
+    // a 7-day window over a 30-day clustered layout must skip most files
+    assert(selected > 0 && selected <= 6,
+      s"selected $selected of $total files — skipping is not happening")
+  }
 }
