@@ -46,12 +46,20 @@ object Dedup {
   // (h1 + i*h2) mod 2^60 — i*h2 stays under 2^63 for i <= 7.
   private val mod60 = 1152921504606846976L // 2^60
 
-  private def minAggs(nSeeds: Int): Seq[Column] = {
-    val h1 = "CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"
-    val h2 = "CAST(conv(substr(md5(sh), 17, 15), 16, 10) AS BIGINT)"
+  /** Projects the two md5 halves ONCE per shingle row before the
+    * signature aggregation: each of the `seeds` min-aggregates below
+    * consumes the halves, and aggregate input expressions are not
+    * subexpression-eliminated — inlining the md5 into every aggregate
+    * would hash each shingle 2*seeds times instead of once.
+    */
+  private def withHashHalves(shs: DataFrame, idCol: String): DataFrame =
+    shs.select(col(idCol),
+      expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)").as("_h1"),
+      expr("CAST(conv(substr(md5(sh), 17, 15), 16, 10) AS BIGINT)").as("_h2"))
+
+  private def minAggs(nSeeds: Int): Seq[Column] =
     (0 until nSeeds).map(i =>
-      min(expr(s"($h1 + $i * $h2) % $mod60")).as(s"mh$i"))
-  }
+      min(expr(s"(_h1 + $i * _h2) % $mod60")).as(s"mh$i"))
 
   /** MinHash signatures over word n-gram shingles:
     * (id, mh0..mh{seeds-1}). One zero-shuffle codegen'd map
@@ -81,7 +89,7 @@ object Dedup {
       n: Int = 3, seeds: Int = 8): DataFrame = {
     val shs = shingles(docs, idCol, textCol, n)
     val aggs = minAggs(seeds)
-    shs.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    withHashHalves(shs, idCol).groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash-LSH near-duplicate pairs with exact-jaccard verification:
@@ -111,7 +119,8 @@ object Dedup {
     // one shuffle on the doc key yields the signature AND the shingle
     // count (the later jaccard denominator) — no separate sizes pass
     val aggs = minAggs(seeds) :+ count(lit(1)).as("n")
-    val sig = shs.groupBy(idCol).agg(aggs.head, aggs.tail: _*).persist()
+    val sig = withHashHalves(shs, idCol)
+      .groupBy(idCol).agg(aggs.head, aggs.tail: _*).persist()
     val bandKeys = (0 until seeds / bandSize).map { b =>
       val parts = (0 until bandSize).flatMap(k =>
         Seq(lit(":"), col(s"mh${bandSize * b + k}").cast("string"))).tail
@@ -165,7 +174,8 @@ object Dedup {
       case None => shsRaw
     }).persist()
     val aggs = minAggs(seeds) :+ count(lit(1)).as("n")
-    val sig = shs.groupBy(idCol).agg(aggs.head, aggs.tail: _*).persist()
+    val sig = withHashHalves(shs, idCol)
+      .groupBy(idCol).agg(aggs.head, aggs.tail: _*).persist()
     val bandKeys = (0 until seeds / bandSize).map { b =>
       val parts = (0 until bandSize).flatMap(k =>
         Seq(lit(":"), col(s"mh${bandSize * b + k}").cast("string"))).tail
@@ -216,7 +226,7 @@ object Dedup {
     def prep(side: DataFrame): (DataFrame, DataFrame) = {
       val shs = shingles(side, idCol, textCol, n).persist()
       val aggs = minAggs(seeds) :+ count(lit(1)).as("n")
-      (shs, shs.groupBy(idCol).agg(aggs.head, aggs.tail: _*))
+      (shs, withHashHalves(shs, idCol).groupBy(idCol).agg(aggs.head, aggs.tail: _*))
     }
     def bandsOf(sig: DataFrame): DataFrame = {
       val bandKeys = (0 until seeds / bandSize).map { b =>
