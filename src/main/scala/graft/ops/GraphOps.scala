@@ -9,7 +9,8 @@ import graft.io.Sources
   * parts are connected when some order contains both. Complements the
   * label-propagation connected components already in
   * [[graft.api.Dedup.nearDupClusters]] (d07) with the other canonical
-  * massive-graph kernel, triangle counting.
+  * massive-graph kernels: triangle counting and clustering
+  * coefficients.
   *
   * The graph is deterministically sparsified (an arithmetic filter on
   * the endpoint keys, mirrored exactly in the oracle) so the edge set
@@ -34,46 +35,23 @@ object GraphOps {
       .distinct()
   }
 
-  /** Triangle count by degree orientation — the standard bound on the
-    * quadratic wedge blowup: each undirected edge is oriented from its
-    * lower-(degree, id) endpoint to its higher one, wedges are built
-    * only at a triangle's MINIMUM vertex (so a star of degree d spawns
-    * `out-deg(d) choose 2` wedges instead of `d choose 2`, and out-
-    * degree is O(sqrt(edges)) for ANY graph), and a wedge closes by an
-    * equi-join back to the oriented edge list. Three shuffles total —
-    * degree agg, wedge join, closing join — every one on uniform
+  /** Shared triangle machinery: given distinct (pa, pb) edges with
+    * pa < pb, returns (edges persisted, per-node degrees, one row per
+    * triangle as its three vertices).
+    *
+    * Degree orientation is the standard bound on the quadratic wedge
+    * blowup: each undirected edge is oriented from its lower-(degree,
+    * id) endpoint to its higher one, wedges are built only at a
+    * triangle's MINIMUM vertex (so a star of degree d spawns
+    * `out-deg(d) choose 2` wedges instead of `d choose 2`, and
+    * out-degree is O(sqrt(edges)) for ANY graph), and a wedge closes by
+    * an equi-join back to the oriented edge list. Three shuffles total
+    * — degree agg, wedge join, closing join — every one on uniform
     * endpoint keys; no step is quadratic in a hub's degree, which is
     * the whole game on a 100 TB power-law graph.
-    *
-    * The oracle counts the same triangles the naive way (three-way
-    * self-join with a < b < c), which is exactly the equivalence the
-    * orientation trick must preserve.
     */
-  val g01 = OpQuery.oracled("g01_triangle_count", {
-    s"""WITH pairs AS (
-      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
-      |  FROM lineitem a JOIN lineitem b
-      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      |), e AS (
-      |  SELECT DISTINCT pa, pb FROM pairs WHERE $edgeKeep
-      |), nodes AS (
-      |  SELECT pa AS n FROM e UNION SELECT pb FROM e
-      |)
-      |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
-      |       (SELECT count(*) FROM e) AS n_edges,
-      |       (SELECT count(*)
-      |        FROM e e1 JOIN e e2 ON e2.pa = e1.pb
-      |        JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS n_triangles""".stripMargin
-  },
-    doc = "triangle count via degree orientation (co-purchase graph; oracle = naive 3-way self-join)") { (spark, dir) =>
-    triangleStats(edges(spark, dir))
-  }
-
-  /** (n_nodes, n_edges, n_triangles) of an undirected simple graph
-    * given as distinct (pa, pb) edges with pa < pb. See [[g01]] for the
-    * degree-orientation contract.
-    */
-  private[graft] def triangleStats(edgeList: DataFrame): DataFrame = {
+  private[graft] def triangleFrames(
+      edgeList: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val e = edgeList.persist()
     val deg = e.select(col("pa").as("node"))
       .unionAll(e.select(col("pb").as("node")))
@@ -102,15 +80,103 @@ object GraphOps {
         (col("d1") < col("d2") ||
           (col("d1") === col("d2") && col("i1") < col("i2"))))
     val closing = oriented.select(col("src").as("cv1"), col("dst").as("cv2"))
+    val triangles = wedges.join(closing,
+        col("v1") === col("cv1") && col("v2") === col("cv2"))
+      .select(col("src").as("ta"), col("v1").as("tb"), col("v2").as("tc"))
+    (e, deg, triangles)
+  }
+
+  /** (n_nodes, n_edges, n_triangles) of an undirected simple graph. */
+  private[graft] def triangleStats(edgeList: DataFrame): DataFrame = {
+    val (e, deg, triangles) = triangleFrames(edgeList)
     // three scalar aggregates cross-joined into the one-row report —
     // no driver-side action, so the whole job is one materialization
-    val nTri = wedges.join(closing,
-        col("v1") === col("cv1") && col("v2") === col("cv2"))
-      .agg(count(lit(1)).as("n_triangles"))
+    val nTri = triangles.agg(count(lit(1)).as("n_triangles"))
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     nNodes.crossJoin(nEdges).crossJoin(nTri)
   }
 
-  val all: Seq[OpQuery] = Seq(g01)
+  /** Per-node local clustering coefficient: 2*tri(v) / (deg(v) *
+    * (deg(v)-1)) over nodes with degree >= 2. Returns (node, deg,
+    * n_tri, coeff). Each triangle row fans out to its three vertices;
+    * both counts come from uniform-key aggregates, so the cost profile
+    * is [[triangleFrames]] plus one explode-aggregate.
+    */
+  private[graft] def clusteringCoefficients(edgeList: DataFrame): DataFrame = {
+    val (_, deg, triangles) = triangleFrames(edgeList)
+    val perNode = triangles
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("deg") >= 2)
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        ((coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+          (col("deg") * (col("deg") - 1))).as("coeff"))
+  }
+
+  /** Global triangle census — count vs the oracle's naive 3-way
+    * self-join, which is exactly the equivalence the orientation trick
+    * must preserve.
+    */
+  val g01 = OpQuery.oracled("g01_triangle_count", {
+    s"""WITH pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), e AS (
+      |  SELECT DISTINCT pa, pb FROM pairs WHERE $edgeKeep
+      |), nodes AS (
+      |  SELECT pa AS n FROM e UNION SELECT pb FROM e
+      |)
+      |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+      |       (SELECT count(*) FROM e) AS n_edges,
+      |       (SELECT count(*)
+      |        FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+      |        JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS n_triangles""".stripMargin
+  },
+    doc = "triangle count via degree orientation (co-purchase graph; oracle = naive 3-way self-join)") { (spark, dir) =>
+    triangleStats(edges(spark, dir))
+  }
+
+  /** The 20 most clustered nodes (local coefficient, degree >= 2, ties
+    * broken by node id) — the "how cliquish is this product's
+    * neighborhood" signal recommender features are built from. The
+    * coefficient is an exact small-integer ratio, so the double divide
+    * is bit-identical in both engines.
+    */
+  val g02 = OpQuery.oracled("g02_clustering_coefficients", {
+    s"""WITH pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), e AS (
+      |  SELECT DISTINCT pa, pb FROM pairs WHERE $edgeKeep
+      |), deg AS (
+      |  SELECT n AS node, count(*) AS deg
+      |  FROM (SELECT pa AS n FROM e UNION ALL SELECT pb FROM e)
+      |  GROUP BY 1
+      |), tri AS (
+      |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      |  FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+      |  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+      |), nt AS (
+      |  SELECT n AS node, count(*) AS n_tri
+      |  FROM (SELECT unnest([a, b, c]) AS n FROM tri)
+      |  GROUP BY 1
+      |)
+      |SELECT d.node, d.deg, coalesce(nt.n_tri, 0) AS n_tri,
+      |       CAST(2 * coalesce(nt.n_tri, 0) AS DOUBLE) / (d.deg * (d.deg - 1)) AS coeff
+      |FROM deg d LEFT JOIN nt USING (node)
+      |WHERE d.deg >= 2
+      |ORDER BY coeff DESC, node LIMIT 20""".stripMargin
+  },
+    doc = "top-20 local clustering coefficients (per-node triangle fan-out over the oriented census)") { (spark, dir) =>
+    clusteringCoefficients(edges(spark, dir))
+      .orderBy(col("coeff").desc, col("node"))
+      .limit(20)
+  }
+
+  val all: Seq[OpQuery] = Seq(g01, g02)
 }

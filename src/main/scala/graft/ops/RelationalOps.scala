@@ -342,6 +342,46 @@ object RelationalOps {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** GROUPING SETS with ARBITRARY (non-hierarchical) sets — the case
+    * neither ROLLUP (r08) nor CUBE (r13) covers: two independent
+    * marginals plus the joint, WITHOUT the grand total a rollup would
+    * force in. grouping() disambiguates a real NULL-less 'ALL' from a
+    * grouped value; one Expand + one aggregate, same single-shuffle
+    * cost profile as a plain GROUP BY at 100 TB (Expand multiplies rows
+    * by the set count BEFORE partial aggregation absorbs them).
+    */
+  val r32 = OpQuery.oracled("r32_grouping_sets_spend",
+    """SELECT CASE WHEN GROUPING(r_name) = 1 THEN 'ALL' ELSE r_name END AS region_name,
+      |       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name), (o_orderpriority))
+      |ORDER BY region_name, priority""".stripMargin,
+    doc = "arbitrary GROUPING SETS (joint + two marginals, no grand total) with grouping() disambiguation") { (spark, dir) =>
+    val orders = Sources.table(spark, dir, "orders")
+    val customer = Sources.table(spark, dir, "customer")
+    val nation = Sources.table(spark, dir, "nation")
+    val region = Sources.table(spark, dir, "region")
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .select("r_name", "o_orderpriority", "o_totalprice")
+      .createOrReplaceTempView("r32_flat")
+    spark.sql(
+      """SELECT CASE WHEN GROUPING(r_name) = 1 THEN 'ALL' ELSE r_name END AS region_name,
+        |       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM r32_flat
+        |GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name), (o_orderpriority))
+        |ORDER BY region_name, priority""".stripMargin)
+  }
+
   val all: Seq[OpQuery] = Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09,
-    r10, r11, r12, r30)
+    r10, r11, r12, r30, r32)
 }

@@ -599,5 +599,50 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
-  val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
+  /** Brute-force maximum-inner-product top-3 — retrieval over
+    * embeddings whose MAGNITUDE carries signal (recommender item
+    * vectors, un-normalized rerankers), where cosine's normalization is
+    * wrong. Same probe grid and quantized-dot determinism as s01; like
+    * s01 it is the labeled exactness baseline, and the scale path is
+    * the standard norm-augmentation reduction (append sqrt(M²-|x|²) as
+    * an extra dimension, making MIPS a cosine problem s02/s04 already
+    * solve at bucket scale).
+    */
+  val s10 = OpQuery.oracled("s10_mips_brute", {
+    s"""WITH e AS (
+       |  $duckEmbedded
+       |), probes AS (
+       |  SELECT * FROM e WHERE vec_id % 50 = 0
+       |), pairs AS (
+       |  SELECT p.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |         ${duckDot("p.v", "c.v")} AS score
+       |  FROM probes p, e c
+       |  WHERE c.vec_id <> p.vec_id
+       |), ranked AS (
+       |  SELECT q_id, neighbor_id, score,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM pairs
+       |)
+       |SELECT q_id, rank, neighbor_id, score
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+  },
+    doc = "brute-force max-inner-product top-k (un-normalized retrieval baseline; norm-augmentation is the bucketed path)") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = embedded(spark, dir).select("vec_id", "v")
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("pv"))
+    val pairs = probes.join(broadcast(e), col("vec_id") =!= col("q_id"))
+      .withColumn("score", expr(dotDec("pv", "v")))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("score"))
+      .orderBy("q_id", "rank")
+  }
+
+  val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
+    s10)
 }

@@ -824,7 +824,70 @@ object TextOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** Bloom-pruned contamination screen — t08's semantics at t08-can't
+    * scale: there, BOTH gram sets enter the join; here the corpus is
+    * the 100 TB side and never shuffles. The (small) eval set's 5-grams
+    * build a Bloom filter; the corpus scan keeps only grams the sketch
+    * might contain (~a few % at fpp=0.01), and the exact join on the
+    * survivors removes the false positives — so, like r18, the sketch
+    * must be invisible in the result, and the oracle is the plain
+    * unpruned join. Eval membership is doc_id % 20 = 0 (deterministic,
+    * dialect-shared).
+    *
+    * Output per eval doc: how many of its distinct grams leak from the
+    * corpus, and how many corpus docs share at least one gram.
+    */
+  val t19 = OpQuery.oracled("t19_bloom_contamination",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3], ts[i+4]) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+      |        FROM read_parquet('{SFDIR}/documents.parquet')) tok,
+      |       unnest(generate_series(1, len(ts) - 4)) AS u(i)
+      |  WHERE len(ts) >= 5
+      |), ev AS (
+      |  SELECT DISTINCT doc_id, g FROM sh WHERE doc_id % 20 = 0
+      |), co AS (
+      |  SELECT DISTINCT doc_id, g FROM sh WHERE doc_id % 20 <> 0
+      |), hit AS (
+      |  SELECT ev.doc_id,
+      |         count(DISTINCT ev.g) AS n_leaked_grams,
+      |         count(DISTINCT co.doc_id) AS n_corpus_docs
+      |  FROM ev JOIN co ON co.g = ev.g
+      |  GROUP BY 1
+      |)
+      |SELECT e.doc_id,
+      |       CAST(coalesce(h.n_leaked_grams, 0) AS BIGINT) AS n_leaked_grams,
+      |       CAST(coalesce(h.n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs
+      |FROM (SELECT DISTINCT doc_id FROM ev) e
+      |LEFT JOIN hit h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin,
+    doc = "Bloom-pruned contamination screen: eval-gram sketch prunes the corpus scan; exact join removes false positives") { (spark, dir) =>
+    val grams = Sources.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.expr.WordShingles.word_shingles(col("text"), 5)).as("g"))
+    val ev = grams.filter(col("doc_id") % 20 === 0).distinct().persist()
+    // sketch over the SMALL side, sized by its distinct-gram count
+    val bloom = ev.stat.bloomFilter("g", 1000000L, 0.01)
+    val bloomBc = grams.sparkSession.sparkContext.broadcast(bloom)
+    grams.sparkSession.udf.register("t19_bloom_has_gram",
+      (g: String) => bloomBc.value.mightContain(g))
+    val co = grams.filter(col("doc_id") % 20 =!= 0)
+      .filter(expr("t19_bloom_has_gram(g)")) // sketch prune AT THE SCAN
+      .select(col("doc_id").as("c_id"), col("g")).distinct()
+    val hit = ev.join(co, "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_leaked"),
+        countDistinct(col("c_id")).as("n_docs"))
+    ev.select("doc_id").distinct()
+      .join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked_grams"),
+        coalesce(col("n_docs"), lit(0L)).as("n_corpus_docs"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18)
+      t14, t15, t16, t17, t18, t19)
 }

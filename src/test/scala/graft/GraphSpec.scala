@@ -32,4 +32,17 @@ class GraphSpec extends AnyFunSuite {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
     assert(stats(e) == (4L, 5L, 2L))
   }
+
+  test("clustering coefficients on K4 plus a pendant edge") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val df = spark.createDataFrame(k4 :+ (4L, 5L)).toDF("pa", "pb")
+    val got = GraphOps.clusteringCoefficients(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // nodes 1-3: every neighbor pair closed (coeff 1); node 4: the
+    // pendant opens 3 of its 6 neighbor pairs; node 5: deg 1, excluded
+    assert(got == Map(
+      1L -> ((3L, 3L, 1.0)), 2L -> ((3L, 3L, 1.0)), 3L -> ((3L, 3L, 1.0)),
+      4L -> ((4L, 3L, 0.5))), got.toString)
+  }
 }

@@ -157,6 +157,18 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("t19: the bloom sketch prunes the corpus side before the exact join") {
+    val p = plan(graft.ops.TextOps.t19.fn(spark, TestSpark.sf0001))
+    assert(p.contains("t19_bloom_has_gram"), p.take(3000))
+  }
+
+  test("r32: grouping sets plan one Expand, not one scan per set") {
+    val p = plan(RelationalOps.r32.fn(spark, TestSpark.sf0001))
+    assert("Expand".r.findAllIn(p).size == 1, p.take(3000))
+    assert("FileScan parquet".r.findAllIn(p).size == 4, // 4 tables, once each
+      p.take(3000))
+  }
+
   test("r31: the zone map actually skips files for the week window") {
     import org.apache.spark.sql.functions.col
     val (_, statsLoc) = JoinOps.ensureZoneMapped(spark, TestSpark.sf0001)
