@@ -22,18 +22,30 @@ object GraphOps {
   // Keep ~10% of edges, by endpoint arithmetic both engines share.
   private val edgeKeep = "(7 * pa + 13 * pb) % 10 = 0"
 
-  /** Distinct undirected co-purchase edges (pa < pb), sparsified. */
+  /** Distinct undirected co-purchase edges (pa < pb), sparsified.
+    *
+    * One shuffle, not two: the naive form is a lineitem SELF-JOIN on
+    * the order key followed by a distinct — the whole fact table
+    * shuffles twice. Instead each order's (bounded, <= 7-item) part set
+    * is collected once and its a<b pairs expand in a map stage; only
+    * the final distinct shuffles, and it shuffles pairs, which the
+    * self-join would have shuffled anyway. The group-collect is safe
+    * precisely because the per-order basket is bounded — this is NOT
+    * the r15 collect_set anti-pattern, where the group was the hot
+    * dimension itself.
+    */
   private def edges(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val li = Sources.table(spark, dir, "lineitem")
+      dir: String): DataFrame =
+    Sources.table(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val a = li.select(col("ok"), col("pk").as("pa"))
-    val b = li.select(col("ok").as("ok2"), col("pk").as("pb"))
-    a.join(b, col("ok") === col("ok2") && col("pa") < col("pb"))
-      .select("pa", "pb")
+      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps,
+          |  (x, i) -> transform(slice(ps, i + 2, size(ps)),
+          |            y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .filter(expr(edgeKeep))
       .distinct()
-  }
 
   /** Shared triangle machinery: given distinct (pa, pb) edges with
     * pa < pb, returns (edges persisted, per-node degrees, one row per
