@@ -1,0 +1,41 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level zone maps: a tiny stats table of per-file (min, max) of a
+  * clustering column, consulted before a scan so a range predicate
+  * reads only the files it can touch — parquet row-group / table-format
+  * data skipping made explicit (see the r31 query for the full story).
+  *
+  * The stats frame has columns (file, min_us, max_us); it is
+  * rows-per-FILE, a few KB per PB, so reading it costs nothing next to
+  * the scan it prunes.
+  */
+object ZoneMap {
+
+  /** Per-file stats of `col` for every parquet file under `dataPath`. */
+  def stats(spark: SparkSession, dataPath: String, tsCol: String): DataFrame =
+    spark.read.parquet(dataPath)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(tsCol).as("min_us"), max(tsCol).as("max_us"))
+
+  /** Read only the files whose [min_us, max_us] range intersects
+    * [lo, hi) according to the stored stats, as a DataFrame. False
+    * inclusions are possible (stats are conservative), so callers keep
+    * their real predicate; false EXCLUSIONS are not, which is what
+    * makes the pruned read result-identical to the full scan. The
+    * pruned listing is the same driver-side path list every parquet
+    * scan builds — minus the skipped files.
+    */
+  def prunedRead(spark: SparkSession, statsPath: String,
+      lo: Long, hi: Long): DataFrame = {
+    val files = spark.read.parquet(statsPath)
+      .filter(col("max_us") >= lo && col("min_us") < hi)
+      .select("file").collect().map(_.getString(0))
+    require(files.nonEmpty,
+      s"zone map at $statsPath prunes every file for [$lo, $hi) — " +
+        "read the base path directly for provably-empty windows")
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+}

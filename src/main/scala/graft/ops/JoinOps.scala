@@ -547,9 +547,7 @@ object JoinOps {
         .repartitionByRange(16, col("us"))
         .sortWithinPartitions("us")
         .write.mode("overwrite").parquet(loc)
-      spark.read.parquet(loc)
-        .groupBy(input_file_name().as("file"))
-        .agg(min("us").as("min_us"), max("us").as("max_us"))
+      graft.io.ZoneMap.stats(spark, loc, "us")
         .coalesce(1)
         .write.mode("overwrite").parquet(statsLoc)
     }
@@ -573,12 +571,7 @@ object JoinOps {
       val (loc, statsLoc) = ensureZoneMapped(spark, dir)
       val lo = 19738L * 86400000000L
       val hi = 19745L * 86400000000L
-      val files = spark.read.parquet(statsLoc)
-        .filter(col("max_us") >= lo && col("min_us") < hi)
-        .select("file").collect().map(_.getString(0))
-      // the pruned listing IS the scan's file list — same driver-side
-      // path list every parquet scan builds, minus the skipped files
-      spark.read.parquet(files: _*)
+      graft.io.ZoneMap.prunedRead(spark, statsLoc, lo, hi)
         .filter(col("us") >= lo && col("us") < hi)
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"),

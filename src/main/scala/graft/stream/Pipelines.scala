@@ -174,6 +174,42 @@ object Pipelines {
       }
   }
 
+  /** Zone-mapped streaming sink: each micro-batch lands time-clustered
+    * AND the file-level [[graft.io.ZoneMap]] stats table is maintained
+    * in the same transaction scope — the incremental form of the batch
+    * layout job behind r31 (a real event store is written by a stream,
+    * so its data-skipping index must be too).
+    *
+    * Idempotence under redelivery: both the batch's data files and its
+    * stats rows live in a `batch=<id>` subdirectory written with
+    * overwrite — a replayed epoch rewrites both, never duplicates
+    * either (plain `mode("append")` stats would double-count on
+    * replay). Readers see base and stats as flat parquet trees.
+    * Within each batch `repartitionByRange` on the time column keeps
+    * per-file ranges tight — tight ranges are what make min/max stats
+    * selective. Query through [[graft.io.ZoneMap.prunedRead]].
+    */
+  def zoneMappedSink(events: DataFrame, tablePath: String, statsPath: String,
+      checkpoint: String, tsCol: String,
+      filesPerBatch: Int = 4): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val dataDir = s"$tablePath/batch=$batchId"
+          batch.repartitionByRange(filesPerBatch, col(tsCol))
+            .sortWithinPartitions(tsCol)
+            .write.mode("overwrite").parquet(dataDir)
+          graft.io.ZoneMap.stats(spark, dataDir, tsCol)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$statsPath/batch=$batchId")
+        }
+        ()
+      }
+
   /** Streaming MERGE sink: every micro-batch is applied to a parquet
     * table as an upsert (`MERGE INTO` from a stream — the Delta
     * `foreachBatch` merge recipe, minus the Delta jar). Within a batch,

@@ -308,6 +308,43 @@ class StreamingSpec extends AnyFunSuite {
       4L -> (2L, "dup-new"), 5L -> (1L, "e1")))
   }
 
+  test("zone-mapped sink maintains per-file stats a pruned read can trust") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Double)]
+    val table = tmp("graft_zm_table")
+    val statsP = tmp("graft_zm_stats")
+    val cp = tmp("graft_zm_cp")
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.zoneMappedSink(mem.toDF().toDF("us", "user_id", "value"),
+        table, statsP, cp, tsCol = "us"))
+
+    // two micro-batches spanning [0, 32000); 4 clustered files each
+    mem.addData((0L to 15999L by 40L).map(us => (us, us % 7, us * 0.5)): _*)
+    run()
+    mem.addData((16000L to 31999L by 40L).map(us => (us, us % 7, us * 0.5)): _*)
+    run()
+
+    val stats = spark.read.parquet(statsP)
+    val nFiles = stats.count()
+    assert(nFiles == 8L, s"expected 2 batches x 4 files, got $nFiles")
+
+    // a window inside batch 1 must read a strict file subset...
+    val (lo, hi) = (4000L, 8000L)
+    val selected = stats
+      .filter(col("max_us") >= lo && col("min_us") < hi).count()
+    assert(selected < nFiles && selected >= 1, s"selected $selected of $nFiles")
+    // ...and the pruned read must equal the full-scan filter exactly
+    val pruned = graft.io.ZoneMap.prunedRead(spark, statsP, lo, hi)
+      .filter(col("us") >= lo && col("us") < hi)
+      .select("us", "user_id", "value")
+    val full = spark.read.parquet(table)
+      .filter(col("us") >= lo && col("us") < hi)
+      .select("us", "user_id", "value")
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    assert(pruned.count() == 100L)
+  }
+
   test("checkpoint recovery: a restarted query resumes without duplicating output") {
     val raw = PinFixtures.pinRaw(spark)
     val envelopeRows = PinFixtures.envelope(raw).as[String].collect().toSeq
