@@ -190,5 +190,75 @@ object GraphOps {
       .limit(20)
   }
 
-  val all: Seq[OpQuery] = Seq(g01, g02)
+  // PageRank fixed-point scale: ranks are integer picoranks (1e12 = 1.0)
+  // so every engine computes bit-identical values — double-precision
+  // PageRank cannot be oracled across engines (summation order), integer
+  // PageRank can. Damping 0.85 becomes (85 * s) // 100; all operands are
+  // positive, so floor division == truncation in both dialects.
+  private val prOne = 1000000000000L
+  private val prBase = 150000000000L // 0.15 in picoranks
+
+  /** PageRank (3 power iterations, damping 0.85) over the co-purchase
+    * graph in EXACT fixed-point arithmetic. Each iteration is one join
+    * (edge list against current ranks, both keyed by the node — a
+    * co-partitioned shuffle at scale) and one aggregate; the damping
+    * and the degree division are integer ops, so the oracle's unrolled
+    * CTE chain lands on the same bits. Degrees are joined into the
+    * edge list ONCE, not per iteration. Intermediate sums stay far
+    * under 2^63 here; a 100 TB graph would lift the accumulator to
+    * DECIMAL(38,0) — same algebra.
+    *
+    * Undirected graph, every node has degree >= 1, so there is no
+    * dangling-mass term and total rank is conserved up to truncation.
+    */
+  val g03 = OpQuery.oracled("g03_pagerank_fixedpoint", {
+    def iterSql(i: Int): String = {
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS (
+      |  SELECT ed.v AS node, sum(p.r // ed.deg) AS s
+      |  FROM ed JOIN $prev p ON p.node = ed.u
+      |  GROUP BY 1
+      |), r$i AS (
+      |  SELECT node, $prBase + (85 * s) // 100 AS r FROM c$i
+      |)"""
+    }
+    s"""WITH pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), e AS (
+      |  SELECT DISTINCT pa, pb FROM pairs WHERE $edgeKeep
+      |), e2 AS (
+      |  SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e
+      |), deg AS (
+      |  SELECT u, count(*) AS deg FROM e2 GROUP BY 1
+      |), ed AS (
+      |  SELECT e2.u, e2.v, deg.deg FROM e2 JOIN deg ON deg.u = e2.u
+      |), r0 AS (
+      |  SELECT u AS node, CAST($prOne AS BIGINT) AS r FROM deg
+      |), ${iterSql(1)}, ${iterSql(2)}, ${iterSql(3)}
+      |SELECT node, CAST(r AS BIGINT) AS rank_pico
+      |FROM r3
+      |ORDER BY rank_pico DESC, node LIMIT 20""".stripMargin
+  },
+    doc = "fixed-point integer PageRank, 3 power iterations (one edge-rank join + aggregate per iteration)") { (spark, dir) =>
+    val e = edges(spark, dir)
+    val e2 = e.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
+    val deg = e2.groupBy("u").agg(count(lit(1)).as("deg"))
+    val ed = e2.join(deg, "u").persist()
+    var ranks = deg.select(col("u").as("node"), lit(prOne).as("r"))
+    for (_ <- 1 to 3) {
+      ranks = ed.join(ranks, col("node") === col("u"))
+        .select(col("v"), expr("r div deg").as("contrib"))
+        .groupBy(col("v").as("nxt")).agg(sum("contrib").as("s"))
+        .select(col("nxt").as("node"),
+          (lit(prBase) + expr("(85 * s) div 100")).as("r"))
+    }
+    ranks.select(col("node"), col("r").cast("bigint").as("rank_pico"))
+      .orderBy(col("rank_pico").desc, col("node"))
+      .limit(20)
+  }
+
+  val all: Seq[OpQuery] = Seq(g01, g02, g03)
 }

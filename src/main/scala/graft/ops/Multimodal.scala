@@ -218,5 +218,72 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[OpQuery] = Seq(m01, m02)
+  /** Media near-duplicate pairs over the extracted features — the
+    * perceptual-hash dedup a real image pipeline runs, on the stub's
+    * 16-bin histogram standing in for the pHash. Blocking key =
+    * (dominant bin, size band): candidate pairs form only inside a
+    * block (the LSH trade — cross-band near-dups are missed, same
+    * contract as d04/s02), then the exact integer L1 distance over all
+    * 16 bins verifies, keeping pairs with L1 <= 0.5% of the combined
+    * byte count. Counts are recovered exactly from the float features
+    * (m02's round-trip argument), so the oracle — which re-derives the
+    * histograms from hex nibbles of the blob, never seeing the stub —
+    * hash-matches the distances.
+    */
+  val m03 = OpQuery.oracled("m03_media_near_dup_pairs", {
+    val bins = (0 until 16).map(d =>
+      s"len(list_filter(generate_series(1, n_bytes), i -> substr(hx, 2*i-1, 1) = '${d.toHexString}')) AS c$d")
+      .mkString(",\n      |         ")
+    s"""WITH med AS (
+      |  SELECT doc_id AS media_id, text::BLOB AS payload
+      |  FROM read_parquet('{SFDIR}/documents.parquet') WHERE doc_id % 10 = 0
+      |), h AS (
+      |  SELECT media_id, octet_length(payload) AS n_bytes, hex(payload) AS hx FROM med
+      |), c AS (
+      |  SELECT media_id, n_bytes,
+      |         $bins
+      |  FROM h
+      |), sig AS (
+      |  SELECT media_id, n_bytes,
+      |         list_value(${(0 until 16).map("c" + _).mkString(", ")}) AS cs
+      |  FROM c
+      |), key AS (
+      |  SELECT media_id, n_bytes, cs,
+      |         list_position(cs, list_max(cs)) AS amax, n_bytes // 64 AS szb
+      |  FROM sig
+      |)
+      |SELECT a.media_id AS media_a, b.media_id AS media_b,
+      |       CAST(list_sum(list_transform(generate_series(1, 16),
+      |            i -> abs(a.cs[i] - b.cs[i]))) AS BIGINT) AS l1_dist
+      |FROM key a JOIN key b
+      |  ON a.amax = b.amax AND a.szb = b.szb AND a.media_id < b.media_id
+      |WHERE 40 * list_sum(list_transform(generate_series(1, 16),
+      |            i -> abs(a.cs[i] - b.cs[i]))) <= a.n_bytes + b.n_bytes
+      |ORDER BY media_a, media_b""".stripMargin
+  },
+    doc = "media near-dup pairs: (dominant-bin, size-band) blocking + exact integer L1 verify over the stub features")
+  { (spark, dir) =>
+    val sig = extractFeatures(mediaFromBinaryFiles(spark, dir)).toDF()
+      .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
+        expr("""transform(sequence(1, 16),
+          |  i -> CAST(round(element_at(features, i) * n_bytes) AS BIGINT))""".stripMargin)
+          .as("cs"))
+      .withColumn("amax", array_position(col("cs"), array_max(col("cs"))))
+      .withColumn("szb", expr("n_bytes div 64"))
+      .persist()
+    val a = sig.select(col("media_id").as("media_a"), col("n_bytes").as("na"),
+      col("cs").as("acs"), col("amax"), col("szb"))
+    val b = sig.select(col("media_id").as("media_b"), col("n_bytes").as("nb"),
+      col("cs").as("bcs"), col("amax").as("bmax"), col("szb").as("bszb"))
+    a.join(b, col("amax") === col("bmax") && col("szb") === col("bszb") &&
+        col("media_a") < col("media_b"))
+      .withColumn("l1_dist", expr(
+        "aggregate(zip_with(acs, bcs, (x, y) -> abs(x - y)), 0L, (acc, v) -> acc + v)"))
+      .filter(lit(40) * col("l1_dist") <= col("na") + col("nb"))
+      .select(col("media_a"), col("media_b"),
+        col("l1_dist").cast("bigint").as("l1_dist"))
+      .orderBy("media_a", "media_b")
+  }.copy(prepare = (spark, dir) => { ensureMediaFiles(spark, dir); () })
+
+  val all: Seq[OpQuery] = Seq(m01, m02, m03)
 }

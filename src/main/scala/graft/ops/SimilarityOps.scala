@@ -643,6 +643,103 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** PQ asymmetric-distance (ADC) top-3: the search that makes s09's
+    * codes worth storing. Each probe precomputes one quantized-L2
+    * entry per (half, centroid) — the ADC lookup table, probes x
+    * centroids x 2 rows, broadcast — and every corpus vector is then
+    * scored by TWO TABLE LOOKUPS on its byte codes instead of a 64-dim
+    * distance: the scan reads (vec_id, code0, code1), never the
+    * embedding. That I/O asymmetry is the entire PQ story at 100 TB —
+    * the fleet scans codes (2 ints/vector here, 8-16 bytes in a real
+    * deployment) while full vectors stay cold. Distances are picounit
+    * longs end to end, so ranking is bit-deterministic and the oracle
+    * (same pipeline in SQL) hash-matches.
+    */
+  val s11 = OpQuery.oracled("s11_pq_adc_topk",
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM read_parquet('{SFDIR}/embeddings.parquet')
+      |), halves AS (
+      |  SELECT vec_id, 0 AS h, list_slice(v, 1, len(v) // 2) AS sv FROM e
+      |  UNION ALL
+      |  SELECT vec_id, 1 AS h, list_slice(v, len(v) // 2 + 1, len(v)) AS sv FROM e
+      |), cents AS (
+      |  SELECT vec_id AS c_id, h, sv AS cv FROM halves WHERE vec_id % 250 = 0
+      |), pairs AS (
+      |  SELECT halves.vec_id, halves.h, cents.c_id,
+      |         CAST(list_sum(list_transform(generate_series(1, len(halves.sv)),
+      |              i -> CAST(trunc((halves.sv[i] - cents.cv[i]) * (halves.sv[i] - cents.cv[i]) * 1e12) AS BIGINT))) AS BIGINT) AS qd
+      |  FROM halves JOIN cents ON cents.h = halves.h
+      |), assign AS (
+      |  SELECT vec_id, h, c_id, qd,
+      |         row_number() OVER (PARTITION BY vec_id, h ORDER BY qd ASC, c_id ASC) AS rn
+      |  FROM pairs
+      |), codes AS (
+      |  SELECT vec_id,
+      |         max(CASE WHEN h = 0 THEN c_id END) AS code0,
+      |         max(CASE WHEN h = 1 THEN c_id END) AS code1
+      |  FROM assign WHERE rn = 1 GROUP BY 1
+      |), lut AS (
+      |  SELECT p.vec_id AS q_id, p.h, c.c_id,
+      |         CAST(list_sum(list_transform(generate_series(1, len(p.sv)),
+      |              i -> CAST(trunc((p.sv[i] - c.cv[i]) * (p.sv[i] - c.cv[i]) * 1e12) AS BIGINT))) AS BIGINT) AS qd
+      |  FROM halves p JOIN cents c ON c.h = p.h
+      |  WHERE p.vec_id % 50 = 0
+      |), scored AS (
+      |  SELECT l0.q_id, codes.vec_id AS neighbor_id, l0.qd + l1.qd AS adist_pico
+      |  FROM codes
+      |  JOIN lut l0 ON l0.h = 0 AND l0.c_id = codes.code0
+      |  JOIN lut l1 ON l1.h = 1 AND l1.c_id = codes.code1 AND l1.q_id = l0.q_id
+      |  WHERE codes.vec_id <> l0.q_id
+      |), ranked AS (
+      |  SELECT q_id, neighbor_id, adist_pico,
+      |         CAST(row_number() OVER (PARTITION BY q_id
+      |                            ORDER BY adist_pico ASC, neighbor_id ASC) AS INT) AS rank
+      |  FROM scored
+      |)
+      |SELECT q_id, rank, neighbor_id, CAST(adist_pico AS BIGINT) AS adist_pico
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin,
+    doc = "PQ asymmetric-distance top-k: probe-side centroid lookup table, corpus scored on codes alone") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Sources.table(spark, dir, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val halves = e.select(col("vec_id"), lit(0).as("h"),
+        expr("slice(v, 1, size(v) DIV 2)").as("sv"))
+      .unionAll(e.select(col("vec_id"), lit(1).as("h"),
+        expr("slice(v, size(v) DIV 2 + 1, size(v) - size(v) DIV 2)").as("sv")))
+    val cents = halves.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("c_id"), col("h"), col("sv").as("cv"))
+    val aw = Window.partitionBy("vec_id", "h").orderBy(col("qd").asc, col("c_id").asc)
+    val codes = halves.join(broadcast(cents), Seq("h"))
+      .withColumn("qd", graft.expr.VectorExprs.quantized_l2(col("sv"), col("cv")))
+      .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(max(when(col("h") === 0, col("c_id"))).as("code0"),
+        max(when(col("h") === 1, col("c_id"))).as("code1"))
+    val lut = halves.filter(col("vec_id") % 50 === 0)
+      .join(broadcast(cents), Seq("h"))
+      .withColumn("qd", graft.expr.VectorExprs.quantized_l2(col("sv"), col("cv")))
+      .select(col("vec_id").as("q_id"), col("h"), col("c_id"), col("qd"))
+    val l0 = lut.filter(col("h") === 0)
+      .select(col("q_id"), col("c_id").as("code0"), col("qd").as("qd0"))
+    val l1 = lut.filter(col("h") === 1)
+      .select(col("q_id").as("q_id1"), col("c_id").as("code1"), col("qd").as("qd1"))
+    val rw = Window.partitionBy("q_id")
+      .orderBy(col("adist_pico").asc, col("neighbor_id").asc)
+    codes
+      .join(broadcast(l0), "code0")
+      .join(broadcast(l1),
+        col("q_id1") === col("q_id") && l1("code1") === codes("code1"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (col("qd0") + col("qd1")).as("adist_pico"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("neighbor_id"),
+        col("adist_pico").cast("bigint").as("adist_pico"))
+      .orderBy("q_id", "rank")
+  }
+
   val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10)
+    s10, s11)
 }
