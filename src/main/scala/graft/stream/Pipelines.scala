@@ -399,6 +399,42 @@ object Pipelines {
       }
   }
 
+  case class TransEvent(user_id: Long, event_type: String, us: Long,
+      event_id: Long)
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming twin of the batch transition matrix (EventOps.e13):
+    * per-user (event_type -> next event_type) bigrams across
+    * micro-batches. The keyed state is exactly ONE row — the user's
+    * latest (us, event_id, event_type) — so state size is O(users),
+    * not O(events); each batch sorts its own slice (same (us,
+    * event_id) order as the batch window) and the boundary transition
+    * between batches comes from the carried state. Same ordering
+    * contract as [[funnelStages]]: exact under per-user event-time
+    * order across batches, which is the upstream watermark's job.
+    * Aggregate the emitted pairs downstream for the matrix.
+    */
+  def transitionPairs(events: org.apache.spark.sql.Dataset[TransEvent])
+      : org.apache.spark.sql.Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    // state: (us, event_id, event_type) of the user's latest event
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, String), Transition](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[TransEvent],
+            state: org.apache.spark.sql.streaming.GroupState[(Long, Long, String)]) =>
+          val sorted = it.toSeq.sortBy(e => (e.us, e.event_id))
+          val types = state.getOption.map(_._3).toSeq ++ sorted.map(_.event_type)
+          sorted.lastOption.foreach(e =>
+            state.update((e.us, e.event_id, e.event_type)))
+          types.sliding(2).collect {
+            case Seq(from, to) => Transition(uid, from, to)
+          }
+      }
+  }
+
   def funnelStages(events: org.apache.spark.sql.Dataset[FunnelEvent],
       gapUs: Long = 3600000000L)
       : org.apache.spark.sql.Dataset[FunnelUpdate] = {

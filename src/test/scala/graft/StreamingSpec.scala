@@ -193,6 +193,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(byBatch.count { case (u, s) => u == 3L && s == 2 } == 2, byBatch.toString)
   }
 
+  test("streaming transitions equal the batch lead-window matrix across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // deterministic event tape: 6 users, 40 events, varied types
+    val tape = (0 until 40).map { i =>
+      Pipelines.TransEvent(i % 6L, Seq("view", "click", "purchase")(i % 3),
+        1000L * (i / 6) + i, i.toLong)
+    }
+    val (b1, b2) = tape.splitAt(25)
+    val mem = MemoryStream[Pipelines.TransEvent]
+    val q = Pipelines.transitionPairs(mem.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("trans")
+      .start()
+    mem.addData(b1: _*) // first slice; boundary state carried forward
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("trans")
+      .groupBy("from_type", "to_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // batch formulation over the SAME tape: lead() per user
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    val want = tape.toDS().toDF()
+      .withColumn("to_type", org.apache.spark.sql.functions.lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("stream-static anti join drops docs already in the corpus") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
