@@ -92,6 +92,67 @@ object Dedup {
     withHashHalves(shs, idCol).groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The `seeds/bandSize` banded keys of a signature frame (mh0..mhN),
+    * as one array column to explode — shared by every banded-LSH path
+    * in this file so the banding scheme cannot silently diverge.
+    */
+  private def bandKeyArray(seeds: Int, bandSize: Int): Column = {
+    require(seeds % bandSize == 0,
+      s"seeds ($seeds) must be a multiple of bandSize ($bandSize)")
+    val keys = (0 until seeds / bandSize).map { b =>
+      val parts = (0 until bandSize).flatMap(k =>
+        Seq(lit(":"), col(s"mh${bandSize * b + k}").cast("string"))).tail
+      concat((lit(b + ":") +: parts): _*)
+    }
+    array(keys: _*)
+  }
+
+  /** Shared banded-LSH candidate + verify machinery: capped exploded
+    * shingles -> signature (+ size) -> band self-join -> exact
+    * common-shingle counts. Returns one row per candidate pair:
+    * (doc_a, doc_b, n_common, na, nb), id-ordered — every pair metric
+    * (jaccard, containment) is a pure projection of these three
+    * integers, which is why the metric-specific public functions are
+    * one select each.
+    */
+  private def bandedCommonCounts(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, seeds: Int, bandSize: Int,
+      maxShingleFreq: Option[Long]): DataFrame = {
+    // the exploded shingle set feeds the signature, the sizes, and the
+    // verify join — persist instead of re-deriving from raw text
+    val shsRaw = shingles(docs, idCol, textCol, n)
+    val shs = (maxShingleFreq match {
+      case Some(cap) =>
+        val ok = shsRaw.groupBy("sh").agg(count(lit(1)).as("_f"))
+          .filter(col("_f") <= cap).select("sh")
+        shsRaw.join(ok, "sh").select(col(idCol), col("sh"))
+      case None => shsRaw
+    }).persist()
+    // one shuffle on the doc key yields the signature AND the shingle
+    // count (the later metric denominators) — no separate sizes pass
+    val aggs = minAggs(seeds) :+ count(lit(1)).as("n")
+    val sig = withHashHalves(shs, idCol)
+      .groupBy(idCol).agg(aggs.head, aggs.tail: _*).persist()
+    val bands = sig.select(col(idCol),
+      explode(bandKeyArray(seeds, bandSize)).as("bk"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    val sizes = sig.select(col(idCol), col("n"))
+    val common = cand
+      .join(shs.as("s1"), col(s"s1.$idCol") === col("doc_a"))
+      .join(shs.as("s2"),
+        col(s"s2.$idCol") === col("doc_b") && col("s2.sh") === col("s1.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.as("sa"), col(s"sa.$idCol") === col("doc_a"))
+      .join(sizes.as("sb"), col(s"sb.$idCol") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("sa.n").as("na"), col("sb.n").as("nb"))
+  }
+
   /** MinHash-LSH near-duplicate pairs with exact-jaccard verification:
     * (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
     *
@@ -106,43 +167,9 @@ object Dedup {
       textCol: String = "text", n: Int = 3, seeds: Int = 8,
       bandSize: Int = 2, threshold: Double = 0.5,
       maxShingleFreq: Option[Long] = None): DataFrame = {
-    // the exploded shingle set feeds the signature, the sizes, and the
-    // verify join — persist instead of re-deriving from raw text
-    val shsRaw = shingles(docs, idCol, textCol, n)
-    val shs = (maxShingleFreq match {
-      case Some(cap) =>
-        val ok = shsRaw.groupBy("sh").agg(count(lit(1)).as("_f"))
-          .filter(col("_f") <= cap).select("sh")
-        shsRaw.join(ok, "sh").select(col(idCol), col("sh"))
-      case None => shsRaw
-    }).persist()
-    // one shuffle on the doc key yields the signature AND the shingle
-    // count (the later jaccard denominator) — no separate sizes pass
-    val aggs = minAggs(seeds) :+ count(lit(1)).as("n")
-    val sig = withHashHalves(shs, idCol)
-      .groupBy(idCol).agg(aggs.head, aggs.tail: _*).persist()
-    val bandKeys = (0 until seeds / bandSize).map { b =>
-      val parts = (0 until bandSize).flatMap(k =>
-        Seq(lit(":"), col(s"mh${bandSize * b + k}").cast("string"))).tail
-      concat((lit(b + ":") +: parts): _*)
-    }
-    val bands = sig.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.bk") === col("b.bk") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .distinct()
-    val sizes = sig.select(col(idCol), col("n"))
-    val common = cand
-      .join(shs.as("s1"), col(s"s1.$idCol") === col("doc_a"))
-      .join(shs.as("s2"),
-        col(s"s2.$idCol") === col("doc_b") && col("s2.sh") === col("s1.sh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
     val j = col("n_common").cast("double") /
-      (col("sa.n") + col("sb.n") - col("n_common"))
-    common
-      .join(sizes.as("sa"), col(s"sa.$idCol") === col("doc_a"))
-      .join(sizes.as("sb"), col(s"sb.$idCol") === col("doc_b"))
+      (col("na") + col("nb") - col("n_common"))
+    bandedCommonCounts(docs, idCol, textCol, n, seeds, bandSize, maxShingleFreq)
       .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -165,40 +192,10 @@ object Dedup {
       textCol: String = "text", n: Int = 3, seeds: Int = 8,
       bandSize: Int = 2, threshold: Double = 0.6,
       maxShingleFreq: Option[Long] = None): DataFrame = {
-    val shsRaw = shingles(docs, idCol, textCol, n)
-    val shs = (maxShingleFreq match {
-      case Some(cap) =>
-        val ok = shsRaw.groupBy("sh").agg(count(lit(1)).as("_f"))
-          .filter(col("_f") <= cap).select("sh")
-        shsRaw.join(ok, "sh").select(col(idCol), col("sh"))
-      case None => shsRaw
-    }).persist()
-    val aggs = minAggs(seeds) :+ count(lit(1)).as("n")
-    val sig = withHashHalves(shs, idCol)
-      .groupBy(idCol).agg(aggs.head, aggs.tail: _*).persist()
-    val bandKeys = (0 until seeds / bandSize).map { b =>
-      val parts = (0 until bandSize).flatMap(k =>
-        Seq(lit(":"), col(s"mh${bandSize * b + k}").cast("string"))).tail
-      concat((lit(b + ":") +: parts): _*)
-    }
-    val bands = sig.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.bk") === col("b.bk") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .distinct()
-    val sizes = sig.select(col(idCol), col("n"))
-    val common = cand
-      .join(shs.as("s1"), col(s"s1.$idCol") === col("doc_a"))
-      .join(shs.as("s2"),
-        col(s"s2.$idCol") === col("doc_b") && col("s2.sh") === col("s1.sh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    val cont = col("n_common").cast("double") / least(col("sa.n"), col("sb.n"))
+    val cont = col("n_common").cast("double") / least(col("na"), col("nb"))
     val j = col("n_common").cast("double") /
-      (col("sa.n") + col("sb.n") - col("n_common"))
-    common
-      .join(sizes.as("sa"), col(s"sa.$idCol") === col("doc_a"))
-      .join(sizes.as("sb"), col(s"sb.$idCol") === col("doc_b"))
+      (col("na") + col("nb") - col("n_common"))
+    bandedCommonCounts(docs, idCol, textCol, n, seeds, bandSize, maxShingleFreq)
       .select(col("doc_a"), col("doc_b"), cont.as("containment"),
         j.as("jaccard"))
       .filter(col("containment") >= threshold)
@@ -228,14 +225,8 @@ object Dedup {
       val aggs = minAggs(seeds) :+ count(lit(1)).as("n")
       (shs, withHashHalves(shs, idCol).groupBy(idCol).agg(aggs.head, aggs.tail: _*))
     }
-    def bandsOf(sig: DataFrame): DataFrame = {
-      val bandKeys = (0 until seeds / bandSize).map { b =>
-        val parts = (0 until bandSize).flatMap(k =>
-          Seq(lit(":"), col(s"mh${bandSize * b + k}").cast("string"))).tail
-        concat((lit(b + ":") +: parts): _*)
-      }
-      sig.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
-    }
+    def bandsOf(sig: DataFrame): DataFrame =
+      sig.select(col(idCol), explode(bandKeyArray(seeds, bandSize)).as("bk"))
     val (inShs, inSig) = prep(incoming)
     val (coShs, coSig) = prep(corpus)
     val cand = bandsOf(inSig).as("a")

@@ -23,10 +23,18 @@ object ZoneMap {
   /** Read only the files whose [min_us, max_us] range intersects
     * [lo, hi) according to the stored stats, as a DataFrame. False
     * inclusions are possible (stats are conservative), so callers keep
-    * their real predicate; false EXCLUSIONS are not, which is what
-    * makes the pruned read result-identical to the full scan. The
-    * pruned listing is the same driver-side path list every parquet
-    * scan builds — minus the skipped files.
+    * their real predicate; false EXCLUSIONS are not — GIVEN stats that
+    * cover every data file — which is what makes the pruned read
+    * result-identical to the full scan. Under the streaming sink the
+    * newest epoch's stats land just after its data (see
+    * `zoneMappedSink`'s consistency contract), so a racing reader can
+    * be one batch stale. The pruned listing is the same driver-side
+    * path list every parquet scan builds — minus the skipped files.
+    *
+    * Schema note: this reads explicit LEAF files, so Hive-style layout
+    * directories (the sink's `batch=<id>`) do NOT surface as partition
+    * columns the way a base-path scan discovers them — `batch` is
+    * layout metadata, not data.
     */
   def prunedRead(spark: SparkSession, statsPath: String,
       lo: Long, hi: Long): DataFrame = {

@@ -224,15 +224,18 @@ object Multimodal {
     * (dominant bin, size band): candidate pairs form only inside a
     * block (the LSH trade — cross-band near-dups are missed, same
     * contract as d04/s02), then the exact integer L1 distance over all
-    * 16 bins verifies, keeping pairs with L1 <= 0.5% of the combined
-    * byte count. Counts are recovered exactly from the float features
+    * 16 bins verifies, keeping pairs with L1 <= 2.5% of the combined
+    * byte count (40 * L1 <= bytes_a + bytes_b). Counts are recovered exactly from the float features
     * (m02's round-trip argument), so the oracle — which re-derives the
     * histograms from hex nibbles of the blob, never seeing the stub —
     * hash-matches the distances.
     */
   val m03 = OpQuery.oracled("m03_media_near_dup_pairs", {
+    // DuckDB's hex() emits UPPERCASE digits — a lowercase 'a'..'f' here
+    // would silently zero bins 10-15 for any non-ASCII byte (latent on
+    // this all-ASCII fixture, fatal on a real corpus)
     val bins = (0 until 16).map(d =>
-      s"len(list_filter(generate_series(1, n_bytes), i -> substr(hx, 2*i-1, 1) = '${d.toHexString}')) AS c$d")
+      s"len(list_filter(generate_series(1, n_bytes), i -> substr(hx, 2*i-1, 1) = '${d.toHexString.toUpperCase}')) AS c$d")
       .mkString(",\n      |         ")
     s"""WITH med AS (
       |  SELECT doc_id AS media_id, text::BLOB AS payload

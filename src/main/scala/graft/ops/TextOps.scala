@@ -867,8 +867,11 @@ object TextOps {
       .select(col("doc_id"),
         explode(graft.expr.WordShingles.word_shingles(col("text"), 5)).as("g"))
     val ev = grams.filter(col("doc_id") % 20 === 0).distinct().persist()
-    // sketch over the SMALL side, sized by its distinct-gram count
-    val bloom = ev.stat.bloomFilter("g", 1000000L, 0.01)
+    // sketch over the SMALL side, sized by its actual distinct-gram
+    // count (one cheap count over the persisted eval grams; a fixed
+    // capacity would silently saturate — fpp -> 1 — once the eval set
+    // outgrew it, degrading the prune to a no-op with no error)
+    val bloom = ev.stat.bloomFilter("g", math.max(ev.count(), 1000L), 0.01)
     val bloomBc = grams.sparkSession.sparkContext.broadcast(bloom)
     grams.sparkSession.udf.register("t19_bloom_has_gram",
       (g: String) => bloomBc.value.mightContain(g))

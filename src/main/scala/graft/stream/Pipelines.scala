@@ -176,15 +176,26 @@ object Pipelines {
 
   /** Zone-mapped streaming sink: each micro-batch lands time-clustered
     * AND the file-level [[graft.io.ZoneMap]] stats table is maintained
-    * in the same transaction scope — the incremental form of the batch
-    * layout job behind r31 (a real event store is written by a stream,
-    * so its data-skipping index must be too).
+    * per epoch — the incremental form of the batch layout job behind
+    * r31 (a real event store is written by a stream, so its
+    * data-skipping index must be too).
     *
     * Idempotence under redelivery: both the batch's data files and its
     * stats rows live in a `batch=<id>` subdirectory written with
     * overwrite — a replayed epoch rewrites both, never duplicates
     * either (plain `mode("append")` stats would double-count on
-    * replay). Readers see base and stats as flat parquet trees.
+    * replay).
+    *
+    * Consistency contract — two parquet jobs, NOT one atomic commit:
+    * data lands first, stats second, so a concurrent pruned reader can
+    * briefly miss the NEWEST batch (bounded staleness, the standard
+    * secondary-index read-committed gap), and a reader racing a
+    * replay's overwrite can hit stats rows whose files were just
+    * rewritten (loud FileNotFoundException, not silent wrongness). A
+    * table format's transactional commit collapses both writes into
+    * one atomic visibility point — on Delta/Iceberg this foreachBatch
+    * body becomes a single commit and the gap disappears.
+    *
     * Within each batch `repartitionByRange` on the time column keeps
     * per-file ranges tight — tight ranges are what make min/max stats
     * selective. Query through [[graft.io.ZoneMap.prunedRead]].
