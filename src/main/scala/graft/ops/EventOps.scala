@@ -442,6 +442,94 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** User-journey path mining: each user's FIRST five events (by time,
+    * event_id tie-break) concatenated into a path string, then the 20
+    * most common journeys. The per-user collect is bounded by the
+    * rank filter BEFORE the aggregation — the list can never exceed
+    * five elements, so this is the safe collect shape (contrast r15's
+    * unbounded collect_set anti-pattern). One shuffle on user_id, one
+    * on the path.
+    */
+  val e14 = OpQuery.oracled("e14_top_user_paths",
+    """WITH ranked AS (
+      |  SELECT user_id, event_type,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events
+      |), paths AS (
+      |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM ranked WHERE rn <= 5
+      |  GROUP BY 1
+      |)
+      |SELECT path, count(*) AS n_users
+      |FROM paths GROUP BY 1
+      |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+    doc = "top-20 user journeys: first-5-event paths per user (bounded collect), counted") { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Sources.table(spark, dir, "events")
+      .withColumn("ts_us", tsUs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy("user_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          s => s.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+  }
+
+  /** Robust outlier profile per event type: median and MAD (median
+    * absolute deviation) over integer cents, plus how many events sit
+    * more than 10 MADs out. Two exact-percentile passes (the robust
+    * twin of mean/stddev — resistant to the very outliers it hunts);
+    * values go through integer cents so the deviation arithmetic is
+    * bit-exact cross-engine, and the interpolated medians land on
+    * exact .0/.5 doubles.
+    */
+  val e15 = OpQuery.oracled("e15_mad_outliers",
+    """WITH v AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), med AS (
+      |  SELECT event_type, quantile_cont(cents, 0.5) AS med_cents
+      |  FROM v GROUP BY 1
+      |), dev AS (
+      |  SELECT v.event_type, v.cents, med.med_cents,
+      |         abs(v.cents - med.med_cents) AS adev
+      |  FROM v JOIN med USING (event_type)
+      |), mad AS (
+      |  SELECT event_type, quantile_cont(adev, 0.5) AS mad_cents
+      |  FROM dev GROUP BY 1
+      |)
+      |SELECT dev.event_type,
+      |       CAST(any_value(dev.med_cents) / 100 AS DOUBLE) AS median_value,
+      |       CAST(any_value(mad.mad_cents) / 100 AS DOUBLE) AS mad_value,
+      |       CAST(sum(CASE WHEN dev.adev > 10 * mad.mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       count(*) AS cnt
+      |FROM dev JOIN mad USING (event_type)
+      |GROUP BY 1
+      |ORDER BY event_type""".stripMargin,
+    doc = "median + MAD robust outlier profile per event type (two exact-percentile passes over integer cents)") { (spark, dir) =>
+    val v = Sources.table(spark, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("bigint").as("cents"))
+    val med = v.groupBy("event_type")
+      .agg(percentile(col("cents"), lit(0.5)).as("med_cents"))
+    val dev = v.join(med, "event_type")
+      .withColumn("adev", abs(col("cents") - col("med_cents")))
+    val mad = dev.groupBy("event_type")
+      .agg(percentile(col("adev"), lit(0.5)).as("mad_cents"))
+    dev.join(mad, "event_type")
+      .groupBy("event_type")
+      .agg(
+        (first(col("med_cents")) / 100).cast("double").as("median_value"),
+        (first(col("mad_cents")) / 100).cast("double").as("mad_value"),
+        sum(when(col("adev") > lit(10) * col("mad_cents"), 1).otherwise(0))
+          .cast("bigint").as("n_outliers"),
+        count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
-    e11, e12, e13)
+    e11, e12, e13, e14, e15)
 }

@@ -890,7 +890,63 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Exact proportional sample allocation (largest-remainder method):
+    * distribute EXACTLY 1000 eval slots across (lang, source) cells in
+    * proportion to their document counts — floor shares first, then
+    * one leftover slot each to the cells with the largest remainders
+    * (count tie-break, then cell id). Pure integer arithmetic, so the
+    * invariant sum(alloc) == 1000 holds by construction, which is the
+    * property fractional keep-rates (t15) cannot give an eval-set
+    * builder. Two tiny aggregates + a rank over CELLS (hundreds of
+    * rows at any corpus size) — the data-sized work is one group-by.
+    */
+  val t20 = OpQuery.oracled("t20_exact_allocation",
+    """WITH cells AS (
+      |  SELECT lang, source, count(*) AS cnt
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |  GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT sum(cnt) AS total, 1000 - sum((1000 * cnt) // (SELECT sum(cnt) FROM cells)) AS leftover
+      |  FROM cells
+      |), shares AS (
+      |  SELECT lang, source, cnt,
+      |         (1000 * cnt) // tot.total AS base,
+      |         (1000 * cnt) % tot.total AS rem,
+      |         tot.leftover AS leftover
+      |  FROM cells, tot
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY rem DESC, cnt DESC, lang, source) AS rk
+      |  FROM shares
+      |)
+      |SELECT lang, source, cnt,
+      |       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM ranked
+      |ORDER BY lang, source""".stripMargin,
+    doc = "largest-remainder exact sample allocation across (lang, source) cells — sum(alloc) == K by construction") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val k = 1000L
+    val cells = Sources.table(spark, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("cnt"))
+    // cross-join the one-row total back (cells is small — hundreds of
+    // rows — but the shape stays distributed: no collect)
+    val withTot = cells.crossJoin(
+      broadcast(cells.agg(sum("cnt").as("total"))))
+      .withColumn("base", expr(s"($k * cnt) div total"))
+      .withColumn("rem", expr(s"($k * cnt) % total"))
+    val leftover = lit(k) - sum(col("base")).over(
+      Window.partitionBy(lit(1)))
+    val rk = row_number().over(
+      Window.orderBy(col("rem").desc, col("cnt").desc, col("lang"), col("source")))
+    withTot
+      .withColumn("leftover", leftover)
+      .withColumn("rk", rk)
+      .select(col("lang"), col("source"), col("cnt"),
+        (col("base") + when(col("rk") <= col("leftover"), 1).otherwise(0))
+          .cast("bigint").as("alloc"))
+      .orderBy("lang", "source")
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19)
+      t14, t15, t16, t17, t18, t19, t20)
 }
