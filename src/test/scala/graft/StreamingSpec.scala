@@ -377,6 +377,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(pruned.count() == 100L)
   }
 
+  test("zone-mapped sink recovery: a replayed epoch rewrites, never duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val table = tmp("graft_zmr_table")
+    val statsP = tmp("graft_zmr_stats")
+    val cp = tmp("graft_zmr_cp")
+    val rows = (0L to 7999L by 20L).map(us => (us, us % 5, us * 1.5))
+
+    // run 1 processes the tape, run 2 re-adds it on the SAME checkpoint
+    // (source replay from offset 0) plus a genuinely new batch
+    val mem1 = MemoryStream[(Long, Long, Double)]
+    mem1.addData(rows: _*)
+    Pipelines.runToCompletion(Pipelines.zoneMappedSink(
+      mem1.toDF().toDF("us", "user_id", "value"), table, statsP, cp, "us"))
+    val mem2 = MemoryStream[(Long, Long, Double)]
+    mem2.addData(rows: _*) // committed offsets: must NOT re-emit
+    mem2.addData((8000L to 9999L by 20L).map(us => (us, us % 5, us * 1.5)): _*)
+    Pipelines.runToCompletion(Pipelines.zoneMappedSink(
+      mem2.toDF().toDF("us", "user_id", "value"), table, statsP, cp, "us"))
+
+    val data = spark.read.parquet(table)
+    assert(data.count() == 500L, s"replay duplicated rows: ${data.count()}")
+    // stats cover exactly the files on disk — no orphans, no gaps
+    val statFiles = spark.read.parquet(statsP)
+      .select("file").as[String].collect().toSet
+    val diskFiles = spark.read.parquet(table)
+      .select(input_file_name()).distinct().as[String].collect().toSet
+    assert(statFiles == diskFiles,
+      s"stats/disk divergence: ${statFiles.diff(diskFiles).size} orphaned, " +
+        s"${diskFiles.diff(statFiles).size} missing")
+  }
+
   test("checkpoint recovery: a restarted query resumes without duplicating output") {
     val raw = PinFixtures.pinRaw(spark)
     val envelopeRows = PinFixtures.envelope(raw).as[String].collect().toSeq
