@@ -487,6 +487,84 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** LSH recall against PLANTED near-duplicates — the acceptance
+    * metric of the dedup component (the d-family twin of s06's ANN
+    * recall). Every 20th document gets a deterministic mutant (every
+    * 10th token replaced, id offset +1000000) unioned into the corpus;
+    * the full d04 pipeline runs over the augmented corpus at a low
+    * verify threshold, so the reported recall measures what actually
+    * loses near-dups at scale: BANDING (candidate generation), not the
+    * verify filter. Deterministic end to end — the oracle re-derives
+    * the mutation, the banding, and the recall in SQL.
+    */
+  val d12 = OpQuery.oracled("d12_lsh_planted_recall", {
+    val mutDuck =
+      """array_to_string(list_transform(generate_series(1, len(ts)),
+        |                i -> CASE WHEN i % 10 = 3 THEN 'zz' ELSE ts[i] END), ' ')""".stripMargin
+    val bands = (0 until nSeeds / 2)
+      .map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || ':' || mh${2 * b + 1} AS bk FROM sig")
+      .mkString("\n      |  UNION ALL\n      |  ")
+    s"""WITH base AS (
+      |  SELECT doc_id, text FROM read_parquet('{SFDIR}/documents.parquet')
+      |), aug AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |         $mutDuck
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM base)
+      |  WHERE doc_id % 20 = 0
+      |), shs0 AS (
+      |  SELECT doc_id, unnest(shingles) AS sh FROM (
+      |    SELECT doc_id,
+      |           list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM aug)
+      |    WHERE len(t) >= 3)
+      |), ok AS (
+      |  SELECT sh FROM shs0 GROUP BY sh HAVING count(*) <= $maxShingleDocFreq
+      |), shs AS (
+      |  SELECT s.doc_id, s.sh FROM shs0 s JOIN ok USING (sh)
+      |), sig AS (
+      |  SELECT doc_id, ${duckMins.mkString(", ")} FROM shs GROUP BY doc_id
+      |), bands AS (
+      |  $bands
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      |), planted AS (
+      |  SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+      |  FROM base WHERE doc_id % 20 = 0
+      |), hit AS (
+      |  SELECT count(*) AS n_found
+      |  FROM planted JOIN cand USING (doc_a, doc_b)
+      |)
+      |SELECT (SELECT count(*) FROM planted) AS n_planted,
+      |       (SELECT n_found FROM hit) AS n_found,
+      |       CAST((SELECT n_found FROM hit) AS DOUBLE)
+      |         / (SELECT count(*) FROM planted) AS recall""".stripMargin
+  },
+    doc = "banding recall vs planted near-duplicates (deterministic mutants; the dedup acceptance metric)") { (spark, dir) =>
+    val base = Sources.table(spark, dir, "documents").select("doc_id", "text")
+    val mutants = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(expr(
+          "transform(split(text, ' '), (t, i) -> CASE WHEN (i + 1) % 10 = 3 THEN 'zz' ELSE t END)"),
+          " ").as("text"))
+    val aug = base.unionByName(mutants)
+    // threshold 0 keeps every banded candidate: recall isolates the
+    // candidate-generation stage (jaccard column ignored here)
+    val pairs = graft.api.Dedup.nearDupPairs(aug,
+      threshold = 0.0, maxShingleFreq = Some(maxShingleDocFreq))
+    val planted = base.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b"))
+    val hit = planted.join(pairs, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_found"))
+    val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
+    nPlanted.crossJoin(hit)
+      .select(col("n_planted"), col("n_found"),
+        (col("n_found").cast("double") / col("n_planted")).as("recall"))
+  }
+
   val all: Seq[OpQuery] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    d10, d11)
+    d10, d11, d12)
 }
