@@ -20,6 +20,13 @@ import graft.io.Sources
 object GraphOps {
 
   // Keep ~10% of edges, by endpoint arithmetic both engines share.
+  // Known (harmless, documented) structure: 7a+13b ≡ 0 (mod 10) holds
+  // iff a ≡ b (mod 10), so the kept subgraph splits into the 10 key-
+  // residue classes — g04 reports exactly 10 equal components, which
+  // is the sparsifier showing through, not a bug. The kernels under
+  // test are indifferent to it (triangles, coefficients, ranks, and
+  // components are computed by the same code paths on any edge list;
+  // GraphSpec runs them on irregular hand-built graphs).
   private val edgeKeep = "(7 * pa + 13 * pb) % 10 = 0"
 
   /** Distinct undirected co-purchase edges (pa < pb), sparsified.
@@ -260,5 +267,45 @@ object GraphOps {
       .limit(20)
   }
 
-  val all: Seq[OpQuery] = Seq(g01, g02, g03)
+  /** Connected-component size histogram of the co-purchase graph —
+    * the same min-label-propagation machinery that clusters near-dups
+    * ([[graft.api.Dedup.nearDupClusters]], d07) applied as a general
+    * graph kernel, which is the point: transitive closure is ONE
+    * operator in this engine, whatever the edges mean. The oracle is
+    * the independent recursive-CTE formulation.
+    */
+  val g04 = OpQuery.oracled("g04_connected_components", {
+    s"""WITH RECURSIVE pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), e0 AS (
+      |  SELECT DISTINCT pa, pb FROM pairs WHERE $edgeKeep
+      |), edges AS (
+      |  SELECT pa AS u, pb AS v FROM e0
+      |  UNION ALL
+      |  SELECT pb AS u, pa AS v FROM e0
+      |), reach AS (
+      |  SELECT u, u AS l FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v
+      |), lab AS (
+      |  SELECT u AS node, min(l) AS comp FROM reach GROUP BY 1
+      |), comps AS (
+      |  SELECT comp, count(*) AS comp_size FROM lab GROUP BY 1
+      |)
+      |SELECT CAST(comp_size AS BIGINT) AS comp_size,
+      |       count(*) AS n_components
+      |FROM comps GROUP BY 1
+      |ORDER BY comp_size""".stripMargin
+  },
+    doc = "connected-component size histogram (min-label propagation, shared with the dedup cluster operator)") { (spark, dir) =>
+    graft.api.Dedup.nearDupClusters(edges(spark, dir), aCol = "pa", bCol = "pb")
+      .select("cluster_id", "cluster_size").distinct()
+      .groupBy(col("cluster_size").as("comp_size"))
+      .agg(count(lit(1)).as("n_components"))
+      .orderBy("comp_size")
+  }
+
+  val all: Seq[OpQuery] = Seq(g01, g02, g03, g04)
 }

@@ -740,6 +740,64 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Recall@3 of the PQ-ADC search (s11) against the exact cosine
+    * baseline (s01) — closing the acceptance loop on the compressed
+    * path the way s06 does for the uncompressed ANN variants. Note the
+    * metric crosses OBJECTIVES (ADC ranks by quantized L2, the
+    * baseline by cosine), so this measures what a user of the
+    * compressed index actually experiences: how much of the true
+    * neighborhood survives quantization end to end (codebook coarse-
+    * ness included). Deterministic, so a fixed per-probe number.
+    *
+    * On THIS corpus the answer is 0.0 across all probes — and that is
+    * the metric doing its job, not failing: the embeddings are
+    * near-random (see s05's note) and the deterministic codebook has 2
+    * centroids per half, so quantized distances carry no neighborhood
+    * signal. Contrast s06, where LSH/IVF recall is nonzero because
+    * those paths re-rank their candidates by EXACT cosine; ADC ranks
+    * by the compressed distance alone. A real deployment sizes the
+    * codebook (k-means-trained, s07) until this dial clears its
+    * acceptance bar.
+    */
+  val s12 = OpQuery.oracled("s12_pq_adc_recall_at_3", {
+    def strip(sql: String): String = sql.trim
+    s"""WITH exact AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |${strip(s01.oracle.get)}
+       |  ) WHERE rank <= 3
+       |), adc AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |${strip(s11.oracle.get)}
+       |  )
+       |), matched AS (
+       |  SELECT adc.q_id, count(*) AS hits
+       |  FROM adc JOIN exact e ON e.q_id = adc.q_id AND e.neighbor_id = adc.neighbor_id
+       |  GROUP BY 1
+       |)
+       |SELECT g.vec_id AS q_id,
+       |       CAST(coalesce(h.hits, 0) AS INT) AS hits,
+       |       CAST(coalesce(h.hits, 0) AS DOUBLE) / 3 AS recall_at_3
+       |FROM (SELECT vec_id FROM read_parquet('{SFDIR}/embeddings.parquet')
+       |      WHERE vec_id % 50 = 0) g
+       |LEFT JOIN matched h ON h.q_id = g.vec_id
+       |ORDER BY q_id""".stripMargin
+  },
+    doc = "recall@3 of the PQ asymmetric-distance search (s11) vs the exact baseline (s01)") { (spark, dir) =>
+    val exact = s01.fn(spark, dir).filter(col("rank") <= 3)
+      .select("q_id", "neighbor_id")
+    val adc = s11.fn(spark, dir).select("q_id", "neighbor_id")
+    val matched = adc.join(exact, Seq("q_id", "neighbor_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits0"))
+    Sources.table(spark, dir, "embeddings")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"))
+      .join(matched, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("hits0"), lit(0L)).cast("int").as("hits"),
+        (coalesce(col("hits0"), lit(0L)).cast("double") / lit(3.0)).as("recall_at_3"))
+      .orderBy("q_id")
+  }
+
   val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11)
+    s10, s11, s12)
 }
