@@ -487,4 +487,91 @@ object Dedup {
         (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
         coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
   }
+
+  /** EXACT sparse-cosine similarity self-join over binary shingle
+    * vectors — AllPairs/PPJoin prefix filtering (Bayardo et al.,
+    * "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al.,
+    * PPJoin, WWW'08). Returns EVERY pair with
+    * cosine(A,B) = |A∩B| / sqrt(|A|·|B|) >= tNum/tDen — unlike the
+    * banded-MinHash paths ([[nearDupPairs]]), whose recall is
+    * probabilistic, this join's candidate pruning is lossless, so it is
+    * the acceptance baseline LSH recall is measured against.
+    *
+    * The threshold is a rational tNum/tDen and every comparison is
+    * integer (`tDen² · ov² >= tNum² · |A|·|B|`), so the result is
+    * bit-stable across engines — no sqrt, no float thresholds.
+    *
+    * Why this scales where the naive token join explodes:
+    *  - tokens get a global canonical order (document frequency
+    *    ascending, shingle text tie-break) — no dense global rank is
+    *    materialized; the (df, sh) tuple IS the order, so positions
+    *    come from a per-document window (uniform doc-id keys);
+    *  - a document of size n only indexes its PREFIX — the first
+    *    n - ⌈t²·n⌉ + 1 tokens, i.e. its RAREST shingles (PPJoin
+    *    Lemma 1: two sets with |A∩B| >= m must collide inside their
+    *    (size - m + 1)-prefixes under any shared total order; cosine
+    *    >= t forces m >= ⌈t²·size⌉ on each side). At t = 0.8 that
+    *    indexes ~36% of each document, all from the rare end of the
+    *    vocabulary, so the candidate join's keys are the LEAST viral
+    *    shingles in the corpus — the opposite of the raw token join's
+    *    stopword hot keys;
+    *  - a size filter (t²·|A| <= |B| <= |A|/t²) prunes candidates
+    *    before the verify join; `maxShingleFreq` additionally drops
+    *    boilerplate shingles exactly as in [[nearDupPairs]] (sizes and
+    *    overlap are then exact over the capped sets).
+    *
+    * Output: (doc_a, doc_b, n_common, size_a, size_b), doc_a < doc_b,
+    * one row per qualifying pair.
+    */
+  def allPairsCosine(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3,
+      tNum: Int = 4, tDen: Int = 5,
+      maxShingleFreq: Option[Long] = None): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, s"threshold $tNum/$tDen must be in (0, 1]")
+    val num2 = tNum.toLong * tNum
+    val den2 = tDen.toLong * tDen
+    val shsRaw = shingles(docs, idCol, textCol, n)
+    val shs = (maxShingleFreq match {
+      case Some(cap) =>
+        val ok = shsRaw.groupBy("sh").agg(count(lit(1)).as("_f"))
+          .filter(col("_f") <= cap).select("sh")
+        shsRaw.join(ok, "sh").select(col(idCol), col("sh"))
+      case None => shsRaw
+    }).persist()
+    // canonical order = global document frequency (asc, shingle text
+    // tie-break); one aggregation + a join back on sh. The join's key
+    // skew is bounded: with the cap active no key exceeds it, and
+    // without, the df side is one row per distinct shingle.
+    val dfreq = shs.groupBy("sh").agg(count(lit(1)).as("_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("_df"), col("sh"))
+    val pos = shs.join(dfreq, "sh")
+      .select(col(idCol), col("sh"),
+        row_number().over(w).as("_pos"),
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(idCol)).as("_n"))
+    // prefix = first (n - ceil(t^2 * n) + 1) tokens in canonical order
+    val ovMin = expr(s"(_n * $num2 + ${den2 - 1}) DIV $den2")
+    val pref = pos.filter(col("_pos") <= col("_n") - ovMin + 1)
+    val cand = pref.select(col(idCol).as("doc_a"), col("sh"), col("_n").as("na"))
+      .join(pref.select(col(idCol).as("doc_b"), col("sh"), col("_n").as("nb")),
+        Seq("sh"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("nb") * den2 >= col("na") * num2 &&
+        col("na") * den2 >= col("nb") * num2)
+      .select("doc_a", "doc_b").distinct()
+    val sizes = shs.groupBy(idCol).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(shs.as("s1"), col(s"s1.$idCol") === col("doc_a"))
+      .join(shs.as("s2"),
+        col(s"s2.$idCol") === col("doc_b") && col("s2.sh") === col("s1.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.as("sa"), col(s"sa.$idCol") === col("doc_a"))
+      .join(sizes.as("sb"), col(s"sb.$idCol") === col("doc_b"))
+      .filter(col("n_common") * col("n_common") * den2 >=
+        col("sa.n") * col("sb.n") * num2)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("sa.n").as("size_a"), col("sb.n").as("size_b"))
+  }
 }

@@ -565,6 +565,39 @@ object DedupOps {
         (col("n_found").cast("double") / col("n_planted")).as("recall"))
   }
 
+  /** Exact sparse-cosine similarity join via AllPairs/PPJoin prefix
+    * filtering ([[graft.api.Dedup.allPairsCosine]]) at cosine >= 4/5
+    * over the same capped 3-shingle sets d04 uses. Candidate pruning is
+    * LOSSLESS (prefix + size filters only discard pairs that provably
+    * cannot reach the threshold), so — unlike the banded-MinHash
+    * queries whose recall is probabilistic — the oracle here is the
+    * full quadratic join, and hash-parity proves the pruning exact.
+    * All comparisons are integer (tDen²·ov² >= tNum²·|A|·|B|); no
+    * float thresholds cross the engine boundary.
+    */
+  val d13 = OpQuery.oracled("d13_allpairs_cosine", {
+    s"""WITH sh0 AS (
+      |  SELECT doc_id, unnest(shingles) AS sh FROM ($duckShingles)
+      |), capped AS (
+      |  SELECT * FROM sh0
+      |  WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= $maxShingleDocFreq)
+      |), sets AS (
+      |  SELECT doc_id, list_sort(list(sh)) AS ts, count(*) AS n
+      |  FROM capped GROUP BY doc_id
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS n_common,
+      |       CAST(a.n AS BIGINT) AS size_a, CAST(b.n AS BIGINT) AS size_b
+      |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      |WHERE 25 * len(list_intersect(a.ts, b.ts)) * len(list_intersect(a.ts, b.ts))
+      |        >= 16 * a.n * b.n
+      |ORDER BY doc_a, doc_b""".stripMargin},
+    doc = "exact all-pairs cosine >= 0.8 via prefix filtering; oracle is the unpruned quadratic join — parity proves the pruning lossless") { (spark, dir) =>
+    graft.api.Dedup.allPairsCosine(Sources.table(spark, dir, "documents"),
+      tNum = 4, tDen = 5, maxShingleFreq = Some(maxShingleDocFreq))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[OpQuery] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    d10, d11, d12)
+    d10, d11, d12, d13)
 }

@@ -587,6 +587,60 @@ object JoinOps {
     doc = "zone-map file skipping: time-clustered layout + per-file min/max stats prune a flat file set",
     prepare = (spark, dir) => { ensureZoneMapped(spark, dir); () })
 
+  def ensureBloomIndexed(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = synchronized {
+    import java.nio.file.{Files, Paths}
+    val sf = new java.io.File(dir).getName.replace(".", "_")
+    val loc = s"/root/repo/target/bloomidx/$sf/lineitem_by_shipdate"
+    val statsLoc = s"/root/repo/target/bloomidx/$sf/stats"
+    if (!Files.exists(Paths.get(s"$statsLoc/_SUCCESS"))) {
+      Sources.table(spark, dir, "lineitem")
+        .repartitionByRange(16, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite").parquet(loc)
+      graft.io.BloomIndex.build(spark, loc, "l_orderkey", statsLoc)
+    }
+    (loc, statsLoc)
+  }
+
+  /** Bloom-index file skipping — the equality-predicate complement of
+    * r31's zone maps. The layout is the natural ingest order (files
+    * range-clustered by ship DATE), so a point lookup on the ORDER key
+    * gets nothing from min/max stats: every file's [min, max] orderkey
+    * range spans the whole key space. The per-file Bloom sets
+    * ([[graft.io.BloomIndex]]) answer "which files can hold this key"
+    * from KBs of metadata — one order's handful of lines ships on a few
+    * dates, so the probe touches a few files of the fleet, which is how
+    * a needle query survives a 100 TB date-ordered fact table (Delta/
+    * Iceberg bloom indexes, parquet column bloom filters). False
+    * positives pass through the kept equality predicate; skipping must
+    * be invisible, so the oracle is the plain unpruned lookup. The
+    * probe key (the table's min orderkey) is a driver-collected config
+    * scalar — the S8 shape, one row.
+    */
+  val r33 = OpQuery(
+    name = "r33_bloom_index_point_lookup",
+    fn = { (spark, dir) =>
+      val (loc, statsLoc) = ensureBloomIndexed(spark, dir)
+      val probe = Sources.table(spark, dir, "lineitem")
+        .agg(min("l_orderkey")).head().getLong(0)
+      graft.io.BloomIndex.prunedRead(spark, loc, statsLoc, probe.toString)
+        .filter(col("l_orderkey") === probe)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"),
+          col("l_extendedprice").cast("decimal(18,2)").cast("double")
+            .as("price"))
+        .orderBy("l_linenumber")
+    },
+    oracle = Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM lineitem
+        |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+        |ORDER BY l_linenumber""".stripMargin),
+    doc = "per-file Bloom index prunes a point lookup over a date-clustered layout; oracle is the unpruned lookup",
+    prepare = (spark, dir) => { ensureBloomIndexed(spark, dir); () })
+
   val all: Seq[OpQuery] = Seq(r17, r18, r19, r20, r21, r22, r23, r24, r25,
-    r26, r27, r28, r31)
+    r26, r27, r28, r31, r33)
 }

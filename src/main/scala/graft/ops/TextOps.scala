@@ -946,7 +946,82 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** Per-domain document cap — keep at most K documents per source,
+    * preferring the longest (a standard web-corpus curation step: one
+    * crawler-friendly domain must not dominate the training mix). The
+    * selection runs through the custom [[graft.plans.GroupTopK]]
+    * operator: a window row_number would fully sort every domain's
+    * documents to discard all but K, while GroupTopK keeps a bounded
+    * K-heap per domain on the map side — at 100 TB the shuffle carries
+    * at most parts x K rows per domain instead of the whole corpus.
+    */
+  val t21 = OpQuery.oracled("t21_per_domain_cap",
+    """SELECT source, doc_id, n_chars
+      |FROM read_parquet('{SFDIR}/documents.parquet')
+      |QUALIFY row_number() OVER (PARTITION BY source
+      |                           ORDER BY n_chars DESC, doc_id) <= 10
+      |ORDER BY source, doc_id""".stripMargin,
+    doc = "per-domain document cap (keep 10 longest per source) via the bounded-heap GroupTopK operator") { (spark, dir) =>
+    graft.api.Windows.topKPerGroup(
+      Sources.table(spark, dir, "documents").select("source", "doc_id", "n_chars"),
+      group = Seq("source"),
+      order = Seq(("n_chars", true), ("doc_id", false)),
+      k = 10)
+      .orderBy("source", "doc_id")
+  }
+
+  /** Per-language quality gate: keep the top 30% of each language by
+    * the t02 quality score (the CCNet shape — quality cutoffs must be
+    * computed WITHIN a language; a global cutoff would silently drop
+    * whole low-resource languages whose score distribution sits lower).
+    * The cutoff is integer rank arithmetic (rank*10 <= 3*count), not a
+    * float percentile compare, so the kept set is bit-stable across
+    * engines. One window shuffle on lang — at scale, lang is a
+    * bounded-cardinality partition key with skew toward head languages;
+    * the window only ranks (no per-group materialization), and a skewed
+    * deployment would sub-shard head languages by a hash salt and merge
+    * ranks, which this formulation permits because the score is rankable
+    * per shard.
+    */
+  val t22 = OpQuery.oracled("t22_quality_gate",
+    s"""WITH f AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |         len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS n_stop
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), q AS (
+      |  SELECT doc_id, lang,
+      |         (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5
+      |           + (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0) * 0.5 AS quality_score
+      |  FROM f
+      |)
+      |SELECT doc_id, lang, quality_score,
+      |       CAST(row_number() OVER (PARTITION BY lang
+      |                               ORDER BY quality_score DESC, doc_id) AS INT) AS lang_rank
+      |FROM q
+      |QUALIFY lang_rank * 10 <= 3 * count(*) OVER (PARTITION BY lang)
+      |ORDER BY lang, lang_rank""".stripMargin,
+    doc = "per-language quality percentile gate (keep top 30% per lang); integer rank cutoff, no float compare") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val scored = Sources.table(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", expr(s"size(filter(toks, t -> t IN ($stopList)))"))
+      .select(col("doc_id"), col("lang"),
+        ((col("n_stop").cast("double") / col("n_tokens")) * 0.5
+          + (least(col("n_tokens"), lit(200)).cast("double") / 200.0) * 0.5)
+          .as("quality_score"))
+    val byLang = Window.partitionBy("lang")
+    val rk = row_number().over(byLang.orderBy(col("quality_score").desc, col("doc_id")))
+    scored
+      .withColumn("lang_rank", rk)
+      .withColumn("_cnt", count(lit(1)).over(byLang))
+      .filter(col("lang_rank") * 10 <= col("_cnt") * 3)
+      .select("doc_id", "lang", "quality_score", "lang_rank")
+      .orderBy("lang", "lang_rank")
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20)
+      t14, t15, t16, t17, t18, t19, t20, t21, t22)
 }

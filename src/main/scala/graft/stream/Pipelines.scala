@@ -446,6 +446,41 @@ object Pipelines {
       }
   }
 
+  case class QuotaDoc(source: String, doc_id: Long)
+  case class QuotaDecision(source: String, doc_id: Long,
+      admitted: Boolean, n_seen: Long)
+
+  /** Per-key ingest quota — the streaming twin of the batch per-domain
+    * cap (TextOps t21): admit at most `limit` documents per source over
+    * the stream's lifetime, marking the rest rejected (a curation
+    * pipeline logs rejects rather than silently dropping, so the
+    * decision row carries the running count). State is ONE long per
+    * key — a 100 TB stream with millions of sources holds megabytes of
+    * state, and the admission decision never re-reads admitted rows.
+    * Within a batch, arrival order is made deterministic by doc_id so a
+    * replayed micro-batch reproduces identical decisions (exactness
+    * across batch splits is pinned by the StreamingSpec test).
+    */
+  def keyedQuota(docs: org.apache.spark.sql.Dataset[QuotaDoc], limit: Long)
+      : org.apache.spark.sql.Dataset[QuotaDecision] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, QuotaDecision](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[QuotaDoc],
+            state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          var seen = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(_.doc_id).map { d =>
+            seen += 1
+            QuotaDecision(src, d.doc_id, admitted = seen <= limit, n_seen = seen)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   def funnelStages(events: org.apache.spark.sql.Dataset[FunnelEvent],
       gapUs: Long = 3600000000L)
       : org.apache.spark.sql.Dataset[FunnelUpdate] = {

@@ -174,4 +174,46 @@ class DedupApiSpec extends AnyFunSuite {
     assert(cont > 0.8, s"containment $cont")
     assert(jac < 0.5, s"jaccard should be diluted, got $jac")
   }
+
+  test("allPairsCosine equals the brute-force quadratic join (lossless pruning)") {
+    // random corpus + one-word mutants: the prefix/size filters must
+    // not lose a single qualifying pair relative to brute force
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 60).map(i => s"w$i")
+    val base = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val mutated = (0 until 12).map { i =>
+      val toks = base(i)._2.split(" ")
+      toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.size))
+      (100L + i, toks.mkString(" "))
+    }
+    val all = base ++ mutated
+    val got = Dedup.allPairsCosine(all.toDF("doc_id", "text"), tNum = 7, tDen = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    def shingleSet(t: String): Set[String] = {
+      val w = t.split(" ")
+      (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val sets = all.map { case (id, t) => id -> shingleSet(t) }
+    val expect = (for {
+      (ia, sa) <- sets
+      (ib, sb) <- sets
+      if ia < ib
+      ov = (sa intersect sb).size.toLong
+      if 100L * ov * ov >= 49L * sa.size * sb.size
+    } yield (ia, ib, ov, sa.size.toLong, sb.size.toLong)).toSet
+    assert(expect.nonEmpty, "fixture must plant qualifying pairs")
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+  }
+
+  test("allPairsCosine boilerplate cap removes every shared shingle here") {
+    // cap 1: any shingle in 2+ docs is dropped, so no overlap survives
+    val pairs = Dedup.allPairsCosine(corpus, tNum = 1, tDen = 2,
+      maxShingleFreq = Some(1L))
+    assert(pairs.count() == 0)
+  }
 }

@@ -158,6 +158,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((2L, 1L, 1.0)), rows.toString)
   }
 
+  test("keyed quota admits across batches until the per-source cap, then rejects") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Pipelines.QuotaDoc]
+    val q = Pipelines.keyedQuota(mem.toDS(), limit = 3L).writeStream
+      .outputMode("update").format("memory").queryName("quota")
+      .start()
+    mem.addData(
+      Pipelines.QuotaDoc("a", 1L), Pipelines.QuotaDoc("a", 2L),
+      Pipelines.QuotaDoc("b", 10L))
+    q.processAllAvailable()
+    // the cap must be remembered ACROSS the batch boundary: source a has
+    // one admission slot left, so doc 3 passes and doc 4 is rejected
+    mem.addData(Pipelines.QuotaDoc("a", 4L), Pipelines.QuotaDoc("a", 3L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("quota").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getBoolean(2), r.getLong(3))))
+      .toMap
+    assert(rows(("a", 1L)) == ((true, 1L)))
+    assert(rows(("a", 2L)) == ((true, 2L)))
+    assert(rows(("b", 10L)) == ((true, 1L)))
+    // within-batch order is doc_id, not arrival: 3 admitted, 4 rejected
+    assert(rows(("a", 3L)) == ((true, 3L)))
+    assert(rows(("a", 4L)) == ((false, 4L)))
+  }
+
   test("streaming funnel tracks per-user stages across batches and enforces time gates") {
     implicit val sqlCtx = spark.sqlContext
     val hour = 3600000000L
