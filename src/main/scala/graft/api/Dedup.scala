@@ -94,9 +94,11 @@ object Dedup {
 
   /** The `seeds/bandSize` banded keys of a signature frame (mh0..mhN),
     * as one array column to explode — shared by every banded-LSH path
-    * in this file so the banding scheme cannot silently diverge.
+    * in this file (and the streaming twin in
+    * [[graft.stream.Pipelines.streamNearDups]]) so the banding scheme
+    * cannot silently diverge.
     */
-  private def bandKeyArray(seeds: Int, bandSize: Int): Column = {
+  private[graft] def bandKeyArray(seeds: Int, bandSize: Int): Column = {
     require(seeds % bandSize == 0,
       s"seeds ($seeds) must be a multiple of bandSize ($bandSize)")
     val keys = (0 until seeds / bandSize).map { b =>

@@ -145,5 +145,96 @@ object ScaleOps {
       .orderBy("o_orderpriority")
   }
 
-  val all: Seq[OpQuery] = Seq(r13, r14, r15, e06, r16)
+  /** HyperLogLog built from first principles — and therefore EXACTLY
+    * oracle-checkable, unlike r09's engine-native
+    * `approx_count_distinct` whose register layout is private. The
+    * sketch is fully determined by public arithmetic: h = first 60 md5
+    * bits of the value; bucket = h mod 64; rho = leading-zero count of
+    * the remaining 54-bit window + 1; register = max(rho) per bucket.
+    * Output pins every register (64 per group), the integer harmonic
+    * numerator S = sum(2^(55-register)) (estimate = 0.709 * m^2 * 2^55
+    * / S, one IEEE division of exact integers — deterministic across
+    * engines), the zero-register count (for the linear-counting
+    * small-range correction, left to the consumer), and the exact
+    * distinct count for the error story.
+    *
+    * The 100 TB shape: one codegen'd map stage, then a partial-agg
+    * shuffle that carries at most m=64 rows per task per group —
+    * registers merge by max, which is what makes HLL a sketch. r09
+    * remains the pragmatic engine-native path; this is the same
+    * algorithm with its guts verifiable.
+    */
+  val r34 = OpQuery.oracled("r34_hll_registers",
+    """WITH h AS (
+      |  SELECT l_returnflag,
+      |         CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM lineitem
+      |), rho AS (
+      |  SELECT l_returnflag, h % 64 AS bucket,
+      |         CASE WHEN h // 64 = 0 THEN 55
+      |              ELSE 55 - length(bin(h // 64)) END AS rho
+      |  FROM h
+      |), reg AS (
+      |  SELECT l_returnflag, bucket, max(rho) AS register
+      |  FROM rho GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT f.l_returnflag, b.bucket
+      |  FROM (SELECT DISTINCT l_returnflag FROM lineitem) f
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b
+      |), filled AS (
+      |  SELECT g.l_returnflag, g.bucket, coalesce(r.register, 0) AS register
+      |  FROM grid g LEFT JOIN reg r
+      |    ON g.l_returnflag = r.l_returnflag AND g.bucket = r.bucket
+      |), summed AS (
+      |  SELECT l_returnflag, bucket, register,
+      |         CAST(sum(CAST(1 AS BIGINT) << (55 - register))
+      |              OVER (PARTITION BY l_returnflag) AS BIGINT) AS s_num,
+      |         CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY l_returnflag) AS BIGINT) AS zero_regs
+      |  FROM filled
+      |), exact AS (
+      |  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT s.l_returnflag, s.bucket, s.register, s.s_num, s.zero_regs,
+      |       e.exact_distinct,
+      |       CAST(0.709 AS DOUBLE) * 4096
+      |         * CAST((CAST(1 AS BIGINT) << 55) AS DOUBLE)
+      |         / CAST(s.s_num AS DOUBLE) AS hll_estimate
+      |FROM summed s JOIN exact e ON s.l_returnflag = e.l_returnflag
+      |ORDER BY s.l_returnflag, s.bucket""".stripMargin,
+    doc = "HyperLogLog from first principles on md5 bits — every register, the harmonic numerator, and the estimate all hash-compared against DuckDB") { (spark, dir) =>
+    val li = Sources.table(spark, dir, "lineitem")
+    val rho = li.select(
+      col("l_returnflag"),
+      expr("CAST(conv(substr(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .select(
+        col("l_returnflag"),
+        expr("h % 64").as("bucket"),
+        expr("""CASE WHEN h div 64 = 0 THEN 55
+                |     ELSE 55 - length(conv(h div 64, 10, 2)) END""".stripMargin).as("rho"))
+    val reg = rho.groupBy("l_returnflag", "bucket").agg(max("rho").as("register"))
+    val grid = li.select("l_returnflag").distinct()
+      .crossJoin(spark.range(0, 64).select(col("id").as("bucket")))
+    val filled = grid.join(reg, Seq("l_returnflag", "bucket"), "left")
+      .withColumn("register", coalesce(col("register"), lit(0)))
+    val w = Window.partitionBy("l_returnflag")
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("exact_distinct"))
+    filled
+      .withColumn("s_num",
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - register)")).over(w))
+      .withColumn("zero_regs",
+        sum(when(col("register") === 0, 1L).otherwise(0L)).over(w))
+      .join(exact, Seq("l_returnflag"))
+      .withColumn("hll_estimate",
+        expr("""CAST(0.709 AS DOUBLE) * 4096
+                | * CAST(shiftleft(CAST(1 AS BIGINT), 55) AS DOUBLE)
+                | / CAST(s_num AS DOUBLE)""".stripMargin))
+      .select("l_returnflag", "bucket", "register", "s_num", "zero_regs",
+        "exact_distinct", "hll_estimate")
+      .orderBy("l_returnflag", "bucket")
+  }
+
+  val all: Seq[OpQuery] = Seq(r13, r14, r15, e06, r16, r34)
 }

@@ -446,6 +446,83 @@ object Pipelines {
       }
   }
 
+  case class StreamDoc(doc_id: Long, text: String)
+  case class BandDoc(bk: String, doc_id: Long, sig: Seq[Long])
+  case class BucketEntry(doc_id: Long, sig: Seq[Long])
+  case class BucketState(entries: Seq[BucketEntry])
+  case class NearDupHit(doc_new: Long, doc_old: Long, band: String,
+      n_agree: Int)
+
+  /** Streaming near-duplicate DETECTION — the continuous twin of the
+    * batch incremental dedup ([[graft.api.Dedup.incrementalNearDups]]):
+    * as documents arrive, emit (doc_new, doc_old) for every prior
+    * document whose MinHash signature agrees on >= `minAgree` of
+    * `seeds` components, where "prior" includes earlier micro-batches.
+    *
+    * Shape: the codegen'd signature expression runs stateless in the
+    * stream; the keyed state lives per LSH band bucket (same banding as
+    * the batch path — [[graft.api.Dedup.bandKeyArray]]), holding the
+    * last `maxBucket` (doc_id, signature) entries. Each arrival
+    * compares against its bucket's entries only — candidates are
+    * bounded by real band collisions exactly like the batch join, and
+    * state is O(buckets * maxBucket * seeds) longs regardless of
+    * stream length.
+    *
+    * Two documented trades vs the batch verifier:
+    *  - verification is by SIGNATURE agreement (an unbiased jaccard
+    *    estimate: E[n_agree/seeds] = J), not exact shingle jaccard —
+    *    keeping shingle sets in state would make state O(corpus);
+    *  - a pair colliding in several bands is emitted once PER BAND
+    *    (groups cannot see each other's output); downstream exact-once
+    *    is a stateless per-batch distinct, and cross-batch a pair
+    *    cannot recur because doc_new is consumed exactly once.
+    * The `maxBucket` cap evicts oldest-first; a bucket hotter than the
+    * cap (boilerplate-dominated corpora) degrades recall against
+    * evicted docs rather than growing state — the streaming analogue
+    * of the batch `maxShingleFreq` cap.
+    */
+  def streamNearDups(docs: org.apache.spark.sql.Dataset[StreamDoc],
+      n: Int = 3, seeds: Int = 8, bandSize: Int = 2,
+      minAgree: Int = 4, maxBucket: Int = 64)
+      : org.apache.spark.sql.Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val sig = docs.select(col("doc_id"),
+      graft.expr.MinHashSig.min_hash_sig(col("text"), n, seeds).as("sig"))
+      .filter(col("sig").isNotNull)
+    val withMh = sig.select(
+      col("doc_id") +: col("sig") +:
+        (0 until seeds).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+    val bands = withMh
+      .select(explode(graft.api.Dedup.bandKeyArray(seeds, bandSize)).as("bk"),
+        col("doc_id"), col("sig"))
+      .as[BandDoc]
+    bands
+      .groupByKey(_.bk)
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bk: String, it: Iterator[BandDoc],
+            state: org.apache.spark.sql.streaming.GroupState[BucketState]) =>
+          var entries = state.getOption.map(_.entries.toVector)
+            .getOrElse(Vector.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+          it.toSeq.sortBy(_.doc_id).foreach { d =>
+            entries.foreach { e =>
+              if (e.doc_id != d.doc_id) {
+                val agree = e.sig.iterator.zip(d.sig.iterator)
+                  .count { case (a, b) => a == b }
+                if (agree >= minAgree)
+                  out += NearDupHit(d.doc_id, e.doc_id, bk, agree)
+              }
+            }
+            entries = (entries :+ BucketEntry(d.doc_id, d.sig))
+              .takeRight(maxBucket)
+          }
+          state.update(BucketState(entries))
+          out.iterator
+      }
+  }
+
   case class QuotaDoc(source: String, doc_id: Long)
   case class QuotaDecision(source: String, doc_id: Long,
       admitted: Boolean, n_seen: Long)

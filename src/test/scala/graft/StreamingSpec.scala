@@ -620,4 +620,71 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.read.schema(Schemas.geoClean).parquet(sink)
     assert(got.count() == raw.dropDuplicates("ind", "timestamp").count())
   }
+
+  test("streaming near-dup detection equals the batch band join across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic corpus: 12 base sentences; every third doc is a
+    // one-word mutation of the previous base (high jaccard), the rest
+    // are pairwise unrelated
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val docs = (0 until 24).map { i =>
+      val base = (0 until 12).map(k => words((i / 2 * 5 + k * 3) % 12))
+      val text =
+        if (i % 2 == 1) (base.updated(7, "zz")).mkString(" ") // near-dup of i-1
+        else base.mkString(" ")
+      Pipelines.StreamDoc(i.toLong, text)
+    }
+    val (b1, b2) = docs.splitAt(15)
+    val mem = MemoryStream[Pipelines.StreamDoc]
+    val q = Pipelines.streamNearDups(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("near_dups")
+      .start()
+    mem.addData(b1: _*) // pairs split across the batch boundary carry state
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("near_dups")
+      .select("doc_new", "doc_old").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch formulation over the SAME corpus: band join + signature
+    // agreement (the streaming verify metric), newer vs older id
+    val sigs = graft.api.Dedup.minhashSignatures(docs.toDF("doc_id", "text"))
+      .withColumn("sig", array((0 until 8).map(i => col(s"mh$i")): _*))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      explode(graft.api.Dedup.bandKeyArray(8, 2)).as("bk"))
+    val want = bands.as("a").join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") > col("b.doc_id"))
+      .withColumn("n_agree", expr(
+        "aggregate(zip_with(a.sig, b.sig, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)"))
+      .filter(col("n_agree") >= 4)
+      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_old"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.nonEmpty, "fixture produced no near-dup pairs — mutation too strong")
+    // the planted mutations must actually be found
+    assert(got.exists { case (a, b) => a == b + 1 && a % 2 == 1 }, got.toString)
+  }
+
+  test("streaming near-dup bucket cap evicts oldest entries, bounding state") {
+    implicit val sqlCtx = spark.sqlContext
+    val text = "one two three four five six seven eight nine ten eleven twelve"
+    val mem = MemoryStream[Pipelines.StreamDoc]
+    val q = Pipelines.streamNearDups(mem.toDS(), maxBucket = 1).writeStream
+      .outputMode("append").format("memory").queryName("near_dups_cap")
+      .start()
+    // three identical docs in three batches; cap=1 keeps only the latest
+    for (id <- 1L to 3L) {
+      mem.addData(Pipelines.StreamDoc(id, text))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("near_dups_cap")
+      .select("doc_new", "doc_old").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 3 never sees doc 1: it was evicted when doc 2 arrived
+    assert(got == Set((2L, 1L), (3L, 2L)), got.toString)
+  }
 }
