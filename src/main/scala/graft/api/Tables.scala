@@ -104,18 +104,60 @@ object Tables {
       inPath: String, outPath: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetFileBytes > 0, s"bad target $targetFileBytes")
-    val bytes = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-        else if (f.getName.startsWith("part-")) f.length()
-        else 0L
-      walk(new java.io.File(inPath))
-    }
-    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val bytes = dirBytes(inPath)
+    val n = targetFileCount(bytes, targetFileBytes)
     val df = spark.read.parquet(inPath)
     val sized =
       if (n <= df.rdd.getNumPartitions) df.coalesce(n) else df.repartition(n)
     sized.write.mode("overwrite").parquet(outPath)
     n
   }
+
+  /** CLUSTERED compaction — `compact` plus re-layout: rewrites the
+    * table range-clustered on `clusterCol` and refreshes its zone map
+    * ([[graft.io.ZoneMap.stats]]) in the same job, i.e. the
+    * OPTIMIZE-style maintenance pass that turns a micro-batch sink's
+    * accretion of small time-interleaved files back into a layout whose
+    * per-file min/max stats are tight enough to prune.
+    *
+    * Unlike the plain `compact`, this DOES shuffle
+    * (`repartitionByRange`) — deliberately: interleaved ingest order is
+    * precisely what makes zone maps useless (every file's range spans
+    * everything), so re-clustering is the job, and its cost is paid
+    * once to speed every later pruned scan. Range partitioning gives
+    * files non-overlapping value ranges (up to boundary-duplicate
+    * keys), which is what makes a range predicate touch O(matching)
+    * files instead of all of them.
+    *
+    * Returns the number of output files requested.
+    */
+  def compactClustered(spark: org.apache.spark.sql.SparkSession,
+      inPath: String, outPath: String, clusterCol: String,
+      statsPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, s"bad target $targetFileBytes")
+    val n = targetFileCount(dirBytes(inPath), targetFileBytes)
+    spark.read.parquet(inPath)
+      .repartitionByRange(n, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("overwrite").parquet(outPath)
+    graft.io.ZoneMap.stats(spark, outPath, clusterCol)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsPath)
+    n
+  }
+
+  /** On-disk data bytes under `path` (driver-side listing — metadata,
+    * not data; a 100 TB table's listing is what a catalog serves).
+    */
+  private def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else if (f.getName.startsWith("part-")) f.length()
+      else 0L
+    walk(new java.io.File(path))
+  }
+
+  private def targetFileCount(bytes: Long, targetFileBytes: Long): Int =
+    math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
 }

@@ -587,6 +587,64 @@ object JoinOps {
     doc = "zone-map file skipping: time-clustered layout + per-file min/max stats prune a flat file set",
     prepare = (spark, dir) => { ensureZoneMapped(spark, dir); () })
 
+  /** One-time build for r35: fragment `events` into 48 small files
+    * partitioned on a NON-time key (simulating what per-minute
+    * micro-batch ingest leaves behind — every file's time range spans
+    * the whole table, so zone maps prune nothing), then run the
+    * clustered compaction pass ([[graft.api.Tables.compactClustered]])
+    * that rewrites it time-clustered and refreshes the zone map.
+    */
+  def ensureCompacted(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = synchronized {
+    import java.nio.file.{Files, Paths}
+    val sf = new java.io.File(dir).getName.replace(".", "_")
+    val frag = s"/root/repo/target/compact/$sf/events_fragmented"
+    val loc = s"/root/repo/target/compact/$sf/events_compacted"
+    val statsLoc = s"/root/repo/target/compact/$sf/stats"
+    if (!Files.exists(Paths.get(s"$statsLoc/_SUCCESS"))) {
+      Sources.table(spark, dir, "events")
+        .withColumn("us", expr("ts div 1000"))
+        .repartition(48, col("event_id"))
+        .write.mode("overwrite").parquet(frag)
+      graft.api.Tables.compactClustered(spark, frag, loc, "us", statsLoc,
+        targetFileBytes = 4L * 1024 * 1024)
+    }
+    (loc, statsLoc)
+  }
+
+  /** Compaction correctness: the same zone-map-pruned one-week scan as
+    * r31, but over a table that STARTED as 48 time-interleaved small
+    * files (a micro-batch sink's debris) and was rewritten by the
+    * clustered compaction pass. Compaction + re-clustering + stats
+    * refresh must all be invisible in the result, so the oracle is the
+    * plain filter over the original events table. The scale story is
+    * the maintenance loop every table format runs: ingest appends tiny
+    * unclustered files -> OPTIMIZE rewrites them range-clustered ->
+    * zone maps become selective again (the fragmented layout's stats
+    * would prune NOTHING — every file spans the full time range).
+    */
+  val r35 = OpQuery(
+    name = "r35_compacted_zonemap_scan",
+    fn = { (spark, dir) =>
+      val (_, statsLoc) = ensureCompacted(spark, dir)
+      val lo = 19745L * 86400000000L
+      val hi = 19752L * 86400000000L
+      graft.io.ZoneMap.prunedRead(spark, statsLoc, lo, hi)
+        .filter(col("us") >= lo && col("us") < hi)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+        .orderBy("event_type")
+    },
+    oracle = Some(
+      """SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE epoch_us(ts) >= 19745 * 86400000000 AND epoch_us(ts) < 19752 * 86400000000
+        |GROUP BY 1 ORDER BY event_type""".stripMargin),
+    doc = "clustered compaction (OPTIMIZE): small-file debris rewritten range-clustered with a fresh zone map; result provably unchanged",
+    prepare = (spark, dir) => { ensureCompacted(spark, dir); () })
+
   def ensureBloomIndexed(spark: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) = synchronized {
     import java.nio.file.{Files, Paths}
@@ -642,5 +700,5 @@ object JoinOps {
     prepare = (spark, dir) => { ensureBloomIndexed(spark, dir); () })
 
   val all: Seq[OpQuery] = Seq(r17, r18, r19, r20, r21, r22, r23, r24, r25,
-    r26, r27, r28, r31, r33)
+    r26, r27, r28, r31, r33, r35)
 }

@@ -1021,7 +1021,42 @@ object TextOps {
       .orderBy("lang", "lang_rank")
   }
 
+  /** One merge-selection round of BPE vocabulary induction: adjacent
+    * character-pair frequencies over every word occurrence (weighted by
+    * occurrence, not distinct — that IS the BPE statistic), top-50 by
+    * count with a total tie-break. Production tokenizer training
+    * iterates exactly this aggregation, applying the winning merge to a
+    * cached symbol-sequence frame between rounds; the per-round cost is
+    * what matters at corpus scale, and its shape here is one explode
+    * (bounded by text length) feeding a group-by whose key space is the
+    * symbol alphabet squared — a few thousand keys, so map-side partial
+    * aggregation collapses the shuffle to KBs per task regardless of
+    * corpus size.
+    */
+  val t23 = OpQuery.oracled("t23_bpe_pair_counts",
+    """WITH w AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), p AS (
+      |  SELECT substr(w, CAST(i AS INT), 2) AS pair
+      |  FROM w, LATERAL unnest(range(1, length(w))) AS t(i)
+      |  WHERE length(w) >= 2
+      |)
+      |SELECT pair, count(*) AS cnt
+      |FROM p GROUP BY 1
+      |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+    doc = "BPE merge-selection round: adjacent symbol-pair counts over all word occurrences; alphabet^2-bounded group-by") { (spark, dir) =>
+    Sources.table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), explode(expr("sequence(1, length(w) - 1)")).as("i"))
+      .select(expr("substr(w, i, 2)").as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(50)
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20, t21, t22)
+      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23)
 }

@@ -73,6 +73,50 @@ class TablesSpec extends AnyFunSuite {
     assert(a == b, "compaction must not change table content")
   }
 
+  test("clustered compaction restores pruning power and refreshes the zone map") {
+    import org.apache.spark.sql.functions._
+    val in = java.nio.file.Files.createTempDirectory("graft_ccomp_in").toString
+    val outBase = java.nio.file.Files.createTempDirectory("graft_ccomp_out").toString
+    val out = outBase + "/t"
+    val stats = outBase + "/stats"
+    val ev = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+      .withColumn("us", expr("ts div 1000"))
+    // micro-batch debris: 12 files partitioned on a non-time key, so
+    // every file's time range spans the whole table
+    ev.repartition(12, col("event_id")).write.mode("overwrite").parquet(in)
+    val n = Tables.compactClustered(spark, in, out, "us", stats,
+      targetFileBytes = 24L * 1024)
+    val statFrame = spark.read.parquet(stats).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(statFrame.length == n, s"one stats row per file: $n vs ${statFrame.length}")
+    // stats must equal the actual per-file min/max on disk
+    val actual = graft.io.ZoneMap.stats(spark, out, "us").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(statFrame.toSet == actual)
+    // range clustering: files ordered by min must not interleave
+    // (non-overlapping up to boundary-duplicate keys)
+    val ranges = statFrame.map(s => (s._2, s._3)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) => assert(hiA <= loB,
+        s"file ranges overlap after clustering: $hiA > $loB")
+      case _ => ()
+    }
+    // content identical
+    val a = ev.orderBy("event_id").collect().map(_.toString).toSeq
+    val b = spark.read.parquet(out).orderBy("event_id").collect().map(_.toString).toSeq
+    assert(a == b, "clustered compaction must not change table content")
+    // the fragmented layout's stats prune nothing for a narrow window;
+    // the compacted one's must skip most files
+    val span = ev.agg(min("us"), max("us")).head()
+    val (lo, hi) = (span.getLong(0), span.getLong(0) +
+      (span.getLong(1) - span.getLong(0)) / 10)
+    val fragStats = graft.io.ZoneMap.stats(spark, in, "us")
+    val fragTouched = fragStats.filter(col("max_us") >= lo && col("min_us") < hi).count()
+    val compTouched = statFrame.count(s => s._3 >= lo && s._2 < hi)
+    assert(fragTouched == 12L, s"fragmented layout should touch all files, got $fragTouched")
+    assert(compTouched < n, s"compacted layout should skip files: $compTouched of $n")
+  }
+
   test("duplicate update keys raise instead of fanning out the base row") {
     val updates = Seq(
       (2L, Option("x"), Option(1L)),
