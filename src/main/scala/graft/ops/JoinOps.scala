@@ -319,6 +319,82 @@ object JoinOps {
       .orderBy("z_bucket")
   }
 
+  // One unrolled step of the public-domain Hilbert xy2d recurrence
+  // (state columns hx, hy, hd; step size s): quadrant rank from the
+  // current bits, then the conditional reflect+swap rotation. The
+  // expressions are pure integer CASE/&/- arithmetic valid verbatim in
+  // BOTH Spark SQL and DuckDB, so the two engines run literally the
+  // same text ((3*rx) XOR ry is spelled CASE rx=0 -> ry | rx=1 -> 3-ry
+  // because DuckDB's ^ is exponentiation). All expressions in one layer
+  // read the PREVIOUS layer's state, so a layer is one SELECT.
+  private[graft] def hilbertLayer(s: Int): Seq[String] = {
+    val rx = s"(CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)"
+    val ry = s"(CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)"
+    Seq(
+      s"hd + ${s * s} * (CASE WHEN $rx = 0 THEN $ry ELSE 3 - $ry END) AS hd",
+      s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${s - 1} - hy ELSE hy END) ELSE hx END AS hx",
+      s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${s - 1} - hx ELSE hx END) ELSE hy END AS hy")
+  }
+  private[graft] val hilbertSteps = Seq(128, 64, 32, 16, 8, 4, 2, 1)
+
+  /** Hilbert-curve clustering of `orders` on (customer, order day) —
+    * the sharper alternative to r23's Z-order for multi-dimensional
+    * data skipping. Morton interleaving has "seams": consecutive
+    * z-values can jump across half the key space (cell 0b01111111 ->
+    * 0b10000000 teleports diagonally), so some buckets' bounding boxes
+    * are wide in one dimension. The Hilbert walk moves exactly one
+    * cell per step (verified bijective + unit-step for the 256x256
+    * grid), so every contiguous run of curve positions is a compact
+    * blob — per-file min/max stats stay tight in BOTH dimensions,
+    * which is why Hilbert is the layout picked by engines that take
+    * multi-dim skipping seriously.
+    *
+    * Cost profile is identical to r23: the curve index is a pure map
+    * stage (8 unrolled integer layers, whole-stage codegen'd),
+    * repartitionByRange samples + shuffles once, and the locality
+    * proof is a 64-group aggregate. The oracle runs the SAME unrolled
+    * arithmetic text in DuckDB — the curve definition itself is what
+    * is being hash-compared.
+    */
+  val r36 = OpQuery.oracled("r36_hilbert_layout", {
+    val layers = hilbertSteps.zipWithIndex.map { case (s, i) =>
+      val prev = if (i == 0) "d0" else s"s${hilbertSteps(i - 1)}"
+      s"s$s AS (SELECT xlo, ylo, ${hilbertLayer(s).mkString(", ")} FROM $prev)"
+    }.mkString(", ")
+    s"""WITH base AS (
+      |  SELECT CAST(o_custkey % 256 AS BIGINT) AS xlo,
+      |         CAST(date_diff('day', DATE '1992-01-01', o_orderdate) % 256 AS BIGINT) AS ylo
+      |  FROM orders
+      |), d0 AS (
+      |  SELECT xlo, ylo, xlo AS hx, ylo AS hy, CAST(0 AS BIGINT) AS hd FROM base
+      |), $layers
+      |SELECT CAST(hd >> 10 AS INT) AS h_bucket,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(min(xlo) AS INT) AS min_cust_lo, CAST(max(xlo) AS INT) AS max_cust_lo,
+      |       CAST(min(ylo) AS INT) AS min_day_lo, CAST(max(ylo) AS INT) AS max_day_lo
+      |FROM s1 GROUP BY 1
+      |ORDER BY h_bucket""".stripMargin
+  },
+    doc = "Hilbert-curve layout: unit-step space-filling clustering key + per-bucket locality proof; same unrolled arithmetic on both engines") { (spark, dir) =>
+    val base = Sources.table(spark, dir, "orders")
+      .select((col("o_custkey") % 256).cast("bigint").as("xlo"),
+        (datediff(col("o_orderdate"), lit("1992-01-01")) % 256).cast("bigint").as("ylo"))
+      .withColumn("hx", col("xlo"))
+      .withColumn("hy", col("ylo"))
+      .withColumn("hd", lit(0L))
+    val curved = hilbertSteps.foldLeft(base) { (df, s) =>
+      val Seq(hd, hx, hy) = hilbertLayer(s)
+      df.select(col("xlo"), col("ylo"), expr(hd), expr(hx), expr(hy))
+    }
+    curved.repartitionByRange(16, col("hd"))
+      .select(col("xlo"), col("ylo"), expr("hd >> 10").cast("int").as("h_bucket"))
+      .groupBy("h_bucket")
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        min("xlo").cast("int").as("min_cust_lo"), max("xlo").cast("int").as("max_cust_lo"),
+        min("ylo").cast("int").as("min_day_lo"), max("ylo").cast("int").as("max_day_lo"))
+      .orderBy("h_bucket")
+  }
+
   /** Incremental aggregate maintenance: a stored rollup (count / sum /
     * min / max per group) is brought up to date by aggregating ONLY the
     * new partition and merging partials — count+count, sum+sum,
@@ -700,5 +776,5 @@ object JoinOps {
     prepare = (spark, dir) => { ensureBloomIndexed(spark, dir); () })
 
   val all: Seq[OpQuery] = Seq(r17, r18, r19, r20, r21, r22, r23, r24, r25,
-    r26, r27, r28, r31, r33, r35)
+    r26, r27, r28, r31, r33, r35, r36)
 }

@@ -235,4 +235,28 @@ class ExprSpec extends AnyFunSuite {
     assert(sample(10) == sample(10))
     assert(sample(10) != sample(11))
   }
+
+  test("hilbert layers are a bijective unit-step curve on the 256x256 grid") {
+    // the r36 clustering key's defining property: every consecutive
+    // pair of curve positions is Manhattan-adjacent (what makes
+    // per-file bounding boxes tight in BOTH dimensions), and the map
+    // is a bijection (no two cells share a position)
+    val grid = spark.range(0, 256L * 256)
+      .select((col("id") % 256).as("xlo"), (col("id") / 256).cast("bigint").as("ylo"))
+      .withColumn("hx", col("xlo")).withColumn("hy", col("ylo"))
+      .withColumn("hd", lit(0L))
+    val curved = graft.ops.JoinOps.hilbertSteps.foldLeft(grid) { (df, s) =>
+      val Seq(hd, hx, hy) = graft.ops.JoinOps.hilbertLayer(s)
+      df.select(col("xlo"), col("ylo"), expr(hd), expr(hx), expr(hy))
+    }.select("xlo", "ylo", "hd")
+    assert(curved.select("hd").distinct().count() == 65536L)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("hd")
+    val nonUnit = curved
+      .withColumn("px", lag("xlo", 1).over(w))
+      .withColumn("py", lag("ylo", 1).over(w))
+      .filter(col("px").isNotNull &&
+        abs(col("xlo") - col("px")) + abs(col("ylo") - col("py")) =!= 1)
+      .count()
+    assert(nonUnit == 0L, s"$nonUnit non-adjacent consecutive curve steps")
+  }
 }
