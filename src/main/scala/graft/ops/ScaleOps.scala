@@ -236,5 +236,86 @@ object ScaleOps {
       .orderBy("l_returnflag", "bucket")
   }
 
-  val all: Seq[OpQuery] = Seq(r13, r14, r15, e06, r16, r34)
+  /** K-minimum-values sketch algebra — set-expression cardinalities
+    * (here: users who BOTH click AND purchase) without materializing
+    * the sets. Like r34's HLL this is built from public md5 arithmetic,
+    * so every sketch element, the intersection witness count rho, and
+    * both estimators are EXACTLY hash-compared against DuckDB.
+    *
+    * KMV: a set's sketch is its k smallest hash values; the union
+    * sketch is the k smallest of the sketches' union (closed under
+    * merge — that is the distributed story: per-partition k-heaps
+    * merge associatively); rho = |merged-sketch elements present in
+    * both input sketches| gives the Jaccard-style intersection
+    * estimate D_inter = (rho/k) * D_union with
+    * D_union = (k-1) * 2^60 / u_k (u_k = the k-th smallest). When a
+    * side holds fewer than k values the sketch IS the set and both
+    * estimates collapse to exact counts — the CASE arms encode that,
+    * which also makes the query correct at every scale factor.
+    *
+    * The 100 TB shape: distinct-by-key shuffle, then a per-type top-k
+    * (bounded heap), then arithmetic on <= 2k rows. Exact counts ride
+    * along for the error story.
+    */
+  val r37 = OpQuery.oracled("r37_kmv_intersection",
+    """WITH ev AS (
+      |  SELECT DISTINCT event_type, user_id FROM events
+      |  WHERE event_type IN ('click', 'purchase')
+      |), hashed AS (
+      |  SELECT event_type,
+      |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM ev
+      |), sk AS (
+      |  SELECT event_type, h FROM hashed
+      |  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= 64
+      |), both_t AS (
+      |  SELECT h, count(*) AS n_types FROM sk GROUP BY 1
+      |), merged AS (
+      |  SELECT DISTINCT h FROM sk ORDER BY h LIMIT 64
+      |), ms AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_merged, max(m.h) AS u_k,
+      |         CAST(sum(CASE WHEN b.n_types = 2 THEN 1 ELSE 0 END) AS BIGINT) AS rho
+      |  FROM merged m JOIN both_t b ON m.h = b.h
+      |), ex AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS exact_union,
+      |         CAST(sum(CASE WHEN nt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+      |  FROM (SELECT user_id, count(*) AS nt FROM ev GROUP BY 1)
+      |)
+      |SELECT n_merged, u_k, rho, exact_union, exact_inter,
+      |       CASE WHEN n_merged < 64 THEN CAST(n_merged AS DOUBLE)
+      |            ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(u_k AS DOUBLE) END AS est_union,
+      |       CASE WHEN n_merged < 64 THEN CAST(rho AS DOUBLE)
+      |            ELSE CAST(rho AS DOUBLE) * (CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(u_k AS DOUBLE)) / CAST(64 AS DOUBLE) END AS est_inter
+      |FROM ms CROSS JOIN ex""".stripMargin,
+    doc = "KMV sketch set-intersection (click-AND-purchase users): mergeable k-smallest-hashes sketch, exactly oracle-checked") { (spark, dir) =>
+    val k = 64
+    val ev = Sources.table(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_type", "user_id").distinct()
+    val hashed = ev.select(col("event_type"),
+      expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val sk = hashed.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select("event_type", "h")
+    val bothT = sk.groupBy("h").agg(count(lit(1)).as("n_types"))
+    val merged = sk.select("h").distinct().orderBy("h").limit(k)
+    val ms = merged.join(bothT, "h")
+      .agg(count(lit(1)).cast("bigint").as("n_merged"),
+        max("h").as("u_k"),
+        sum(when(col("n_types") === 2, 1L).otherwise(0L)).cast("bigint").as("rho"))
+    val ex = ev.groupBy("user_id").agg(count(lit(1)).as("nt"))
+      .agg(count(lit(1)).cast("bigint").as("exact_union"),
+        sum(when(col("nt") === 2, 1L).otherwise(0L)).cast("bigint").as("exact_inter"))
+    ms.crossJoin(ex)
+      .withColumn("est_union", expr(
+        """CASE WHEN n_merged < 64 THEN CAST(n_merged AS DOUBLE)
+          |     ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(u_k AS DOUBLE) END""".stripMargin))
+      .withColumn("est_inter", expr(
+        """CASE WHEN n_merged < 64 THEN CAST(rho AS DOUBLE)
+          |     ELSE CAST(rho AS DOUBLE) * (CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(u_k AS DOUBLE)) / CAST(64 AS DOUBLE) END""".stripMargin))
+      .select("n_merged", "u_k", "rho", "exact_union", "exact_inter",
+        "est_union", "est_inter")
+  }
+
+  val all: Seq[OpQuery] = Seq(r13, r14, r15, e06, r16, r34, r37)
 }

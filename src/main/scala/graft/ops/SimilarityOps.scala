@@ -798,6 +798,63 @@ object SimilarityOps {
       .orderBy("q_id")
   }
 
+  // Flip bit p (1-indexed) of the 8-char '0'/'1' bucket string `b` —
+  // pure concat/substr/CASE text valid verbatim in both dialects.
+  private def flipBit(b: String, p: Int): String =
+    s"concat(substr($b, 1, ${p - 1}), " +
+      s"CASE WHEN substr($b, $p, 1) = '1' THEN '0' ELSE '1' END, " +
+      s"substr($b, ${p + 1}, ${nPlanes - p}))"
+
+  /** Multi-probe LSH RADIUS search: every neighbor with cosine >= tau,
+    * not a fixed top-k — the other half of the similarity-search API
+    * (dedup-style "everything this close" queries; top-k answers "the
+    * closest few"). Single-bucket LSH (s02's trade) misses near
+    * neighbors that fall one sign-bit away, so each probe searches its
+    * own bucket PLUS the 8 Hamming-1 buckets — query-directed
+    * multi-probe: recall rises with probe count while the corpus-side
+    * layout (bucket = partition key) is untouched, and each query
+    * still reads a bounded 9/256ths of the corpus instead of
+    * all-pairs. The 9 candidate bucket ids are distinct by
+    * construction, so no (probe, candidate) pair is scored twice.
+    */
+  val s13 = OpQuery.oracled("s13_multiprobe_radius", {
+    val cands = (1 to nPlanes).map(p => flipBit("p.bucket", p))
+      .mkString(", ")
+    s"""WITH e AS (
+       |  $duckEmbedded
+       |), b AS (
+       |  SELECT vec_id, v, nrm, $bucketSqlDuck AS bucket FROM e
+       |), probes AS (
+       |  SELECT * FROM b WHERE vec_id % 50 = 0
+       |), cand AS (
+       |  SELECT p.vec_id AS q_id, p.v AS pv, p.nrm AS pnrm,
+       |         unnest([p.bucket, $cands]) AS cand_bucket
+       |  FROM probes p
+       |)
+       |SELECT q.q_id, c.vec_id AS neighbor_id,
+       |       ${duckDot("q.pv", "c.v")} / (q.pnrm * c.nrm) AS cos_sim
+       |FROM cand q JOIN b c ON c.bucket = q.cand_bucket AND c.vec_id <> q.q_id
+       |WHERE ${duckDot("q.pv", "c.v")} / (q.pnrm * c.nrm) >= 0.25
+       |ORDER BY q_id, neighbor_id""".stripMargin
+  },
+    doc = "multi-probe LSH radius search (cosine >= 0.25 within Hamming-1 buckets): bounded probes, layout untouched") { (spark, dir) =>
+    val b = embedded(spark, dir)
+      .withColumn("bucket", expr(bucketSqlSpark))
+      .select("vec_id", "v", "nrm", "bucket")
+    val probes = b.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("bucket").as("pbucket"))
+    val candBuckets = array(
+      col("pbucket") +: (1 to nPlanes).map(p => expr(flipBit("pbucket", p))): _*)
+    val cand = probes.withColumn("cand_bucket", explode(candBuckets))
+    cand
+      .join(b, col("bucket") === col("cand_bucket") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", expr(s"${dotDec("pv", "v")} / (pnrm * nrm)"))
+      .filter(col("cos_sim") >= 0.25)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+      .orderBy("q_id", "neighbor_id")
+  }
+
   val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12)
+    s10, s11, s12, s13)
 }
