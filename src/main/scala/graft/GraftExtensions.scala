@@ -46,5 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // as-of join (api.Joins.asOfJoin): one merge pass over co-partitioned
     // sorted sides instead of a candidate-pair explosion
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // interval-overlap join (api.Joins.intervalJoinNative): sampled
+    // range partitioning + per-partition plane sweep, no bucket knob
+    e.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }

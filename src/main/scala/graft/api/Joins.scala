@@ -93,6 +93,42 @@ object Joins {
       .drop("_graft_lb", "_graft_rb")
   }
 
+  /** Interval-overlap join through the custom
+    * [[graft.plans.IntervalJoin]] operator — same semantics as
+    * [[intervalJoin]] (all overlapping half-open pairs, no shared
+    * key), but WITHOUT the bucket-width knob: the exec range-partitions
+    * the time domain by sampling the actual interval starts, replicates
+    * each interval to exactly the partitions its span covers, and
+    * plane-sweeps each partition with exactly-once emission (a pair is
+    * produced only where `max` of the two starts falls). Fan-out adapts
+    * to the data instead of a caller-chosen constant; see the operator
+    * Scaladoc for the memory/scale contract.
+    *
+    * Start/end columns must be LONG epoch micros; column names must be
+    * disjoint. Rows with NULL or empty intervals join nothing.
+    */
+  def intervalJoinNative(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      numPartitions: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "interval join requires disjoint column names (rename one side)")
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) = plan.output
+      .find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $name not in ${plan.output.map(_.name).mkString(",")}"))
+    val bounds = Seq(attr(lPlan, lStart), attr(lPlan, lEnd),
+      attr(rPlan, rStart), attr(rPlan, rEnd))
+    bounds.foreach(a => require(a.dataType == LongType,
+      s"interval bounds must be LONG epoch micros, got ${a.name}: ${a.dataType}"))
+    org.apache.spark.sql.GraftSqlBridge.dataFrame(left.sparkSession,
+      graft.plans.IntervalJoin(bounds(0), bounds(1), bounds(2), bounds(3),
+        numPartitions, lPlan, rPlan))
+  }
+
   /** Hybrid skew join: equi-join `facts ⋈ dim` where the most frequent
     * fact-side keys bypass the shuffle. The `topHotKeys` heaviest keys
     * (deterministic tie-break on the key) are routed through a

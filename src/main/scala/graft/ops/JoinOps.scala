@@ -603,6 +603,52 @@ object JoinOps {
       .orderBy("incident_start_s")
   }
 
+  /** The same incident x user-day overlap as r28, but through the
+    * NATIVE interval-join operator ([[graft.api.Joins.intervalJoinNative]],
+    * `plans.IntervalJoin`) — no bucket-width knob: the exec samples the
+    * interval starts, range-partitions the time domain, replicates each
+    * interval to exactly the partitions its span covers, and
+    * plane-sweeps each partition with exactly-once pair emission. The
+    * oracle is identical to r28's, which is the point: two
+    * implementations (declarative bucketed join, custom exec), one
+    * semantics, both hash-checked against the same SQL.
+    */
+  val r29 = OpQuery.oracled("r29_interval_join_native",
+    """WITH ue AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |         min(epoch_us(ts)) AS a_start, max(epoch_us(ts)) + 1 AS a_end
+      |  FROM events GROUP BY 1, 2
+      |), eh AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*) AS n
+      |  FROM events WHERE event_type = 'error' GROUP BY 1
+      |), inc AS (
+      |  SELECT hr * 3600000000 AS i_start, (hr + 1) * 3600000000 AS i_end
+      |  FROM eh ORDER BY n DESC, hr LIMIT 20
+      |)
+      |SELECT CAST(i_start // 1000000 AS BIGINT) AS incident_start_s,
+      |       count(*) AS n_user_days
+      |FROM inc JOIN ue ON a_start < i_end AND i_start < a_end
+      |GROUP BY 1 ORDER BY incident_start_s""".stripMargin,
+    doc = "NATIVE interval join (sampled range partitions + plane sweep, exactly-once emission); same oracle as the bucketed r28") { (spark, dir) =>
+    val ev = Sources.table(spark, dir, "events")
+      .withColumn("us", expr("ts div 1000"))
+    val userDays = ev
+      .groupBy(col("user_id"), expr("us div 86400000000").as("day"))
+      .agg(min("us").as("a_start"), (max("us") + 1).as("a_end"))
+    val incidents = ev.filter(col("event_type") === "error")
+      .groupBy(expr("us div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("hr"))
+      .limit(20)
+      .select((col("hr") * 3600000000L).as("i_start"),
+        ((col("hr") + 1) * 3600000000L).as("i_end"))
+    Joins.intervalJoinNative(incidents, userDays,
+        "i_start", "i_end", "a_start", "a_end")
+      .groupBy((col("i_start") / 1000000L).cast("bigint").as("incident_start_s"))
+      .agg(count(lit(1)).as("n_user_days"))
+      .orderBy("incident_start_s")
+  }
+
   /** One-time build of a time-clustered copy of `events` (range-
     * partitioned on epoch-µs into 16 files) plus its ZONE MAP: a tiny
     * stats table of per-file (min_us, max_us), written at layout time.
@@ -776,5 +822,5 @@ object JoinOps {
     prepare = (spark, dir) => { ensureBloomIndexed(spark, dir); () })
 
   val all: Seq[OpQuery] = Seq(r17, r18, r19, r20, r21, r22, r23, r24, r25,
-    r26, r27, r28, r31, r33, r35, r36)
+    r26, r27, r28, r29, r31, r33, r35, r36)
 }

@@ -135,6 +135,40 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("native interval join equals the naive overlap join for every partition count") {
+    val rnd = new scala.util.Random(31)
+    // varied lengths incl. giants (the case that breaks fixed buckets:
+    // a 40000-long interval would explode into 40 copies at width
+    // 1000); a few empties that must match nothing
+    val left = spark.createDataFrame((1 to 200).map { i =>
+      val s = rnd.nextInt(50000).toLong
+      val len = if (i % 17 == 0) 0L
+        else if (i % 11 == 0) 40000L else rnd.nextInt(5000).toLong + 1
+      (i.toLong, s, s + len)
+    }).toDF("l_id", "ls", "le")
+    val right = spark.createDataFrame((1 to 300).map { i =>
+      val s = rnd.nextInt(50000).toLong
+      (1000L + i, s, s + (if (i % 13 == 0) 0L else rnd.nextInt(5000).toLong + 1))
+    }).toDF("r_id", "rs", "re")
+    val want = left.crossJoin(right)
+      .filter(col("ls") < col("re") && col("rs") < col("le") &&
+        col("le") > col("ls") && col("re") > col("rs"))
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Joins.intervalJoinNative(left, right, "ls", "le", "rs", "re",
+          numPartitions = Some(parts))
+        .select("l_id", "r_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.distinct.size == got.size, s"duplicate pairs at parts=$parts")
+      assert(got.sorted == want, s"parts=$parts")
+    }
+    // the custom exec must actually be planned (no fallback)
+    val plan = Joins.intervalJoinNative(left, right, "ls", "le", "rs", "re")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("IntervalJoinExec") || plan.contains("IntervalJoin"), plan)
+  }
+
   test("skewSplitJoin equals the plain join and keeps both physical paths") {
     val rnd = new scala.util.Random(99)
     // one planet-sized key (0) + a uniform tail — the shape the split is for
