@@ -576,4 +576,53 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         col("sa.n").as("size_a"), col("sb.n").as("size_b"))
   }
+
+  /** SemDeDup-style semantic near-duplicate pairs over an embedding
+    * column: every vector is assigned to its nearest centroid from a
+    * (small) codebook, candidate pairs are generated only WITHIN a
+    * cell, and the exact quantized cosine verifies each candidate.
+    *
+    * Scale shape (the whole point of cell blocking): the codebook is
+    * broadcast — scoring N vectors against k centroids is one map
+    * stage, and the argmax is a partially-aggregated `max_by`, so the
+    * N*k scored rows never shuffle; only N assignment rows do. Pair
+    * generation is a self-join on the cell id — with k sized ~N/S the
+    * per-cell population S bounds candidates at ~N*S/2 instead of
+    * N²/2. Tie-break on centroid id keeps the assignment
+    * deterministic when two centroids score equal.
+    *
+    * `vecs` must carry (idCol: integral, vecCol: array<double>);
+    * `centroids` carries (cidCol, cvecCol) with the same element type.
+    * Returns (vec_a, vec_b, cell, cos_sim), vec_a < vec_b, cosine
+    * computed with the engine's truncation-quantized dot product
+    * (order-insensitive, bit-reproducible across engines).
+    */
+  def semanticDupPairs(vecs: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "v",
+      cidCol: String = "c_id", cvecCol: String = "cv",
+      threshold: Double = 0.9): DataFrame = {
+    graft.expr.Functions.register(vecs.sparkSession)
+    val n = vecs.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .withColumn("_nrm", expr("sqrt(quantized_dot(_v, _v))"))
+    val cent = centroids.select(col(cidCol).as("_cid"), col(cvecCol).as("_cv"))
+      .withColumn("_cnrm", expr("sqrt(quantized_dot(_cv, _cv))"))
+    // _v/_nrm ride through the argmax as first(): identical within the
+    // group, so this avoids a join back on the id after assignment.
+    val cells = n.crossJoin(broadcast(cent))
+      .withColumn("_ccos", expr("quantized_dot(_v, _cv) / (_nrm * _cnrm)"))
+      .groupBy("_id")
+      .agg(
+        max_by(col("_cid"), struct(col("_ccos"), (-col("_cid")).as("_t"))).as("cell"),
+        first(col("_v")).as("_v"), first(col("_nrm")).as("_nrm"))
+      .persist()
+    val a = cells.select(col("_id").as("vec_a"), col("cell"),
+      col("_v").as("_va"), col("_nrm").as("_na"))
+    val b = cells.select(col("_id").as("vec_b"), col("cell"),
+      col("_v").as("_vb"), col("_nrm").as("_nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", expr("quantized_dot(_va, _vb) / (_na * _nb)"))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cell"), col("cos_sim"))
+  }
 }

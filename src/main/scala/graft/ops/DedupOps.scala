@@ -598,6 +598,66 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Truncation-quantized dot product, DuckDB side — must mirror the
+    * engine's `quantized_dot` exactly (trunc at 1e-12, exact long sum)
+    * so cosines are bit-equal across engines.
+    */
+  private def duckQDot(a: String, b: String): String =
+    s"""(CAST(list_sum(list_transform(generate_series(1, len($a)),
+       |     i -> CAST(trunc(($a[i] * $b[i]) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)""".stripMargin
+
+  /** SemDeDup-style semantic dedup with PLANTED near-duplicates: the
+    * synthetic embeddings are near-random (no natural pair clears
+    * cosine 0.5 — measured), so, as in d12, deterministic mutants
+    * (v + 0.01 per coordinate, cosine >= 0.996 to the base) are
+    * planted and the operator must surface exactly those pairs through
+    * cell-blocked candidate generation — the oracle re-derives the
+    * nearest-centroid assignment, the within-cell join and the
+    * quantized-cosine verify, and hash-parity proves all three.
+    */
+  val d14 = OpQuery.oracled("d14_semantic_dedup", {
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM read_parquet('{SFDIR}/embeddings.parquet')
+      |), aug AS (
+      |  SELECT vec_id, v FROM e
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, list_transform(v, x -> x + 0.01)
+      |  FROM e WHERE vec_id % 25 = 0
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(${duckQDot("v", "v")}) AS nrm FROM aug
+      |), cent AS (
+      |  SELECT vec_id AS c_id, v AS cv, sqrt(${duckQDot("v", "v")}) AS cnrm
+      |  FROM e WHERE vec_id % 250 = 0
+      |), assign AS (
+      |  SELECT n.vec_id, cent.c_id,
+      |         row_number() OVER (
+      |           PARTITION BY n.vec_id
+      |           ORDER BY ${duckQDot("n.v", "cent.cv")} / (n.nrm * cent.cnrm) DESC, cent.c_id ASC) AS rn
+      |  FROM n, cent
+      |), cells AS (
+      |  SELECT a.vec_id, a.c_id, n.v, n.nrm
+      |  FROM assign a JOIN n ON n.vec_id = a.vec_id WHERE a.rn = 1
+      |)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.c_id AS cell,
+      |       ${duckQDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos_sim
+      |FROM cells a JOIN cells b ON b.c_id = a.c_id AND a.vec_id < b.vec_id
+      |WHERE ${duckQDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.9
+      |ORDER BY vec_a, vec_b""".stripMargin
+  },
+    doc = "SemDeDup: nearest-centroid cell blocking + exact cosine verify over planted semantic duplicates") { (spark, dir) =>
+    val e = Sources.table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val mutants = e.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(v, x -> x + 0.01D)").as("v"))
+    val cent = e.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    graft.api.Dedup.semanticDupPairs(e.unionByName(mutants), cent,
+      idCol = "vec_id", vecCol = "v", threshold = 0.9)
+      .orderBy("vec_a", "vec_b")
+  }
+
   val all: Seq[OpQuery] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    d10, d11, d12, d13)
+    d10, d11, d12, d13, d14)
 }

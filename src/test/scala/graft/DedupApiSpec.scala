@@ -216,4 +216,33 @@ class DedupApiSpec extends AnyFunSuite {
       maxShingleFreq = Some(1L))
     assert(pairs.count() == 0)
   }
+
+  test("semanticDupPairs pairs only within the assigned cell, above threshold") {
+    // two well-separated directions (x-axis, y-axis); 1&2 nearly
+    // parallel (dup), 3 same cell but ~26 deg away, 4 in the other cell
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)),
+      (2L, Array(0.999, 0.01)),  // cos(1,2) ~ 0.99995
+      (3L, Array(0.9, 0.44)),    // x-cell, cos(1,3) ~ 0.898 < 0.95
+      (4L, Array(0.0, 1.0))      // y-cell
+    ).toDF("vec_id", "v")
+    val cent = Seq((10L, Array(1.0, 0.0)), (20L, Array(0.0, 1.0)))
+      .toDF("c_id", "cv")
+    val got = Dedup.semanticDupPairs(vecs, cent, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 10L)),
+      s"expected only the planted (1,2) pair in cell 10, got ${got.mkString(",")}")
+  }
+
+  test("semanticDupPairs tie-breaks equal centroid scores on min c_id") {
+    // duplicate centroids: every vector scores both equally; the
+    // deterministic assignment must pick c_id 10, never 20
+    val vecs = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.999, 0.01)))
+      .toDF("vec_id", "v")
+    val cent = Seq((20L, Array(1.0, 0.0)), (10L, Array(1.0, 0.0)))
+      .toDF("c_id", "cv")
+    val got = Dedup.semanticDupPairs(vecs, cent, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 10L)), got.mkString(","))
+  }
 }
