@@ -530,6 +530,49 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Inter-event gap profile: per-user lag window derives the time
+    * since the user's previous event (any type), then exact percentile
+    * aggregates summarize arrival cadence per event type of the LATER
+    * event — the pipeline-health metric that tells a 100 TB ingest
+    * whether a source went bursty. Gaps are exact integer milliseconds
+    * (epoch-ms subtraction), so the percentile interpolation is
+    * deterministic across engines; the lag shuffles once on user_id
+    * and the aggregation re-shuffles only the per-gap rows.
+    */
+  val e16 = OpQuery.oracled("e16_inter_event_gaps",
+    """WITH g AS (
+      |  SELECT event_type,
+      |         (epoch_ns(ts) - epoch_ns(lag(ts) OVER (
+      |            PARTITION BY user_id ORDER BY ts, event_id))) // 1000000 AS gap_ms
+      |  FROM events
+      |)
+      |SELECT event_type,
+      |       count(*) AS n_gaps,
+      |       CAST(quantile_cont(gap_ms, 0.5) AS DOUBLE) AS median_gap_ms,
+      |       CAST(quantile_cont(gap_ms, 0.9) AS DOUBLE) AS p90_gap_ms,
+      |       CAST(max(gap_ms) AS BIGINT) AS max_gap_ms
+      |FROM g WHERE gap_ms IS NOT NULL
+      |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    doc = "per-type inter-event arrival gaps (lag window + exact percentiles over integer ms)") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    // ts surfaces as BIGINT epoch-nanos on the Spark side (parquet ns
+    // precision); the oracle mirrors with epoch_ns. Integer ms division
+    // truncates identically in both engines on positive gaps.
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Sources.table(spark, dir, "events")
+      .select(col("event_type"),
+        (col("ts") - lag(col("ts"), 1).over(w)).as("gap_ns"))
+      .select(col("event_type"), expr("gap_ns DIV 1000000").as("gap_ms"))
+      .filter(col("gap_ms").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        percentile(col("gap_ms"), lit(0.5)).cast("double").as("median_gap_ms"),
+        percentile(col("gap_ms"), lit(0.9)).cast("double").as("p90_gap_ms"),
+        max(col("gap_ms")).cast("bigint").as("max_gap_ms"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15)
+    e11, e12, e13, e14, e15, e16)
 }

@@ -307,5 +307,55 @@ object GraphOps {
       .orderBy("comp_size")
   }
 
-  val all: Seq[OpQuery] = Seq(g01, g02, g03, g04)
+  /** Degree distribution + degree correlation: per degree k, how many
+    * nodes have degree k and the exact average degree of their
+    * neighbors (the k_nn(k) assortativity curve — rising means hubs
+    * attach to hubs). Three uniform-key shuffles: degree aggregation,
+    * edge-to-degree join, per-node neighbor-degree sum; the final
+    * per-k histogram is tiny. Every average is an exact
+    * bigint-sum / count division, so the doubles are reproducible.
+    */
+  val g05 = OpQuery.oracled("g05_degree_assortativity", {
+    s"""WITH pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), e0 AS (
+      |  SELECT DISTINCT pa, pb FROM pairs WHERE $edgeKeep
+      |), sym AS (
+      |  SELECT pa AS u, pb AS v FROM e0
+      |  UNION ALL
+      |  SELECT pb AS u, pa AS v FROM e0
+      |), deg AS (
+      |  SELECT u AS node, count(*) AS deg FROM sym GROUP BY 1
+      |), nbr AS (
+      |  SELECT s.u AS node, sum(d.deg) AS nbr_deg_sum, count(*) AS nbr_n
+      |  FROM sym s JOIN deg d ON d.node = s.v GROUP BY 1
+      |)
+      |SELECT CAST(deg.deg AS BIGINT) AS deg,
+      |       count(*) AS n_nodes,
+      |       CAST(sum(nbr.nbr_deg_sum) AS DOUBLE) / sum(nbr.nbr_n) AS avg_neighbor_deg
+      |FROM deg JOIN nbr USING (node)
+      |GROUP BY 1 ORDER BY deg""".stripMargin
+  },
+    doc = "degree histogram + exact k_nn(k) assortativity curve of the co-purchase graph") { (spark, dir) =>
+    val e = edges(spark, dir)
+    val sym = e.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
+      .persist()
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val nbr = sym
+      .join(deg.select(col("node").as("v"), col("deg").as("vdeg")), "v")
+      .groupBy(col("u").as("node"))
+      .agg(sum(col("vdeg")).as("nbr_deg_sum"), count(lit(1)).as("nbr_n"))
+    deg.join(nbr, "node")
+      .groupBy(col("deg").cast("bigint").as("deg"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        (sum(col("nbr_deg_sum")).cast("double") / sum(col("nbr_n")))
+          .as("avg_neighbor_deg"))
+      .orderBy("deg")
+  }
+
+  val all: Seq[OpQuery] = Seq(g01, g02, g03, g04, g05)
 }

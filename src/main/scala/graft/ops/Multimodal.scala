@@ -288,5 +288,42 @@ object Multimodal {
       .orderBy("media_a", "media_b")
   }.copy(prepare = (spark, dir) => { ensureMediaFiles(spark, dir); () })
 
-  val all: Seq[OpQuery] = Seq(m01, m02, m03)
+  /** Frame-sampling plan for the video payloads: given per-media
+    * duration metadata (40 ms/frame, i.e. 25 fps), emit the decode
+    * schedule — one frame per second plus its frame index — WITHOUT
+    * touching payload bytes. This is the half of video ingestion that
+    * is genuinely Spark's job at 100 TB: the schedule is a zero-shuffle
+    * map + generator stage (sequence/explode), partitioned exactly like
+    * the media table, and each row then drives one bounded decode task
+    * downstream (the decode itself being the m02-style stubbed batch
+    * step). Billions of frames never materialize anywhere except as
+    * this lazily-generated plan.
+    */
+  val m04 = OpQuery.oracled("m04_frame_sample_plan",
+    """SELECT media_id, ts_ms, ts_ms // 40 AS frame_idx,
+      |       CAST(n_frames AS BIGINT) AS n_frames
+      |FROM (
+      |  SELECT doc_id AS media_id,
+      |         unnest(generate_series(0, n_chars * 40 - 1, 1000)) AS ts_ms,
+      |         n_chars AS n_frames
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |  WHERE doc_id % 3 = 2
+      |)
+      |ORDER BY media_id, ts_ms""".stripMargin,
+    doc = "video decode schedule: 1 fps sample timestamps + frame indices from duration metadata (zero-shuffle generator stage)") { (spark, dir) =>
+    Sources.table(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 2) // the "video" stripe of the corpus
+      .select(col("doc_id").as("media_id"),
+        (col("n_chars") * 40L).as("duration_ms"),
+        col("n_chars").as("n_frames"))
+      .select(col("media_id"),
+        explode(expr("sequence(0L, duration_ms - 1, 1000L)")).as("ts_ms"),
+        col("n_frames"))
+      .select(col("media_id"), col("ts_ms"),
+        expr("ts_ms DIV 40").as("frame_idx"),
+        col("n_frames").cast("bigint").as("n_frames"))
+      .orderBy("media_id", "ts_ms")
+  }
+
+  val all: Seq[OpQuery] = Seq(m01, m02, m03, m04)
 }

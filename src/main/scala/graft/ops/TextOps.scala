@@ -1056,7 +1056,56 @@ object TextOps {
       .limit(50)
   }
 
+  /** Soft dedup: instead of DROPPING near-duplicates (d08's decision),
+    * down-weight every member of a near-dup cluster by 1/cluster_size
+    * so the family contributes one document's worth of training signal
+    * in aggregate — the repetition-control alternative when recall
+    * matters more than corpus size. Riding on the d04 pair generation
+    * and the label-propagation clusters, the only new work is a left
+    * join of the (tiny) cluster frame back to the corpus — singleton
+    * docs never enter a shuffle wider than that join.
+    */
+  val t24 = OpQuery.oracled("t24_soft_dedup_weights", {
+    s"""WITH RECURSIVE pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |${graft.ops.DedupOps.d04.oracle.get}
+      |  )
+      |), edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b AS u, doc_a AS v FROM pairs
+      |), reach AS (
+      |  SELECT u, u AS l FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v
+      |), lab AS (
+      |  SELECT u AS doc_id, min(l) AS cluster_id FROM reach GROUP BY 1
+      |), sz AS (
+      |  SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1
+      |), cl AS (
+      |  SELECT doc_id, cluster_size FROM lab JOIN sz USING (cluster_id)
+      |)
+      |SELECT d.doc_id,
+      |       CAST(coalesce(cl.cluster_size, 1) AS BIGINT) AS cluster_size,
+      |       CAST(1 AS DOUBLE) / coalesce(cl.cluster_size, 1) AS weight
+      |FROM read_parquet('{SFDIR}/documents.parquet') d
+      |LEFT JOIN cl ON cl.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+  },
+    doc = "near-dup down-weighting (1/cluster_size): the soft alternative to dropping duplicates") { (spark, dir) =>
+    val clusters = graft.api.Dedup.nearDupClusters(
+      graft.ops.DedupOps.d04.fn(spark, dir))
+      .select(col("doc_id"), col("cluster_size"))
+    Sources.table(spark, dir, "documents").select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_size"), lit(1L)).cast("bigint").as("cluster_size"),
+        (lit(1).cast("double") / coalesce(col("cluster_size"), lit(1L)))
+          .as("weight"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23)
+      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
 }
