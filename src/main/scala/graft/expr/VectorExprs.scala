@@ -51,6 +51,21 @@ object VectorExprs {
     acc.toDouble / 1e12
   }
 
+  /** [[quantizedDot]] over plain JVM arrays — the same truncation/long
+    * accumulation, for callers outside the expression tree (streaming
+    * state handlers) that must agree bit-for-bit with the column form.
+    */
+  def quantizedDotArr(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += ((a(i) * b(i)) * 1e12).toLong
+      i += 1
+    }
+    acc.toDouble / 1e12
+  }
+
   /** Quantized squared-L2 distance in integer picounits: per element,
     * the squared difference in IEEE double, scaled by 1e12, truncated
     * toward zero to a long, summed exactly. Bit-identical to the SQL

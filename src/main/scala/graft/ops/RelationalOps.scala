@@ -382,6 +382,56 @@ object RelationalOps {
         |ORDER BY region_name, priority""".stripMargin)
   }
 
+  /** TPC-H Q21 shape (public spec; "late" adapted to the schema's
+    * l_shipdate > o_orderdate + 60 days): suppliers who were the SOLE
+    * late supplier in a finished multi-supplier order. The oracle keeps
+    * the canonical correlated EXISTS / NOT EXISTS form; the engine
+    * reformulates both subqueries into ONE per-order aggregate —
+    * n_suppliers and n_late_suppliers via distinct-count — joined back
+    * to the late lines. That turns two correlated fact self-probes
+    * (each a repeated scan at 100 TB) into two shuffles on uniform
+    * order keys, and hash-parity proves the rewrite exact.
+    */
+  val r38 = OpQuery.oracled("r38_waiting_supplier",
+    """SELECT s.s_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+      |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      |WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin,
+    doc = "TPC-H Q21 waiting-supplier: correlated EXISTS pair rewritten as one per-order distinct-count aggregate") { (spark, dir) =>
+    val ord = Sources.table(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val lo = Sources.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    val stats = lo.groupBy("l_orderkey")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .select("l_orderkey")
+    val supp = Sources.table(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"))
+    lo.filter(col("late"))
+      .join(stats, "l_orderkey")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   val all: Seq[OpQuery] = Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09,
-    r10, r11, r12, r30, r32)
+    r10, r11, r12, r30, r32, r38)
 }

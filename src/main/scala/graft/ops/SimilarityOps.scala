@@ -855,6 +855,118 @@ object SimilarityOps {
       .orderBy("q_id", "neighbor_id")
   }
 
+  /** Top-1 recall of both ANN paths on PLANTED queries: each probe is
+    * a deterministic mutant (v + 0.01, cosine >= 0.996 to its base),
+    * so the right answer is known a priori — unlike s06/s12, whose
+    * recall on the near-random corpus measures rank agreement among
+    * ~0.3-cosine neighbors. A mutant misses only when blocking
+    * separates it from its base (IVF: base outside the two probed
+    * cells; LSH: one sign bit flips), so this isolates the blocking
+    * loss — the number an ANN tuning loop actually watches.
+    */
+  val s14 = OpQuery.oracled("s14_planted_ann_recall", {
+    s"""WITH e AS (
+       |  $duckEmbedded
+       |), mutn AS (
+       |  SELECT vec_id + 1000000 AS q_id, v, sqrt(${duckDot("v", "v")}) AS nrm
+       |  FROM (SELECT vec_id, list_transform(v, x -> x + 0.01) AS v
+       |        FROM e WHERE vec_id % 25 = 0)
+       |), cent AS (
+       |  SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id % 250 = 0
+       |), cells AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT e.vec_id, cent.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${duckDot("e.v", "cent.cv")} / (e.nrm * cent.cnrm) DESC, cent.c_id ASC) AS rn
+       |    FROM e, cent) WHERE rn = 1
+       |), qcells AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT m.q_id, cent.c_id,
+       |           row_number() OVER (PARTITION BY m.q_id
+       |             ORDER BY ${duckDot("m.v", "cent.cv")} / (m.nrm * cent.cnrm) DESC, cent.c_id ASC) AS rn
+       |    FROM mutn m, cent) WHERE rn <= 2
+       |), ivf_top AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q.q_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${duckDot("m.v", "c.v")} / (m.nrm * c.nrm) DESC, c.vec_id ASC) AS rn
+       |    FROM qcells q
+       |    JOIN cells cl ON cl.c_id = q.c_id
+       |    JOIN e c ON c.vec_id = cl.vec_id
+       |    JOIN mutn m ON m.q_id = q.q_id) WHERE rn = 1
+       |), lshb AS (
+       |  SELECT vec_id, v, nrm, $bucketSqlDuck AS bucket FROM e
+       |), lshq AS (
+       |  SELECT q_id, v, nrm, $bucketSqlDuck AS bucket FROM mutn
+       |), lsh_top AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q.q_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${duckDot("q.v", "c.v")} / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rn
+       |    FROM lshq q JOIN lshb c ON c.bucket = q.bucket) WHERE rn = 1
+       |), np AS (SELECT count(*) AS n_planted FROM mutn)
+       |SELECT method, n_planted, n_found,
+       |       CAST(n_found AS DOUBLE) / n_planted AS recall
+       |FROM (
+       |  SELECT 'ivf_nprobe2' AS method, np.n_planted,
+       |         (SELECT count(*) FROM ivf_top WHERE neighbor_id = q_id - 1000000) AS n_found
+       |  FROM np
+       |  UNION ALL
+       |  SELECT 'lsh_bucket' AS method, np.n_planted,
+       |         (SELECT count(*) FROM lsh_top WHERE neighbor_id = q_id - 1000000) AS n_found
+       |  FROM np)
+       |ORDER BY method""".stripMargin
+  },
+    doc = "ANN blocking loss on planted near-identical queries: top-1 recall of IVF(nprobe=2) and LSH-bucket search") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = embedded(spark, dir).select("vec_id", "v", "nrm").persist()
+    val mutn = e.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000000L).as("q_id"),
+        expr("transform(v, x -> x + 0.01D)").as("v"))
+      .withColumn("nrm", expr(s"sqrt(${dotDec("v", "v")})"))
+      .persist()
+    val cent = e.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val wBase = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id").asc)
+    val cells = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(s"${dotDec("v", "cv")} / (nrm * cnrm)"))
+      .withColumn("rn", row_number().over(wBase)).filter(col("rn") === 1)
+      .select("vec_id", "c_id")
+    val wQ = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id").asc)
+    val qcells = mutn.crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(s"${dotDec("v", "cv")} / (nrm * cnrm)"))
+      .withColumn("rn", row_number().over(wQ)).filter(col("rn") <= 2)
+      .select("q_id", "c_id")
+    def top1(cand: DataFrame): DataFrame = {
+      // cand: (q_id, neighbor_id, cos_sim)
+      val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("q_id", "neighbor_id")
+    }
+    val ivfTop = top1(qcells
+      .join(cells.select(col("vec_id").as("neighbor_id"), col("c_id")), Seq("c_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cvv"), col("nrm").as("cnr")), Seq("neighbor_id"))
+      .join(mutn.select(col("q_id"), col("v").as("qv"), col("nrm").as("qnr")), Seq("q_id"))
+      .withColumn("cos_sim", expr(s"${dotDec("qv", "cvv")} / (qnr * cnr)")))
+    val lshb = e.withColumn("bucket", expr(bucketSqlSpark))
+      .select(col("vec_id").as("neighbor_id"), col("bucket"),
+        col("v").as("cvv"), col("nrm").as("cnr"))
+    val lshq = mutn.withColumn("bucket", expr(bucketSqlSpark))
+      .select(col("q_id"), col("bucket"), col("v").as("qv"), col("nrm").as("qnr"))
+    val lshTop = top1(lshq.join(lshb, Seq("bucket"))
+      .withColumn("cos_sim", expr(s"${dotDec("qv", "cvv")} / (qnr * cnr)")))
+    val nPlanted = mutn.count()
+    def summarize(method: String, top: DataFrame): DataFrame =
+      top.filter(col("neighbor_id") === col("q_id") - 1000000L)
+        .agg(count(lit(1)).as("n_found"))
+        .select(lit(method).as("method"), lit(nPlanted).as("n_planted"),
+          col("n_found"),
+          (col("n_found").cast("double") / nPlanted).as("recall"))
+    summarize("ivf_nprobe2", ivfTop)
+      .unionByName(summarize("lsh_bucket", lshTop))
+      .orderBy("method")
+  }
+
   val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13)
+    s10, s11, s12, s13, s14)
 }

@@ -558,6 +558,76 @@ object Pipelines {
       }
   }
 
+  case class StreamVec(vec_id: Long, v: Array[Double])
+  case class AssignedVec(cell: Long, vec_id: Long, v: Array[Double], nrm: Double)
+  case class CellEntry(vec_id: Long, v: Array[Double], nrm: Double)
+  case class CellVecState(entries: Seq[CellEntry])
+  case class SemDupHit(vec_id: Long, dup_of: Long, cell: Long, cos_sim: Double)
+
+  /** Streaming twin of [[graft.api.Dedup.semanticDupPairs]] (SemDeDup):
+    * each arriving vector is assigned to its nearest centroid — a
+    * STATELESS map against the driver-shipped codebook, exactly the
+    * broadcast the batch form plans — and compared only against the
+    * vectors its cell has already admitted. A hit row is emitted per
+    * (new vector, earlier kept vector) whose quantized cosine clears
+    * the threshold; the newcomer then joins the cell state.
+    *
+    * State is bounded by construction: `maxCell` entries per cell,
+    * oldest evicted first (the streaming analogue of sizing the
+    * codebook so cells stay small; an over-hot cell degrades recall
+    * against evicted members instead of growing without bound). All
+    * arithmetic goes through [[graft.expr.VectorExprs.quantizedDotArr]],
+    * so a tape replayed through the batch operator produces the same
+    * cosines bit-for-bit — StreamingSpec pins that parity across a
+    * batch split. Within a micro-batch, arrival order is made
+    * deterministic by vec_id, so replays reproduce identical output.
+    */
+  def streamSemanticDups(vecs: org.apache.spark.sql.Dataset[StreamVec],
+      centroids: Seq[(Long, Array[Double])],
+      threshold: Double = 0.9, maxCell: Int = 256)
+      : org.apache.spark.sql.Dataset[SemDupHit] = {
+    import vecs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import graft.expr.VectorExprs.quantizedDotArr
+    require(centroids.nonEmpty, "streamSemanticDups needs a codebook")
+    val cents = centroids.sortBy(_._1).map { case (cid, cv) =>
+      (cid, cv, math.sqrt(quantizedDotArr(cv, cv)))
+    }
+    val assigned = vecs.map { d =>
+      val nrm = math.sqrt(quantizedDotArr(d.v, d.v))
+      var bestId = cents.head._1
+      var best = Double.NegativeInfinity
+      cents.foreach { case (cid, cv, cnrm) =>
+        val cos = quantizedDotArr(d.v, cv) / (nrm * cnrm)
+        if (cos > best) { best = cos; bestId = cid } // sorted ids: ties keep min
+      }
+      AssignedVec(bestId, d.vec_id, d.v, nrm)
+    }
+    assigned
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState[CellVecState, SemDupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cell: Long, it: Iterator[AssignedVec],
+            state: org.apache.spark.sql.streaming.GroupState[CellVecState]) =>
+          var entries = state.getOption.map(_.entries.toVector)
+            .getOrElse(Vector.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SemDupHit]
+          it.toSeq.sortBy(_.vec_id).foreach { d =>
+            entries.foreach { e =>
+              if (e.vec_id != d.vec_id) {
+                val cos = quantizedDotArr(e.v, d.v) / (e.nrm * d.nrm)
+                if (cos >= threshold)
+                  out += SemDupHit(d.vec_id, e.vec_id, cell, cos)
+              }
+            }
+            entries = (entries :+ CellEntry(d.vec_id, d.v, d.nrm))
+              .takeRight(maxCell)
+          }
+          state.update(CellVecState(entries))
+          out.iterator
+      }
+  }
+
   def funnelStages(events: org.apache.spark.sql.Dataset[FunnelEvent],
       gapUs: Long = 3600000000L)
       : org.apache.spark.sql.Dataset[FunnelUpdate] = {

@@ -183,4 +183,18 @@ class PlanSpec extends AnyFunSuite {
     assert(selected > 0 && selected <= 6,
       s"selected $selected of $total files — skipping is not happening")
   }
+
+  test("d14: the codebook is broadcast and the cell argmax is a partial aggregate") {
+    val p = plan(graft.ops.DedupOps.d14.fn(spark, TestSpark.sf0001))
+    // assignment scores ride a broadcast nested-loop (tiny codebook x
+    // corpus), never a shuffled join
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the argmax is a two-phase hash aggregate (partial_max_by before
+    // the exchange), so N*k scored rows never shuffle
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby")
+      || p.contains("partial max_by") || p.contains("max_by"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") ||
+      p.indexOf("SortMergeJoin") > p.indexOf("HashAggregate"),
+      "assignment must not sort-merge join before aggregation")
+  }
 }

@@ -687,4 +687,45 @@ class StreamingSpec extends AnyFunSuite {
     // doc 3 never sees doc 1: it was evicted when doc 2 arrived
     assert(got == Set((2L, 1L), (3L, 2L)), got.toString)
   }
+
+  test("streaming semantic dedup matches the batch operator across a batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // two well-separated cells; near-identical pairs (1,2) in the x-cell
+    // and (5,6) in the y-cell, split across micro-batches; 3 and 4 are
+    // distant same-cell members (x- and y-cell respectively)
+    val vecs = Seq(
+      Pipelines.StreamVec(1L, Array(1.0, 0.0)),
+      Pipelines.StreamVec(3L, Array(0.9, 0.44)),
+      Pipelines.StreamVec(5L, Array(0.01, 1.0)),
+      // --- batch boundary ---
+      Pipelines.StreamVec(2L, Array(0.999, 0.01)),
+      Pipelines.StreamVec(4L, Array(0.44, 0.9)),
+      Pipelines.StreamVec(6L, Array(0.012, 0.998)))
+    val cents = Seq((10L, Array(1.0, 0.0)), (20L, Array(0.0, 1.0)))
+    val mem = MemoryStream[Pipelines.StreamVec]
+    val q = Pipelines.streamSemanticDups(mem.toDS(), cents, threshold = 0.95)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sem_dups").start()
+    mem.addData(vecs.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(vecs.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sem_dups")
+      .select("vec_id", "dup_of", "cell", "cos_sim")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // batch operator over the same corpus: pairs are (min, max) with the
+    // earlier id as keeper, which matches stream arrival order here
+    val want = graft.api.Dedup.semanticDupPairs(
+        vecs.map(v => (v.vec_id, v.v)).toDF("vec_id", "v"),
+        cents.toDF("c_id", "cv"), threshold = 0.95)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.map(h => (h._1, h._2)) == Set((2L, 1L), (6L, 5L)), got.toString)
+  }
 }
