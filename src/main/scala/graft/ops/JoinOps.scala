@@ -821,6 +821,59 @@ object JoinOps {
     doc = "per-file Bloom index prunes a point lookup over a date-clustered layout; oracle is the unpruned lookup",
     prepare = (spark, dir) => { ensureBloomIndexed(spark, dir); () })
 
+  /** SCD2 (type-2 slowly-changing-dimension) history build from a
+    * change feed: each key's versioned rows become validity intervals —
+    * valid_from = the version's own timestamp, valid_to = the NEXT
+    * version's (open for the current row). The change feed is
+    * synthesized deterministically from orders (initial load plus two
+    * partial update waves), restricted to every 50th key so the output
+    * stays diffable. One window, partitioned by key and ordered by
+    * version — per-key history is short by construction, so the window
+    * partitions stay bounded no matter how large the dimension grows;
+    * no join, no shuffle beyond the window's own.
+    */
+  val r39 = OpQuery.oracled("r39_scd2_history",
+    """WITH feed AS (
+      |  SELECT o_orderkey AS k, TIMESTAMP '2025-01-01 00:00:00' AS version_ts,
+      |         CAST(o_totalprice AS DECIMAL(15,2)) AS pr
+      |  FROM orders WHERE o_orderkey % 50 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, TIMESTAMP '2025-02-01 00:00:00',
+      |         CAST(o_totalprice AS DECIMAL(15,2)) + 10
+      |  FROM orders WHERE o_orderkey % 50 = 0 AND o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, TIMESTAMP '2025-03-01 00:00:00',
+      |         CAST(o_totalprice AS DECIMAL(15,2)) + 25
+      |  FROM orders WHERE o_orderkey % 50 = 0 AND o_orderkey % 7 = 0
+      |)
+      |SELECT k, version_ts AS valid_from,
+      |       lead(version_ts) OVER (PARTITION BY k ORDER BY version_ts) AS valid_to,
+      |       pr,
+      |       CAST(CASE WHEN lead(version_ts) OVER (PARTITION BY k ORDER BY version_ts)
+      |                 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM feed
+      |ORDER BY k, valid_from""".stripMargin,
+    doc = "SCD2 validity intervals from a change feed (lead window per key; the warehouse history-table op)") { (spark, dir) =>
+    val o = Sources.table(spark, dir, "orders")
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("decimal(15,2)").as("pr0"))
+    def wave(ts: String, bump: Int, pred: org.apache.spark.sql.Column) =
+      o.filter(pred).select(col("k"),
+        lit(java.sql.Timestamp.valueOf(ts)).as("version_ts"),
+        (col("pr0") + bump).cast("decimal(15,2)").as("pr"))
+    val feed = wave("2025-01-01 00:00:00", 0, lit(true))
+      .unionByName(wave("2025-02-01 00:00:00", 10, col("k") % 3 === 0))
+      .unionByName(wave("2025-03-01 00:00:00", 25, col("k") % 7 === 0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("version_ts")
+    feed.select(col("k"), col("version_ts").as("valid_from"),
+        lead(col("version_ts"), 1).over(w).as("valid_to"), col("pr"),
+        when(lead(col("version_ts"), 1).over(w).isNull, 1L).otherwise(0L)
+          .cast("bigint").as("is_current"))
+      .orderBy("k", "valid_from")
+  }
+
   val all: Seq[OpQuery] = Seq(r17, r18, r19, r20, r21, r22, r23, r24, r25,
-    r26, r27, r28, r29, r31, r33, r35, r36)
+    r26, r27, r28, r29, r31, r33, r35, r36, r39)
 }

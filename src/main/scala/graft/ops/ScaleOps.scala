@@ -317,5 +317,72 @@ object ScaleOps {
         "est_union", "est_inter")
   }
 
-  val all: Seq[OpQuery] = Seq(r13, r14, r15, e06, r16, r34, r37)
+  /** Histogram quantile sketch, fully oracle-checkable (the companion
+    * to r16's engine-native `percentile_approx`, whose sketch guts are
+    * private): bucket every price into fixed $1000-wide integer-cent
+    * bins, then read p50/p90/p99 off the cumulative histogram with
+    * linear interpolation inside the landing bucket. Exact error bound
+    * (half a bucket), and — unlike an exact percentile, which must
+    * globally sort or multi-pass the full column — the 100 TB cost is
+    * ONE partially-aggregated shuffle of at most a few thousand
+    * (bucket, count) rows per task; the quantile read-off happens on
+    * the tiny histogram. Every count is an exact integer and the one
+    * interpolating division is the same IEEE op in both engines.
+    */
+  val r40 = OpQuery.oracled("r40_histogram_quantiles",
+    """WITH v AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+      |), hist AS (
+      |  SELECT cents // 100000 AS bucket, count(*) AS cnt
+      |  FROM v GROUP BY 1
+      |), cum AS (
+      |  SELECT bucket, cnt,
+      |         sum(cnt) OVER (ORDER BY bucket) AS cum_cnt,
+      |         coalesce(sum(cnt) OVER (ORDER BY bucket
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cnt,
+      |         (SELECT count(*) FROM v) AS n
+      |  FROM hist
+      |), qs AS (
+      |  SELECT q, CAST(ceil(q * n) AS BIGINT) AS target, n FROM
+      |    (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+      |    (SELECT count(*) AS n FROM v)
+      |), hit AS (
+      |  SELECT qs.q, qs.n, cum.bucket, cum.cnt, cum.prev_cnt, qs.target,
+      |         row_number() OVER (PARTITION BY qs.q ORDER BY cum.bucket) AS rn
+      |  FROM qs JOIN cum ON cum.cum_cnt >= qs.target
+      |)
+      |SELECT q, CAST(n AS BIGINT) AS n,
+      |       (bucket * 100000 + CAST(target - prev_cnt AS DOUBLE) / cnt * 100000)
+      |         / 100.0 AS est_value
+      |FROM hit WHERE rn = 1
+      |ORDER BY q""".stripMargin,
+    doc = "mergeable fixed-width histogram quantiles (p50/p90/p99 with half-bucket error; one bounded shuffle)") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val v = Sources.table(spark, dir, "orders")
+      .select(round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    val n = v.count()
+    val hist = v.select(expr("cents DIV 100000").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.select(col("bucket"), col("cnt"),
+      sum(col("cnt")).over(wCum).as("cum_cnt"),
+      coalesce(sum(col("cnt")).over(wPrev), lit(0L)).as("prev_cnt"))
+    import spark.implicits._
+    val qs = Seq(0.5, 0.9, 0.99).toDF("q").select(col("q"),
+      ceil(col("q") * n).cast("bigint").as("target"))
+    val wHit = Window.partitionBy("q").orderBy("bucket")
+    qs.join(cum, col("cum_cnt") >= col("target"))
+      .withColumn("rn", row_number().over(wHit))
+      .filter(col("rn") === 1)
+      .select(col("q"), lit(n).as("n"),
+        ((col("bucket") * 100000L
+          + (col("target") - col("prev_cnt")).cast("double") / col("cnt") * 100000L)
+          / 100.0).as("est_value"))
+      .orderBy("q")
+  }
+
+  val all: Seq[OpQuery] = Seq(r13, r14, r15, e06, r16, r34, r37, r40)
 }

@@ -1105,7 +1105,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Unigram familiarity: per document, the average corpus frequency of
+    * its token occurrences plus its hapax count — the log-free stand-in
+    * for unigram perplexity (boilerplate scores high, novel/noisy text
+    * scores low), kept in exact integer sums so both engines agree
+    * bit-for-bit (no transcendental functions cross the oracle
+    * boundary). Two shuffles: the corpus count (one row per distinct
+    * token — the famous "the" key carries ONE row on the build side,
+    * so the join fans out only by the probe side's own occurrences)
+    * and the per-doc re-aggregation on doc_id.
+    */
+  val t25 = OpQuery.oracled("t25_unigram_familiarity",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), cnt AS (
+      |  SELECT t, count(*) AS c FROM tok GROUP BY 1
+      |)
+      |SELECT tok.doc_id,
+      |       count(*) AS n_tokens,
+      |       CAST(sum(cnt.c) AS DOUBLE) / count(*) AS avg_token_freq,
+      |       CAST(sum(CASE WHEN cnt.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      |FROM tok JOIN cnt USING (t)
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    doc = "per-doc average token corpus frequency + hapax count (log-free unigram familiarity score)") { (spark, dir) =>
+    val tok = Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val cnt = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    tok.join(cnt, "t")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(col("c")).cast("double") / count(lit(1))).as("avg_token_freq"),
+        sum(when(col("c") === 1, 1).otherwise(0)).cast("bigint").as("n_hapax"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
+      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25)
 }
