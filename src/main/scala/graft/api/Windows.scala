@@ -2,6 +2,8 @@ package graft.api
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, NullsFirst, NullsLast, SortOrder}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 import graft.plans.GroupTopK
 
@@ -33,5 +35,46 @@ object Windows {
     }
     org.apache.spark.sql.GraftSqlBridge.dataFrame(df.sparkSession,
       GroupTopK(group.map(attr), sortOrder, k, plan))
+  }
+
+  /** Quantile read-off from a fixed-width histogram: given per-group
+    * (bucket, cnt) rows, returns one row per (group, q) with the
+    * interpolated quantile estimate in bucket-value units (error bound:
+    * half a bucket). The shared read-off behind the r40 batch query and
+    * [[graft.stream.Pipelines.windowedHistQuantiles]] — one
+    * implementation so the two cannot silently diverge.
+    *
+    * Every input count is an exact integer; the single interpolating
+    * division is one IEEE double op, so results are reproducible (and
+    * DuckDB-oracle-checkable) bit for bit. The histogram is assumed
+    * small (bounded bucket count per group) — the windows here run on
+    * the post-aggregation frame, never on raw data.
+    */
+  def histogramQuantiles(hist: DataFrame, group: Seq[String],
+      bucketCol: String, cntCol: String, qs: Seq[Double],
+      bucketWidth: Long): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    import hist.sparkSession.implicits._
+    val grp = group.map(col)
+    val wAll = if (group.isEmpty) Window.partitionBy()
+      else Window.partitionBy(grp: _*)
+    val wCum = wAll.orderBy(col(bucketCol))
+    val cum = hist.select(grp ++ Seq(col(bucketCol), col(cntCol)): _*)
+      .withColumn("_cum", sum(col(cntCol)).over(
+        wCum.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_prev", coalesce(sum(col(cntCol)).over(
+        wCum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", sum(col(cntCol)).over(wAll))
+    val qdf = qs.toDF("q")
+    val wHit = wAll.partitionBy(grp :+ col("q"): _*).orderBy(col(bucketCol))
+    cum.crossJoin(qdf)
+      .withColumn("_target", ceil(col("q") * col("_n")).cast("bigint"))
+      .filter(col("_cum") >= col("_target"))
+      .withColumn("_rn", row_number().over(wHit))
+      .filter(col("_rn") === 1)
+      .select(grp ++ Seq(col("q"), col("_n").as("n"),
+        (col(bucketCol) * bucketWidth
+          + (col("_target") - col("_prev")).cast("double") / col(cntCol)
+            * bucketWidth).as("est")): _*)
   }
 }

@@ -407,7 +407,8 @@ object RelationalOps {
       |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
       |GROUP BY s.s_name
       |ORDER BY numwait DESC, s_name""".stripMargin,
-    doc = "TPC-H Q21 waiting-supplier: correlated EXISTS pair rewritten as one per-order distinct-count aggregate") { (spark, dir) =>
+    doc = "TPC-H Q21 waiting-supplier: correlated EXISTS pair rewritten as per-order distinct-set windows (single fact pass)") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
     val ord = Sources.table(spark, dir, "orders")
       .filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_orderdate"))
@@ -416,16 +417,20 @@ object RelationalOps {
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-    val stats = lo.groupBy("l_orderkey")
-      .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
-      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
-      .select("l_orderkey")
+    // ONE pass over the fact join: both EXISTS subqueries become
+    // distinct-set windows on the order key. The collect_set windows
+    // are safe precisely because an order's line group is bounded
+    // (<= 7 rows) — this is not the r15 anti-pattern; a join back to a
+    // groupBy would scan the fact join twice (measured: no
+    // ReusedExchange).
+    val w = Window.partitionBy("l_orderkey")
     val supp = Sources.table(spark, dir, "supplier")
       .select(col("s_suppkey"), col("s_name"))
-    lo.filter(col("late"))
-      .join(stats, "l_orderkey")
+    lo
+      .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+      .withColumn("n_late_supp",
+        size(collect_set(when(col("late"), col("l_suppkey"))).over(w)))
+      .filter(col("late") && col("n_supp") > 1 && col("n_late_supp") === 1)
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
       .agg(count(lit(1)).as("numwait"))

@@ -357,30 +357,14 @@ object ScaleOps {
       |FROM hit WHERE rn = 1
       |ORDER BY q""".stripMargin,
     doc = "mergeable fixed-width histogram quantiles (p50/p90/p99 with half-bucket error; one bounded shuffle)") { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val v = Sources.table(spark, dir, "orders")
+    val hist = Sources.table(spark, dir, "orders")
       .select(round(col("o_totalprice") * 100).cast("bigint").as("cents"))
-    val n = v.count()
-    val hist = v.select(expr("cents DIV 100000").as("bucket"))
+      .select(expr("cents DIV 100000").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
-    val wCum = Window.orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wPrev = Window.orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = hist.select(col("bucket"), col("cnt"),
-      sum(col("cnt")).over(wCum).as("cum_cnt"),
-      coalesce(sum(col("cnt")).over(wPrev), lit(0L)).as("prev_cnt"))
-    import spark.implicits._
-    val qs = Seq(0.5, 0.9, 0.99).toDF("q").select(col("q"),
-      ceil(col("q") * n).cast("bigint").as("target"))
-    val wHit = Window.partitionBy("q").orderBy("bucket")
-    qs.join(cum, col("cum_cnt") >= col("target"))
-      .withColumn("rn", row_number().over(wHit))
-      .filter(col("rn") === 1)
-      .select(col("q"), lit(n).as("n"),
-        ((col("bucket") * 100000L
-          + (col("target") - col("prev_cnt")).cast("double") / col("cnt") * 100000L)
-          / 100.0).as("est_value"))
+    // shared read-off with the streaming twin (Windows.histogramQuantiles)
+    graft.api.Windows.histogramQuantiles(hist, Seq.empty,
+        "bucket", "cnt", Seq(0.5, 0.9, 0.99), 100000L)
+      .select(col("q"), col("n"), (col("est") / 100.0).as("est_value"))
       .orderBy("q")
   }
 

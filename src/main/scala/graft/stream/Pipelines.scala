@@ -174,6 +174,43 @@ object Pipelines {
       }
   }
 
+  /** Streaming histogram quantiles — the streaming twin of the r40
+    * batch query: per event-time tumbling window, the engine maintains
+    * the fixed-width integer histogram (a watermarked windowed count on
+    * (window, bucket) — mergeable partial state, which is exactly why a
+    * histogram sketch suits streams where an exact percentile cannot),
+    * and each CLOSED window's quantiles are read off per micro-batch
+    * through [[graft.api.Windows.histogramQuantiles]] — the same
+    * read-off the batch query uses, so the two cannot silently
+    * diverge. Output: (w_start, q, n, est) parquet rows, one per
+    * closed window and quantile.
+    */
+  def windowedHistQuantiles(events: DataFrame, timeCol: String,
+      valueCol: String, windowDur: String, watermarkDelay: String,
+      bucketWidth: Long, qs: Seq[Double],
+      outPath: String, checkpoint: String): DataStreamWriter[Row] = {
+    val hist = events
+      .withWatermark(timeCol, watermarkDelay)
+      .withColumn("_cents", round(col(valueCol) * 100).cast("bigint"))
+      .withColumn("_bucket", expr(s"_cents DIV $bucketWidth"))
+      .groupBy(window(col(timeCol), windowDur), col("_bucket"))
+      .agg(count(lit(1)).as("_cnt"))
+      .select(col("window.start").as("w_start"),
+        col("_bucket"), col("_cnt"))
+    hist.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.api.Windows.histogramQuantiles(batch, Seq("w_start"),
+              "_bucket", "_cnt", qs, bucketWidth)
+            .write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+  }
+
   /** Zone-mapped streaming sink: each micro-batch lands time-clustered
     * AND the file-level [[graft.io.ZoneMap]] stats table is maintained
     * per epoch — the incremental form of the batch layout job behind

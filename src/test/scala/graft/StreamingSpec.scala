@@ -335,6 +335,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set(("catA", 3L), ("catB", 2L)), rows.toString)
   }
 
+  test("streaming histogram quantiles equal the batch read-off per closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val out = tmp("graft_histq_out")
+    val cp = tmp("graft_histq_cp")
+    // base aligned to a 10-minute window boundary so minutes 0-9 share
+    // one window (windows align to the unix epoch)
+    def ts(min: Int) = new java.sql.Timestamp(1699999800000L + min * 60000L)
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.windowedHistQuantiles(mem.toDF().toDF("ts", "value"),
+        "ts", "value", windowDur = "10 minutes", watermarkDelay = "0 seconds",
+        bucketWidth = 1000L, qs = Seq(0.5, 0.9),
+        outPath = out, checkpoint = cp))
+
+    // one window's values split across two micro-batches: the histogram
+    // state must merge before the window closes
+    val w0 = Seq(12.0, 13.5, 41.0, 55.0)
+    val w0b = Seq(14.0, 90.0, 7.5)
+    mem.addData(w0.zipWithIndex.map { case (v, i) => (ts(i), v) }: _*)
+    run()
+    mem.addData(w0b.zipWithIndex.map { case (v, i) => (ts(5 + i), v) }: _*)
+    run()
+    mem.addData((ts(25), 1.0)) // advance the watermark past window 0
+    run()
+    val got = spark.read.parquet(out)
+      .select("q", "n", "est").as[(Double, Long, Double)].collect().toSet
+    // batch twin over the SAME rows through the SAME read-off helper
+    val hist = (w0 ++ w0b).toDF("value")
+      .select((round(col("value") * 100).cast("bigint")).as("cents"))
+      .select(expr("cents DIV 1000").as("_bucket"))
+      .groupBy("_bucket").agg(count(lit(1)).as("_cnt"))
+    val want = graft.api.Windows.histogramQuantiles(hist, Seq.empty,
+        "_bucket", "_cnt", Seq(0.5, 0.9), 1000L)
+      .select("q", "n", "est").as[(Double, Long, Double)].collect().toSet
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.map(_._2) == Set(7L), s"window 0 must hold 7 values: $got")
+  }
+
   test("streaming upsert sink merges micro-batches into a parquet table") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
