@@ -184,6 +184,53 @@ class PlanSpec extends AnyFunSuite {
       s"selected $selected of $total files — skipping is not happening")
   }
 
+  test("m04: the frame-sampling plan is a zero-shuffle generator stage") {
+    val p = plan(graft.ops.Multimodal.m04.fn(spark, TestSpark.sf0001))
+    // the only exchange allowed is the final presentation orderBy's
+    // range partitioning; no hash-partitioned (aggregation/join) shuffle
+    assert(!p.contains("hashpartitioning"),
+      "frame scheduling must not shuffle: " + p.take(2000))
+    assert(p.contains("Generate explode"), p.take(2000))
+  }
+
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      // one planet-sized key (0) among 100 uniform ones
+      val fact = spark.range(0, 200000)
+        .select(when(col("id") % 4 === 0, 0L).otherwise(col("id") % 100).as("k"),
+          md5(col("id").cast("string")).as("payload"))
+      val dim = spark.range(0, 100).select(col("id").as("k"),
+        md5(col("id").cast("string")).as("label"))
+      val joined = fact.join(dim, "k")
+      // materialize THIS queryExecution (count()/foreach plan separate
+      // queries and leave joined's own AdaptiveSparkPlan unexecuted)
+      val nOut = joined.collect().length
+      assert(nOut == 200000, s"unexpected join cardinality $nOut")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p.take(500))
+      assert(p.contains("skew=true"),
+        "AQE did not mark the skewed join: " + p.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("d14: the codebook is broadcast and the cell argmax is a partial aggregate") {
     val p = plan(graft.ops.DedupOps.d14.fn(spark, TestSpark.sf0001))
     // assignment scores ride a broadcast nested-loop (tiny codebook x
