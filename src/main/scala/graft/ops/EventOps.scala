@@ -573,6 +573,53 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Time-to-convert: for each user with a view, the latency to their
+    * first purchase AFTER that view, summarized with exact percentiles
+    * — the latency companion to e08's stage-count funnel. Two
+    * aggregations shuffled on user_id (first view, then first
+    * qualifying purchase); the delay frame that feeds the percentile is
+    * one row per converter, so the exact percentile's sort cost is
+    * bounded by converters, not events. All gaps are integer epoch-nano
+    * subtractions truncated to ms identically in both engines.
+    */
+  val e17 = OpQuery.oracled("e17_time_to_convert",
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_ns(ts)) AS v_ns FROM events
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), p AS (
+      |  SELECT e.user_id, min(epoch_ns(e.ts)) AS p_ns
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > v.v_ns
+      |  GROUP BY 1
+      |), d AS (
+      |  SELECT (p.p_ns - v.v_ns) // 1000000 AS delay_ms
+      |  FROM v JOIN p USING (user_id)
+      |)
+      |SELECT (SELECT count(*) FROM v) AS n_viewers,
+      |       count(*) AS n_converted,
+      |       CAST(quantile_cont(delay_ms, 0.5) AS DOUBLE) AS median_delay_ms,
+      |       CAST(quantile_cont(delay_ms, 0.9) AS DOUBLE) AS p90_delay_ms,
+      |       CAST(max(delay_ms) AS BIGINT) AS max_delay_ms
+      |FROM d""".stripMargin,
+    doc = "view->purchase conversion latency with exact percentiles (the latency half of the funnel)") { (spark, dir) =>
+    val events = Sources.table(spark, dir, "events")
+    val v = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("v_ns"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(v, "user_id")
+      .filter(col("ts") > col("v_ns"))
+      .groupBy("user_id").agg(min(col("ts")).as("p_ns"), first(col("v_ns")).as("v_ns2"))
+    val d = p.select(expr("(p_ns - v_ns2) DIV 1000000").as("delay_ms"))
+    d.agg(
+        count(lit(1)).as("n_converted"),
+        percentile(col("delay_ms"), lit(0.5)).cast("double").as("median_delay_ms"),
+        percentile(col("delay_ms"), lit(0.9)).cast("double").as("p90_delay_ms"),
+        max(col("delay_ms")).cast("bigint").as("max_delay_ms"))
+      .crossJoin(v.agg(count(lit(1)).as("n_viewers")))
+      .select("n_viewers", "n_converted", "median_delay_ms",
+        "p90_delay_ms", "max_delay_ms")
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15, e16)
+    e11, e12, e13, e14, e15, e16, e17)
 }

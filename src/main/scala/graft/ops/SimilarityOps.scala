@@ -967,6 +967,49 @@ object SimilarityOps {
       .orderBy("method")
   }
 
+  /** IVF index health: the per-cell population histogram of the s04
+    * assignment plus each cell's share of the corpus — the imbalance
+    * diagnostic an ANN tuning loop watches (a hot cell turns nprobe
+    * searches quadratic; the fix is more centroids or re-training,
+    * and this is the number that says so). One broadcast-scored
+    * assignment and one tiny aggregation; output scales with the
+    * codebook, not the corpus.
+    */
+  val s15 = OpQuery.oracled("s15_ivf_cell_balance", {
+    s"""WITH e AS (
+       |  $duckEmbedded
+       |), cent AS (
+       |  SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id % 250 = 0
+       |), cells AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT e.vec_id, cent.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${duckDot("e.v", "cent.cv")} / (e.nrm * cent.cnrm) DESC, cent.c_id ASC) AS rn
+       |    FROM e, cent) WHERE rn = 1
+       |)
+       |SELECT c_id, count(*) AS n_vecs,
+       |       CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM cells) AS share
+       |FROM cells GROUP BY 1 ORDER BY c_id""".stripMargin
+  },
+    doc = "IVF cell-population balance (per-cell share of the corpus; the ANN index-health diagnostic)") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = embedded(spark, dir).select("vec_id", "v", "nrm")
+    val cent = e.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id").asc)
+    val cells = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(s"${dotDec("v", "cv")} / (nrm * cnrm)"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "c_id")
+    // total via a window over the codebook-sized frame — a count()
+    // action here would re-run the whole assignment a second time
+    cells.groupBy("c_id").agg(count(lit(1)).as("n_vecs"))
+      .withColumn("share", col("n_vecs").cast("double")
+        / sum(col("n_vecs")).over(Window.partitionBy()))
+      .select("c_id", "n_vecs", "share")
+      .orderBy("c_id")
+  }
+
   val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14)
+    s10, s11, s12, s13, s14, s15)
 }
