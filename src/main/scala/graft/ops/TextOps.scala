@@ -1141,7 +1141,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Token-budgeted corpus assembly: each source gets a fixed token
+    * quota and admits its documents in deterministic (doc_id) order
+    * until the running token total would stay within budget — how a
+    * training mix is actually drawn when the recipe says "N tokens of
+    * source X", complementing t15 (doc-count keep rates), t20 (exact
+    * doc allocation) and t21 (per-source doc cap). One running-sum
+    * window per source; at 100 TB the per-source partitions are the
+    * unit of parallelism and nothing else shuffles.
+    */
+  val t26 = OpQuery.oracled("t26_token_budget_mixture",
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), c AS (
+      |  SELECT source, doc_id, n_tokens,
+      |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum_tokens
+      |  FROM t
+      |)
+      |SELECT source, doc_id, n_tokens, cum_tokens
+      |FROM c WHERE cum_tokens <= 1000
+      |ORDER BY source, doc_id""".stripMargin,
+    doc = "per-source token-budget admission (running-sum window; the 'N tokens of source X' mixture draw)") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Sources.table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 1000)
+      .orderBy("source", "doc_id")
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25)
+      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
 }
