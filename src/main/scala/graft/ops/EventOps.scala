@@ -620,6 +620,53 @@ object EventOps {
         "p90_delay_ms", "max_delay_ms")
   }
 
+  /** Hourly value-quantile profile through the mergeable-histogram
+    * read-off ([[graft.api.Windows.histogramQuantiles]] — the same code
+    * the r40 global query and the streaming pipeline use, here
+    * exercising its GROUPED path under the oracle): per hour, p50/p90
+    * of the event value off a $10-bucket histogram. The only
+    * corpus-sized shuffle is the (hour, bucket) count; the quantile
+    * windows run on the histogram frame, whose size is hours x
+    * occupied buckets regardless of event volume.
+    */
+  val e18 = OpQuery.oracled("e18_hourly_value_quantiles",
+    """WITH v AS (
+      |  SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
+      |         CAST(round(value * 100) AS BIGINT) // 1000 AS bucket
+      |  FROM events
+      |), hist AS (
+      |  SELECT hour_start, bucket, count(*) AS cnt FROM v GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT hour_start, bucket, cnt,
+      |         sum(cnt) OVER (PARTITION BY hour_start ORDER BY bucket) AS cum_cnt,
+      |         coalesce(sum(cnt) OVER (PARTITION BY hour_start ORDER BY bucket
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cnt,
+      |         sum(cnt) OVER (PARTITION BY hour_start) AS n
+      |  FROM hist
+      |), hit AS (
+      |  SELECT cum.hour_start, q.q, cum.n, cum.bucket, cum.cnt, cum.prev_cnt,
+      |         CAST(ceil(q.q * cum.n) AS BIGINT) AS target,
+      |         row_number() OVER (PARTITION BY cum.hour_start, q.q ORDER BY cum.bucket) AS rn
+      |  FROM cum CROSS JOIN (SELECT unnest([0.5, 0.9]) AS q) q
+      |  WHERE cum.cum_cnt >= CAST(ceil(q.q * cum.n) AS BIGINT)
+      |)
+      |SELECT hour_start, q, CAST(n AS BIGINT) AS n,
+      |       (bucket * 1000 + CAST(target - prev_cnt AS DOUBLE) / cnt * 1000) / 100.0
+      |         AS est_value
+      |FROM hit WHERE rn = 1
+      |ORDER BY hour_start, q""".stripMargin,
+    doc = "per-hour value quantiles via the shared mergeable-histogram read-off (grouped path of Windows.histogramQuantiles)") { (spark, dir) =>
+    val hist = Sources.table(spark, dir, "events")
+      .select(expr("(ts DIV 3600000000000) * 3600").as("hour_start"),
+        expr("CAST(round(value * 100) AS BIGINT) DIV 1000").as("bucket"))
+      .groupBy("hour_start", "bucket").agg(count(lit(1)).as("cnt"))
+    graft.api.Windows.histogramQuantiles(hist, Seq("hour_start"),
+        "bucket", "cnt", Seq(0.5, 0.9), 1000L)
+      .select(col("hour_start"), col("q"), col("n"),
+        (col("est") / 100.0).as("est_value"))
+      .orderBy("hour_start", "q")
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15, e16, e17)
+    e11, e12, e13, e14, e15, e16, e17, e18)
 }
