@@ -595,6 +595,41 @@ object Pipelines {
       }
   }
 
+  case class BudgetDoc(source: String, doc_id: Long, n_tokens: Long)
+  case class BudgetDecision(source: String, doc_id: Long, n_tokens: Long,
+      admitted: Boolean, cum_tokens: Long)
+
+  /** Per-source token-budget admission — the streaming twin of the
+    * batch mixture draw (TextOps t26), with the SAME prefix-sum rule:
+    * every document advances the source's running token total (even a
+    * rejected one), and a document is admitted iff the total it lands
+    * on stays within `budget`. Keeping the rejected tokens in the
+    * running sum is what makes the decision identical to the batch
+    * running-sum filter whenever arrival order matches doc_id order —
+    * StreamingSpec pins that equality across a batch split. State is
+    * one long per source, like [[keyedQuota]]; within-batch order is
+    * pinned by doc_id so replays reproduce identical decisions.
+    */
+  def tokenBudget(docs: org.apache.spark.sql.Dataset[BudgetDoc],
+      budget: Long): org.apache.spark.sql.Dataset[BudgetDecision] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, BudgetDecision](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[BudgetDoc],
+            state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(_.doc_id).map { d =>
+            cum += d.n_tokens
+            BudgetDecision(src, d.doc_id, d.n_tokens, cum <= budget, cum)
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   case class StreamVec(vec_id: Long, v: Array[Double])
   case class AssignedVec(cell: Long, vec_id: Long, v: Array[Double], nrm: Double)
   case class CellEntry(vec_id: Long, v: Array[Double], nrm: Double)

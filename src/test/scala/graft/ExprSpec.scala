@@ -259,4 +259,24 @@ class ExprSpec extends AnyFunSuite {
       .count()
     assert(nonUnit == 0L, s"$nonUnit non-adjacent consecutive curve steps")
   }
+
+  test("quantizedDotArr is bit-equal to the quantized_dot column expression") {
+    import spark.implicits._
+    graft.expr.Functions.register(spark)
+    // deterministic pseudo-random doubles incl. negatives and tiny values
+    val vecs = (0 until 50).map { i =>
+      val a = Array.tabulate(16)(j => math.sin(i * 16 + j) * (1 + j % 3))
+      val b = Array.tabulate(16)(j => math.cos(i * 16 + j) / (1 + j % 5))
+      (i.toLong, a, b)
+    }
+    val fromExpr = vecs.toDF("id", "a", "b")
+      .selectExpr("id", "quantized_dot(a, b) AS d")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    vecs.foreach { case (id, a, b) =>
+      val scalar = graft.expr.VectorExprs.quantizedDotArr(a, b)
+      assert(java.lang.Double.doubleToLongBits(scalar) ==
+        java.lang.Double.doubleToLongBits(fromExpr(id)),
+        s"vec $id: scalar $scalar != column ${fromExpr(id)}")
+    }
+  }
 }

@@ -727,6 +727,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((2L, 1L), (3L, 2L)), got.toString)
   }
 
+  test("streaming token budget matches the batch running-sum filter across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Pipelines.BudgetDoc]
+    val q = Pipelines.tokenBudget(mem.toDS(), budget = 100L).writeStream
+      .outputMode("update").format("memory").queryName("tok_budget")
+      .start()
+    // source a: 40 + 50 admitted (cum 90), 30 crosses (cum 120) and the
+    // later 5 must ALSO reject (prefix rule: cum 125) — exactly the
+    // batch filter's semantics; source b independent
+    mem.addData(
+      Pipelines.BudgetDoc("a", 1L, 40L), Pipelines.BudgetDoc("a", 2L, 50L),
+      Pipelines.BudgetDoc("b", 10L, 99L))
+    q.processAllAvailable()
+    mem.addData(
+      Pipelines.BudgetDoc("a", 3L, 30L), Pipelines.BudgetDoc("a", 4L, 5L),
+      Pipelines.BudgetDoc("b", 11L, 1L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tok_budget")
+      .select("source", "doc_id", "admitted", "cum_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getBoolean(2), r.getLong(3))))
+      .toMap
+    // batch twin: same docs through the t26-style running-sum filter
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val want = Seq(("a", 1L, 40L), ("a", 2L, 50L), ("a", 3L, 30L),
+        ("a", 4L, 5L), ("b", 10L, 99L), ("b", 11L, 1L))
+      .toDF("source", "doc_id", "n_tokens")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("admitted", col("cum_tokens") <= 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getBoolean(4), r.getLong(3)))).toMap
+    assert(got == want, s"got $got\nwant $want")
+    assert(got(("a", 4L)) == ((false, 125L)), got.toString)
+  }
+
   test("streaming semantic dedup matches the batch operator across a batch split") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
