@@ -14,7 +14,8 @@ object SparkEntry {
   def registry: Seq[OpQuery] =
     StarQueries.all ++ ReferenceQueries.all ++ RelationalOps.all ++
       EventOps.all ++ TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++
-      Multimodal.all ++ ScaleOps.all ++ JoinOps.all ++ GraphOps.all
+      Multimodal.all ++ ScaleOps.all ++ JoinOps.all ++ GraphOps.all ++
+      PipelineOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
