@@ -667,6 +667,63 @@ object EventOps {
       .orderBy("hour_start", "q")
   }
 
+  /** Per-event session-relative features — the feature-extraction
+    * shape a behavioral sequence model trains on: each event gets its
+    * session id (e03's gap rule), its ordinal within the session, and
+    * its offset from the session start. Three windows, all partitioned
+    * by user (then session) — the same single user-keyed shuffle
+    * sessionization already pays; output is one row per event, so this
+    * stage is the identity in volume and must never add a second
+    * corpus-wide shuffle. Restricted to a deterministic user slice to
+    * keep the oracle diff small.
+    */
+  val e19 = OpQuery.oracled("e19_session_features",
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, event_type,
+      |         epoch_us(ts) AS ts_us,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                                 ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events WHERE user_id % 100 = 0
+      |), flagged AS (
+      |  SELECT user_id, event_id, event_type, ts_us,
+      |         CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM ordered
+      |), numbered AS (
+      |  SELECT user_id, event_id, event_type, ts_us,
+      |         CAST(sum(new_session) OVER (PARTITION BY user_id
+      |                                     ORDER BY ts_us, event_id) AS BIGINT) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_id, event_id, event_type,
+      |       CAST(row_number() OVER (PARTITION BY user_id, session_id
+      |                               ORDER BY ts_us, event_id) AS BIGINT) AS ordinal,
+      |       ts_us - min(ts_us) OVER (PARTITION BY user_id, session_id) AS offset_us
+      |FROM numbered
+      |ORDER BY user_id, session_id, ordinal""".stripMargin,
+    doc = "per-event session features (session id, ordinal, offset from session start) — sequence-model feature extraction") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wSess = Window.partitionBy("user_id", "session_id")
+    val ordered = Sources.table(spark, dir, "events")
+      .filter(col("user_id") % 100 === 0)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000").as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(wUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(wUser).cast("bigint"))
+    ordered
+      .withColumn("ordinal",
+        row_number().over(wSess.orderBy("ts_us", "event_id")).cast("bigint"))
+      .withColumn("offset_us", col("ts_us") - min(col("ts_us")).over(wSess))
+      .select("user_id", "session_id", "event_id", "event_type",
+        "ordinal", "offset_us")
+      .orderBy("user_id", "session_id", "ordinal")
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15, e16, e17, e18)
+    e11, e12, e13, e14, e15, e16, e17, e18, e19)
 }
