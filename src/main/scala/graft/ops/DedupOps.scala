@@ -658,6 +658,58 @@ object DedupOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Record-linkage / entity-resolution shape: fuzzy-string dedup via
+    * BLOCKING (records sharing a cheap key are candidates) + an edit
+    * distance verify — the modality the token-set and embedding dedups
+    * don't cover (typo'd names, not rephrased content). Planted typo
+    * variants of every 100th customer provide ground truth; the block
+    * key (name suffix) survives the planted substitution, so the true
+    * pairs co-block, while distinct customers' suffixes differ — the
+    * block join stays near-linear. At 100 TB the block key is the
+    * shuffle key and the quadratic levenshtein verify runs only inside
+    * blocks; skewed blocks (common surnames) take the d04-style
+    * frequency cap, noted on the block build.
+    */
+  val d15 = OpQuery.oracled("d15_entity_resolution",
+    """WITH base AS (
+      |  SELECT c_custkey AS rec_id, c_name AS name
+      |  FROM read_parquet('{SFDIR}/customer.parquet')
+      |), aug AS (
+      |  SELECT rec_id, name FROM base
+      |  UNION ALL
+      |  SELECT rec_id + 10000000,
+      |         substr(name, 1, 3) || 'X' || substr(name, 5)
+      |  FROM base WHERE rec_id % 100 = 0
+      |), blocked AS (
+      |  SELECT rec_id, name,
+      |         substr(name, length(name) - 5, 6) AS bk
+      |  FROM aug
+      |)
+      |SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+      |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
+      |FROM blocked a JOIN blocked b
+      |  ON b.bk = a.bk AND a.rec_id < b.rec_id
+      |WHERE levenshtein(a.name, b.name) <= 2
+      |ORDER BY rec_a, rec_b""".stripMargin,
+    doc = "entity resolution: suffix blocking + levenshtein verify over planted typo variants") { (spark, dir) =>
+    val base = Sources.table(spark, dir, "customer")
+      .select(col("c_custkey").as("rec_id"), col("c_name").as("name"))
+    val mutants = base.filter(col("rec_id") % 100 === 0)
+      .select((col("rec_id") + 10000000L).as("rec_id"),
+        concat(substring(col("name"), 1, 3), lit("X"),
+          expr("substr(name, 5)")).as("name"))
+    val blocked = base.unionByName(mutants)
+      .withColumn("bk", expr("substr(name, length(name) - 5, 6)"))
+    val a = blocked.select(col("rec_id").as("rec_a"), col("name").as("na"), col("bk"))
+    val b = blocked.select(col("rec_id").as("rec_b"), col("name").as("nb"), col("bk"))
+    a.join(b, Seq("bk"))
+      .filter(col("rec_a") < col("rec_b"))
+      .withColumn("edit_dist", levenshtein(col("na"), col("nb")).cast("bigint"))
+      .filter(col("edit_dist") <= 2)
+      .select("rec_a", "rec_b", "edit_dist")
+      .orderBy("rec_a", "rec_b")
+  }
+
   val all: Seq[OpQuery] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    d10, d11, d12, d13, d14)
+    d10, d11, d12, d13, d14, d15)
 }
