@@ -325,5 +325,42 @@ object Multimodal {
       .orderBy("media_id", "ts_ms")
   }
 
-  val all: Seq[OpQuery] = Seq(m01, m02, m03, m04)
+  /** Corpus modality mix: per media type, item count, byte volume and
+    * exact payload-size percentiles — the composition report a
+    * multimodal training set is balanced against (time and storage
+    * budgets are byte-driven, not row-driven). One partial-agg shuffle
+    * on the (tiny) modality key; sizes are exact integers so the
+    * percentiles reproduce across engines.
+    */
+  val m05 = OpQuery.oracled("m05_modality_mix",
+    """WITH m AS (
+      |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS media_type,
+      |         CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |)
+      |SELECT media_type,
+      |       count(*) AS n_items,
+      |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |       CAST(quantile_cont(n_bytes, 0.5) AS DOUBLE) AS median_bytes,
+      |       CAST(quantile_cont(n_bytes, 0.9) AS DOUBLE) AS p90_bytes
+      |FROM m GROUP BY 1 ORDER BY media_type""".stripMargin,
+    doc = "modality mix report (per-type counts, byte volume, exact size percentiles)") { (spark, dir) =>
+    Sources.table(spark, dir, "documents")
+      .select(
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        octet_length(encode(col("text"), "UTF-8")).cast("bigint").as("n_bytes"))
+      .groupBy("media_type")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).cast("bigint").as("total_bytes"),
+        percentile(col("n_bytes"), lit(0.5)).cast("double").as("median_bytes"),
+        percentile(col("n_bytes"), lit(0.9)).cast("double").as("p90_bytes"))
+      .orderBy("media_type")
+  }
+
+  val all: Seq[OpQuery] = Seq(m01, m02, m03, m04, m05)
 }

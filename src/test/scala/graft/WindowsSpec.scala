@@ -66,4 +66,27 @@ class WindowsSpec extends AnyFunSuite {
     assert(!p.contains("Sort "), p.take(2000))
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
   }
+
+  test("histogramQuantiles: exact boundaries, single bucket, per-group independence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // group g1: buckets 0(x4), 1(x4), 2(x2) -> n=10
+    //   q=0.5 -> target 5 -> bucket 1, est = 1*10 + (5-4)/4*10 = 12.5
+    //   q=1.0 -> target 10 -> bucket 2, est = 2*10 + (10-8)/2*10 = 30.0
+    // group g2: one bucket 7(x3) -> q=0.5 -> target 2 -> 7*10 + 2/3*10
+    val hist = Seq(
+      ("g1", 0L, 4L), ("g1", 1L, 4L), ("g1", 2L, 2L),
+      ("g2", 7L, 3L)
+    ).toDF("g", "bucket", "cnt")
+    val got = graft.api.Windows.histogramQuantiles(
+        hist, Seq("g"), "bucket", "cnt", Seq(0.5, 1.0), bucketWidth = 10L)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(("g1", 0.5)) == ((10L, 12.5)), got.toString)
+    assert(got(("g1", 1.0)) == ((10L, 30.0)), got.toString)
+    assert(got(("g2", 0.5)) == ((3L, 70.0 + 2.0 / 3.0 * 10.0)), got.toString)
+    assert(got(("g2", 1.0)) == ((3L, 80.0)), got.toString)
+    assert(got.size == 4, got.toString)
+  }
 }
