@@ -724,6 +724,124 @@ object EventOps {
       .orderBy("user_id", "session_id", "ordinal")
   }
 
+  /** RFM purchase features with quintile scores — the classic
+    * recency/frequency/monetary feature triple plus its rank-binned
+    * form, as a model-ready per-user frame. One corpus-sized shuffle
+    * (the per-user aggregate); the three ntile windows then run over
+    * the USER-level frame, which is orders of magnitude smaller than
+    * the event stream — global single-partition windows are acceptable
+    * exactly because they never see raw events (same argument as the
+    * r40 histogram read-off). Every ORDER BY carries user_id so the
+    * quintile assignment is a total order, and money stays in integer
+    * cents.
+    */
+  val e20 = OpQuery.oracled("e20_rfm_features",
+    """WITH rfm AS (
+      |  SELECT user_id,
+      |         CAST(max(epoch_us(ts)) AS BIGINT) AS last_seen_us,
+      |         CAST(count(*) AS BIGINT) AS frequency,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+      |)
+      |SELECT user_id, last_seen_us, frequency, monetary_cents,
+      |       CAST(ntile(5) OVER (ORDER BY last_seen_us, user_id) AS INT) AS r_quintile,
+      |       CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS INT) AS f_quintile,
+      |       CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id) AS INT) AS m_quintile
+      |FROM rfm ORDER BY user_id""".stripMargin,
+    doc = "per-user RFM purchase features + ntile(5) quintile scores (windows run on the small user-level frame)") { (spark, dir) =>
+    val rfm = Sources.table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        max(tsUs).cast("bigint").as("last_seen_us"),
+        count(lit(1)).as("frequency"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).cast("bigint")
+          .as("monetary_cents"))
+    rfm
+      .withColumn("r_quintile",
+        ntile(5).over(Window.orderBy("last_seen_us", "user_id")).cast("int"))
+      .withColumn("f_quintile",
+        ntile(5).over(Window.orderBy("frequency", "user_id")).cast("int"))
+      .withColumn("m_quintile",
+        ntile(5).over(Window.orderBy("monetary_cents", "user_id")).cast("int"))
+      .orderBy("user_id")
+  }
+
+  /** Rolling 7-day active users per day — the WAU curve. The naive
+    * formulation is a count-distinct over a sliding range window
+    * (either a range self-join or per-day re-scans of a week of raw
+    * events). The engine instead dedups the stream to (day, user) pairs
+    * ONCE — the only corpus-sized shuffle, with map-side partial
+    * distinct — then fans each pair out to the ≤7 window days it
+    * contributes to and distinct-counts per window day. Work after the
+    * dedup is 7 × |active-pairs| regardless of event volume; the
+    * broadcast semi join against the observed-day set clips the
+    * fan-out's tail past the last day of data. The DuckDB oracle keeps
+    * the canonical BETWEEN range-join form, so hash parity proves the
+    * fan-out rewrite exact.
+    */
+  val e21 = OpQuery.oracled("e21_rolling_active_users",
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, user_id
+      |  FROM events
+      |), days AS (SELECT DISTINCT day FROM du)
+      |SELECT d.day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS active_7d
+      |FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    doc = "rolling 7-day distinct actives per day: one (day,user) dedup shuffle + bounded 7x fan-out, vs the oracle's range join") { (spark, dir) =>
+    val du = Sources.table(spark, dir, "events")
+      .select(expr("ts DIV 86400000000000").as("day"), col("user_id"))
+      .distinct()
+    val days = du.select("day").distinct()
+    du.select(explode(expr("sequence(day, day + 6)")).as("day"),
+        col("user_id"))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).cast("bigint").as("active_7d"))
+      .orderBy("day")
+  }
+
+  /** Consecutive-day activity streaks — the gaps-and-islands pattern:
+    * `day - row_number` is constant within a run of consecutive days,
+    * so one per-user window + one group-by turns runs into rows with
+    * NO self-join and no iteration. Everything after the (day, user)
+    * dedup is per-user partitioned work on ≤ |days| rows per user;
+    * integer day arithmetic end to end.
+    */
+  val e22 = OpQuery.oracled("e22_activity_streaks",
+    """WITH du AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |  FROM events
+      |), g AS (
+      |  SELECT user_id, day,
+      |         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM du
+      |), runs AS (
+      |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+      |  FROM g GROUP BY 1, 2
+      |)
+      |SELECT user_id,
+      |       CAST(max(len) AS BIGINT) AS longest_streak,
+      |       CAST(count(*) AS BIGINT) AS n_streaks,
+      |       CAST(sum(len) AS BIGINT) AS total_active_days
+      |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin,
+    doc = "per-user consecutive-day activity streaks (gaps-and-islands: day - row_number run key, no self-join)") { (spark, dir) =>
+    val du = Sources.table(spark, dir, "events")
+      .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    du.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(
+        max(col("len")).cast("bigint").as("longest_streak"),
+        count(lit(1)).cast("bigint").as("n_streaks"),
+        sum(col("len")).cast("bigint").as("total_active_days"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15, e16, e17, e18, e19)
+    e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22)
 }

@@ -437,6 +437,167 @@ object RelationalOps {
       .orderBy(col("numwait").desc, col("s_name"))
   }
 
+  /** TPC-H Q17 shape (public spec): revenue sitting in "small" orders —
+    * lineitems whose quantity is below 20% of their part's average, for
+    * one brand. The canonical form is a correlated scalar subquery
+    * (`l_quantity < 0.2 * (SELECT avg ... WHERE l_partkey = ...)`); the
+    * engine decorrelates it into a per-part pre-aggregate joined back,
+    * and keeps the comparison in exact integer arithmetic
+    * (`qty * 5 * n < sum_qty` ⇔ `qty < 0.2 * avg`) so no float divide
+    * ever happens. The brand filter (a broadcast of the tiny part
+    * subset) prunes the fact scan BEFORE the per-part aggregate — at
+    * 100 TB the avg is computed only over the brand's lineitems, not
+    * re-derived per probe row the way the correlated form implies.
+    */
+  val r41 = OpQuery.oracled("r41_small_quantity_revenue",
+    """WITH pa AS (
+      |  SELECT l.l_partkey, count(*) AS n_li,
+      |         sum(CAST(l.l_quantity AS BIGINT)) AS sum_qty
+      |  FROM lineitem l
+      |  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+      |  GROUP BY 1
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_small,
+      |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+      |FROM lineitem l
+      |JOIN pa ON pa.l_partkey = l.l_partkey
+      |WHERE CAST(l.l_quantity AS BIGINT) * 5 * pa.n_li < pa.sum_qty""".stripMargin,
+    doc = "TPC-H Q17 small-quantity revenue: correlated avg decorrelated to a per-part pre-agg, integer-exact 20% threshold") { (spark, dir) =>
+    val brandParts = Sources.table(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#1")
+      .select(col("p_partkey"))
+    val li = Sources.table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("bigint").as("qty"),
+        col("l_extendedprice"))
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val pa = li.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_li"), sum(col("qty")).as("sum_qty"))
+    li.join(pa, "l_partkey")
+      .filter(col("qty") * 5 * col("n_li") < col("sum_qty"))
+      .agg(count(lit(1)).cast("bigint").as("n_small"),
+        moneySum(col("l_extendedprice")).as("small_revenue"))
+  }
+
+  /** TPC-H Q18 shape (public spec): customers behind large-volume
+    * orders (total quantity > 300). The HAVING-filtered per-order
+    * aggregate is tiny (a few dozen keys at any SF), so both enrichment
+    * joins broadcast IT — the orders and customer tables are probed,
+    * never shuffled. Quantities stay BIGINT end to end.
+    */
+  val r42 = OpQuery.oracled("r42_large_volume_orders",
+    """WITH big AS (
+      |  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+      |  FROM lineitem GROUP BY 1
+      |  HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+      |)
+      |SELECT c.c_name, o.o_orderkey,
+      |       CAST(o.o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+      |       big.total_qty
+      |FROM big
+      |JOIN orders o ON o.o_orderkey = big.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+    doc = "TPC-H Q18 large-volume orders: having-filtered order aggregate broadcast into both enrichment joins") { (spark, dir) =>
+    val big = Sources.table(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("bigint")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    val orders = Sources.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        dec2(col("o_totalprice")).as("o_totalprice"))
+    val cust = Sources.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    orders.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+        col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  /** TPC-H Q15 shape (public spec): the supplier(s) with the maximum
+    * revenue over one quarter. The canonical form compares each
+    * supplier's revenue to a scalar `(SELECT max(...))`; the engine
+    * computes the per-supplier aggregate ONCE, reduces it to a 1-row
+    * max, and broadcast-cross-joins that scalar back — no second fact
+    * pass and no single-partition global window. Revenue follows the
+    * prodSum determinism recipe, so the max-equality is bit-exact
+    * cross-engine.
+    */
+  val r43 = OpQuery.oracled("r43_top_quarter_supplier",
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |         CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+      |  FROM lineitem
+      |  WHERE year(l_shipdate) = 1997 AND quarter(l_shipdate) = 1
+      |  GROUP BY 1
+      |)
+      |SELECT s.s_suppkey, s.s_name, r.total_rev
+      |FROM rev r
+      |JOIN supplier s ON s.s_suppkey = r.l_suppkey
+      |WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin,
+    doc = "TPC-H Q15 top supplier: scalar-max subquery as a 1-row broadcast cross join, one fact pass") { (spark, dir) =>
+    val rev = Sources.table(spark, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === 1997 &&
+        quarter(col("l_shipdate")) === 1)
+      .groupBy("l_suppkey")
+      .agg(prodSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("total_rev"))
+    val best = rev.agg(max(col("total_rev")).as("best_rev"))
+    val supp = Sources.table(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"))
+    rev.crossJoin(broadcast(best))
+      .filter(col("total_rev") === col("best_rev"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q22 shape (public spec, segments standing in for country
+    * codes, "inactive" adapted to lapsed-in-1998 because this dataset
+    * gives every customer at least one lifetime order): per market
+    * segment, the count and total balance of wealthy lapsed customers
+    * — balance above the global positive average, no orders in the
+    * final year. Two decorrelations: the global-average scalar becomes
+    * a 1-row broadcast with the comparison kept rational
+    * (`bal * n > total` ⇔ `bal > avg` — no cross-engine decimal-divide
+    * semantics to match), and the NOT EXISTS becomes a left-anti join
+    * against the DISTINCT 1998 order custkeys (year filter pushed to
+    * the scan, pre-distinct shrinks the anti-join shuffle to one row
+    * per active customer with map-side partials).
+    */
+  val r44 = OpQuery.oracled("r44_wealthy_inactive_customers",
+    """WITH stats AS (
+      |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal,
+      |         count(*) AS n
+      |  FROM customer WHERE c_acctbal > 0
+      |)
+      |SELECT c.c_mktsegment,
+      |       CAST(count(*) AS BIGINT) AS n_cust,
+      |       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer c, stats
+      |WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * stats.n > stats.total_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND year(o.o_orderdate) = 1998)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    doc = "TPC-H Q22 wealthy lapsed customers: scalar-avg broadcast with rational comparison + pre-distinct anti join") { (spark, dir) =>
+    val cust = Sources.table(spark, dir, "customer")
+    val stats = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(dec2(col("c_acctbal"))).as("total_bal"),
+        count(lit(1)).as("n"))
+    val activeKeys = Sources.table(spark, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1998)
+      .select(col("o_custkey")).distinct()
+    cust.join(activeKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(stats))
+      .filter(dec2(col("c_acctbal")) * col("n") > col("total_bal"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).cast("bigint").as("n_cust"),
+        moneySum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[OpQuery] = Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09,
-    r10, r11, r12, r30, r32, r38)
+    r10, r11, r12, r30, r32, r38, r41, r42, r43, r44)
 }

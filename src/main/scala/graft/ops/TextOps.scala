@@ -1174,7 +1174,113 @@ object TextOps {
       .orderBy("source", "doc_id")
   }
 
+  /** Bigram continuation score — t25's unigram familiarity lifted to
+    * second order: per document, how often its adjacent token pairs
+    * recur across the corpus, normalized by how often their prefix
+    * tokens do (a pooled corpus-backed conditional-probability
+    * estimate, the log-free second-order perplexity stand-in). The
+    * numerator and denominator are exact BIGINT count sums — the only
+    * float op is ONE division per output row, so the score is
+    * deterministic cross-engine. Bigrams come from a zero-shuffle
+    * array transform (no per-doc lead window: the oracle keeps that
+    * canonical form and hash parity proves the rewrite); the two count
+    * joins shuffle on token keys exactly like t25.
+    */
+  val t27 = OpQuery.oracled("t27_bigram_continuation",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         unnest(string_split(text, ' ')) AS t,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), uni AS (
+      |  SELECT t, count(*) AS c1 FROM tok GROUP BY 1
+      |), big AS (
+      |  SELECT doc_id, t AS w1,
+      |         lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |  FROM tok
+      |), bc AS (
+      |  SELECT w1, w2, count(*) AS c2 FROM big WHERE w2 IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT b.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       CAST(sum(bc.c2) AS BIGINT) AS sum_bigram_freq,
+      |       CAST(sum(uni.c1) AS BIGINT) AS sum_prefix_freq,
+      |       CAST(sum(bc.c2) AS DOUBLE) / sum(uni.c1) AS continuation_ratio
+      |FROM big b
+      |JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+      |JOIN uni ON uni.t = b.w1
+      |WHERE b.w2 IS NOT NULL
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    doc = "per-doc bigram continuation ratio (pooled corpus bigram/prefix count ratio; log-free 2nd-order perplexity stand-in)") { (spark, dir) =>
+    val toks = Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val big = toks
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = toks
+      .select(explode(col("toks")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c1"))
+    val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    big.join(bc, Seq("w1", "w2"))
+      .join(uni, col("w1") === col("t"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("c2")).cast("bigint").as("sum_bigram_freq"),
+        sum(col("c1")).cast("bigint").as("sum_prefix_freq"),
+        (sum(col("c2")).cast("double") / sum(col("c1")))
+          .as("continuation_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Top-3 corpus continuations per prefix token — the n-gram language
+    * model's next-token table, built with the custom
+    * [[graft.plans.GroupTopK]] operator (bounded heaps, map-side
+    * partials) instead of a per-prefix full sort. With a natural-text
+    * vocabulary the prefix key count is millions and the window
+    * formulation sorts every bigram row; GroupTopK keeps 3 per prefix
+    * on the map side, so the shuffle carries at most 3 x |prefixes|
+    * rows. Same bigram derivation as t27 (zero-shuffle array
+    * transform vs the oracle's lead window).
+    */
+  val t28 = OpQuery.oracled("t28_bigram_topk_continuations",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         unnest(string_split(text, ' ')) AS t,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), big AS (
+      |  SELECT doc_id, t AS w1,
+      |         lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |  FROM tok
+      |), bc AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+      |  FROM big WHERE w2 IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT w1, w2, c2 FROM bc
+      |QUALIFY row_number() OVER (PARTITION BY w1 ORDER BY c2 DESC, w2) <= 3
+      |ORDER BY w1, w2""".stripMargin,
+    doc = "top-3 next-token continuations per prefix (bigram LM table) via the bounded-heap GroupTopK operator") { (spark, dir) =>
+    val bc = Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).cast("bigint").as("c2"))
+    graft.api.Windows.topKPerGroup(bc,
+        group = Seq("w1"),
+        order = Seq(("c2", true), ("w2", false)),
+        k = 3)
+      .orderBy("w1", "w2")
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
+      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
+      t28)
 }

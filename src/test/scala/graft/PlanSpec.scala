@@ -244,4 +244,34 @@ class PlanSpec extends AnyFunSuite {
       p.indexOf("SortMergeJoin") > p.indexOf("HashAggregate"),
       "assignment must not sort-merge join before aggregation")
   }
+
+  test("r41: the brand part-set is broadcast into the fact scan") {
+    val p = plan(RelationalOps.r41.fn(spark, TestSpark.sf0001))
+    // brand filter prunes lineitem via a broadcast before any aggregate
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("PushedFilters") &&
+      p.contains("EqualTo(p_brand,Brand#1)"), p.take(3000))
+  }
+
+  test("r42: the having-filtered aggregate is broadcast, orders never shuffle for it") {
+    val p = plan(RelationalOps.r42.fn(spark, TestSpark.sf0001))
+    val orderJoin = p.indexOf("BroadcastHashJoin")
+    assert(orderJoin >= 0, p.take(3000))
+  }
+
+  test("r43: scalar max is a 1-row broadcast, no single-partition global window") {
+    val p = plan(RelationalOps.r43.fn(spark, TestSpark.sf0001))
+    assert(!p.contains("Window"), "must not window over the rev frame: " + p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+  }
+
+  test("e21: rolling actives fan out, never range-join (no nested loop on the corpus)") {
+    val p = plan(graft.ops.EventOps.e21.fn(spark, TestSpark.sf0001))
+    assert(p.contains("Generate explode"), "the 7-day fan-out must be a generator: " + p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("BuildRight"),
+      p.take(3000))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "day clipping must be a broadcast semi join: " + p.take(3000))
+  }
 }
