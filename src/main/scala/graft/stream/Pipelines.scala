@@ -364,6 +364,44 @@ object Pipelines {
       }
   }
 
+  case class PurchaseEvent(user_id: Long, us: Long, cents: Long)
+  case class RfmState(last_us: Long, freq: Long, cents: Long)
+  case class RfmUpdate(user_id: Long, last_seen_us: Long,
+      frequency: Long, monetary_cents: Long)
+
+  /** Streaming RFM feature state — the incremental twin of the batch
+    * e20 aggregate (recency/frequency/monetary, the feature-store
+    * pattern: features updated in place as purchases arrive, one row of
+    * O(1) state per user). max/count/sum are all merge-associative, so
+    * the final state is independent of how events split across
+    * micro-batches — that equivalence is what StreamingSpec pins. The
+    * quintile scores deliberately stay batch-only: they need a global
+    * rank over the user frame, which a feature store recomputes on
+    * read, not on ingest.
+    */
+  def rfmFeatures(events: org.apache.spark.sql.Dataset[PurchaseEvent])
+      : org.apache.spark.sql.Dataset[RfmUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RfmState, RfmUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[PurchaseEvent], state: org.apache.spark.sql.streaming.GroupState[RfmState]) =>
+          val prev = state.getOption.getOrElse(RfmState(Long.MinValue, 0L, 0L))
+          var last = prev.last_us
+          var n = prev.freq
+          var cents = prev.cents
+          it.foreach { e =>
+            if (e.us > last) last = e.us
+            n += 1
+            cents += e.cents
+          }
+          state.update(RfmState(last, n, cents))
+          Iterator(RfmUpdate(uid, last, n, cents))
+      }
+  }
+
   /** Streaming-ingest dedup gate: drop incoming documents whose exact
     * text already exists in the stored corpus — a stream-static LEFT
     * ANTI join on the content hash, the shape every ingestion pipeline

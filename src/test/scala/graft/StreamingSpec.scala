@@ -158,6 +158,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((2L, 1L, 1.0)), rows.toString)
   }
 
+  test("streaming RFM state matches the batch aggregate across a batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val purchases = Seq(
+      Pipelines.PurchaseEvent(1L, 100L, 500L),
+      Pipelines.PurchaseEvent(2L, 300L, 50L),
+      Pipelines.PurchaseEvent(1L, 900L, 250L),
+      // --- batch boundary ---
+      Pipelines.PurchaseEvent(1L, 400L, 100L), // out-of-order: recency keeps 900
+      Pipelines.PurchaseEvent(2L, 1000L, 25L))
+    val mem = MemoryStream[Pipelines.PurchaseEvent]
+    val q = Pipelines.rfmFeatures(mem.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("rfm_state")
+      .start()
+    mem.addData(purchases.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(purchases.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    // latest update per user == the batch e20-style aggregate triple
+    val got = spark.table("rfm_state")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(org.apache.spark.sql.functions.col("frequency").desc)))
+      .filter($"rn" === 1).drop("rn")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val want = purchases.toDS().groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.max($"us").as("last"),
+        org.apache.spark.sql.functions.count($"us").as("n"),
+        org.apache.spark.sql.functions.sum($"cents").as("c"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == want, s"got $got\nwant $want")
+    assert(got(1L) == ((900L, 3L, 850L)), got.toString) // out-of-order recency held
+  }
+
   test("keyed quota admits across batches until the per-source cap, then rejects") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Pipelines.QuotaDoc]
