@@ -842,6 +842,49 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Traffic-concentration (Pareto) report: what share of all events
+    * the top 10% of users generate — the skew diagnostic that decides
+    * whether per-user operators downstream need salting. The top-10%
+    * cutoff is integer rank arithmetic (`rk * 10 <= n_users`), never a
+    * float percentile; the only float op is the one share division in
+    * the final row. The global rank window runs on the per-user count
+    * frame (one row per user, orders of magnitude under event grain) —
+    * the same justification as e20's quintiles.
+    */
+  val e23 = OpQuery.oracled("e23_pareto_concentration",
+    """WITH uc AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |         CAST(sum(c) AS BIGINT) AS total_events
+      |  FROM uc
+      |), ranked AS (
+      |  SELECT user_id, c, row_number() OVER (ORDER BY c DESC, user_id) AS rk
+      |  FROM uc
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_top_users,
+      |       CAST(sum(ranked.c) AS BIGINT) AS top_events,
+      |       CAST(max(tot.total_events) AS BIGINT) AS total_events,
+      |       CAST(sum(ranked.c) AS DOUBLE) / max(tot.total_events) AS top_share
+      |FROM ranked CROSS JOIN tot
+      |WHERE ranked.rk * 10 <= tot.n_users""".stripMargin,
+    doc = "top-10% user traffic share (Pareto skew diagnostic; integer rank cutoff, windows on the user-count frame)") { (spark, dir) =>
+    val uc = Sources.table(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+    val tot = uc.agg(count(lit(1)).as("n_users"),
+      sum(col("c")).as("total_events"))
+    val ranked = uc.withColumn("rk",
+      row_number().over(Window.orderBy(col("c").desc, col("user_id"))))
+    ranked.crossJoin(broadcast(tot))
+      .filter(col("rk") * 10 <= col("n_users"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_top_users"),
+        sum(col("c")).cast("bigint").as("top_events"),
+        max(col("total_events")).cast("bigint").as("total_events"),
+        (sum(col("c")).cast("double") / max(col("total_events")))
+          .as("top_share"))
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22)
+    e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23)
 }

@@ -362,5 +362,43 @@ object Multimodal {
       .orderBy("media_type")
   }
 
-  val all: Seq[OpQuery] = Seq(m01, m02, m03, m04, m05)
+  /** Byte-budget admission per modality — t26's token-budget mixture
+    * draw transposed to multimodal assembly, where recipes say "N GB of
+    * video", not "N rows": admit each modality's items in deterministic
+    * doc_id order while the running byte total stays within budget. One
+    * running-sum window per media type; the modality key is the unit of
+    * parallelism and nothing else shuffles.
+    */
+  val m06 = OpQuery.oracled("m06_byte_budget_mixture",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS media_type,
+      |         CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), c AS (
+      |  SELECT media_type, doc_id, n_bytes,
+      |         sum(n_bytes) OVER (PARTITION BY media_type ORDER BY doc_id) AS cum_bytes
+      |  FROM m
+      |)
+      |SELECT media_type, doc_id, n_bytes, cum_bytes
+      |FROM c WHERE cum_bytes <= 20000
+      |ORDER BY media_type, doc_id""".stripMargin,
+    doc = "per-modality byte-budget admission (running-sum window; the 'N GB of video' mixture draw)") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("media_type").orderBy("doc_id")
+    Sources.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        octet_length(encode(col("text"), "UTF-8")).cast("bigint").as("n_bytes"))
+      .withColumn("cum_bytes", sum(col("n_bytes")).over(w))
+      .filter(col("cum_bytes") <= 20000)
+      .select("media_type", "doc_id", "n_bytes", "cum_bytes")
+      .orderBy("media_type", "doc_id")
+  }
+
+  val all: Seq[OpQuery] = Seq(m01, m02, m03, m04, m05, m06)
 }

@@ -103,5 +103,102 @@ object PipelineOps {
       .orderBy("source")
   }
 
-  val all: Seq[OpQuery] = Seq(p01)
+  /** Training-feature-frame assembly — the events-side composition
+    * twin of p01's corpus assembly: three independent per-user feature
+    * families (session counts from 30-minute-gap sessionization,
+    * consecutive-day streaks from gaps-and-islands, RFM purchase
+    * aggregates) derived separately and joined into one model-ready
+    * wide frame, non-purchasers zero-filled. What the oracle pins is
+    * the COMPOSITION: the same event row feeding three different
+    * window/aggregate paths and landing aligned on user_id.
+    *
+    * Scale shape: every branch shuffles on user_id and reduces to one
+    * row per user before the three-way join, so the join inputs are
+    * user-frame-sized and hash-align on the same key — no branch ever
+    * joins at event grain.
+    */
+  val p02 = OpQuery.oracled("p02_training_feature_frame",
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), lagged AS (
+      |  SELECT user_id, us,
+      |         lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+      |  FROM ev
+      |), sess AS (
+      |  SELECT user_id,
+      |         CAST(1 + sum(CASE WHEN prev_us IS NOT NULL
+      |                            AND us - prev_us > 1800000000
+      |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      |         CAST(count(*) AS BIGINT) AS n_events
+      |  FROM lagged GROUP BY 1
+      |), du AS (
+      |  SELECT DISTINCT user_id, us // 86400000000 AS day FROM ev
+      |), g AS (
+      |  SELECT user_id, day,
+      |         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM du
+      |), runs AS (
+      |  SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2
+      |), streaks AS (
+      |  SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+      |         CAST(sum(len) AS BIGINT) AS total_active_days
+      |  FROM runs GROUP BY 1
+      |), rfm AS (
+      |  SELECT user_id, CAST(max(us) AS BIGINT) AS last_purchase_us,
+      |         CAST(count(*) AS BIGINT) AS n_purchases,
+      |         CAST(sum(cents) AS BIGINT) AS monetary_cents
+      |  FROM ev WHERE event_type = 'purchase' GROUP BY 1
+      |)
+      |SELECT s.user_id, s.n_events, s.n_sessions,
+      |       st.longest_streak, st.total_active_days,
+      |       CAST(coalesce(r.n_purchases, 0) AS BIGINT) AS n_purchases,
+      |       CAST(coalesce(r.monetary_cents, 0) AS BIGINT) AS monetary_cents,
+      |       CAST(coalesce(r.last_purchase_us, -1) AS BIGINT) AS last_purchase_us
+      |FROM sess s
+      |JOIN streaks st USING (user_id)
+      |LEFT JOIN rfm r USING (user_id)
+      |ORDER BY user_id""".stripMargin,
+    doc = "per-user training feature frame (sessionization + streaks + RFM joined user-aligned), oracle re-derives the whole composition") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Sources.table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000").as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val wUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val sess = ev
+      .withColumn("prev_us", lag(col("us"), 1).over(wUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNotNull &&
+          col("us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg((sum(col("new_sess")) + 1).cast("bigint").as("n_sessions"),
+        count(lit(1)).cast("bigint").as("n_events"))
+    val wDay = Window.partitionBy("user_id").orderBy("day")
+    val streaks = ev
+      .select(col("user_id"), expr("us DIV 86400000000").as("day"))
+      .distinct()
+      .withColumn("grp", col("day") - row_number().over(wDay))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max(col("len")).cast("bigint").as("longest_streak"),
+        sum(col("len")).cast("bigint").as("total_active_days"))
+    val rfm = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(col("us")).cast("bigint").as("last_purchase_us"),
+        count(lit(1)).cast("bigint").as("n_purchases"),
+        sum(col("cents")).cast("bigint").as("monetary_cents"))
+    sess.join(streaks, Seq("user_id"))
+      .join(rfm, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"), col("n_sessions"),
+        col("longest_streak"), col("total_active_days"),
+        coalesce(col("n_purchases"), lit(0L)).cast("bigint").as("n_purchases"),
+        coalesce(col("monetary_cents"), lit(0L)).cast("bigint").as("monetary_cents"),
+        coalesce(col("last_purchase_us"), lit(-1L)).cast("bigint").as("last_purchase_us"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[OpQuery] = Seq(p01, p02)
 }

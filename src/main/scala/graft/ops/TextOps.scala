@@ -1279,8 +1279,62 @@ object TextOps {
       .orderBy("w1", "w2")
   }
 
+  /** Per-source token-distribution drift: the 5 most over-represented
+    * tokens of each source relative to the whole corpus. The
+    * over-representation score is the cross-multiplied share difference
+    * `c_st * N - C_t * n_s` (sign of `c_st/n_s - C_t/N`) — pure BIGINT,
+    * no division anywhere, so ranking ties are exact cross-engine. The
+    * per-source top-5 runs through the bounded-heap GroupTopK operator.
+    * At this corpus's magnitudes the products stay far inside int64;
+    * a 100 TB deployment with trillion-token counts would lift the
+    * score to DECIMAL(38,0) — same plan, wider type.
+    */
+  val t29 = OpQuery.oracled("t29_source_token_drift",
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS t
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), st AS (
+      |  SELECT source, t, CAST(count(*) AS BIGINT) AS c_st FROM tok GROUP BY 1, 2
+      |), s AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM tok GROUP BY 1
+      |), ct AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS c_t FROM tok GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM tok
+      |), sc AS (
+      |  SELECT st.source, st.t, st.c_st,
+      |         st.c_st * tot.n - ct.c_t * s.n_s AS score
+      |  FROM st
+      |  JOIN ct USING (t)
+      |  JOIN s USING (source)
+      |  CROSS JOIN tot
+      |)
+      |SELECT source, t, c_st, score FROM sc
+      |QUALIFY row_number() OVER (PARTITION BY source ORDER BY score DESC, t) <= 5
+      |ORDER BY source, t""".stripMargin,
+    doc = "top-5 over-represented tokens per source (integer cross-multiplied share drift; GroupTopK per source)") { (spark, dir) =>
+    val tok = Sources.table(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+    val st = tok.groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+    val s = tok.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val ct = tok.groupBy("t").agg(count(lit(1)).as("c_t"))
+    val tot = tok.agg(count(lit(1)).as("n"))
+    val sc = st
+      .join(ct, "t")
+      .join(broadcast(s), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("t"), col("c_st").cast("bigint").as("c_st"),
+        (col("c_st") * col("n") - col("c_t") * col("n_s")).cast("bigint")
+          .as("score"))
+    graft.api.Windows.topKPerGroup(sc,
+        group = Seq("source"),
+        order = Seq(("score", true), ("t", false)),
+        k = 5)
+      .orderBy("source", "t")
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
-      t28)
+      t28, t29)
 }
