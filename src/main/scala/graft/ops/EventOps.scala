@@ -885,6 +885,48 @@ object EventOps {
           .as("top_share"))
   }
 
+  /** Event-grain lag features — each purchase row carrying its user's
+    * previous three purchase amounts and the gap to the previous one:
+    * the autoregressive feature matrix a sequence model consumes
+    * directly, complementing e19 (session-relative) and e20 (user-
+    * grain) features. One shuffle on user_id; the four lag windows
+    * share a single (user, time) sort, so the plan is one Window node.
+    * Missing history is -1, not NULL, to keep the sort keys and model
+    * input dense.
+    */
+  val e24 = OpQuery.oracled("e24_purchase_lag_features",
+    """WITH p AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT user_id, event_id, us, cents,
+      |       CAST(coalesce(lag(cents, 1) OVER w, -1) AS BIGINT) AS cents_lag1,
+      |       CAST(coalesce(lag(cents, 2) OVER w, -1) AS BIGINT) AS cents_lag2,
+      |       CAST(coalesce(lag(cents, 3) OVER w, -1) AS BIGINT) AS cents_lag3,
+      |       CAST(coalesce(us - lag(us, 1) OVER w, -1) AS BIGINT) AS gap1_us
+      |FROM p
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |ORDER BY user_id, us, event_id""".stripMargin,
+    doc = "per-purchase lag-3 amount + inter-purchase gap features (autoregressive model inputs; one shared window sort)") { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Sources.table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000").as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("cents_lag1",
+        coalesce(lag(col("cents"), 1).over(w), lit(-1L)).cast("bigint"))
+      .withColumn("cents_lag2",
+        coalesce(lag(col("cents"), 2).over(w), lit(-1L)).cast("bigint"))
+      .withColumn("cents_lag3",
+        coalesce(lag(col("cents"), 3).over(w), lit(-1L)).cast("bigint"))
+      .withColumn("gap1_us",
+        coalesce(col("us") - lag(col("us"), 1).over(w), lit(-1L))
+          .cast("bigint"))
+      .orderBy("user_id", "us", "event_id")
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23)
+    e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24)
 }

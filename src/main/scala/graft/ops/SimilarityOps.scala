@@ -701,6 +701,22 @@ object SimilarityOps {
       |ORDER BY q_id, rank""".stripMargin,
     doc = "PQ asymmetric-distance top-k: probe-side centroid lookup table, corpus scored on codes alone") { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
+    val rw = Window.partitionBy("q_id")
+      .orderBy(col("adist_pico").asc, col("neighbor_id").asc)
+    adcScored(spark, dir)
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("neighbor_id"),
+        col("adist_pico").cast("bigint").as("adist_pico"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** The s11 ADC scoring stage, shared with the two-stage retriever
+    * (s16): every (probe, corpus vector) pair scored on PQ codes alone
+    * — (q_id, neighbor_id, adist_pico).
+    */
+  private def adcScored(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val e = Sources.table(spark, dir, "embeddings")
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
     val halves = e.select(col("vec_id"), lit(0).as("h"),
@@ -724,8 +740,6 @@ object SimilarityOps {
       .select(col("q_id"), col("c_id").as("code0"), col("qd").as("qd0"))
     val l1 = lut.filter(col("h") === 1)
       .select(col("q_id").as("q_id1"), col("c_id").as("code1"), col("qd").as("qd1"))
-    val rw = Window.partitionBy("q_id")
-      .orderBy(col("adist_pico").asc, col("neighbor_id").asc)
     codes
       .join(broadcast(l0), "code0")
       .join(broadcast(l1),
@@ -733,11 +747,6 @@ object SimilarityOps {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         (col("qd0") + col("qd1")).as("adist_pico"))
-      .withColumn("rank", row_number().over(rw))
-      .filter(col("rank") <= 3)
-      .select(col("q_id"), col("rank"), col("neighbor_id"),
-        col("adist_pico").cast("bigint").as("adist_pico"))
-      .orderBy("q_id", "rank")
   }
 
   /** Recall@3 of the PQ-ADC search (s11) against the exact cosine
@@ -1010,6 +1019,100 @@ object SimilarityOps {
       .orderBy("c_id")
   }
 
+  /** Two-stage retrieval — the production PQ serving shape: the corpus
+    * is scanned on CODES ALONE (s11's ADC scoring — the memory-
+    * bandwidth win), a 10-deep shortlist survives per probe, and only
+    * those ≤ 10·|Q| rows ever touch the full vectors for an exact
+    * cosine re-rank. This restores exact top-3 ordering WITHIN the
+    * shortlist while the full-vector read stays proportional to the
+    * probe count, not the corpus (contrast s01, which broadcasts every
+    * vector to every probe). The shortlist frame is broadcast into both
+    * vector joins; a deployment with a large probe set would let the
+    * re-rank hash-join shuffle on vec_id instead — same plan, one knob.
+    */
+  val s16 = OpQuery.oracled("s16_adc_rerank_topk",
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM read_parquet('{SFDIR}/embeddings.parquet')
+      |), halves AS (
+      |  SELECT vec_id, 0 AS h, list_slice(v, 1, len(v) // 2) AS sv FROM e
+      |  UNION ALL
+      |  SELECT vec_id, 1 AS h, list_slice(v, len(v) // 2 + 1, len(v)) AS sv FROM e
+      |), cents AS (
+      |  SELECT vec_id AS c_id, h, sv AS cv FROM halves WHERE vec_id % 250 = 0
+      |), pairs AS (
+      |  SELECT halves.vec_id, halves.h, cents.c_id,
+      |         CAST(list_sum(list_transform(generate_series(1, len(halves.sv)),
+      |              i -> CAST(trunc((halves.sv[i] - cents.cv[i]) * (halves.sv[i] - cents.cv[i]) * 1e12) AS BIGINT))) AS BIGINT) AS qd
+      |  FROM halves JOIN cents ON cents.h = halves.h
+      |), assign AS (
+      |  SELECT vec_id, h, c_id, qd,
+      |         row_number() OVER (PARTITION BY vec_id, h ORDER BY qd ASC, c_id ASC) AS rn
+      |  FROM pairs
+      |), codes AS (
+      |  SELECT vec_id,
+      |         max(CASE WHEN h = 0 THEN c_id END) AS code0,
+      |         max(CASE WHEN h = 1 THEN c_id END) AS code1
+      |  FROM assign WHERE rn = 1 GROUP BY 1
+      |), lut AS (
+      |  SELECT p.vec_id AS q_id, p.h, c.c_id,
+      |         CAST(list_sum(list_transform(generate_series(1, len(p.sv)),
+      |              i -> CAST(trunc((p.sv[i] - c.cv[i]) * (p.sv[i] - c.cv[i]) * 1e12) AS BIGINT))) AS BIGINT) AS qd
+      |  FROM halves p JOIN cents c ON c.h = p.h
+      |  WHERE p.vec_id % 50 = 0
+      |), scored AS (
+      |  SELECT l0.q_id, codes.vec_id AS neighbor_id, l0.qd + l1.qd AS adist_pico
+      |  FROM codes
+      |  JOIN lut l0 ON l0.h = 0 AND l0.c_id = codes.code0
+      |  JOIN lut l1 ON l1.h = 1 AND l1.c_id = codes.code1 AND l1.q_id = l0.q_id
+      |  WHERE codes.vec_id <> l0.q_id
+      |), shortlist AS (
+      |  SELECT q_id, neighbor_id FROM (
+      |    SELECT q_id, neighbor_id,
+      |           row_number() OVER (PARTITION BY q_id
+      |                              ORDER BY adist_pico ASC, neighbor_id ASC) AS rn
+      |    FROM scored)
+      |  WHERE rn <= 10
+      |), en AS (
+      |  SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e
+      |), rer AS (
+      |  SELECT s.q_id, s.neighbor_id,
+      |         ${duckDot("q.v", "n.v")} / (q.nrm * n.nrm) AS cos_sim
+      |  FROM shortlist s
+      |  JOIN en q ON q.vec_id = s.q_id
+      |  JOIN en n ON n.vec_id = s.neighbor_id
+      |), ranked AS (
+      |  SELECT q_id, neighbor_id, cos_sim,
+      |         CAST(row_number() OVER (PARTITION BY q_id
+      |                            ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+      |  FROM rer
+      |)
+      |SELECT q_id, rank, neighbor_id, cos_sim
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin,
+    doc = "two-stage retrieval: ADC 10-deep shortlist on codes alone, exact cosine re-rank touches only shortlist vectors") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val sw = Window.partitionBy("q_id")
+      .orderBy(col("adist_pico").asc, col("neighbor_id").asc)
+    val shortlist = adcScored(spark, dir)
+      .withColumn("rn", row_number().over(sw))
+      .filter(col("rn") <= 10)
+      .select("q_id", "neighbor_id")
+    val en = embedded(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+    val q = en.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("nrm").as("qnrm"))
+    val n = en.select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+      col("nrm").as("nnrm"))
+    val withQ = q.join(broadcast(shortlist), "q_id")
+    val rer = n.join(broadcast(withQ), "neighbor_id")
+      .withColumn("cos_sim", expr(s"${dotDec("qv", "nv")} / (qnrm * nnrm)"))
+    val rw = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    rer.withColumn("rank", row_number().over(rw).cast("int"))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "neighbor_id", "cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
   val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14, s15)
+    s10, s11, s12, s13, s14, s15, s16)
 }

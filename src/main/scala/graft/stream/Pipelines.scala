@@ -105,6 +105,29 @@ object Pipelines {
         col("window.end").as("window_end"),
         col("event_type"), col("cnt"), col("total_value"))
 
+  /** Streaming rolling 7-day actives — the twin of the batch e21 WAU
+    * curve: a sliding `window(7 days, 1 day)` fans each event into the
+    * ≤7 windows it contributes to (the same bounded fan-out e21 does
+    * with `sequence`), a keyed dedup collapses it to one row per
+    * (window, user), and a windowed count emits each window's distinct
+    * actives when the watermark closes it. Two chained stateful
+    * operators (dedup → aggregate), both bounded by the watermark:
+    * dedup state is one row per (window, user) for open windows only.
+    * Window ends are day-aligned when the event days are, so a closed
+    * window's count equals e21's trailing-7-day count for its last day.
+    */
+  def rollingActives(events: DataFrame, eventTime: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(eventTime, watermark)
+      .select(window(col(eventTime), "7 days", "1 day").as("w"),
+        col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("active_7d"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("active_7d"))
+
   /** Session windows per user with an inactivity gap — built-in
     * session_window (the stateful operator the batch EventOps.e03
     * mirrors).

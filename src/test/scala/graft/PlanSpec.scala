@@ -266,6 +266,13 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("e24: the four lag features share one Window node and one shuffle") {
+    val p = plan(graft.ops.EventOps.e24.fn(spark, TestSpark.sf0001))
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1,
+      "lag features must share a single Window: " + p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
   test("e21: rolling actives fan out, never range-join (no nested loop on the corpus)") {
     val p = plan(graft.ops.EventOps.e21.fn(spark, TestSpark.sf0001))
     assert(p.contains("Generate explode"), "the 7-day fan-out must be a generator: " + p.take(3000))

@@ -158,6 +158,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((2L, 1L, 1.0)), rows.toString)
   }
 
+  test("rolling actives: sliding-window dedup counts each user once per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val day0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def onDay(d: Int, h: Int = 1) =
+      new java.sql.Timestamp(day0.getTime + d * 86400000L + h * 3600000L)
+
+    val events = mem.toDF().toDF("ts", "user_id")
+    val agg = Pipelines.rollingActives(events, "ts", "1 day")
+
+    val sink = tmp("graft_wau_sink")
+    val cp = tmp("graft_wau_cp")
+    val q = agg.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", sink).option("checkpointLocation", cp)
+      .start()
+    // user 1 active on days 0 and 1 (plus a same-day duplicate), user 2
+    // on day 1 — split across micro-batches
+    mem.addData((onDay(0), 1L), (onDay(0, 5), 1L), (onDay(1), 2L))
+    q.processAllAvailable()
+    // second batch: another day-1 event, then jump far ahead to close
+    // all early windows
+    mem.addData((onDay(1, 7), 1L))
+    q.processAllAvailable()
+    mem.addData((onDay(40), 9L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.read.parquet(sink)
+      .collect().map(r => r.getTimestamp(1) -> r.getLong(2)).toMap
+    // window ending day1+1 covers days [day-5 .. day1]: users {1, 2};
+    // the same-day duplicate and the cross-batch repeat of user 1 must
+    // not double-count
+    assert(rows(new java.sql.Timestamp(day0.getTime + 2 * 86400000L)) == 2L,
+      rows.toString)
+    // window ending day0+1 covers only day 0: just user 1
+    assert(rows(new java.sql.Timestamp(day0.getTime + 1 * 86400000L)) == 1L,
+      rows.toString)
+  }
+
   test("streaming RFM state matches the batch aggregate across a batch split") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
