@@ -927,6 +927,92 @@ object EventOps {
       .orderBy("user_id", "us", "event_id")
   }
 
+  /** Dense per-user daily activity grid — time-series gap filling: each
+    * user's observed [first_day, last_day] range materialized with
+    * zero-filled rows for silent days (the densification step before
+    * any fixed-stride sequence model or moving-average feature). The
+    * grid comes from a bounded `sequence` fan-out per user (range ≤ the
+    * corpus's day span), and the count join is co-partitioned with the
+    * grid on (user_id, day) — the grid generation itself never
+    * shuffles beyond the per-user range frame.
+    */
+  val e25 = OpQuery.oracled("e25_daily_gap_fill",
+    """WITH dc AS (
+      |  SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |         CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), rng AS (
+      |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM dc GROUP BY 1
+      |), grid AS (
+      |  SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM rng
+      |)
+      |SELECT g.user_id, g.day,
+      |       CAST(coalesce(dc.n_events, 0) AS BIGINT) AS n_events,
+      |       CAST(CASE WHEN dc.day IS NULL THEN 1 ELSE 0 END AS INT) AS was_missing
+      |FROM grid g
+      |LEFT JOIN dc ON dc.user_id = g.user_id AND dc.day = g.day
+      |ORDER BY g.user_id, g.day""".stripMargin,
+    doc = "per-user dense daily grid with zero-filled silent days (time-series densification before stride models)") { (spark, dir) =>
+    val dc = Sources.table(spark, dir, "events")
+      .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"))
+    val grid = dc.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+    grid.join(dc, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).cast("bigint").as("n_events"),
+        when(col("n_events").isNull, 1).otherwise(0).cast("int")
+          .as("was_missing"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Per-type z-score normalization of the value column — distributed
+    * feature scaling. The group statistics are EXACT integer sums
+    * (count, sum of cents, sum of squared cents), so the mean and the
+    * population variance enter float land only in the final per-row
+    * expression, whose op tree is mirrored token-for-token in the
+    * oracle SQL — every float op is elementwise-deterministic given
+    * identical inputs, which the integer sums guarantee. One broadcast
+    * of the per-type stats back onto the stream; at trillion-row scale
+    * the squared sums outgrow int64 and lift to DECIMAL(38,0) — same
+    * plan, wider type.
+    */
+  val e26 = OpQuery.oracled("e26_zscore_normalization",
+    """WITH v AS (
+      |  SELECT event_id, event_type,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), st AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(cents) AS BIGINT) AS s1,
+      |         CAST(sum(cents * cents) AS BIGINT) AS s2
+      |  FROM v GROUP BY 1
+      |)
+      |SELECT v.event_id, v.event_type, v.cents,
+      |       (CAST(v.cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
+      |         sqrt((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |              / (CAST(n AS DOUBLE) * n)) AS z
+      |FROM v JOIN st USING (event_type)
+      |ORDER BY event_id""".stripMargin,
+    doc = "per-type z-score feature scaling (exact integer moment sums; float ops only in the mirrored final expression)") { (spark, dir) =>
+    val v = Sources.table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val st = v.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("s1"),
+        sum(col("cents") * col("cents")).as("s2"))
+    v.join(broadcast(st), "event_type")
+      .select(col("event_id"), col("event_type"), col("cents"),
+        expr("""(CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
+                sqrt((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * n))""").as("z"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
-    e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24)
+    e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
+    e25, e26)
 }
