@@ -1,0 +1,134 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ML feature extraction over event streams — the library surface
+  * behind the e20–e26 feature queries, every path oracle-verified
+  * end to end by the registered twins (the [[Dedup]]/[[Joins]] pattern:
+  * queries call THESE functions, so the DuckDB hash compare covers the
+  * public API, not a private copy).
+  *
+  * Scale contract shared by every function here: one shuffle on the
+  * entity key (or none, for pure window work on an already-keyed
+  * frame), group state bounded by the entity's own history, and any
+  * global ranking confined to entity-grain frames that are orders of
+  * magnitude smaller than the event stream. Money/value columns are
+  * expected as exact integers (cents) — see e26's moment-sum reasoning
+  * for why floats only ever appear in final per-row expressions.
+  */
+object Features {
+
+  /** Per-key RFM triple: last-seen timestamp, row count, exact amount
+    * sum. One partial-aggregate shuffle on `key`.
+    */
+  def rfm(df: DataFrame, key: String, ts: String, amount: String): DataFrame =
+    df.groupBy(key)
+      .agg(
+        max(col(ts)).cast("bigint").as("last_seen_us"),
+        count(lit(1)).as("frequency"),
+        sum(col(amount)).cast("bigint").as("monetary_cents"))
+
+  /** Adds an `ntile(n)` score column per listed metric, named
+    * `<prefix from scoreNames>`. Runs single-partition global windows —
+    * call this on ENTITY-grain frames only (the e20 justification);
+    * `key` is the tie-break so the binning is a total order.
+    */
+  def quintiles(df: DataFrame, key: String,
+      metrics: Seq[(String, String)], n: Int = 5): DataFrame =
+    metrics.foldLeft(df) { case (acc, (metric, out)) =>
+      acc.withColumn(out,
+        ntile(n).over(Window.orderBy(col(metric), col(key))).cast("int"))
+    }
+
+  /** Per-row lag features: `<value>_lag{k}` for each requested lag plus
+    * `gap1_<order>` to the previous row, -1 when history is missing.
+    * All lags share ONE window sort (PlanSpec-pinned via e24).
+    */
+  def lagFeatures(df: DataFrame, key: String, order: Seq[String],
+      value: String, lags: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order.map(col): _*)
+    val withLags = lags.foldLeft(df) { (acc, k) =>
+      acc.withColumn(s"${value}_lag$k",
+        coalesce(lag(col(value), k).over(w), lit(-1L)).cast("bigint"))
+    }
+    val ord = order.head
+    withLags.withColumn(s"gap1_$ord",
+      coalesce(col(ord) - lag(col(ord), 1).over(w), lit(-1L)).cast("bigint"))
+  }
+
+  /** Dense per-key grid over each key's observed `[min, max]` unit
+    * range: missing units appear with `cnt` 0 and `was_missing` 1 —
+    * time-series densification (e25). `df` must be (key, unit) rows at
+    * any grain; the fan-out is bounded by each key's own range.
+    */
+  def denseGrid(df: DataFrame, key: String, unit: String): DataFrame = {
+    val dc = df.groupBy(key, unit).agg(count(lit(1)).as("n_events"))
+    val grid = dc.groupBy(key)
+      .agg(min(col(unit)).as("d0"), max(col(unit)).as("d1"))
+      .select(col(key), explode(expr("sequence(d0, d1)")).as(unit))
+    grid.join(dc, Seq(key, unit), "left")
+      .select(col(key), col(unit),
+        coalesce(col("n_events"), lit(0L)).cast("bigint").as("n_events"),
+        when(col("n_events").isNull, 1).otherwise(0).cast("int")
+          .as("was_missing"))
+  }
+
+  /** Per-key consecutive-unit streaks via gaps-and-islands (e22):
+    * `unit - row_number` is constant within a run, so runs become
+    * group-by keys — no self-join, no iteration. Input must be
+    * (key, unit)-distinct.
+    */
+  def streaks(df: DataFrame, key: String, unit: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(unit)
+    df.withColumn("grp", col(unit) - row_number().over(w))
+      .groupBy(key, "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy(key)
+      .agg(
+        max(col("len")).cast("bigint").as("longest_streak"),
+        count(lit(1)).cast("bigint").as("n_streaks"),
+        sum(col("len")).cast("bigint").as("total_active_days"))
+  }
+
+  /** Adds a per-group z-score `z` for an exact-integer `value` column
+    * (e26): group moments are exact integer sums broadcast back onto
+    * the stream; floats appear only in the final per-row expression.
+    * Zero-variance groups divide by zero and yield NULL `z` — Spark's
+    * non-ANSI Divide and DuckDB agree on that, so the contract is
+    * oracle-stable (FeaturesSpec pins it).
+    */
+  def zscore(df: DataFrame, group: String, value: String): DataFrame = {
+    val st = df.groupBy(group)
+      .agg(count(lit(1)).as("n"),
+        sum(col(value)).as("s1"),
+        sum(col(value) * col(value)).as("s2"))
+    df.join(broadcast(st), group)
+      .withColumn("z",
+        expr(s"""(CAST($value AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
+                 sqrt((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * n))"""))
+      .drop("n", "s1", "s2")
+  }
+
+  /** Trailing `windowUnits`-wide distinct-`key` count per unit (e21's
+    * WAU curve): one (unit, key) dedup shuffle, a bounded fan-out of
+    * each pair to the ≤ `windowUnits` units it serves, and a broadcast
+    * semi join clipping the fan-out to observed units. Never a range
+    * join.
+    */
+  def rollingDistinct(df: DataFrame, key: String, unit: String,
+      windowUnits: Int = 7): DataFrame = {
+    val du = df.select(col(unit), col(key)).distinct()
+    val units = du.select(unit).distinct()
+    du.select(
+        explode(expr(s"sequence($unit, $unit + ${windowUnits - 1})"))
+          .as(unit),
+        col(key))
+      .join(broadcast(units), Seq(unit), "left_semi")
+      .groupBy(unit)
+      .agg(countDistinct(col(key)).cast("bigint")
+        .as(s"active_${windowUnits}d"))
+  }
+}

@@ -749,21 +749,15 @@ object EventOps {
       |       CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id) AS INT) AS m_quintile
       |FROM rfm ORDER BY user_id""".stripMargin,
     doc = "per-user RFM purchase features + ntile(5) quintile scores (windows run on the small user-level frame)") { (spark, dir) =>
-    val rfm = Sources.table(spark, dir, "events")
+    val purchases = Sources.table(spark, dir, "events")
       .filter(col("event_type") === "purchase")
-      .groupBy("user_id")
-      .agg(
-        max(tsUs).cast("bigint").as("last_seen_us"),
-        count(lit(1)).as("frequency"),
-        sum(expr("CAST(round(value * 100) AS BIGINT)")).cast("bigint")
-          .as("monetary_cents"))
-    rfm
-      .withColumn("r_quintile",
-        ntile(5).over(Window.orderBy("last_seen_us", "user_id")).cast("int"))
-      .withColumn("f_quintile",
-        ntile(5).over(Window.orderBy("frequency", "user_id")).cast("int"))
-      .withColumn("m_quintile",
-        ntile(5).over(Window.orderBy("monetary_cents", "user_id")).cast("int"))
+      .select(col("user_id"), tsUs.as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    graft.api.Features.quintiles(
+        graft.api.Features.rfm(purchases, "user_id", "us", "cents"),
+        key = "user_id",
+        metrics = Seq(("last_seen_us", "r_quintile"),
+          ("frequency", "f_quintile"), ("monetary_cents", "m_quintile")))
       .orderBy("user_id")
   }
 
@@ -789,15 +783,10 @@ object EventOps {
       |FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
       |GROUP BY 1 ORDER BY 1""".stripMargin,
     doc = "rolling 7-day distinct actives per day: one (day,user) dedup shuffle + bounded 7x fan-out, vs the oracle's range join") { (spark, dir) =>
-    val du = Sources.table(spark, dir, "events")
-      .select(expr("ts DIV 86400000000000").as("day"), col("user_id"))
-      .distinct()
-    val days = du.select("day").distinct()
-    du.select(explode(expr("sequence(day, day + 6)")).as("day"),
-        col("user_id"))
-      .join(broadcast(days), Seq("day"), "left_semi")
-      .groupBy("day")
-      .agg(countDistinct(col("user_id")).cast("bigint").as("active_7d"))
+    graft.api.Features.rollingDistinct(
+        Sources.table(spark, dir, "events")
+          .select(expr("ts DIV 86400000000000").as("day"), col("user_id")),
+        key = "user_id", unit = "day", windowUnits = 7)
       .orderBy("day")
   }
 
@@ -827,18 +816,11 @@ object EventOps {
       |       CAST(sum(len) AS BIGINT) AS total_active_days
       |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin,
     doc = "per-user consecutive-day activity streaks (gaps-and-islands: day - row_number run key, no self-join)") { (spark, dir) =>
-    val du = Sources.table(spark, dir, "events")
-      .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
-      .distinct()
-    val w = Window.partitionBy("user_id").orderBy("day")
-    du.withColumn("grp", col("day") - row_number().over(w))
-      .groupBy("user_id", "grp")
-      .agg(count(lit(1)).as("len"))
-      .groupBy("user_id")
-      .agg(
-        max(col("len")).cast("bigint").as("longest_streak"),
-        count(lit(1)).cast("bigint").as("n_streaks"),
-        sum(col("len")).cast("bigint").as("total_active_days"))
+    graft.api.Features.streaks(
+        Sources.table(spark, dir, "events")
+          .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+          .distinct(),
+        key = "user_id", unit = "day")
       .orderBy("user_id")
   }
 
@@ -909,21 +891,14 @@ object EventOps {
       |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
       |ORDER BY user_id, us, event_id""".stripMargin,
     doc = "per-purchase lag-3 amount + inter-purchase gap features (autoregressive model inputs; one shared window sort)") { (spark, dir) =>
-    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    Sources.table(spark, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id"),
-        expr("ts DIV 1000").as("us"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      .withColumn("cents_lag1",
-        coalesce(lag(col("cents"), 1).over(w), lit(-1L)).cast("bigint"))
-      .withColumn("cents_lag2",
-        coalesce(lag(col("cents"), 2).over(w), lit(-1L)).cast("bigint"))
-      .withColumn("cents_lag3",
-        coalesce(lag(col("cents"), 3).over(w), lit(-1L)).cast("bigint"))
-      .withColumn("gap1_us",
-        coalesce(col("us") - lag(col("us"), 1).over(w), lit(-1L))
-          .cast("bigint"))
+    graft.api.Features.lagFeatures(
+        Sources.table(spark, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            expr("ts DIV 1000").as("us"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents")),
+        key = "user_id", order = Seq("us", "event_id"), value = "cents",
+        lags = Seq(1, 2, 3))
       .orderBy("user_id", "us", "event_id")
   }
 
@@ -953,18 +928,10 @@ object EventOps {
       |LEFT JOIN dc ON dc.user_id = g.user_id AND dc.day = g.day
       |ORDER BY g.user_id, g.day""".stripMargin,
     doc = "per-user dense daily grid with zero-filled silent days (time-series densification before stride models)") { (spark, dir) =>
-    val dc = Sources.table(spark, dir, "events")
-      .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
-      .groupBy("user_id", "day")
-      .agg(count(lit(1)).as("n_events"))
-    val grid = dc.groupBy("user_id")
-      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
-    grid.join(dc, Seq("user_id", "day"), "left")
-      .select(col("user_id"), col("day"),
-        coalesce(col("n_events"), lit(0L)).cast("bigint").as("n_events"),
-        when(col("n_events").isNull, 1).otherwise(0).cast("int")
-          .as("was_missing"))
+    graft.api.Features.denseGrid(
+        Sources.table(spark, dir, "events")
+          .select(col("user_id"), expr("ts DIV 86400000000000").as("day")),
+        key = "user_id", unit = "day")
       .orderBy("user_id", "day")
   }
 
@@ -997,18 +964,12 @@ object EventOps {
       |FROM v JOIN st USING (event_type)
       |ORDER BY event_id""".stripMargin,
     doc = "per-type z-score feature scaling (exact integer moment sums; float ops only in the mirrored final expression)") { (spark, dir) =>
-    val v = Sources.table(spark, dir, "events")
-      .select(col("event_id"), col("event_type"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-    val st = v.groupBy("event_type")
-      .agg(count(lit(1)).as("n"),
-        sum(col("cents")).as("s1"),
-        sum(col("cents") * col("cents")).as("s2"))
-    v.join(broadcast(st), "event_type")
-      .select(col("event_id"), col("event_type"), col("cents"),
-        expr("""(CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
-                sqrt((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-                     / (CAST(n AS DOUBLE) * n))""").as("z"))
+    graft.api.Features.zscore(
+        Sources.table(spark, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents")),
+        group = "event_type", value = "cents")
+      .select("event_id", "event_type", "cents", "z")
       .orderBy("event_id")
   }
 

@@ -92,11 +92,10 @@ object PipelineOps {
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
       .filter(col("n_tokens") >= 20)
-    // stage 4: per-source token budget (t26's prefix-sum rule)
-    val w = Window.partitionBy("source").orderBy("doc_id")
-    survivors
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      .filter(col("cum") <= 1000)
+    // stage 4: per-source token budget (t26's prefix-sum rule, via the
+    // same api.Corpus entry point the t26 query uses)
+    graft.api.Corpus.tokenBudget(survivors, group = "source",
+        order = "doc_id", nTokens = "n_tokens", budget = 1000L)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("bigint").as("n_tokens"))
@@ -175,21 +174,15 @@ object PipelineOps {
       .groupBy("user_id")
       .agg((sum(col("new_sess")) + 1).cast("bigint").as("n_sessions"),
         count(lit(1)).cast("bigint").as("n_events"))
-    val wDay = Window.partitionBy("user_id").orderBy("day")
-    val streaks = ev
-      .select(col("user_id"), expr("us DIV 86400000000").as("day"))
-      .distinct()
-      .withColumn("grp", col("day") - row_number().over(wDay))
-      .groupBy("user_id", "grp")
-      .agg(count(lit(1)).as("len"))
-      .groupBy("user_id")
-      .agg(max(col("len")).cast("bigint").as("longest_streak"),
-        sum(col("len")).cast("bigint").as("total_active_days"))
-    val rfm = ev.filter(col("event_type") === "purchase")
-      .groupBy("user_id")
-      .agg(max(col("us")).cast("bigint").as("last_purchase_us"),
-        count(lit(1)).cast("bigint").as("n_purchases"),
-        sum(col("cents")).cast("bigint").as("monetary_cents"))
+    val streaks = graft.api.Features.streaks(
+        ev.select(col("user_id"), expr("us DIV 86400000000").as("day"))
+          .distinct(),
+        key = "user_id", unit = "day")
+      .select("user_id", "longest_streak", "total_active_days")
+    val rfm = graft.api.Features.rfm(
+        ev.filter(col("event_type") === "purchase"), "user_id", "us", "cents")
+      .withColumnRenamed("last_seen_us", "last_purchase_us")
+      .withColumnRenamed("frequency", "n_purchases")
     sess.join(streaks, Seq("user_id"))
       .join(rfm, Seq("user_id"), "left")
       .select(col("user_id"), col("n_events"), col("n_sessions"),

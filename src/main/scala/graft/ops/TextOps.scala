@@ -602,15 +602,12 @@ object TextOps {
       |FROM b GROUP BY 1, 2
       |ORDER BY source, bin""".stripMargin,
     doc = "sequence packing: per-shard token-budget bins (context-window assembly)") { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Sources.table(spark, dir, "documents")
-      .select(col("source"), col("doc_id"),
-        size(split(col("text"), " ")).cast("bigint").as("n_tok"))
-      .withColumn("cum", sum("n_tok").over(w))
-      .withColumn("bin",
-        floor((col("cum") - col("n_tok")) / lit(packBudget.toDouble)).cast("int"))
+    graft.api.Corpus.packBins(
+        Sources.table(spark, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("bigint").as("n_tok")),
+        group = "source", order = "doc_id", nTokens = "n_tok",
+        budget = packBudget)
       .groupBy("source", "bin")
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         sum("n_tok").cast("bigint").as("bin_tokens"),
@@ -755,21 +752,10 @@ object TextOps {
       |FROM c
       |ORDER BY doc_id, chunk_idx""".stripMargin,
     doc = "sliding-window chunking: 50-token windows, stride 25, clipped tail (RAG chunker)") { (spark, dir) =>
-    val (w, s) = (50, 25)
-    Sources.table(spark, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .withColumn("n", size(col("t")).cast("long"))
-      .withColumn("nch", lit(1L) +
-        when(col("n") > w, floor((col("n") - w + (s - 1)) / s))
-          .otherwise(lit(0L)))
-      .select(col("doc_id"), col("t"), col("n"),
-        explode(sequence(lit(0L), col("nch") - 1)).as("chunk_idx"))
-      .select(col("doc_id"), col("chunk_idx"),
-        least(lit(50L), col("n") - col("chunk_idx") * s).as("n_tokens"),
-        md5(concat_ws(" ", slice(col("t"),
-          (col("chunk_idx") * s + 1).cast("int"),
-          least(lit(w), col("n") - col("chunk_idx") * s).cast("int"))))
-          .as("chunk_md5"))
+    graft.api.Corpus.chunk(
+        Sources.table(spark, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks")),
+        id = "doc_id", tokens = "toks", window = 50, stride = 25)
       .orderBy("doc_id", "chunk_idx")
   }
 
@@ -1011,12 +997,10 @@ object TextOps {
         ((col("n_stop").cast("double") / col("n_tokens")) * 0.5
           + (least(col("n_tokens"), lit(200)).cast("double") / 200.0) * 0.5)
           .as("quality_score"))
-    val byLang = Window.partitionBy("lang")
-    val rk = row_number().over(byLang.orderBy(col("quality_score").desc, col("doc_id")))
-    scored
-      .withColumn("lang_rank", rk)
-      .withColumn("_cnt", count(lit(1)).over(byLang))
-      .filter(col("lang_rank") * 10 <= col("_cnt") * 3)
+    graft.api.Corpus.qualityGate(scored, group = "lang",
+        score = "quality_score", tiebreak = "doc_id",
+        keepNum = 3, keepDen = 10)
+      .withColumnRenamed("rank_in_group", "lang_rank")
       .select("doc_id", "lang", "quality_score", "lang_rank")
       .orderBy("lang", "lang_rank")
   }
@@ -1164,13 +1148,12 @@ object TextOps {
       |FROM c WHERE cum_tokens <= 1000
       |ORDER BY source, doc_id""".stripMargin,
     doc = "per-source token-budget admission (running-sum window; the 'N tokens of source X' mixture draw)") { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source").orderBy("doc_id")
-    Sources.table(spark, dir, "documents")
-      .select(col("source"), col("doc_id"),
-        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .filter(col("cum_tokens") <= 1000)
+    graft.api.Corpus.tokenBudget(
+        Sources.table(spark, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("bigint").as("n_tokens")),
+        group = "source", order = "doc_id", nTokens = "n_tokens",
+        budget = 1000L)
       .orderBy("source", "doc_id")
   }
 

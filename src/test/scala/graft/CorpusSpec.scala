@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Corpus
+
+/** Boundary checks for the corpus-assembly API (the t14/t17/t22/t26/p01
+  * queries oracle the same code paths at corpus scale).
+  */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("tokenBudget: the row landing exactly on the budget is admitted, the next is not") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 600L), ("a", 2L, 400L), ("a", 3L, 1L),
+      ("b", 9L, 1000L)).toDF("source", "doc_id", "n_tokens")
+    val got = Corpus.tokenBudget(df, "source", "doc_id", "n_tokens", 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a", 1L), ("a", 2L), ("b", 9L)), got.toString)
+  }
+
+  test("packBins: greedy prefix bins; an oversized doc owns the bin it starts") {
+    import spark.implicits._
+    val df = Seq(("s", 1L, 80L), ("s", 2L, 40L), ("s", 3L, 250L),
+      ("s", 4L, 10L)).toDF("source", "doc_id", "n_tok")
+    val got = Corpus.packBins(df, "source", "doc_id", "n_tok", 100L)
+      .collect().map(r => r.getLong(1) -> r.getInt(4)).toMap
+    // prefix starts: 0, 80, 120, 370 -> bins 0, 0, 1, 3
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 3), got.toString)
+  }
+
+  test("chunk: short doc is one chunk; window+1 tokens is two; tail is clipped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def toksDoc(id: Long, n: Int) =
+      (id, (1 to n).map(i => s"w$i").toArray)
+    val df = Seq(toksDoc(1L, 3), toksDoc(2L, 4), toksDoc(3L, 5))
+      .toDF("doc_id", "toks")
+    val got = Corpus.chunk(df, "doc_id", "toks", window = 4, stride = 2)
+      .select("doc_id", "chunk_idx", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (1L, 0L) -> 3L,                 // shorter than the window: one clipped chunk
+      (2L, 0L) -> 4L,                 // exactly the window: one chunk
+      (3L, 0L) -> 4L, (3L, 1L) -> 3L  // window+1: full chunk + clipped tail
+    ), got.toString)
+  }
+
+  test("qualityGate: integer rank cutoff keeps floor-fraction per group, ties broken by key") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", 1L, 0.9), ("en", 2L, 0.9), ("en", 3L, 0.5), ("en", 4L, 0.1),
+      ("fr", 9L, 0.2)
+    ).toDF("lang", "doc_id", "q")
+    val got = Corpus.qualityGate(df, "lang", "q", "doc_id",
+        keepNum = 1, keepDen = 2)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    // en: 4 docs, keep rank*2 <= 4 -> ranks 1,2 = docs 1,2 (tie by id);
+    // fr: 1 doc, rank*2 <= 1 -> none
+    assert(got == Map(1L -> 1, 2L -> 2), got.toString)
+  }
+}

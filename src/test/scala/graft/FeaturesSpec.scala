@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Features
+
+/** Hand-computed boundary checks for the feature-extraction API (the
+  * registered e20–e26 queries oracle the same code paths at corpus
+  * scale; these pin the small/degenerate shapes an oracle diff would
+  * only catch indirectly).
+  */
+class FeaturesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("streaks: runs split on gaps, singleton users count one streak") {
+    import spark.implicits._
+    val du = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 7L),
+      ("b", 5L)
+    ).toDF("user_id", "day")
+    val got = Features.streaks(du, "user_id", "day")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") == ((3L, 2L, 4L)), got.toString)
+    assert(got("b") == ((1L, 1L, 1L)), got.toString)
+  }
+
+  test("denseGrid: silent units appear zero-filled and flagged") {
+    import spark.implicits._
+    val df = Seq(("x", 2L), ("x", 2L), ("x", 5L)).toDF("k", "u")
+    val got = Features.denseGrid(df, "k", "u")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getInt(3))))
+      .toMap
+    assert(got == Map(
+      2L -> ((2L, 0)), 3L -> ((0L, 1)), 4L -> ((0L, 1)), 5L -> ((1L, 0))),
+      got.toString)
+  }
+
+  test("lagFeatures: missing history is -1, lags follow the declared order") {
+    import spark.implicits._
+    val df = Seq(
+      ("u", 1L, 10L, 100L), ("u", 2L, 20L, 200L), ("u", 3L, 30L, 300L)
+    ).toDF("user_id", "event_id", "us", "cents")
+    val got = Features.lagFeatures(df, "user_id", Seq("us", "event_id"),
+        "cents", Seq(1, 2))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // (cents_lag1, cents_lag2, gap1_us)
+    assert(got(1L) == ((-1L, -1L, -1L)), got.toString)
+    assert(got(2L) == ((100L, -1L, 10L)), got.toString)
+    assert(got(3L) == ((200L, 100L, 10L)), got.toString)
+  }
+
+  test("zscore: exact moments give unit z for a symmetric pair; constant group is NULL") {
+    import spark.implicits._
+    val df = Seq(
+      ("g", 1L, 1L), ("g", 2L, 3L),
+      ("c", 3L, 5L), ("c", 4L, 5L)
+    ).toDF("t", "id", "cents")
+    val rows = Features.zscore(df, "t", "cents").collect()
+    val got = rows.map(r => r.getLong(1) ->
+      (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(1L) == Some(-1.0) && got(2L) == Some(1.0), got.toString)
+    // zero variance -> divide by zero -> NULL in BOTH engines (Spark's
+    // non-ANSI Divide and DuckDB agree; asserted against DuckDB in the
+    // sibling python check)
+    assert(got(3L).isEmpty && got(4L).isEmpty, got.toString)
+  }
+
+  test("rollingDistinct: trailing window unions distinct keys, clipped to observed units") {
+    import spark.implicits._
+    val df = Seq((1L, "u1"), (2L, "u2"), (2L, "u1"), (4L, "u3"))
+      .toDF("day", "user_id")
+    val got = Features.rollingDistinct(df, "user_id", "day", windowUnits = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // day1: {u1}; day2: {u1,u2} (u1 once despite two active days);
+    // day3 unobserved -> absent; day4: {u3} only (window [3,4])
+    assert(got == Map(1L -> 1L, 2L -> 2L, 4L -> 1L), got.toString)
+  }
+
+  test("quintiles: total order with the key tie-break, n bins") {
+    import spark.implicits._
+    val df = Seq(("a", 10L), ("b", 10L), ("c", 20L), ("d", 30L))
+      .toDF("k", "m")
+    val got = Features.quintiles(df, "k", Seq(("m", "bin")), n = 2)
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    // order: a,b,c,d -> bins 1,1,2,2
+    assert(got == Map("a" -> 1, "b" -> 1, "c" -> 2, "d" -> 2), got.toString)
+  }
+}
