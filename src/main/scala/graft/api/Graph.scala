@@ -1,0 +1,166 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph kernels over a plain undirected edge frame — the library
+  * surface behind the g01–g05 queries (same contract as [[Features]]
+  * and [[Corpus]]: the registered queries call these, so the DuckDB
+  * oracles — including the recursive-CTE and naive-self-join
+  * formulations — verify the public API). Edges are (a, b) rows with
+  * `a < b`, distinct; whatever they mean (co-purchases, near-dup
+  * pairs, citations), the kernels are indifferent.
+  *
+  * Scale notes live on each function; the shared theme is that every
+  * quadratic-looking step is structurally bounded — degree orientation
+  * caps wedge blowup at O(sqrt(E)) per node, PageRank's per-iteration
+  * work is one co-partitioned join + aggregate, and component labels
+  * move by min-label propagation (shared with [[Dedup.nearDupClusters]]).
+  */
+object Graph {
+
+  /** Shared triangle machinery: given distinct (pa, pb) edges with
+    * pa < pb, returns (edges persisted, per-node degrees, one row per
+    * triangle as its three vertices).
+    *
+    * Degree orientation is the standard bound on the quadratic wedge
+    * blowup: each undirected edge is oriented from its lower-(degree,
+    * id) endpoint to its higher one, wedges are built only at a
+    * triangle's MINIMUM vertex (so a star of degree d spawns
+    * `out-deg(d) choose 2` wedges instead of `d choose 2`, and
+    * out-degree is O(sqrt(edges)) for ANY graph), and a wedge closes by
+    * an equi-join back to the oriented edge list. Three shuffles total
+    * — degree agg, wedge join, closing join — every one on uniform
+    * endpoint keys; no step is quadratic in a hub's degree, which is
+    * the whole game on a 100 TB power-law graph.
+    */
+  def triangleFrames(edgeList: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val e = edgeList.persist()
+    val deg = e.select(col("pa").as("node"))
+      .unionAll(e.select(col("pb").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient each edge from lower (deg, id) to higher (deg, id)
+    val withDeg = e
+      .join(deg.select(col("node").as("pa"), col("deg").as("da")), "pa")
+      .join(deg.select(col("node").as("pb"), col("deg").as("db")), "pb")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("pa") < col("pb")),
+        struct(col("pa").as("src"), col("pb").as("dst"),
+          col("db").as("ddeg"), col("pb").as("did")))
+        .otherwise(struct(col("pb").as("src"), col("pa").as("dst"),
+          col("da").as("ddeg"), col("pa").as("did"))).as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"),
+        col("o.ddeg").as("ddeg"), col("o.did").as("did"))
+      .persist()
+    // wedges at the minimum vertex, endpoints ordered by (deg, id)
+    val w1 = oriented.select(col("src"), col("dst").as("v1"),
+      col("ddeg").as("d1"), col("did").as("i1"))
+    val w2 = oriented.select(col("src").as("src2"), col("dst").as("v2"),
+      col("ddeg").as("d2"), col("did").as("i2"))
+    val wedges = w1.join(w2,
+      col("src") === col("src2") &&
+        (col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("i1") < col("i2"))))
+    val closing = oriented.select(col("src").as("cv1"), col("dst").as("cv2"))
+    val triangles = wedges.join(closing,
+        col("v1") === col("cv1") && col("v2") === col("cv2"))
+      .select(col("src").as("ta"), col("v1").as("tb"), col("v2").as("tc"))
+    (e, deg, triangles)
+  }
+
+  /** (n_nodes, n_edges, n_triangles) of an undirected simple graph. */
+  def triangleStats(edgeList: DataFrame): DataFrame = {
+    val (e, deg, triangles) = triangleFrames(edgeList)
+    // three scalar aggregates cross-joined into the one-row report —
+    // no driver-side action, so the whole job is one materialization
+    val nTri = triangles.agg(count(lit(1)).as("n_triangles"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    nNodes.crossJoin(nEdges).crossJoin(nTri)
+  }
+
+  /** Per-node local clustering coefficient: 2*tri(v) / (deg(v) *
+    * (deg(v)-1)) over nodes with degree >= 2. Returns (node, deg,
+    * n_tri, coeff). Each triangle row fans out to its three vertices;
+    * both counts come from uniform-key aggregates, so the cost profile
+    * is [[triangleFrames]] plus one explode-aggregate.
+    */
+  def clusteringCoefficients(edgeList: DataFrame): DataFrame = {
+    val (_, deg, triangles) = triangleFrames(edgeList)
+    val perNode = triangles
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("deg") >= 2)
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        ((coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+          (col("deg") * (col("deg") - 1))).as("coeff"))
+  }
+
+  /** PageRank in EXACT fixed-point arithmetic (ranks are integer
+    * "picoranks", 1e12 = 1.0; damping `0.85` is `(85 * s) div 100`) —
+    * the formulation a cross-engine oracle CAN bit-check, because
+    * double PageRank diverges on summation order. Each iteration is
+    * one join of the degree-annotated edge list against the current
+    * ranks (co-partitioned on the node key at scale) and one
+    * aggregate; degrees are joined in ONCE, not per iteration.
+    * Assumes every node has degree >= 1 (true for any edge-derived
+    * node set), so there is no dangling-mass term. Intermediate sums
+    * must fit int64 — a trillion-node graph lifts the accumulator to
+    * DECIMAL(38,0), same algebra. Returns (node, rank_pico).
+    */
+  def pageRankFixedPoint(edgeList: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"bad iterations $iterations")
+    val prOne = 1000000000000L
+    val prBase = 150000000000L // 0.15 in picoranks
+    val e2 = edgeList.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(edgeList.select(col("pb").as("u"), col("pa").as("v")))
+    val deg = e2.groupBy("u").agg(count(lit(1)).as("deg"))
+    val ed = e2.join(deg, "u").persist()
+    var ranks = deg.select(col("u").as("node"), lit(prOne).as("r"))
+    for (_ <- 1 to iterations) {
+      ranks = ed.join(ranks, col("node") === col("u"))
+        .select(col("v"), expr("r div deg").as("contrib"))
+        .groupBy(col("v").as("nxt")).agg(sum("contrib").as("s"))
+        .select(col("nxt").as("node"),
+          (lit(prBase) + expr("(85 * s) div 100")).as("r"))
+    }
+    ranks.select(col("node"), col("r").cast("bigint").as("rank_pico"))
+  }
+
+  /** Connected components — transitive closure is ONE operator in this
+    * engine whatever the edges mean: delegates to the min-label
+    * propagation + pointer-jumping machinery shared with the near-dup
+    * cluster operator. Returns (doc_id = node, cluster_id = component,
+    * cluster_size).
+    */
+  def components(edgeList: DataFrame, aCol: String = "pa",
+      bCol: String = "pb"): DataFrame =
+    Dedup.nearDupClusters(edgeList, aCol = aCol, bCol = bCol)
+
+  /** Degree histogram + exact k_nn(k) assortativity curve: per degree
+    * k, the node count and the exact average neighbor degree (rising
+    * curve = hubs attach to hubs). Three uniform-key shuffles; every
+    * average is an exact bigint-sum / count division. Returns
+    * (deg, n_nodes, avg_neighbor_deg).
+    */
+  def degreeAssortativity(edgeList: DataFrame): DataFrame = {
+    val sym = edgeList.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(edgeList.select(col("pb").as("u"), col("pa").as("v")))
+      .persist()
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val nbr = sym
+      .join(deg.select(col("node").as("v"), col("deg").as("vdeg")), "v")
+      .groupBy(col("u").as("node"))
+      .agg(sum(col("vdeg")).as("nbr_deg_sum"), count(lit(1)).as("nbr_n"))
+    deg.join(nbr, "node")
+      .groupBy(col("deg").cast("bigint").as("deg"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        (sum(col("nbr_deg_sum")).cast("double") / sum(col("nbr_n")))
+          .as("avg_neighbor_deg"))
+      .orderBy("deg")
+  }
+}

@@ -54,86 +54,14 @@ object GraphOps {
       .filter(expr(edgeKeep))
       .distinct()
 
-  /** Shared triangle machinery: given distinct (pa, pb) edges with
-    * pa < pb, returns (edges persisted, per-node degrees, one row per
-    * triangle as its three vertices).
-    *
-    * Degree orientation is the standard bound on the quadratic wedge
-    * blowup: each undirected edge is oriented from its lower-(degree,
-    * id) endpoint to its higher one, wedges are built only at a
-    * triangle's MINIMUM vertex (so a star of degree d spawns
-    * `out-deg(d) choose 2` wedges instead of `d choose 2`, and
-    * out-degree is O(sqrt(edges)) for ANY graph), and a wedge closes by
-    * an equi-join back to the oriented edge list. Three shuffles total
-    * — degree agg, wedge join, closing join — every one on uniform
-    * endpoint keys; no step is quadratic in a hub's degree, which is
-    * the whole game on a 100 TB power-law graph.
-    */
-  private[graft] def triangleFrames(
-      edgeList: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val e = edgeList.persist()
-    val deg = e.select(col("pa").as("node"))
-      .unionAll(e.select(col("pb").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    // orient each edge from lower (deg, id) to higher (deg, id)
-    val withDeg = e
-      .join(deg.select(col("node").as("pa"), col("deg").as("da")), "pa")
-      .join(deg.select(col("node").as("pb"), col("deg").as("db")), "pb")
-    val oriented = withDeg.select(
-      when(col("da") < col("db") ||
-        (col("da") === col("db") && col("pa") < col("pb")),
-        struct(col("pa").as("src"), col("pb").as("dst"),
-          col("db").as("ddeg"), col("pb").as("did")))
-        .otherwise(struct(col("pb").as("src"), col("pa").as("dst"),
-          col("da").as("ddeg"), col("pa").as("did"))).as("o"))
-      .select(col("o.src").as("src"), col("o.dst").as("dst"),
-        col("o.ddeg").as("ddeg"), col("o.did").as("did"))
-      .persist()
-    // wedges at the minimum vertex, endpoints ordered by (deg, id)
-    val w1 = oriented.select(col("src"), col("dst").as("v1"),
-      col("ddeg").as("d1"), col("did").as("i1"))
-    val w2 = oriented.select(col("src").as("src2"), col("dst").as("v2"),
-      col("ddeg").as("d2"), col("did").as("i2"))
-    val wedges = w1.join(w2,
-      col("src") === col("src2") &&
-        (col("d1") < col("d2") ||
-          (col("d1") === col("d2") && col("i1") < col("i2"))))
-    val closing = oriented.select(col("src").as("cv1"), col("dst").as("cv2"))
-    val triangles = wedges.join(closing,
-        col("v1") === col("cv1") && col("v2") === col("cv2"))
-      .select(col("src").as("ta"), col("v1").as("tb"), col("v2").as("tc"))
-    (e, deg, triangles)
-  }
+  // The kernels themselves live in the public API ([[graft.api.Graph]],
+  // the Features/Corpus pattern) — these forwards keep GraphSpec and the
+  // queries on one implementation.
+  private[graft] def triangleStats(edgeList: DataFrame): DataFrame =
+    graft.api.Graph.triangleStats(edgeList)
 
-  /** (n_nodes, n_edges, n_triangles) of an undirected simple graph. */
-  private[graft] def triangleStats(edgeList: DataFrame): DataFrame = {
-    val (e, deg, triangles) = triangleFrames(edgeList)
-    // three scalar aggregates cross-joined into the one-row report —
-    // no driver-side action, so the whole job is one materialization
-    val nTri = triangles.agg(count(lit(1)).as("n_triangles"))
-    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
-    val nEdges = e.agg(count(lit(1)).as("n_edges"))
-    nNodes.crossJoin(nEdges).crossJoin(nTri)
-  }
-
-  /** Per-node local clustering coefficient: 2*tri(v) / (deg(v) *
-    * (deg(v)-1)) over nodes with degree >= 2. Returns (node, deg,
-    * n_tri, coeff). Each triangle row fans out to its three vertices;
-    * both counts come from uniform-key aggregates, so the cost profile
-    * is [[triangleFrames]] plus one explode-aggregate.
-    */
-  private[graft] def clusteringCoefficients(edgeList: DataFrame): DataFrame = {
-    val (_, deg, triangles) = triangleFrames(edgeList)
-    val perNode = triangles
-      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
-    deg.filter(col("deg") >= 2)
-      .join(perNode, Seq("node"), "left")
-      .select(col("node"), col("deg"),
-        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
-        ((coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
-          (col("deg") * (col("deg") - 1))).as("coeff"))
-  }
+  private[graft] def clusteringCoefficients(edgeList: DataFrame): DataFrame =
+    graft.api.Graph.clusteringCoefficients(edgeList)
 
   /** Global triangle census — count vs the oracle's naive 3-way
     * self-join, which is exactly the equivalence the orientation trick
@@ -249,20 +177,7 @@ object GraphOps {
       |ORDER BY rank_pico DESC, node LIMIT 20""".stripMargin
   },
     doc = "fixed-point integer PageRank, 3 power iterations (one edge-rank join + aggregate per iteration)") { (spark, dir) =>
-    val e = edges(spark, dir)
-    val e2 = e.select(col("pa").as("u"), col("pb").as("v"))
-      .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
-    val deg = e2.groupBy("u").agg(count(lit(1)).as("deg"))
-    val ed = e2.join(deg, "u").persist()
-    var ranks = deg.select(col("u").as("node"), lit(prOne).as("r"))
-    for (_ <- 1 to 3) {
-      ranks = ed.join(ranks, col("node") === col("u"))
-        .select(col("v"), expr("r div deg").as("contrib"))
-        .groupBy(col("v").as("nxt")).agg(sum("contrib").as("s"))
-        .select(col("nxt").as("node"),
-          (lit(prBase) + expr("(85 * s) div 100")).as("r"))
-    }
-    ranks.select(col("node"), col("r").cast("bigint").as("rank_pico"))
+    graft.api.Graph.pageRankFixedPoint(edges(spark, dir), iterations = 3)
       .orderBy(col("rank_pico").desc, col("node"))
       .limit(20)
   }
@@ -300,7 +215,7 @@ object GraphOps {
       |ORDER BY comp_size""".stripMargin
   },
     doc = "connected-component size histogram (min-label propagation, shared with the dedup cluster operator)") { (spark, dir) =>
-    graft.api.Dedup.nearDupClusters(edges(spark, dir), aCol = "pa", bCol = "pb")
+    graft.api.Graph.components(edges(spark, dir))
       .select("cluster_id", "cluster_size").distinct()
       .groupBy(col("cluster_size").as("comp_size"))
       .agg(count(lit(1)).as("n_components"))
@@ -339,22 +254,7 @@ object GraphOps {
       |GROUP BY 1 ORDER BY deg""".stripMargin
   },
     doc = "degree histogram + exact k_nn(k) assortativity curve of the co-purchase graph") { (spark, dir) =>
-    val e = edges(spark, dir)
-    val sym = e.select(col("pa").as("u"), col("pb").as("v"))
-      .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
-      .persist()
-    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
-    val nbr = sym
-      .join(deg.select(col("node").as("v"), col("deg").as("vdeg")), "v")
-      .groupBy(col("u").as("node"))
-      .agg(sum(col("vdeg")).as("nbr_deg_sum"), count(lit(1)).as("nbr_n"))
-    deg.join(nbr, "node")
-      .groupBy(col("deg").cast("bigint").as("deg"))
-      .agg(
-        count(lit(1)).as("n_nodes"),
-        (sum(col("nbr_deg_sum")).cast("double") / sum(col("nbr_n")))
-          .as("avg_neighbor_deg"))
-      .orderBy("deg")
+    graft.api.Graph.degreeAssortativity(edges(spark, dir))
   }
 
   val all: Seq[OpQuery] = Seq(g01, g02, g03, g04, g05)
