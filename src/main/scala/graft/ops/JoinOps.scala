@@ -874,6 +874,74 @@ object JoinOps {
       .orderBy("k", "valid_from")
   }
 
+  /** Day-dimension table for the DPP demo: every observed day tagged
+    * 'hot' (the 5 busiest by event count, ties by day) or 'cold'. The
+    * tag is DATA, not derivable from the day value — that is what
+    * forces the fact-side partition filter to be dynamic (resolved
+    * from the dim scan at runtime), not static constraint propagation.
+    */
+  def ensureDayDim(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    import java.nio.file.{Files, Paths}
+    val sf = new java.io.File(dir).getName.replace(".", "_")
+    val loc = s"/root/repo/target/partitioned/$sf/day_dim"
+    if (!Files.exists(Paths.get(s"$loc/_SUCCESS"))) {
+      val days = Sources.table(spark, dir, "events")
+        .withColumn("day", expr("ts div 1000 div 86400000000"))
+        .groupBy("day").agg(count(lit(1)).as("n"))
+      val busy = days.orderBy(col("n").desc, col("day")).limit(5)
+        .select(col("day"), lit("hot").as("tag"))
+      days.select("day").join(busy, Seq("day"), "left")
+        .select(col("day"), coalesce(col("tag"), lit("cold")).as("tag"))
+        .write.mode("overwrite").parquet(loc)
+    }
+    loc
+  }
+
+  /** Dynamic partition pruning — the RUNTIME half of the r21 story: the
+    * week filter there is a literal the planner prunes by at planning
+    * time; here the interesting days are data in a dimension table
+    * (tag = 'hot'), so the set of fact partitions to read is only known
+    * after the dim scan. Spark's DPP inserts a pruning subquery into
+    * the fact scan's PartitionFilters (PlanSpec asserts
+    * `dynamicpruning` is present), and the broadcast that feeds the
+    * join is reused as the pruning filter — at 100 TB this is the
+    * difference between reading 5 days and reading the whole store
+    * when the predicate lives in a dim. The oracle recomputes the
+    * busiest-day rule from the flat table, so the layout AND the
+    * pruning are invisible in the result.
+    */
+  val r45 = OpQuery(
+    name = "r45_dynamic_partition_pruning",
+    fn = { (spark, dir) =>
+      val factLoc = ensurePartitioned(spark, dir)
+      val dimLoc = ensureDayDim(spark, dir)
+      val fact = spark.read.parquet(factLoc)
+      val hotDays = spark.read.parquet(dimLoc).filter(col("tag") === "hot")
+      fact.join(hotDays, "day")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("total_value"))
+        .orderBy("event_type")
+    },
+    oracle = Some(
+      """WITH d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, event_type, value
+        |  FROM events
+        |), busy AS (
+        |  SELECT day FROM (SELECT day, count(*) AS n FROM d GROUP BY 1)
+        |  ORDER BY n DESC, day LIMIT 5
+        |)
+        |SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM d JOIN busy USING (day)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin),
+    doc = "dynamic partition pruning: dim-side 'hot' tag prunes the day-partitioned fact scan at runtime",
+    prepare = (spark, dir) => {
+      ensurePartitioned(spark, dir); ensureDayDim(spark, dir); ()
+    })
+
   val all: Seq[OpQuery] = Seq(r17, r18, r19, r20, r21, r22, r23, r24, r25,
-    r26, r27, r28, r29, r31, r33, r35, r36, r39)
+    r26, r27, r28, r29, r31, r33, r35, r36, r39, r45)
 }

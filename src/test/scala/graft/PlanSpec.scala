@@ -266,6 +266,14 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("r45: the fact scan's partition filter is dynamic (fed by the dim scan)") {
+    graft.ops.JoinOps.r45.prepare(spark, TestSpark.sf0001)
+    val p = plan(graft.ops.JoinOps.r45.fn(spark, TestSpark.sf0001))
+    assert(p.contains("dynamicpruning"),
+      "fact PartitionFilters must carry a runtime pruning subquery: " +
+        p.take(3000))
+  }
+
   test("e24: the four lag features share one Window node and one shuffle") {
     val p = plan(graft.ops.EventOps.e24.fn(spark, TestSpark.sf0001))
     assert("\\bWindow\\b".r.findAllIn(p).size == 1,
