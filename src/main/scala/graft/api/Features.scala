@@ -99,18 +99,33 @@ object Features {
     * non-ANSI Divide and DuckDB agree on that, so the contract is
     * oracle-stable (FeaturesSpec pins it).
     */
-  def zscore(df: DataFrame, group: String, value: String): DataFrame = {
-    val st = df.groupBy(group)
+  def zscore(df: DataFrame, group: String, value: String): DataFrame =
+    zscoreWithStats(df, groupStats(df, group, value), group, value)
+
+  /** The exact integer moments (`n`, `s1`, `s2`) per group — the
+    * training-time statistics frame [[zscoreWithStats]] consumes.
+    */
+  def groupStats(df: DataFrame, group: String, value: String): DataFrame =
+    df.groupBy(group)
       .agg(count(lit(1)).as("n"),
         sum(col(value)).as("s1"),
         sum(col(value) * col(value)).as("s2"))
-    df.join(broadcast(st), group)
+
+  /** Scores rows against a PRE-COMPUTED stats frame — the online
+    * (inference-time) half of [[zscore]]: training computes
+    * [[groupStats]] once, serving broadcasts it onto any frame — batch
+    * or stream (it is a stateless stream-static join, so it runs
+    * unchanged under Structured Streaming; StreamingSpec pins parity
+    * with the batch path).
+    */
+  def zscoreWithStats(df: DataFrame, stats: DataFrame, group: String,
+      value: String): DataFrame =
+    df.join(broadcast(stats), group)
       .withColumn("z",
         expr(s"""(CAST($value AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
                  sqrt((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
                       / (CAST(n AS DOUBLE) * n))"""))
       .drop("n", "s1", "s2")
-  }
 
   /** Trailing `windowUnits`-wide distinct-`key` count per unit (e21's
     * WAU curve): one (unit, key) dedup shuffle, a bounded fan-out of

@@ -140,6 +140,34 @@ object Graph {
       bCol: String = "pb"): DataFrame =
     Dedup.nearDupClusters(edgeList, aCol = aCol, bCol = bCol)
 
+  /** Multi-source BFS to `maxHops`: every node's hop distance from the
+    * seed set (0 for seeds; nodes beyond `maxHops` absent). Each hop is
+    * one frontier-edge join (co-partitioned on the node key at scale)
+    * plus an anti join against the visited set — the visited frame
+    * grows monotonically but is only ever probed by key, never
+    * re-scanned per source, which is what makes MULTI-source BFS one
+    * pass instead of |seeds| passes. Returns (node, hop).
+    */
+  def multiSourceBfs(edgeList: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"bad maxHops $maxHops")
+    val sym = edgeList.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(edgeList.select(col("pb").as("u"), col("pa").as("v")))
+      .persist()
+    var visited = seeds.select(col("node"), lit(0).as("hop")).persist()
+    var frontier = visited.select("node")
+    for (h <- 1 to maxHops) {
+      val next = sym.join(frontier.select(col("node").as("u")), "u")
+        .select(col("v").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("hop"))
+        .persist()
+      visited = visited.unionAll(next).persist()
+      frontier = next.select("node")
+    }
+    visited
+  }
+
   /** Degree histogram + exact k_nn(k) assortativity curve: per degree
     * k, the node count and the exact average neighbor degree (rising
     * curve = hubs attach to hubs). Three uniform-key shuffles; every

@@ -257,5 +257,55 @@ object GraphOps {
     graft.api.Graph.degreeAssortativity(edges(spark, dir))
   }
 
-  val all: Seq[OpQuery] = Seq(g01, g02, g03, g04, g05)
+  /** Multi-source BFS from the graph's 5 highest-degree hubs, 2 hops —
+    * the "blast radius" / influence-neighborhood query (recall
+    * expansion, contamination spread, recommendation seeds). Runs
+    * through [[graft.api.Graph.multiSourceBfs]]: one frontier join +
+    * visited anti join per hop, never one traversal per seed. The
+    * oracle unrolls the two frontier expansions as set-subtracted
+    * CTEs.
+    */
+  val g06 = OpQuery.oracled("g06_multi_source_bfs", {
+    s"""WITH pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), e0 AS (
+      |  SELECT DISTINCT pa, pb FROM pairs WHERE $edgeKeep
+      |), sym AS (
+      |  SELECT pa AS u, pb AS v FROM e0
+      |  UNION ALL
+      |  SELECT pb AS u, pa AS v FROM e0
+      |), deg AS (
+      |  SELECT u AS node, count(*) AS deg FROM sym GROUP BY 1
+      |), h0 AS (
+      |  SELECT node, 0 AS hop FROM deg ORDER BY deg DESC, node LIMIT 5
+      |), h1 AS (
+      |  SELECT DISTINCT e.v AS node, 1 AS hop
+      |  FROM sym e JOIN h0 ON h0.node = e.u
+      |  WHERE e.v NOT IN (SELECT node FROM h0)
+      |), h2 AS (
+      |  SELECT DISTINCT e.v AS node, 2 AS hop
+      |  FROM sym e JOIN h1 ON h1.node = e.u
+      |  WHERE e.v NOT IN (SELECT node FROM h0)
+      |    AND e.v NOT IN (SELECT node FROM h1)
+      |)
+      |SELECT node, CAST(hop AS INT) AS hop
+      |FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1
+      |      UNION ALL SELECT * FROM h2)
+      |ORDER BY hop, node""".stripMargin
+  },
+    doc = "2-hop multi-source BFS from the top-5 degree hubs (one frontier join per hop, not one traversal per seed)") { (spark, dir) =>
+    val e = edges(spark, dir)
+    val sym = e.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
+    val seeds = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("node")).limit(5)
+      .select("node")
+    graft.api.Graph.multiSourceBfs(e, seeds, maxHops = 2)
+      .select(col("node"), col("hop").cast("int").as("hop"))
+      .orderBy("hop", "node")
+  }
+
+  val all: Seq[OpQuery] = Seq(g01, g02, g03, g04, g05, g06)
 }

@@ -400,5 +400,47 @@ object Multimodal {
       .orderBy("media_type", "doc_id")
   }
 
-  val all: Seq[OpQuery] = Seq(m01, m02, m03, m04, m05, m06)
+  /** Media near-dup component histogram — m03's verified pairs fed to
+    * the shared transitive-closure kernel ([[graft.api.Graph.components]]),
+    * the cross-family composition: blocking+verify finds PAIRS, but the
+    * dedup decision (keep one per group) needs COMPONENTS, whatever the
+    * payload modality. The oracle stacks the recursive-CTE closure on
+    * top of m03's own oracle text, so the whole chain — stub features,
+    * blocking, L1 verify, closure, histogram — is hash-checked end to
+    * end (the p01 splicing pattern).
+    */
+  val m07 = OpQuery.oracled("m07_media_dup_components", {
+    s"""WITH RECURSIVE mpairs AS (
+      |  SELECT media_a, media_b FROM (
+      |${m03.oracle.get}
+      |  )
+      |), edges AS (
+      |  SELECT media_a AS u, media_b AS v FROM mpairs
+      |  UNION ALL
+      |  SELECT media_b AS u, media_a AS v FROM mpairs
+      |), reach AS (
+      |  SELECT u, u AS l FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v
+      |), lab AS (
+      |  SELECT u AS node, min(l) AS comp FROM reach GROUP BY 1
+      |), comps AS (
+      |  SELECT comp, count(*) AS comp_size FROM lab GROUP BY 1
+      |)
+      |SELECT CAST(comp_size AS BIGINT) AS comp_size,
+      |       count(*) AS n_components
+      |FROM comps GROUP BY 1
+      |ORDER BY comp_size""".stripMargin
+  },
+    doc = "media near-dup component histogram (m03 pairs through the shared transitive-closure kernel)") { (spark, dir) =>
+    graft.api.Graph.components(
+        m03.fn(spark, dir)
+          .select(col("media_a").as("pa"), col("media_b").as("pb")))
+      .select("cluster_id", "cluster_size").distinct()
+      .groupBy(col("cluster_size").as("comp_size"))
+      .agg(count(lit(1)).as("n_components"))
+      .orderBy("comp_size")
+  }
+
+  val all: Seq[OpQuery] = Seq(m01, m02, m03, m04, m05, m06, m07)
 }

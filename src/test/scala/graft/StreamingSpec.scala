@@ -158,6 +158,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((2L, 1L, 1.0)), rows.toString)
   }
 
+  test("online z-scoring: stream scored against training-time stats equals the batch path") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // training-time stats from a batch frame (mean 2, pop-std 1 for g)
+    val train = Seq(("g", 1L, 1L), ("g", 2L, 3L)).toDF("t", "id", "cents")
+    val stats = graft.api.Features.groupStats(train, "t", "cents")
+    val mem = MemoryStream[(String, Long, Long)]
+    val scored = graft.api.Features.zscoreWithStats(
+      mem.toDF().toDF("t", "id", "cents"), stats, "t", "cents")
+    val q = scored.writeStream
+      .outputMode("append").format("memory").queryName("online_z")
+      .start()
+    mem.addData(("g", 10L, 4L), ("g", 11L, 2L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("online_z")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // (4 - 2) / 1 = 2.0 ; (2 - 2) / 1 = 0.0 — identical to the batch
+    // expression because the op tree is the same code
+    assert(got == Map(10L -> 2.0, 11L -> 0.0), got.toString)
+  }
+
   test("rolling actives: sliding-window dedup counts each user once per window") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
