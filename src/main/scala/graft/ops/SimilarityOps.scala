@@ -1113,6 +1113,59 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Recall@3 of the two-stage retriever (s16) against the exact
+    * baseline — the acceptance dial for the SYSTEM a user actually
+    * deploys, completing the loop s12 opened: s12 shows raw ADC
+    * ranking carries no signal on this corpus (recall 0.0 — toy
+    * codebook, near-random vectors), and re-ranking can only recover
+    * what the 10-deep shortlist retains, so this number isolates the
+    * SHORTLIST's recall ceiling. On this corpus it stays near zero —
+    * honest, like s12 and s05 — and a real deployment turns exactly
+    * two knobs until it clears the bar: codebook size (k-means-trained,
+    * s07) and shortlist depth, both plan-invariant parameters.
+    */
+  val s17 = OpQuery.oracled("s17_rerank_recall_at_3", {
+    def strip(sql: String): String = sql.trim
+    s"""WITH exact AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |${strip(s01.oracle.get)}
+       |  ) WHERE rank <= 3
+       |), reranked AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |${strip(s16.oracle.get)}
+       |  )
+       |), matched AS (
+       |  SELECT reranked.q_id, count(*) AS hits
+       |  FROM reranked
+       |  JOIN exact e ON e.q_id = reranked.q_id
+       |    AND e.neighbor_id = reranked.neighbor_id
+       |  GROUP BY 1
+       |)
+       |SELECT g.vec_id AS q_id,
+       |       CAST(coalesce(h.hits, 0) AS INT) AS hits,
+       |       CAST(coalesce(h.hits, 0) AS DOUBLE) / 3 AS recall_at_3
+       |FROM (SELECT vec_id FROM read_parquet('{SFDIR}/embeddings.parquet')
+       |      WHERE vec_id % 50 = 0) g
+       |LEFT JOIN matched h ON h.q_id = g.vec_id
+       |ORDER BY q_id""".stripMargin
+  },
+    doc = "recall@3 of the two-stage ADC+rerank retriever vs the exact baseline (isolates the shortlist's recall ceiling)") { (spark, dir) =>
+    val exact = s01.fn(spark, dir).filter(col("rank") <= 3)
+      .select("q_id", "neighbor_id")
+    val reranked = s16.fn(spark, dir).select("q_id", "neighbor_id")
+    val matched = reranked.join(exact, Seq("q_id", "neighbor_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits0"))
+    Sources.table(spark, dir, "embeddings")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"))
+      .join(matched, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("hits0"), lit(0L)).cast("int").as("hits"),
+        (coalesce(col("hits0"), lit(0L)).cast("double") / lit(3.0))
+          .as("recall_at_3"))
+      .orderBy("q_id")
+  }
+
   val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14, s15, s16)
+    s10, s11, s12, s13, s14, s15, s16, s17)
 }
