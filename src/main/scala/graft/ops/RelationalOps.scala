@@ -598,6 +598,247 @@ object RelationalOps {
       .orderBy("c_mktsegment")
   }
 
+  /** TPC-H Q2 shape (public spec): for each part in a size class, the
+    * regional supplier(s) offering the minimum unit price. The schema
+    * has no partsupp, so lineitem plays the part-supplier offer
+    * relation (`min(l_extendedprice / l_quantity)` per (part, supp) =
+    * the standing offer). The canonical form is a correlated scalar
+    * `MIN` subquery re-evaluated per part; the engine decorrelates it
+    * into one per-(part,supp) aggregate plus a per-part min window —
+    * the fact is scanned ONCE. All four dims (part-size subset,
+    * regional suppliers, nation, region) broadcast, so the only
+    * shuffles are the offer group-by and the window re-partition on
+    * p_partkey — both over the already-dim-pruned offer set, not the
+    * raw fact. The per-row double division is IEEE-identical in both
+    * engines and `min`/equality select exact bit values, so the
+    * join-back-free window compare is cross-engine safe.
+    */
+  val r46 = OpQuery.oracled("r46_min_cost_supplier",
+    """WITH offers AS (
+      |  SELECT l.l_partkey, p.p_name, l.l_suppkey, s.s_name, n.n_name,
+      |         min(l.l_extendedprice / l.l_quantity) AS unit_price
+      |  FROM lineitem l
+      |  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size = 10
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+      |  GROUP BY 1, 2, 3, 4, 5
+      |), ranked AS (
+      |  SELECT o.*, min(unit_price) OVER (PARTITION BY l_partkey) AS best
+      |  FROM offers o
+      |)
+      |SELECT l_partkey AS p_partkey, p_name, s_name, n_name,
+      |       unit_price AS best_price
+      |FROM ranked WHERE unit_price = best
+      |ORDER BY p_partkey, s_name""".stripMargin,
+    doc = "TPC-H Q2 min-cost regional supplier: correlated scalar MIN decorrelated into one offer aggregate + per-part min window, all dims broadcast") { (spark, dir) =>
+    val part = Sources.table(spark, dir, "part")
+      .filter(col("p_size") === 10).select("p_partkey", "p_name")
+    val regNations = Sources.table(spark, dir, "nation")
+      .join(broadcast(Sources.table(spark, dir, "region")
+        .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val supp = Sources.table(spark, dir, "supplier")
+      .join(broadcast(regNations), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+    val offers = Sources.table(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey", "p_name", "l_suppkey", "s_name", "n_name")
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+    val w = Window.partitionBy("l_partkey")
+    offers.withColumn("best", min(col("unit_price")).over(w))
+      .filter(col("unit_price") === col("best"))
+      .select(col("l_partkey").as("p_partkey"), col("p_name"),
+        col("s_name"), col("n_name"), col("unit_price").as("best_price"))
+      .orderBy("p_partkey", "s_name")
+  }
+
+  /** TPC-H Q11 shape (public spec): parts holding an outsized share of
+    * one nation's traded value. The canonical form compares each
+    * group's sum against `(SELECT sum(...) * fraction)` — a scalar
+    * subquery over the SAME aggregate. The engine computes the per-part
+    * aggregate once, derives the global total FROM that aggregate (a
+    * second tiny agg over parts, not a second fact scan), broadcasts
+    * the 1-row total, and keeps the threshold comparison in exact
+    * decimal cross-multiplication (`val * 1000 > total` ⇔ share >
+    * 0.1%) so no cross-engine decimal-divide rounding can flip a
+    * boundary part. At 100 TB: one fact shuffle on l_partkey with
+    * map-side partials; everything after is per-part-sized.
+    */
+  val r47 = OpQuery.oracled("r47_important_part_value",
+    """WITH pv AS (
+      |  SELECT l.l_partkey,
+      |         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS val
+      |  FROM lineitem l
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |    AND n.n_name = 'NATION_3'
+      |  GROUP BY 1
+      |), tot AS (SELECT sum(val) AS total_val FROM pv)
+      |SELECT pv.l_partkey AS p_partkey, CAST(pv.val AS DOUBLE) AS part_value
+      |FROM pv, tot
+      |WHERE pv.val * 1000 > tot.total_val
+      |ORDER BY part_value DESC, p_partkey""".stripMargin,
+    doc = "TPC-H Q11 important-part share: per-part aggregate reused for the global scalar, broadcast 1-row total, exact decimal cross-multiplied threshold") { (spark, dir) =>
+    val natSupp = Sources.table(spark, dir, "supplier")
+      .join(broadcast(Sources.table(spark, dir, "nation")
+        .filter(col("n_name") === "NATION_3").select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val pv = Sources.table(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(dec2(col("l_extendedprice"))).as("val"))
+      .persist()
+    val tot = pv.agg(sum(col("val")).as("total_val"))
+    pv.crossJoin(broadcast(tot))
+      .filter(col("val") * 1000 > col("total_val"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("val").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q16 shape (public spec): supplier diversity per part class,
+    * excluding a denylisted supplier set. The canonical `NOT IN
+    * (SELECT ...)` — safe to rewrite as an anti join only because
+    * s_suppkey is non-null (NOT IN's three-valued logic would
+    * otherwise return an empty set on a single NULL). The denylist
+    * (negative-balance suppliers) is tiny → broadcast anti join, no
+    * shuffle to exclude. `count(DISTINCT ...)` runs as the standard
+    * two-phase plan: pre-distinct on (brand, type, suppkey) with
+    * map-side partials bounds the final per-class count — at 100 TB
+    * the distinct shuffle carries at most |parts|×|suppliers| rows,
+    * not the fact.
+    */
+  val r48 = OpQuery.oracled("r48_supplier_diversity",
+    """SELECT p.p_brand, p.p_type,
+      |       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size <= 20
+      |WHERE l.l_suppkey NOT IN
+      |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+      |GROUP BY 1, 2
+      |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin,
+    doc = "TPC-H Q16 supplier diversity: NOT IN rewritten as broadcast anti join (non-null key), two-phase distinct count") { (spark, dir) =>
+    val denied = Sources.table(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 500).select("s_suppkey")
+    val part = Sources.table(spark, dir, "part")
+      .filter(col("p_size") <= 20).select("p_partkey", "p_brand", "p_type")
+    Sources.table(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(denied), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type")
+      .agg(countDistinct(col("l_suppkey")).cast("bigint").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+  }
+
+  /** TPC-H Q8 shape (public spec): one supplier nation's share of a
+    * customer region's market, per year. The interesting ratio
+    * `sum(CASE ...) / sum(...)` is two exact decimal sums over the
+    * SAME rows — one aggregate pass, conditional numerator — followed
+    * by a single double division (deterministic: both operands are
+    * exact decimals cast to double, one IEEE op). The nation table is
+    * joined in TWO roles (customer's region gate, supplier's share
+    * flag); both roles broadcast, so the plan is lineitem⋈orders on
+    * orderkey (the one real shuffle) with everything else map-side.
+    */
+  val r49 = OpQuery.oracled("r49_nation_market_share",
+    """SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+      |  CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
+      |       THEN CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(18,6))
+      |       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+      |  / CAST(sum(CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(18,6))) AS DOUBLE)
+      |  AS mkt_share
+      |FROM lineitem l
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      |JOIN region r ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'ASIA'
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    doc = "TPC-H Q8 market share: conditional-numerator ratio in one aggregate pass, nation dim in two broadcast roles, single fact shuffle") { (spark, dir) =>
+    val nation = Sources.table(spark, dir, "nation")
+    val asiaCust = Sources.table(spark, dir, "customer")
+      .join(broadcast(nation
+        .join(broadcast(Sources.table(spark, dir, "region")
+          .filter(col("r_name") === "ASIA").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))),
+        col("c_nationkey") === col("cn_key"))
+      .select("c_custkey")
+    val supp = Sources.table(spark, dir, "supplier")
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,6)")
+    Sources.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(Sources.table(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_7", rev)
+          .otherwise(lit(0).cast("decimal(18,6)"))).cast("double")
+        / sum(rev).cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q20 shape (public spec): suppliers who moved serious volume
+    * of a named part family in one year. The canonical form nests an
+    * IN (parts LIKE ...) inside a correlated quantity-sum subquery
+    * inside an IN (suppliers ...). Decorrelated: the part family is a
+    * broadcast semi filter on the fact scan, the correlated sum is one
+    * (supp, part) aggregate with a HAVING, and the outer IN is a
+    * semi join from supplier into the surviving keys. The year filter
+    * pushes to the parquet scan. One fact shuffle, group cardinality
+    * bounded by |family|×|suppliers|.
+    */
+  val r50 = OpQuery.oracled("r50_heavy_family_shippers",
+    """WITH hot AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+      |heavy AS (
+      |  SELECT l.l_suppkey
+      |  FROM lineitem l JOIN hot h ON h.p_partkey = l.l_partkey
+      |  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY l.l_suppkey, l.l_partkey
+      |  HAVING sum(CAST(l.l_quantity AS BIGINT)) > 60
+      |)
+      |SELECT s.s_suppkey, s.s_name FROM supplier s
+      |WHERE s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+      |ORDER BY s_suppkey""".stripMargin,
+    doc = "TPC-H Q20 heavy family shippers: nested correlated INs decorrelated into broadcast semi + HAVING aggregate + semi join") { (spark, dir) =>
+    val hot = Sources.table(spark, dir, "part")
+      .filter(col("p_name").like("red%")).select("p_partkey")
+    val heavy = Sources.table(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+      .filter(col("l_shipdate") >=
+          lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") <
+          lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .join(broadcast(hot), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(col("l_quantity").cast("bigint")).as("sq"))
+      .filter(col("sq") > 60)
+      .select("l_suppkey")
+    Sources.table(spark, dir, "supplier")
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
   val all: Seq[OpQuery] = Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09,
-    r10, r11, r12, r30, r32, r38, r41, r42, r43, r44)
+    r10, r11, r12, r30, r32, r38, r41, r42, r43, r44, r46, r47, r48, r49,
+    r50)
 }

@@ -289,4 +289,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       "day clipping must be a broadcast semi join: " + p.take(3000))
   }
+
+  test("r46: every dim joins broadcast — the fact is never sort-merge joined") {
+    val p = plan(RelationalOps.r46.fn(spark, TestSpark.sf0001))
+    assert(!p.contains("SortMergeJoin"),
+      "dim joins must broadcast, not shuffle the fact: " + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("EqualTo(p_size,10)"),
+      "part size filter must push to the scan: " + p.take(3000))
+  }
+
+  test("r48: the supplier denylist excludes via broadcast anti join") {
+    val p = plan(RelationalOps.r48.fn(spark, TestSpark.sf0001))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "NOT IN must run as a broadcast anti join: " + p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("r49: lineitem⋈orders is the only non-broadcast join") {
+    val p = plan(RelationalOps.r49.fn(spark, TestSpark.sf0001))
+    val smj = "SortMergeJoin".r.findAllIn(p).size
+    val shj = "ShuffledHashJoin".r.findAllIn(p).size
+    assert(smj + shj <= 1,
+      "only the fact-fact orderkey join may shuffle: " + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("r50: the year gate pushes to the fact scan, the family gate is a broadcast semi") {
+    val p = plan(RelationalOps.r50.fn(spark, TestSpark.sf0001))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "year filter must push to parquet: " + p.take(3000))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "part family gate must be a broadcast semi join: " + p.take(3000))
+  }
 }
