@@ -174,6 +174,75 @@ object Graph {
     * average is an exact bigint-sum / count division. Returns
     * (deg, n_nodes, avg_neighbor_deg).
     */
+  /** Semi-supervised label spread: seed nodes carry fixed labels;
+    * every other node adopts, per synchronous round, the MINIMUM label
+    * seen across itself and its neighbors' previous-round labels —
+    * after K rounds a node holds the smallest seed label reachable
+    * within K hops (deterministic, no vote counting to tie-break).
+    * Seeds re-assert their fixed label every round, so a seed is never
+    * relabeled by a smaller incoming label. Each round is ONE
+    * frontier-edge join + one min-aggregate, both co-partitioned on
+    * the node key at scale — the same per-round cost as a BFS hop;
+    * labels-so-far is only ever probed by key, never re-scanned per
+    * seed. `seeds` must have (node, label) columns. Returns
+    * (node, label) for every node within `rounds` hops of a seed.
+    */
+  def labelSpread(edgeList: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"bad rounds $rounds")
+    val sym = edgeList.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(edgeList.select(col("pb").as("u"), col("pa").as("v")))
+      .persist()
+    val seedFix = seeds.select(col("node").as("s_node"),
+      col("label").as("s_label"))
+    var lab = seeds.select(col("node"), col("label"))
+    for (_ <- 1 to rounds) {
+      val fromNbr = sym
+        .join(lab.select(col("node").as("u"), col("label")), "u")
+        .select(col("v").as("node"), col("label"))
+      lab = lab.unionByName(fromNbr)
+        .groupBy("node").agg(min("label").as("label"))
+        .join(broadcast(seedFix), col("node") === col("s_node"), "left")
+        .select(col("node"),
+          coalesce(col("s_label"), col("label")).as("label"))
+    }
+    lab
+  }
+
+  /** Link-prediction features for the non-adjacent node pairs at
+    * distance 2: common-neighbor count and neighborhood Jaccard
+    * (`cn / (deg(a) + deg(b) - cn)`). One wedge expansion (the same
+    * sum-of-deg² cost class as triangle counting — cap hub degrees
+    * upstream if the graph has planetary hubs), one anti join against
+    * the existing edge set, two broadcast-able degree joins; the final
+    * score is a single IEEE division of exact integer counts, so
+    * cross-engine ordering is bit-stable. Returns the `topK` pairs by
+    * (jaccard DESC, a, b): (a, b, common_neighbors, jaccard).
+    */
+  def linkFeatures(edgeList: DataFrame, topK: Int): DataFrame = {
+    require(topK >= 1, s"bad topK $topK")
+    val sym = edgeList.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(edgeList.select(col("pb").as("u"), col("pa").as("v")))
+      .persist()
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val wedges = sym.select(col("u").as("w"), col("v").as("a"))
+      .join(sym.select(col("u").as("w"), col("v").as("b")), "w")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    wedges
+      .join(edgeList.select(col("pa").as("a"), col("pb").as("b")),
+        Seq("a", "b"), "left_anti")
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"),
+        col("common").cast("bigint").as("common_neighbors"),
+        (col("common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   def degreeAssortativity(edgeList: DataFrame): DataFrame = {
     val sym = edgeList.select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(edgeList.select(col("pb").as("u"), col("pa").as("v")))

@@ -307,5 +307,105 @@ object GraphOps {
       .orderBy("hop", "node")
   }
 
-  val all: Seq[OpQuery] = Seq(g01, g02, g03, g04, g05, g06)
+  /** Semi-supervised label spread from the top-5 degree hubs (each
+    * seeded with its own node id as the label), 2 synchronous
+    * min-rounds. The oracle unrolls both rounds as CTEs — union of
+    * self + neighbor labels, min per node, seeds re-asserted — which
+    * is exactly the synchronous-update semantics the distributed
+    * kernel must preserve (an asynchronous/in-place variant would leak
+    * labels two hops in one round).
+    */
+  val g07 = OpQuery.oracled("g07_label_spread", {
+    s"""WITH pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), e0 AS (
+      |  SELECT DISTINCT pa, pb FROM pairs WHERE $edgeKeep
+      |), sym AS (
+      |  SELECT pa AS u, pb AS v FROM e0
+      |  UNION ALL
+      |  SELECT pb AS u, pa AS v FROM e0
+      |), seeds AS (
+      |  SELECT node, node AS label FROM (
+      |    SELECT u AS node, count(*) AS deg FROM sym GROUP BY 1
+      |    ORDER BY deg DESC, node LIMIT 5)
+      |), m1 AS (
+      |  SELECT node, min(label) AS label FROM (
+      |    SELECT node, label FROM seeds
+      |    UNION ALL
+      |    SELECT e.v AS node, l.label FROM sym e JOIN seeds l ON l.node = e.u)
+      |  GROUP BY 1
+      |), l1 AS (
+      |  SELECT m.node, coalesce(s.label, m.label) AS label
+      |  FROM m1 m LEFT JOIN seeds s ON s.node = m.node
+      |), m2 AS (
+      |  SELECT node, min(label) AS label FROM (
+      |    SELECT node, label FROM l1
+      |    UNION ALL
+      |    SELECT e.v AS node, l.label FROM sym e JOIN l1 l ON l.node = e.u)
+      |  GROUP BY 1
+      |), l2 AS (
+      |  SELECT m.node, coalesce(s.label, m.label) AS label
+      |  FROM m2 m LEFT JOIN seeds s ON s.node = m.node
+      |)
+      |SELECT node, CAST(label AS BIGINT) AS label
+      |FROM l2 ORDER BY node""".stripMargin
+  },
+    doc = "semi-supervised min-label spread from the top-5 hubs, 2 synchronous rounds (one frontier join + one min-aggregate per round)") { (spark, dir) =>
+    val e = edges(spark, dir)
+    val sym = e.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
+    val seeds = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("node")).limit(5)
+      .select(col("node"), col("node").as("label"))
+    graft.api.Graph.labelSpread(e, seeds, rounds = 2)
+      .select(col("node"), col("label").cast("bigint").as("label"))
+      .orderBy("node")
+  }
+
+  /** Link-prediction candidates: the strongest non-adjacent
+    * distance-2 pairs by neighborhood Jaccard. The oracle keeps the
+    * canonical wedge self-join + NOT EXISTS; the engine runs the same
+    * wedge expansion (sum-of-deg² work, the triangle-counting cost
+    * class) with the existing-edge exclusion as an anti join and the
+    * degree joins broadcast-able. Top-100 with a full deterministic
+    * tie-break — the score is one IEEE division of exact integer
+    * counts, bit-identical in both engines.
+    */
+  val g08 = OpQuery.oracled("g08_link_prediction", {
+    s"""WITH pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), e0 AS (
+      |  SELECT DISTINCT pa, pb FROM pairs WHERE $edgeKeep
+      |), sym AS (
+      |  SELECT pa AS u, pb AS v FROM e0
+      |  UNION ALL
+      |  SELECT pb AS u, pa AS v FROM e0
+      |), deg AS (
+      |  SELECT u AS node, count(*) AS deg FROM sym GROUP BY 1
+      |), wedge AS (
+      |  SELECT e1.v AS a, e2.v AS b, count(*) AS common
+      |  FROM sym e1 JOIN sym e2 ON e1.u = e2.u AND e1.v < e2.v
+      |  GROUP BY 1, 2
+      |), cand AS (
+      |  SELECT w.a, w.b, w.common FROM wedge w
+      |  WHERE NOT EXISTS (SELECT 1 FROM e0
+      |                    WHERE e0.pa = w.a AND e0.pb = w.b)
+      |)
+      |SELECT c.a, c.b, CAST(c.common AS BIGINT) AS common_neighbors,
+      |       CAST(c.common AS DOUBLE) / (da.deg + db.deg - c.common)
+      |         AS jaccard
+      |FROM cand c
+      |JOIN deg da ON da.node = c.a
+      |JOIN deg db ON db.node = c.b
+      |ORDER BY jaccard DESC, a, b LIMIT 100""".stripMargin
+  },
+    doc = "top-100 link-prediction pairs: wedge expansion + anti join on existing edges + neighborhood Jaccard (exact-integer IEEE score)") { (spark, dir) =>
+    graft.api.Graph.linkFeatures(edges(spark, dir), topK = 100)
+  }
+
+  val all: Seq[OpQuery] = Seq(g01, g02, g03, g04, g05, g06, g07, g08)
 }

@@ -1166,6 +1166,163 @@ object SimilarityOps {
       .orderBy("q_id")
   }
 
+  /** The recall/cost frontier of the ANN family in ONE sweep: top-1
+    * recall on s14's planted near-identical queries AND the
+    * candidate-set size (rows scored — THE cost driver at 100 TB,
+    * where wall-latency is candidates × corpus-partition reads) for
+    * LSH at 4/6/8 signature bits and IVF at nprobe 1/2/4. This is the
+    * table an index-tuning loop reads to pick an operating point:
+    * recall rises with nprobe and falls with bits, candidates move the
+    * other way. All six configurations share ONE signature frame and
+    * ONE cell-assignment frame (persisted) — a sweep never re-hashes
+    * the corpus; LSH width is a bucket-prefix truncation and IVF depth
+    * is a rank filter on the same scored cell ranking. Counts are
+    * exact integers; recall is the only division, done once per row.
+    */
+  val s18 = OpQuery.oracled("s18_ann_frontier_sweep", {
+    def lshCtes(bits: Int): String =
+      s"""lshc_$bits AS (
+         |  SELECT q.q_id, c.neighbor_id,
+         |         ${duckDot("q.v", "c.cv")} / (q.nrm * c.cnrm) AS cos_sim
+         |  FROM lshq q JOIN lshb c
+         |    ON substr(c.bucket, 1, $bits) = substr(q.bucket, 1, $bits)
+         |), lsht_$bits AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT q_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+         |    FROM lshc_$bits) WHERE rn = 1
+         |), lshs_$bits AS (
+         |  SELECT 'lsh' AS method, $bits AS param,
+         |         (SELECT count(*) FROM lshc_$bits) AS n_candidates,
+         |         (SELECT count(*) FROM lsht_$bits
+         |          WHERE neighbor_id = q_id - 1000000) AS n_found
+         |)""".stripMargin
+    def ivfCtes(np: Int): String =
+      s"""ivfc_$np AS (
+         |  SELECT m.q_id, cl.vec_id AS neighbor_id,
+         |         ${duckDot("m.v", "c.v")} / (m.nrm * c.nrm) AS cos_sim
+         |  FROM qcells q
+         |  JOIN cells cl ON cl.c_id = q.c_id
+         |  JOIN e c ON c.vec_id = cl.vec_id
+         |  JOIN mutn m ON m.q_id = q.q_id
+         |  WHERE q.rn <= $np
+         |), ivft_$np AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT q_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+         |    FROM ivfc_$np) WHERE rn = 1
+         |), ivfs_$np AS (
+         |  SELECT 'ivf' AS method, $np AS param,
+         |         (SELECT count(*) FROM ivfc_$np) AS n_candidates,
+         |         (SELECT count(*) FROM ivft_$np
+         |          WHERE neighbor_id = q_id - 1000000) AS n_found
+         |)""".stripMargin
+    s"""WITH e AS (
+       |  $duckEmbedded
+       |), mutn AS (
+       |  SELECT vec_id + 1000000 AS q_id, v, sqrt(${duckDot("v", "v")}) AS nrm
+       |  FROM (SELECT vec_id, list_transform(v, x -> x + 0.01) AS v
+       |        FROM e WHERE vec_id % 25 = 0)
+       |), cent AS (
+       |  SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id % 250 = 0
+       |), cells AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT e.vec_id, cent.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${duckDot("e.v", "cent.cv")} / (e.nrm * cent.cnrm) DESC, cent.c_id ASC) AS rn
+       |    FROM e, cent) WHERE rn = 1
+       |), qcells AS (
+       |  SELECT q_id, c_id, rn FROM (
+       |    SELECT m.q_id, cent.c_id,
+       |           row_number() OVER (PARTITION BY m.q_id
+       |             ORDER BY ${duckDot("m.v", "cent.cv")} / (m.nrm * cent.cnrm) DESC, cent.c_id ASC) AS rn
+       |    FROM mutn m, cent) WHERE rn <= 4
+       |), lshb AS (
+       |  SELECT vec_id AS neighbor_id, v AS cv, nrm AS cnrm,
+       |         $bucketSqlDuck AS bucket FROM e
+       |), lshq AS (
+       |  SELECT q_id, v, nrm, $bucketSqlDuck AS bucket FROM mutn
+       |), ${lshCtes(4)}, ${lshCtes(6)}, ${lshCtes(8)},
+       |${ivfCtes(1)}, ${ivfCtes(2)}, ${ivfCtes(4)},
+       |np AS (SELECT count(*) AS n_planted FROM mutn)
+       |SELECT method, CAST(param AS INT) AS param, np.n_planted,
+       |       n_found, CAST(n_found AS DOUBLE) / np.n_planted AS recall,
+       |       n_candidates
+       |FROM (
+       |  SELECT * FROM lshs_4 UNION ALL SELECT * FROM lshs_6
+       |  UNION ALL SELECT * FROM lshs_8 UNION ALL SELECT * FROM ivfs_1
+       |  UNION ALL SELECT * FROM ivfs_2 UNION ALL SELECT * FROM ivfs_4
+       |) CROSS JOIN np
+       |ORDER BY method, param""".stripMargin
+  },
+    doc = "recall/cost frontier sweep: planted-query recall + candidate-set size for LSH(4/6/8 bits) and IVF(nprobe 1/2/4), sharing one signature and one assignment frame") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = embedded(spark, dir).select("vec_id", "v", "nrm").persist()
+    val mutn = e.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000000L).as("q_id"),
+        expr("transform(v, x -> x + 0.01D)").as("v"))
+      .withColumn("nrm", expr(s"sqrt(${dotDec("v", "v")})"))
+      .persist()
+    val nPlanted = mutn.count()
+    val cent = e.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    def top1Hits(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .filter(col("neighbor_id") === col("q_id") - 1000000L)
+        .agg(count(lit(1)).as("n_found"))
+    }
+    def stats(method: String, param: Int, cand: DataFrame): DataFrame =
+      top1Hits(cand)
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .select(lit(method).as("method"), lit(param).as("param"),
+          lit(nPlanted).as("n_planted"), col("n_found"),
+          (col("n_found").cast("double") / nPlanted).as("recall"),
+          col("n_candidates"))
+    // one signature frame for every LSH width
+    val lshb = e.withColumn("bucket", expr(bucketSqlSpark))
+      .select(col("vec_id").as("neighbor_id"), col("bucket"),
+        col("v").as("cv"), col("nrm").as("cnrm")).persist()
+    val lshq = mutn.withColumn("bucket", expr(bucketSqlSpark))
+      .select(col("q_id"), col("bucket"), col("v").as("qv"),
+        col("nrm").as("qnr")).persist()
+    def lshCand(bits: Int): DataFrame =
+      lshq.withColumn("bk", substring(col("bucket"), 1, bits))
+        .join(lshb.withColumn("bk", substring(col("bucket"), 1, bits)),
+          Seq("bk"))
+        .withColumn("cos_sim", expr(s"${dotDec("qv", "cv")} / (qnr * cnrm)"))
+        .select("q_id", "neighbor_id", "cos_sim")
+    // one scored cell ranking for every nprobe depth
+    val wBase = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id").asc)
+    val cells = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(s"${dotDec("v", "cv")} / (nrm * cnrm)"))
+      .withColumn("rn", row_number().over(wBase)).filter(col("rn") === 1)
+      .select("vec_id", "c_id").persist()
+    val wQ = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id").asc)
+    val qcells = mutn.crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(s"${dotDec("v", "cv")} / (nrm * cnrm)"))
+      .withColumn("rn", row_number().over(wQ)).filter(col("rn") <= 4)
+      .select("q_id", "c_id", "rn").persist()
+    def ivfCand(np: Int): DataFrame =
+      qcells.filter(col("rn") <= np)
+        .join(cells.select(col("vec_id").as("neighbor_id"), col("c_id")),
+          Seq("c_id"))
+        .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("cvv"),
+          col("nrm").as("cnr")), Seq("neighbor_id"))
+        .join(mutn.select(col("q_id"), col("v").as("qv"),
+          col("nrm").as("qnr")), Seq("q_id"))
+        .withColumn("cos_sim", expr(s"${dotDec("qv", "cvv")} / (qnr * cnr)"))
+        .select("q_id", "neighbor_id", "cos_sim")
+    Seq(4, 6, 8).map(b => stats("lsh", b, lshCand(b)))
+      .reduce(_ unionByName _)
+      .unionByName(Seq(1, 2, 4).map(np => stats("ivf", np, ivfCand(np)))
+        .reduce(_ unionByName _))
+      .orderBy("method", "param")
+  }
+
   val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14, s15, s16, s17)
+    s10, s11, s12, s13, s14, s15, s16, s17, s18)
 }

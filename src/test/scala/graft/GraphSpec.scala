@@ -45,4 +45,38 @@ class GraphSpec extends AnyFunSuite {
       1L -> ((3L, 3L, 1.0)), 2L -> ((3L, 3L, 1.0)), 3L -> ((3L, 3L, 1.0)),
       4L -> ((4L, 3L, 0.5))), got.toString)
   }
+
+  test("label spread on a path: labels move exactly one hop per round") {
+    import org.apache.spark.sql.functions.col
+    // path 1-2-3-4-5-6, seeds at the ends: 1 labeled 10, 6 labeled 60
+    val path = spark.createDataFrame(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))).toDF("pa", "pb")
+    val seeds = spark.createDataFrame(Seq((1L, 10L), (6L, 60L)))
+      .toDF("node", "label")
+    def run(rounds: Int): Map[Long, Long] =
+      graft.api.Graph.labelSpread(path, seeds, rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one round: only the direct neighbors are reached (synchronous
+    // update — an in-place variant would leak further)
+    assert(run(1) == Map(1L -> 10L, 2L -> 10L, 5L -> 60L, 6L -> 60L))
+    // three rounds: node 4 (3 hops from seed 1, 2 from seed 6) has
+    // heard both labels; MIN wins. Node 5 (4 hops from seed 1) still
+    // holds 60 — 10 hasn't arrived yet.
+    assert(run(3) == Map(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 10L,
+      5L -> 60L, 6L -> 60L))
+    // four rounds: 10 reaches node 5
+    assert(run(4)(5L) == 10L)
+    // seeds are pinned: 6 keeps 60 even after 10 reaches it
+    assert(run(5)(6L) == 60L)
+  }
+
+  test("link features on two triangles sharing an edge") {
+    // {1,2,3} + {2,3,4}: the only distance-2 non-edge is (1,4) with
+    // common neighborhood {2,3}; deg(1)=deg(4)=2 -> jaccard 2/(2+2-2)=1
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val df = spark.createDataFrame(e).toDF("pa", "pb")
+    val got = graft.api.Graph.linkFeatures(df, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 4L, 2L, 1.0)), got.mkString(","))
+  }
 }
