@@ -193,5 +193,79 @@ object PipelineOps {
       .orderBy("user_id")
   }
 
-  val all: Seq[OpQuery] = Seq(p01, p02)
+  /** Contamination-halo corpus gate — the graph composition: when a
+    * source is quarantined (licensing, eval overlap, poisoning), its
+    * documents AND everything transitively near them must go, because
+    * a near-duplicate of a contaminated document carries the
+    * contamination. Stages: (1) the verified near-dup pairs (d04's
+    * banded-MinHash + Jaccard verify) become the doc-graph edges;
+    * (2) a 2-hop multi-source BFS from every quarantined doc marks the
+    * halo ([[graft.api.Graph.multiSourceBfs]] — one frontier join per
+    * hop, NOT one traversal per seed; at 100 TB the seed set is
+    * millions of docs and per-seed walks are impossible); (3) the gate
+    * reports per-source kept/dropped/halo counts. The oracle splices
+    * d04's oracle text and unrolls both hops as set-subtracted CTEs —
+    * the m07/p01 splicing pattern, here across the dedup and graph
+    * families.
+    */
+  val p03 = OpQuery.oracled("p03_contamination_halo_gate", {
+    s"""WITH pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |${DedupOps.d04.oracle.get}
+      |  )
+      |), sym AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b AS u, doc_a AS v FROM pairs
+      |), h0 AS (
+      |  SELECT doc_id AS node FROM read_parquet('{SFDIR}/documents.parquet')
+      |  WHERE source IN ('src5', 'src7')
+      |), h1 AS (
+      |  SELECT DISTINCT e.v AS node FROM sym e JOIN h0 ON h0.node = e.u
+      |  WHERE e.v NOT IN (SELECT node FROM h0)
+      |), h2 AS (
+      |  SELECT DISTINCT e.v AS node FROM sym e JOIN h1 ON h1.node = e.u
+      |  WHERE e.v NOT IN (SELECT node FROM h0)
+      |    AND e.v NOT IN (SELECT node FROM h1)
+      |), reached AS (
+      |  SELECT node FROM h0 UNION ALL SELECT node FROM h1
+      |  UNION ALL SELECT node FROM h2
+      |)
+      |SELECT d.source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(CASE WHEN r.node IS NOT NULL THEN 1 END) AS BIGINT)
+      |         AS n_dropped,
+      |       CAST(count(CASE WHEN r.node IS NOT NULL
+      |                  AND d.source NOT IN ('src5', 'src7') THEN 1 END)
+      |            AS BIGINT) AS n_halo,
+      |       CAST(count(CASE WHEN r.node IS NULL THEN 1 END) AS BIGINT)
+      |         AS n_kept
+      |FROM read_parquet('{SFDIR}/documents.parquet') d
+      |LEFT JOIN reached r ON r.node = d.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  },
+    doc = "contamination-halo gate: quarantined sources + 2-hop BFS halo over the verified near-dup graph, per-source kept/dropped manifest") { (spark, dir) =>
+    val docs = Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val edges = DedupOps.d04.fn(spark, dir)
+      .select(col("doc_a").as("pa"), col("doc_b").as("pb"))
+    val seeds = docs.filter(col("source").isin("src5", "src7"))
+      .select(col("doc_id").as("node"))
+    val halo = graft.api.Graph.multiSourceBfs(edges, seeds, maxHops = 2)
+      .select(col("node"))
+    val quarantined = Seq("src5", "src7")
+    docs.join(halo, docs("doc_id") === halo("node"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        count(when(col("node").isNotNull, lit(1))).cast("bigint")
+          .as("n_dropped"),
+        count(when(col("node").isNotNull &&
+          !col("source").isin(quarantined: _*), lit(1))).cast("bigint")
+          .as("n_halo"),
+        count(when(col("node").isNull, lit(1))).cast("bigint").as("n_kept"))
+      .orderBy("source")
+  }
+
+  val all: Seq[OpQuery] = Seq(p01, p02, p03)
 }

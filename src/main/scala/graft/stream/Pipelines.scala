@@ -788,4 +788,51 @@ object Pipelines {
           Iterator(FunnelUpdate(uid, stage, v, c, p))
       }
   }
+
+  case class BasketItem(order_id: Long, part_id: Long)
+  case class BasketState(parts: Seq[Long])
+  case class CoEdge(pa: Long, pb: Long)
+
+  /** Incremental co-purchase edge maintenance — the streaming twin of
+    * the batch edge derivation behind the whole g* graph family: as
+    * order items arrive, each NEW part in an order emits exactly one
+    * (a<b canonical) edge against every part already in that order's
+    * basket, so the materialized edge view grows incrementally instead
+    * of being re-derived from the full fact table per refresh. State
+    * is one part-set per OPEN order — bounded by basket size (≤ 7 in
+    * this schema), never by stream length — and a repeated part is a
+    * no-op, mirroring the batch `collect_set`. Emission is
+    * exactly-once PER ORDER by construction (a pair appears only when
+    * its later part first arrives); the same pair from two different
+    * orders is two rows, exactly like the batch pair expansion before
+    * its global `distinct()` — the downstream edge table dedups on
+    * (pa, pb) at merge time, which is also where a production job adds
+    * the order-completion timeout that retires basket state.
+    */
+  def streamEdges(items: org.apache.spark.sql.Dataset[BasketItem])
+      : org.apache.spark.sql.Dataset[CoEdge] = {
+    import items.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    items
+      .groupByKey(_.order_id)
+      .flatMapGroupsWithState[BasketState, CoEdge](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[BasketItem], state: org.apache.spark.sql.streaming.GroupState[BasketState]) =>
+          var known = state.getOption.map(_.parts.toSet)
+            .getOrElse(Set.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer.empty[CoEdge]
+          // deterministic intra-batch order: part id ascending
+          it.toSeq.sortBy(_.part_id).foreach { e =>
+            if (!known.contains(e.part_id)) {
+              known.foreach { p =>
+                out += (if (p < e.part_id) CoEdge(p, e.part_id)
+                        else CoEdge(e.part_id, p))
+              }
+              known += e.part_id
+            }
+          }
+          state.update(BasketState(known.toSeq.sorted))
+          out.iterator
+      }
+  }
 }

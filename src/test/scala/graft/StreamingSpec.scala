@@ -903,4 +903,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"got $got\nwant $want")
     assert(got.map(h => (h._1, h._2)) == Set((2L, 1L), (6L, 5L)), got.toString)
   }
+
+  test("streamEdges maintains co-purchase edges incrementally across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Pipelines.BasketItem]
+    val q = Pipelines.streamEdges(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("co_edges")
+      .start()
+    // order 1 opens with parts {10, 20}; order 2 with a duplicated part
+    mem.addData(
+      Pipelines.BasketItem(1L, 10L), Pipelines.BasketItem(1L, 20L),
+      Pipelines.BasketItem(2L, 5L), Pipelines.BasketItem(2L, 5L))
+    q.processAllAvailable()
+    // order 1 grows ACROSS the batch boundary: part 30 must pair with
+    // the carried basket {10, 20}; order 2's new part pairs with 5; a
+    // replayed part (10) is a no-op
+    mem.addData(
+      Pipelines.BasketItem(1L, 30L), Pipelines.BasketItem(2L, 7L),
+      Pipelines.BasketItem(1L, 10L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("co_edges").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exactly-once per order: no duplicate emissions at all here
+    assert(rows.length == rows.toSet.size, rows.mkString(","))
+    val want = Set((10L, 20L), (10L, 30L), (20L, 30L), (5L, 7L))
+    assert(rows.toSet == want, s"got ${rows.toSet} want $want")
+    // parity with the batch pair expansion (a<b pairs of each basket)
+    val batch = Seq((1L, Seq(10L, 20L, 30L)), (2L, Seq(5L, 7L)))
+      .flatMap { case (_, ps) =>
+        for (a <- ps; b <- ps if a < b) yield (a, b)
+      }.toSet
+    assert(rows.toSet == batch)
+  }
 }
