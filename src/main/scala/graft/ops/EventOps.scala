@@ -973,7 +973,66 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Multi-touch attribution assignment: for every purchase, the
+    * count and time-bounds of the user's view touches in the trailing
+    * 7 days — the table first-touch / last-touch / linear credit
+    * models all read from (linear credit per touch is 1/n_touches,
+    * left to the consumer so the stored assignment stays exact
+    * integers). Complements e07's single as-of pick: attribution
+    * needs EVERY touch in the window, not the latest one.
+    *
+    * The trailing window is a RANGE frame over the epoch-µs order key
+    * — one shuffle on user_id, no self-join, no fan-out: the frame
+    * machinery counts/min/maxes the in-range views per purchase row
+    * directly. (A range join would re-shuffle both sides and fan out
+    * per touch; the frame form is why this stays one pass at 100 TB.)
+    * Zero-touch purchases are filtered (their bounds would be NULL —
+    * nullable sort keys are banned by the determinism rules, and an
+    * unattributed conversion has no row in an assignment table).
+    */
+  val e27 = OpQuery.oracled("e27_touch_attribution",
+    """WITH base AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events
+      |), framed AS (
+      |  SELECT user_id, event_id, event_type, ts_us,
+      |         count(CASE WHEN event_type = 'view' THEN 1 END)
+      |           OVER w AS n_touches,
+      |         min(CASE WHEN event_type = 'view' THEN ts_us END)
+      |           OVER w AS first_touch_us,
+      |         max(CASE WHEN event_type = 'view' THEN ts_us END)
+      |           OVER w AS last_touch_us
+      |  FROM base
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+      |               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT user_id, event_id, ts_us,
+      |       CAST(n_touches AS BIGINT) AS n_touches,
+      |       first_touch_us, last_touch_us
+      |FROM framed
+      |WHERE event_type = 'purchase' AND n_touches >= 1
+      |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    doc = "multi-touch attribution assignment: per purchase, count + time bounds of trailing-7d view touches via one RANGE frame (no self-join, no fan-out)") { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-604800000000L, 0L)
+    val isView = col("event_type") === "view"
+    Sources.table(spark, dir, "events")
+      .withColumn("ts_us", tsUs)
+      // one select => one Window node (chained withColumn would insert
+      // Projects between the three frames and defeat CollapseWindow)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us"),
+        count(when(isView, lit(1))).over(w).as("n_touches"),
+        min(when(isView, col("ts_us"))).over(w).as("first_touch_us"),
+        max(when(isView, col("ts_us"))).over(w).as("last_touch_us"))
+      .filter(col("event_type") === "purchase" && col("n_touches") >= 1)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("n_touches").cast("bigint").as("n_touches"),
+        col("first_touch_us"), col("last_touch_us"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
     e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
-    e25, e26)
+    e25, e26, e27)
 }

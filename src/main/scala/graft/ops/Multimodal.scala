@@ -442,5 +442,65 @@ object Multimodal {
       .orderBy("comp_size")
   }
 
-  val all: Seq[OpQuery] = Seq(m01, m02, m03, m04, m05, m06, m07)
+  /** Cross-video clip detection: which video PAIRS share sampled-frame
+    * signatures — the scene-level overlap question (reaction clips,
+    * re-uploads, shared intros) that whole-media near-dup (m03) cannot
+    * see, because two videos sharing a 10-second clip are nowhere near
+    * duplicates overall. Pipeline: m04's 1-fps decode schedule → a
+    * per-frame signature (the decode+perceptual-hash step, stubbed
+    * deterministically as an md5-hex slice of the payload — ASCII by
+    * construction, so substring semantics agree across engines) → the
+    * per-video DISTINCT signature set (collapses still scenes — and
+    * bounds every downstream row count by the signature alphabet, not
+    * the frame count) → signature-equality self-join (the blocking
+    * key is the signature itself: exact-match blocking at frame
+    * granularity, the d02 idea applied per-frame) → per-pair shared
+    * count, thresholded. The signature alphabet is deliberately
+    * coarse (256 values) so the key distribution is uniform-bounded:
+    * at 100 TB the join shuffles on ~uniform keys and no bucket
+    * exceeds |videos|²/256 pair candidates per signature.
+    */
+  val m08 = OpQuery.oracled("m08_shared_clip_pairs",
+    """WITH frames AS (
+      |  SELECT doc_id AS media_id,
+      |         unnest(generate_series(0, n_chars * 40 - 1, 1000)) // 40
+      |           AS frame_idx,
+      |         md5(text) AS h
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |  WHERE doc_id % 3 = 2
+      |), sigs AS (
+      |  SELECT DISTINCT media_id,
+      |         substr(h, (frame_idx % 28) + 1, 2) AS sig
+      |  FROM frames
+      |)
+      |SELECT a.media_id AS media_a, b.media_id AS media_b,
+      |       CAST(count(*) AS BIGINT) AS n_shared
+      |FROM sigs a JOIN sigs b
+      |  ON a.sig = b.sig AND a.media_id < b.media_id
+      |GROUP BY 1, 2
+      |HAVING count(*) >= 5
+      |ORDER BY n_shared DESC, media_a, media_b""".stripMargin,
+    doc = "cross-video clip detection: per-frame signature sets, exact-match frame blocking, thresholded shared-signature pair counts") { (spark, dir) =>
+    val sigs = Sources.table(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").as("media_id"),
+        (col("n_chars") * 40L).as("duration_ms"), md5(col("text")).as("h"))
+      .select(col("media_id"), col("h"),
+        explode(expr("sequence(0L, duration_ms - 1, 1000L)")).as("ts_ms"))
+      .select(col("media_id"),
+        col("h").substr(lit(1) + (expr("ts_ms DIV 40") % 28).cast("int"),
+          lit(2)).as("sig"))
+      .distinct()
+    sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.sig") === col("b.sig") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("media_a"),
+        col("b.media_id").as("media_b"))
+      .agg(count(lit(1)).cast("bigint").as("n_shared"))
+      .filter(col("n_shared") >= 5)
+      .orderBy(col("n_shared").desc, col("media_a"), col("media_b"))
+  }
+
+  val all: Seq[OpQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
 }

@@ -838,7 +838,65 @@ object RelationalOps {
       .orderBy("s_suppkey")
   }
 
+  /** TPC-H Q7 shape (public spec): shipping volume between two nations
+    * in BOTH directions, per year — the symmetric disjunctive pair
+    * predicate `(n1=A AND n2=B) OR (n1=B AND n2=A)`. Each nation role
+    * is first narrowed to the two named nations (pushed into the
+    * broadcast build sides, so the fact rows that survive the two
+    * broadcast joins are already restricted to the 2×2 candidate
+    * pairs); the disjunction then runs as a residual filter on that
+    * tiny survivor set, never as a join condition that would force a
+    * nested loop. lineitem⋈orders on orderkey is the only shuffle;
+    * the revenue sum is the exact DECIMAL(18,6) money path.
+    */
+  val r51 = OpQuery.oracled("r51_two_nation_volume",
+    """SELECT supp_nation, cust_nation, l_year,
+      |       CAST(sum(volume) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         CAST(year(l.l_shipdate) AS INT) AS l_year,
+      |         CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(18,6)) AS volume
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      |  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      |  WHERE (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_5')
+      |     OR (n1.n_name = 'NATION_5' AND n2.n_name = 'NATION_2')
+      |)
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin,
+    doc = "TPC-H Q7 two-nation volume: symmetric disjunctive pair predicate as a residual over nation-narrowed broadcast joins, single fact shuffle") { (spark, dir) =>
+    val nations = Seq("NATION_2", "NATION_5")
+    val nation = Sources.table(spark, dir, "nation")
+      .filter(col("n_name").isin(nations: _*))
+    val supp = Sources.table(spark, dir, "supplier")
+      .join(broadcast(nation.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "supp_nation")
+    val cust = Sources.table(spark, dir, "customer")
+      .join(broadcast(nation.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+      .select("c_custkey", "cust_nation")
+    Sources.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+        "l_discount")
+      .join(Sources.table(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_5") ||
+        (col("supp_nation") === "NATION_5" && col("cust_nation") === "NATION_2"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(prodSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   val all: Seq[OpQuery] = Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09,
     r10, r11, r12, r30, r32, r38, r41, r42, r43, r44, r46, r47, r48, r49,
-    r50)
+    r50, r51)
 }

@@ -315,6 +315,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("e27: the three attribution bounds share one Window node and one shuffle") {
+    val p = plan(graft.ops.EventOps.e27.fn(spark, TestSpark.sf0001))
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1,
+      "count/min/max touch frames must share a single Window: " + p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Join"), "attribution must not self-join: " + p.take(3000))
+  }
+
   test("r50: the year gate pushes to the fact scan, the family gate is a broadcast semi") {
     val p = plan(RelationalOps.r50.fn(spark, TestSpark.sf0001))
     assert(p.contains("GreaterThanOrEqual(l_shipdate"),
