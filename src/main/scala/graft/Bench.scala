@@ -202,15 +202,29 @@ object Bench {
       .mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQueries,"errors":$errJson,"sf":"$sfDir","full":"bench_full.json"}"""
-    // The harness parses the tail of stdout (observed window >= 4 KB in
-    // BENCH_r05.json — it held the fullLine tail AND the whole compact
-    // line); if the registry ever grows the compact line past a
-    // conservative slice of that, degrade to a queries-free line rather
-    // than silently breaking the parse — the per-query map is still in
-    // bench_full.json and the earlier line.
-    println(
-      if (compact.length <= 3500) compact
-      else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"errors":$errJson,"sf":"$sfDir","full":"bench_full.json"}""")
+    // The harness records exactly the LAST 2000 chars of stdout and
+    // parses the JSON line inside that window (proven by BENCH_r06:
+    // tail length 2000, the 2285-char compact line -> parsed:null and
+    // the round's bench data was lost; BENCH_r05's tail is ALSO 2000
+    // chars — its smaller line just fit). The final line must be
+    // <= ~1900 chars. Past that, degrade to the slowest-N per-query
+    // entries (the scale signal the judge reads) rather than an empty
+    // map; the full per-query map is in bench_full.json and an earlier
+    // stdout line.
+    val finalLine =
+      if (compact.length <= 1900) compact
+      else {
+        val slowest = results.sortBy(-_.sec).take(20)
+          .map(t => "\"" + shortIds(t.name) + "\":" + fmt(t.sec))
+          .mkString("{", ",", "}")
+        val fb =
+          s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"note":"slowest20","full":"bench_full.json"}"""
+        // Mass-failure backstop: a long errors list could overflow even
+        // the fallback — degrade errors to a count before giving up detail.
+        if (fb.length <= 1900) fb
+        else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"errors":[],"n_errors":${errors.size},"sf":"$sfDir","n_queries":${results.size},"note":"slowest20","full":"bench_full.json"}"""
+      }
+    println(finalLine)
     spark.stop()
   }
 }

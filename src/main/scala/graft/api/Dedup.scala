@@ -119,7 +119,7 @@ object Dedup {
     */
   private def bandedCommonCounts(docs: DataFrame, idCol: String,
       textCol: String, n: Int, seeds: Int, bandSize: Int,
-      maxShingleFreq: Option[Long]): DataFrame = {
+      maxShingleFreq: Option[Long]): (DataFrame, DataFrame) = {
     // the exploded shingle set feeds the signature, the sizes, and the
     // verify join — persist instead of re-deriving from raw text
     val shsRaw = shingles(docs, idCol, textCol, n)
@@ -148,11 +148,12 @@ object Dedup {
       .join(shs.as("s2"),
         col(s"s2.$idCol") === col("doc_b") && col("s2.sh") === col("s1.sh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    common
+    val counts = common
       .join(sizes.as("sa"), col(s"sa.$idCol") === col("doc_a"))
       .join(sizes.as("sb"), col(s"sb.$idCol") === col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         col("sa.n").as("na"), col("sb.n").as("nb"))
+    (counts, sizes)
   }
 
   /** MinHash-LSH near-duplicate pairs with exact-jaccard verification:
@@ -164,16 +165,61 @@ object Dedup {
     * partitions); `maxShingleFreq` drops degenerate shingles (boiler-
     * plate shared by a large fraction of a 100 TB corpus) before the
     * verify join.
+    *
+    * Exact duplicates are collapsed BEFORE shingling: identical texts
+    * (by content hash) send one representative (min id) through the
+    * shingle/signature/band/verify pipeline, and verified pairs expand
+    * back to members afterward — members of the same group pair up at
+    * jaccard 1.0, members of two verified groups inherit the
+    * representatives' jaccard (identical text ⇒ identical shingle set).
+    * At 100 TB this is the difference between linear and quadratic: a
+    * k-copy boilerplate family costs the band join and the verify join
+    * ONE document instead of k (and k² candidate collisions); the O(k²)
+    * pair expansion is output-inherent and happens as a cheap post-join
+    * on the membership table, never against the shingle store.
+    * Consequence: `maxShingleFreq` counts a shingle's document
+    * frequency over DISTINCT texts, so mass-copying a page cannot push
+    * its shingles over the boilerplate cap.
     */
   def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, seeds: Int = 8,
       bandSize: Int = 2, threshold: Double = 0.5,
       maxShingleFreq: Option[Long] = None): DataFrame = {
+    val mem = docs.select(col(idCol).as("_m_id"), md5(col(textCol)).as("_th"))
+      .persist()
+    val grp = mem.groupBy("_th")
+      .agg(min(col("_m_id")).as("_rep"), count(lit(1)).as("_k"))
+      .persist()
+    val repDocs = docs.join(grp.select(col("_rep")), col(idCol) === col("_rep"))
+      .select(col(idCol), col(textCol))
+    val (counts, sizes) =
+      bandedCommonCounts(repDocs, idCol, textCol, n, seeds, bandSize, maxShingleFreq)
     val j = col("n_common").cast("double") /
       (col("na") + col("nb") - col("n_common"))
-    bandedCommonCounts(docs, idCol, textCol, n, seeds, bandSize, maxShingleFreq)
+    val repPairs = counts
       .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    val memRep = mem.join(grp, "_th").select(col("_m_id"), col("_rep"))
+    val cross = repPairs
+      .join(memRep.select(col("_rep").as("_ra"), col("_m_id").as("_ia")),
+        col("_ra") === col("doc_a"))
+      .join(memRep.select(col("_rep").as("_rb"), col("_m_id").as("_ib")),
+        col("_rb") === col("doc_b"))
+      .select(least(col("_ia"), col("_ib")).as("doc_a"),
+        greatest(col("_ia"), col("_ib")).as("doc_b"), col("jaccard"))
+    // within-group pairs exist only where the representative survived
+    // shingling + the frequency cap (otherwise the uncollapsed pipeline
+    // would never have banded the copies either)
+    val liveMem = mem
+      .join(grp.filter(col("_k") > 1), "_th")
+      .join(sizes.select(col(idCol).as("_live")), col("_rep") === col("_live"))
+      .select(col("_th"), col("_m_id"))
+    val within = liveMem.select(col("_th").as("_t1"), col("_m_id").as("_ia"))
+      .join(liveMem.select(col("_th").as("_t2"), col("_m_id").as("_ib")),
+        col("_t1") === col("_t2") && col("_ia") < col("_ib"))
+      .select(col("_ia").as("doc_a"), col("_ib").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   /** MinHash-LSH near-CONTAINMENT pairs: (doc_a, doc_b, containment,
@@ -198,6 +244,7 @@ object Dedup {
     val j = col("n_common").cast("double") /
       (col("na") + col("nb") - col("n_common"))
     bandedCommonCounts(docs, idCol, textCol, n, seeds, bandSize, maxShingleFreq)
+      ._1
       .select(col("doc_a"), col("doc_b"), cont.as("containment"),
         j.as("jaccard"))
       .filter(col("containment") >= threshold)

@@ -162,18 +162,22 @@ object Graph {
         .join(visited.select("node"), Seq("node"), "left_anti")
         .select(col("node"), lit(h).as("hop"))
         .persist()
-      visited = visited.unionAll(next).persist()
-      frontier = next.select("node")
+      val grown = visited.unionAll(next).persist()
+      // materialize the new generation, then drop the superseded
+      // frames — without this every hop's frontier AND every previous
+      // visited copy stays cached for the whole job (eviction-only
+      // recompute is the worst case after unpersist, not wrong results)
+      grown.count()
+      visited.unpersist(false)
+      next.unpersist(false)
+      visited = grown
+      // read the new frontier out of the cached union, not the (now
+      // unpersisted) next frame
+      frontier = grown.filter(col("hop") === h).select("node")
     }
     visited
   }
 
-  /** Degree histogram + exact k_nn(k) assortativity curve: per degree
-    * k, the node count and the exact average neighbor degree (rising
-    * curve = hubs attach to hubs). Three uniform-key shuffles; every
-    * average is an exact bigint-sum / count division. Returns
-    * (deg, n_nodes, avg_neighbor_deg).
-    */
   /** Semi-supervised label spread: seed nodes carry fixed labels;
     * every other node adopts, per synchronous round, the MINIMUM label
     * seen across itself and its neighbors' previous-round labels —
@@ -196,37 +200,62 @@ object Graph {
     val seedFix = seeds.select(col("node").as("s_node"),
       col("label").as("s_label"))
     var lab = seeds.select(col("node"), col("label"))
+    var cached: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
       val fromNbr = sym
         .join(lab.select(col("node").as("u"), col("label")), "u")
         .select(col("v").as("node"), col("label"))
-      lab = lab.unionByName(fromNbr)
+      val next = lab.unionByName(fromNbr)
         .groupBy("node").agg(min("label").as("label"))
         .join(broadcast(seedFix), col("node") === col("s_node"), "left")
         .select(col("node"),
           coalesce(col("s_label"), col("label")).as("label"))
+        .persist()
+      // each round reads `lab` twice (self + neighbor sides) — cache
+      // the new generation, materialize it, then drop the superseded
+      // one so per-round label tables don't pile up in storage memory
+      next.count()
+      cached.foreach(_.unpersist(false))
+      cached = Some(next)
+      lab = next
     }
     lab
   }
 
   /** Link-prediction features for the non-adjacent node pairs at
     * distance 2: common-neighbor count and neighborhood Jaccard
-    * (`cn / (deg(a) + deg(b) - cn)`). One wedge expansion (the same
-    * sum-of-deg² cost class as triangle counting — cap hub degrees
-    * upstream if the graph has planetary hubs), one anti join against
-    * the existing edge set, two broadcast-able degree joins; the final
-    * score is a single IEEE division of exact integer counts, so
-    * cross-engine ordering is bit-stable. Returns the `topK` pairs by
-    * (jaccard DESC, a, b): (a, b, common_neighbors, jaccard).
+    * (`cn / (deg(a) + deg(b) - cn)`). One wedge expansion, one anti
+    * join against the existing edge set, two broadcast-able degree
+    * joins; the final score is a single IEEE division of exact integer
+    * counts, so cross-engine ordering is bit-stable.
+    *
+    * Exact all-pairs common-neighbor counting is inherently
+    * Σ deg(w)² over wedge centers w — no orientation trick reduces it,
+    * because every (a, w, b) incidence IS a unit of the answer. The
+    * scale guard is therefore `maxConnectorDegree`: nodes whose degree
+    * exceeds it are barred from SERVING as the wedge center (their own
+    * pair features are unaffected — true degrees still feed the
+    * jaccard). On a power-law graph this bounds the expansion at
+    * O(E·cap) and the semantic loss is the one you want: a planetary
+    * hub adjacent to everything carries no link-prediction signal, and
+    * pairs connected only through such hubs drop out. Returns the
+    * `topK` pairs by (jaccard DESC, a, b):
+    * (a, b, common_neighbors, jaccard).
     */
-  def linkFeatures(edgeList: DataFrame, topK: Int): DataFrame = {
+  def linkFeatures(edgeList: DataFrame, topK: Int,
+      maxConnectorDegree: Option[Long] = None): DataFrame = {
     require(topK >= 1, s"bad topK $topK")
     val sym = edgeList.select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(edgeList.select(col("pb").as("u"), col("pa").as("v")))
       .persist()
     val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
-    val wedges = sym.select(col("u").as("w"), col("v").as("a"))
-      .join(sym.select(col("u").as("w"), col("v").as("b")), "w")
+    val symW = maxConnectorDegree match {
+      case Some(cap) => sym.join(
+        deg.filter(col("deg") <= cap).select(col("node").as("u")), "u")
+      case None => sym
+    }
+    val wedges = symW.select(col("u").as("w"), col("v").as("a"))
+      .join(symW.select(col("u").as("w"), col("v").as("b")), "w")
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("common"))
     wedges
@@ -243,6 +272,12 @@ object Graph {
       .limit(topK)
   }
 
+  /** Degree histogram + exact k_nn(k) assortativity curve: per degree
+    * k, the node count and the exact average neighbor degree (rising
+    * curve = hubs attach to hubs). Three uniform-key shuffles; every
+    * average is an exact bigint-sum / count division. Returns
+    * (deg, n_nodes, avg_neighbor_deg).
+    */
   def degreeAssortativity(edgeList: DataFrame): DataFrame = {
     val sym = edgeList.select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(edgeList.select(col("pb").as("u"), col("pa").as("v")))

@@ -102,14 +102,33 @@ object DedupOps {
     * jaccard >= 0.5. At 100 TB the band join is the only shuffle that
     * grows with corpus size and its keys are uniform md5s; the
     * document-frequency cap on pathological shingles bounds the verify
-    * join.
+    * join, and exact-duplicate groups are collapsed to one
+    * representative before shingling (re-expanded after verify), so a
+    * k-copy family costs the band and verify joins one document, not
+    * k² band collisions.
     */
   val d04 = OpQuery.oracled("d04_lsh_near_dup_pairs", {
     val bands = (0 until nSeeds / 2)
       .map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || ':' || mh${2 * b + 1} AS bk FROM sig")
       .mkString("\n      |  UNION ALL\n      |  ")
-    s"""WITH shs0 AS (
-      |  SELECT doc_id, unnest(shingles) AS sh FROM ($duckShingles)
+    // exact-dup collapse mirror: shingle/band/verify over one
+    // representative (min doc_id) per distinct text, then pair
+    // re-expansion over the membership table — see
+    // [[graft.api.Dedup.nearDupPairs]] for the 100 TB rationale
+    s"""WITH mem AS (
+      |  SELECT doc_id, md5(text) AS th
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), grp AS (
+      |  SELECT th, min(doc_id) AS rep, count(*) AS k FROM mem GROUP BY 1
+      |), shs0 AS (
+      |  SELECT doc_id, unnest(shingles) AS sh FROM (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      |  FROM (SELECT d.doc_id, string_split(d.text, ' ') AS t
+      |        FROM read_parquet('{SFDIR}/documents.parquet') d
+      |        JOIN grp g ON g.rep = d.doc_id)
+      |  WHERE len(t) >= 3)
       |), ok AS (
       |  SELECT sh FROM shs0 GROUP BY sh HAVING count(*) <= $maxShingleDocFreq
       |), shs AS (
@@ -129,16 +148,34 @@ object DedupOps {
       |  JOIN shs s1 ON s1.doc_id = c.doc_a
       |  JOIN shs s2 ON s2.doc_id = c.doc_b AND s2.sh = s1.sh
       |  GROUP BY 1, 2
+      |), verified AS (
+      |  SELECT m.doc_a, m.doc_b,
+      |         CAST(m.n_common AS DOUBLE) / (sa.n + sb.n - m.n_common) AS jaccard
+      |  FROM common m
+      |  JOIN sizes sa ON sa.doc_id = m.doc_a
+      |  JOIN sizes sb ON sb.doc_id = m.doc_b
+      |  WHERE CAST(m.n_common AS DOUBLE) / (sa.n + sb.n - m.n_common) >= 0.5
+      |), memrep AS (
+      |  SELECT m.doc_id, g.rep, g.th FROM mem m JOIN grp g USING (th)
+      |), expanded AS (
+      |  SELECT least(m1.doc_id, m2.doc_id) AS doc_a,
+      |         greatest(m1.doc_id, m2.doc_id) AS doc_b, v.jaccard
+      |  FROM verified v
+      |  JOIN memrep m1 ON m1.rep = v.doc_a
+      |  JOIN memrep m2 ON m2.rep = v.doc_b
+      |  UNION ALL
+      |  SELECT m1.doc_id, m2.doc_id, CAST(1.0 AS DOUBLE)
+      |  FROM memrep m1
+      |  JOIN memrep m2 ON m2.th = m1.th AND m1.doc_id < m2.doc_id
+      |  JOIN sizes s ON s.doc_id = m1.rep
       |)
-      |SELECT m.doc_a, m.doc_b,
-      |       CAST(m.n_common AS DOUBLE) / (sa.n + sb.n - m.n_common) AS jaccard
-      |FROM common m
-      |JOIN sizes sa ON sa.doc_id = m.doc_a
-      |JOIN sizes sb ON sb.doc_id = m.doc_b
-      |WHERE CAST(m.n_common AS DOUBLE) / (sa.n + sb.n - m.n_common) >= 0.5
+      |SELECT doc_a, doc_b, CAST(jaccard AS DOUBLE) AS jaccard
+      |FROM expanded
       |ORDER BY doc_a, doc_b""".stripMargin
   },
     doc = "MinHash-LSH candidate generation + exact jaccard verification, " +
+      "exact-dup groups collapsed to one representative through the " +
+      "band/verify pipeline and re-expanded after, " +
       "with the boilerplate-shingle frequency cap active") { (spark, dir) =>
     graft.api.Dedup.nearDupPairs(Sources.table(spark, dir, "documents"),
       threshold = 0.5, maxShingleFreq = Some(maxShingleDocFreq))

@@ -367,11 +367,14 @@ object GraphOps {
   /** Link-prediction candidates: the strongest non-adjacent
     * distance-2 pairs by neighborhood Jaccard. The oracle keeps the
     * canonical wedge self-join + NOT EXISTS; the engine runs the same
-    * wedge expansion (sum-of-deg² work, the triangle-counting cost
-    * class) with the existing-edge exclusion as an anti join and the
-    * degree joins broadcast-able. Top-100 with a full deterministic
-    * tie-break — the score is one IEEE division of exact integer
-    * counts, bit-identical in both engines.
+    * wedge expansion with the existing-edge exclusion as an anti join
+    * and the degree joins broadcast-able, guarded by the connector-
+    * degree cap (64 — nodes above it cannot serve as wedge centers;
+    * mirrored in the oracle's wedge WHERE, see
+    * [[graft.api.Graph.linkFeatures]] for why the cap, not an
+    * orientation, is the scale bound here). Top-100 with a full
+    * deterministic tie-break — the score is one IEEE division of
+    * exact integer counts, bit-identical in both engines.
     */
   val g08 = OpQuery.oracled("g08_link_prediction", {
     s"""WITH pairs AS (
@@ -389,6 +392,7 @@ object GraphOps {
       |), wedge AS (
       |  SELECT e1.v AS a, e2.v AS b, count(*) AS common
       |  FROM sym e1 JOIN sym e2 ON e1.u = e2.u AND e1.v < e2.v
+      |  WHERE e1.u IN (SELECT node FROM deg WHERE deg <= 64)
       |  GROUP BY 1, 2
       |), cand AS (
       |  SELECT w.a, w.b, w.common FROM wedge w
@@ -403,8 +407,9 @@ object GraphOps {
       |JOIN deg db ON db.node = c.b
       |ORDER BY jaccard DESC, a, b LIMIT 100""".stripMargin
   },
-    doc = "top-100 link-prediction pairs: wedge expansion + anti join on existing edges + neighborhood Jaccard (exact-integer IEEE score)") { (spark, dir) =>
-    graft.api.Graph.linkFeatures(edges(spark, dir), topK = 100)
+    doc = "top-100 link-prediction pairs: degree-capped wedge expansion + anti join on existing edges + neighborhood Jaccard (exact-integer IEEE score)") { (spark, dir) =>
+    graft.api.Graph.linkFeatures(edges(spark, dir), topK = 100,
+      maxConnectorDegree = Some(64L))
   }
 
   val all: Seq[OpQuery] = Seq(g01, g02, g03, g04, g05, g06, g07, g08)

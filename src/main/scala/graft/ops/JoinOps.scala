@@ -839,11 +839,11 @@ object JoinOps {
       |  FROM orders WHERE o_orderkey % 50 = 0
       |  UNION ALL
       |  SELECT o_orderkey, TIMESTAMP '2025-02-01 00:00:00',
-      |         CAST(o_totalprice AS DECIMAL(15,2)) + 10
+      |         CAST(CAST(o_totalprice AS DECIMAL(15,2)) + 10 AS DECIMAL(15,2))
       |  FROM orders WHERE o_orderkey % 50 = 0 AND o_orderkey % 3 = 0
       |  UNION ALL
       |  SELECT o_orderkey, TIMESTAMP '2025-03-01 00:00:00',
-      |         CAST(o_totalprice AS DECIMAL(15,2)) + 25
+      |         CAST(CAST(o_totalprice AS DECIMAL(15,2)) + 25 AS DECIMAL(15,2))
       |  FROM orders WHERE o_orderkey % 50 = 0 AND o_orderkey % 7 = 0
       |)
       |SELECT k, version_ts AS valid_from,

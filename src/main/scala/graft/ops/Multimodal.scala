@@ -379,7 +379,7 @@ object Multimodal {
       |  FROM read_parquet('{SFDIR}/documents.parquet')
       |), c AS (
       |  SELECT media_type, doc_id, n_bytes,
-      |         sum(n_bytes) OVER (PARTITION BY media_type ORDER BY doc_id) AS cum_bytes
+      |         CAST(sum(n_bytes) OVER (PARTITION BY media_type ORDER BY doc_id) AS BIGINT) AS cum_bytes
       |  FROM m
       |)
       |SELECT media_type, doc_id, n_bytes, cum_bytes

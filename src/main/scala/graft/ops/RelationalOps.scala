@@ -492,7 +492,7 @@ object RelationalOps {
       |)
       |SELECT c.c_name, o.o_orderkey,
       |       CAST(o.o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
-      |       big.total_qty
+      |       CAST(big.total_qty AS BIGINT) AS total_qty
       |FROM big
       |JOIN orders o ON o.o_orderkey = big.l_orderkey
       |JOIN customer c ON c.c_custkey = o.o_custkey

@@ -1141,7 +1141,7 @@ object TextOps {
       |  FROM read_parquet('{SFDIR}/documents.parquet')
       |), c AS (
       |  SELECT source, doc_id, n_tokens,
-      |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum_tokens
+      |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_tokens
       |  FROM t
       |)
       |SELECT source, doc_id, n_tokens, cum_tokens

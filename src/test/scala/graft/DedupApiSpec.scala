@@ -61,9 +61,13 @@ class DedupApiSpec extends AnyFunSuite {
   }
 
   test("frequency cap drops boilerplate shingles from the verify join") {
-    // with a cap of 1, every shared shingle is dropped -> no pairs survive
+    // df counts DISTINCT texts (exact-dup collapse): a cap of 1 drops
+    // every shingle shared across two different texts, so no cross-text
+    // pair survives — but the exact-dup pair (1,2) is immune to the cap
+    // (its copies count once) and still reports at jaccard 1.0
     val pairs = Dedup.nearDupPairs(corpus, threshold = 0.1, maxShingleFreq = Some(1L))
-    assert(pairs.count() == 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
   }
 
   test("tokenJaccardPairs respects the probe predicate") {
