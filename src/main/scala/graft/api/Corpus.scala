@@ -20,14 +20,44 @@ object Corpus {
 
   /** Prefix-sum token-budget admission (t26's rule, p01's stage 4):
     * adds `cum_tokens` and keeps rows while the running per-group total
-    * stays within `budget`, in deterministic `order`. One running-sum
-    * window per group.
+    * stays within `budget`, in deterministic `order`.
+    *
+    * Two-phase prefix sum, NOT one window per group: a group key with a
+    * handful of values (~10 sources) would make a per-group running-sum
+    * window sort each source's entire corpus in ONE task — parallelism
+    * 10 at 100 TB. Instead rows are range-bucketed on the (numeric)
+    * order column (`bucketWidth` ids per bucket): phase 1 cumulates
+    * within (group, bucket) — parallelism = groups × buckets; phase 2
+    * cumulates the per-bucket TOTALS per group — the only serial step,
+    * over a frame `bucketWidth`× smaller than the corpus; phase 3 joins
+    * the bucket offsets back on (group, bucket), co-partitioned with
+    * phase 1's shuffle. All sums are exact BIGINT adds (associative),
+    * so the result is bit-identical to the single-window form — the
+    * oracle keeps the canonical one-window SQL and hash-parity proves
+    * the decomposition.
     */
   def tokenBudget(df: DataFrame, group: String, order: String,
-      nTokens: String, budget: Long): DataFrame =
-    df.withColumn("cum_tokens",
-        sum(col(nTokens)).over(Window.partitionBy(group).orderBy(order)))
+      nTokens: String, budget: Long, bucketWidth: Long = 4096L): DataFrame = {
+    require(bucketWidth >= 1, s"bad bucketWidth $bucketWidth")
+    val withB = df.withColumn("_tb_bucket",
+        expr(s"CAST($order AS BIGINT) div $bucketWidth"))
+      .withColumn("_tb_cum_in",
+        sum(col(nTokens)).over(
+          Window.partitionBy(col(group), col("_tb_bucket")).orderBy(order)))
+    val offsets = withB.groupBy(col(group), col("_tb_bucket"))
+      .agg(sum(col(nTokens)).as("_tb_total"))
+      .withColumn("_tb_off",
+        coalesce(
+          sum(col("_tb_total")).over(
+            Window.partitionBy(group).orderBy("_tb_bucket")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(group), col("_tb_bucket"), col("_tb_off"))
+    withB.join(offsets, Seq(group, "_tb_bucket"))
+      .withColumn("cum_tokens", (col("_tb_off") + col("_tb_cum_in")).cast("bigint"))
       .filter(col("cum_tokens") <= budget)
+      .drop("_tb_bucket", "_tb_cum_in", "_tb_off")
+  }
 
   /** Greedy prefix-sum packing (t14): assigns each row the `bin` its
     * running token total starts in — the context-window assembly
@@ -38,9 +68,12 @@ object Corpus {
       nTokens: String, budget: Long): DataFrame = {
     val w = Window.partitionBy(group).orderBy(order)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // integer div, not double floor-division: both operands are
+    // non-negative BIGINTs, so `div` == floor and stays exact past
+    // 2^53 where a double quotient would misround bin boundaries
     df.withColumn("cum", sum(col(nTokens)).over(w))
       .withColumn("bin",
-        floor((col("cum") - col(nTokens)) / lit(budget.toDouble)).cast("int"))
+        expr(s"CAST((cum - $nTokens) div $budget AS INT)"))
   }
 
   /** Sliding-window chunking with overlap (t17, the RAG chunker):

@@ -33,7 +33,10 @@ object Features {
   /** Adds an `ntile(n)` score column per listed metric, named
     * `<prefix from scoreNames>`. Runs single-partition global windows —
     * call this on ENTITY-grain frames only (the e20 justification);
-    * `key` is the tie-break so the binning is a total order.
+    * `key` is the tie-break so the binning is a total order. The
+    * single-task sort is exact and fine up to ~10^8 entities; past
+    * that, switch to [[quintilesSampled]], which trades exact bin
+    * populations for a sort-free two-pass plan.
     */
   def quintiles(df: DataFrame, key: String,
       metrics: Seq[(String, String)], n: Int = 5): DataFrame =
@@ -41,6 +44,32 @@ object Features {
       acc.withColumn(out,
         ntile(n).over(Window.orderBy(col(metric), col(key))).cast("int"))
     }
+
+  /** Sampled-boundary variant of [[quintiles]] for entity counts where
+    * one global sort task is unacceptable: per metric the n-1 boundary
+    * values come from `approxQuantile` (a distributed sketch
+    * aggregation — no sort, no single hot task), and each row scores
+    * `1 + #boundaries strictly below its value` in one map stage.
+    * Differences vs the exact form, both inherent to boundary binning:
+    * bin POPULATIONS are approximate (±relativeError mass per
+    * boundary; 0.0 computes exact boundaries at higher cost), and rows
+    * tying ON a boundary value all land in the lower bin (ntile splits
+    * ties by the key tie-break instead). Bin ordering by metric value
+    * is exact either way.
+    */
+  def quintilesSampled(df: DataFrame, metrics: Seq[(String, String)],
+      n: Int = 5, relativeError: Double = 0.001): DataFrame = {
+    require(n >= 2, s"bad n $n")
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val bounds = df.stat.approxQuantile(metrics.map(_._1).toArray, probs,
+      relativeError)
+    metrics.zip(bounds).foldLeft(df) { case (acc, ((metric, out), bs)) =>
+      val score = bs.foldLeft(lit(1)) { (s, b) =>
+        s + when(col(metric) > b, 1).otherwise(0)
+      }
+      acc.withColumn(out, score.cast("int"))
+    }
+  }
 
   /** Per-row lag features: `<value>_lag{k}` for each requested lag plus
     * `gap1_<order>` to the previous row, -1 when history is missing.

@@ -20,15 +20,23 @@ object ZoneMap {
       .groupBy(input_file_name().as("file"))
       .agg(min(tsCol).as("min_us"), max(tsCol).as("max_us"))
 
+  /** The stats location for a table written by the streaming
+    * zone-mapped sink: each published `batch=<id>` carries its stats
+    * inside it as `_zonemap/` (underscore-prefixed, so plain data
+    * readers of the table never list it), published by the same rename
+    * as the data — pass this glob as `prunedRead`'s statsPath.
+    */
+  def statsGlob(tablePath: String): String = s"$tablePath/batch=*/_zonemap"
+
   /** Read only the files whose [min_us, max_us] range intersects
     * [lo, hi) according to the stored stats, as a DataFrame. False
     * inclusions are possible (stats are conservative), so callers keep
     * their real predicate; false EXCLUSIONS are not — GIVEN stats that
     * cover every data file — which is what makes the pruned read
-    * result-identical to the full scan. Under the streaming sink the
-    * newest epoch's stats land just after its data (see
-    * `zoneMappedSink`'s consistency contract), so a racing reader can
-    * be one batch stale. The pruned listing is the same driver-side
+    * result-identical to the full scan. Under the streaming sink each
+    * epoch's stats are published by the same atomic rename as its data
+    * (see `zoneMappedSink`), so the stats always cover exactly the
+    * visible files. The pruned listing is the same driver-side
     * path list every parquet scan builds — minus the skipped files.
     *
     * Schema note: this reads explicit LEAF files, so Hive-style layout

@@ -385,17 +385,19 @@ object Multimodal {
       |SELECT media_type, doc_id, n_bytes, cum_bytes
       |FROM c WHERE cum_bytes <= 20000
       |ORDER BY media_type, doc_id""".stripMargin,
-    doc = "per-modality byte-budget admission (running-sum window; the 'N GB of video' mixture draw)") { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("media_type").orderBy("doc_id")
-    Sources.table(spark, dir, "documents")
+    doc = "per-modality byte-budget admission (two-phase prefix sum; the 'N GB of video' mixture draw)") { (spark, dir) =>
+    val typed = Sources.table(spark, dir, "documents")
       .select(col("doc_id"),
         when(col("doc_id") % 3 === 0, "image")
           .when(col("doc_id") % 3 === 1, "audio")
           .otherwise("video").as("media_type"),
         octet_length(encode(col("text"), "UTF-8")).cast("bigint").as("n_bytes"))
-      .withColumn("cum_bytes", sum(col("n_bytes")).over(w))
-      .filter(col("cum_bytes") <= 20000)
+    // t26's rule transposed to bytes — same admission operator, so the
+    // same two-phase prefix sum (3 media types would otherwise cap
+    // parallelism at 3)
+    graft.api.Corpus.tokenBudget(typed, group = "media_type",
+        order = "doc_id", nTokens = "n_bytes", budget = 20000L)
+      .withColumnRenamed("cum_tokens", "cum_bytes")
       .select("media_type", "doc_id", "n_bytes", "cum_bytes")
       .orderBy("media_type", "doc_id")
   }

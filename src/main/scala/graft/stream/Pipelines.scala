@@ -240,27 +240,32 @@ object Pipelines {
     * r31 (a real event store is written by a stream, so its
     * data-skipping index must be too).
     *
-    * Idempotence under redelivery: both the batch's data files and its
-    * stats rows live in a `batch=<id>` subdirectory written with
-    * overwrite — a replayed epoch rewrites both, never duplicates
-    * either (plain `mode("append")` stats would double-count on
-    * replay).
+    * Atomic commit by staged rename (the [[upsertSink]] publish
+    * pattern): the batch's data files AND its `_zonemap/` stats are
+    * written to a SIBLING staging directory (`<table>.staged-batch-N`,
+    * outside the table path, so a concurrent reader never lists it),
+    * then one rename publishes `batch=<id>` with the stats inside it —
+    * data and stats share a single visibility point, and a reader can
+    * never observe fresh files with stale stats or vice versa. Stats
+    * file paths are rewritten to the post-publish location before the
+    * rename. The `_zonemap` subdirectory is invisible to plain
+    * `spark.read.parquet(tablePath)` readers (the Hadoop hidden-file
+    * convention for `_`-prefixed names); pruned readers find it via
+    * [[graft.io.ZoneMap.statsGlob]]. Same caveat as every
+    * publish-by-rename protocol: atomicity is the filesystem rename's
+    * (real on HDFS/POSIX; an object store needs its table-format
+    * commit instead).
     *
-    * Consistency contract — two parquet jobs, NOT one atomic commit:
-    * data lands first, stats second, so a concurrent pruned reader can
-    * briefly miss the NEWEST batch (bounded staleness, the standard
-    * secondary-index read-committed gap), and a reader racing a
-    * replay's overwrite can hit stats rows whose files were just
-    * rewritten (loud FileNotFoundException, not silent wrongness). A
-    * table format's transactional commit collapses both writes into
-    * one atomic visibility point — on Delta/Iceberg this foreachBatch
-    * body becomes a single commit and the gap disappears.
+    * Idempotence under redelivery: a replayed epoch re-stages and
+    * re-publishes the same `batch=<id>` directory — rewrite, never
+    * duplicate (plain `mode("append")` stats would double-count on
+    * replay).
     *
     * Within each batch `repartitionByRange` on the time column keeps
     * per-file ranges tight — tight ranges are what make min/max stats
     * selective. Query through [[graft.io.ZoneMap.prunedRead]].
     */
-  def zoneMappedSink(events: DataFrame, tablePath: String, statsPath: String,
+  def zoneMappedSink(events: DataFrame, tablePath: String,
       checkpoint: String, tsCol: String,
       filesPerBatch: Int = 4): DataStreamWriter[Row] =
     events.writeStream
@@ -271,12 +276,29 @@ object Pipelines {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val dataDir = s"$tablePath/batch=$batchId"
+          val staged = s"$tablePath.staged-batch-$batchId"
           batch.repartitionByRange(filesPerBatch, col(tsCol))
             .sortWithinPartitions(tsCol)
-            .write.mode("overwrite").parquet(dataDir)
-          graft.io.ZoneMap.stats(spark, dataDir, tsCol)
+            .write.mode("overwrite").parquet(staged)
+          graft.io.ZoneMap.stats(spark, staged, tsCol)
+            .withColumn("file",
+              // literal (non-regex) substring replace: staged path ->
+              // the path the file will have once the rename publishes
+              org.apache.spark.sql.functions.expr(
+                s"replace(file, '$staged', '$dataDir')"))
             .coalesce(1)
-            .write.mode("overwrite").parquet(s"$statsPath/batch=$batchId")
+            .write.mode("overwrite").parquet(s"$staged/_zonemap")
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory)
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          val target = new java.io.File(dataDir)
+          if (target.exists()) rm(target) // replay: drop the old epoch
+          new java.io.File(tablePath).mkdirs()
+          if (!new java.io.File(staged).renameTo(target))
+            throw new java.io.IOException(
+              s"zoneMappedSink: commit rename failed for $dataDir")
         }
         ()
       }

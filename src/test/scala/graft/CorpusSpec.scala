@@ -19,6 +19,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == Set(("a", 1L), ("a", 2L), ("b", 9L)), got.toString)
   }
 
+  test("tokenBudget: two-phase prefix sum equals the single-window form across bucket boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // 40 docs over 2 sources, bucketWidth 4 -> 10 buckets per source;
+    // budget chosen so the admission cut lands mid-bucket
+    val df = (1L to 40L).map(i => (if (i % 2 == 0) "a" else "b", i, i % 7 + 1))
+      .toDF("source", "doc_id", "n_tokens")
+    val got = Corpus.tokenBudget(df, "source", "doc_id", "n_tokens",
+        budget = 37L, bucketWidth = 4L)
+      .select("source", "doc_id", "cum_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ref = df.withColumn("cum_tokens", sum(col("n_tokens"))
+        .over(Window.partitionBy("source").orderBy("doc_id")))
+      .filter(col("cum_tokens") <= 37L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got == ref, s"two-phase $got vs single-window $ref")
+    assert(got.nonEmpty && got.size < 40, got.toString)
+  }
+
   test("packBins: greedy prefix bins; an oversized doc owns the bin it starts") {
     import spark.implicits._
     val df = Seq(("s", 1L, 80L), ("s", 2L, 40L), ("s", 3L, 250L),

@@ -87,4 +87,33 @@ class FeaturesSpec extends AnyFunSuite {
     // order: a,b,c,d -> bins 1,1,2,2
     assert(got == Map("a" -> 1, "b" -> 1, "c" -> 2, "d" -> 2), got.toString)
   }
+
+  test("quintilesSampled: boundary binning agrees with exact ntile on distinct values") {
+    import spark.implicits._
+    // 100 distinct metric values; exact boundaries (relativeError 0)
+    // must reproduce ntile's bins when no ties straddle a boundary
+    val df = (1L to 100L).map(i => (s"u$i", i)).toDF("k", "m")
+    val exact = Features.quintiles(df, "k", Seq(("m", "bin")), n = 5)
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    val sampled = Features.quintilesSampled(df, Seq(("m", "bin")),
+        n = 5, relativeError = 0.0)
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(sampled == exact,
+      s"diverging keys: ${sampled.filter { case (k, v) => exact(k) != v }}")
+    assert(sampled.values.toSet == Set(1, 2, 3, 4, 5))
+  }
+
+  test("quintilesSampled: boundary ties all land in the lower bin") {
+    import spark.implicits._
+    // half the rows tie at one value: every tied row gets ONE bin
+    // (no key tie-break splitting), the rest bin above it
+    val df = ((1L to 50L).map(i => (s"t$i", 10L)) ++
+      (1L to 50L).map(i => (s"h$i", 100L + i))).toDF("k", "m")
+    val got = Features.quintilesSampled(df, Seq(("m", "bin")), n = 4,
+        relativeError = 0.0)
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    val tied = got.filter(_._1.startsWith("t")).values.toSet
+    assert(tied.size == 1, s"tied rows split across bins: $tied")
+    assert(got.filter(_._1.startsWith("h")).values.forall(_ > tied.head))
+  }
 }

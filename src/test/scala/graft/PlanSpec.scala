@@ -113,6 +113,21 @@ class PlanSpec extends AnyFunSuite {
     assert(r14.contains("Window"), r14.take(3000))
   }
 
+  test("t26: no window partitioned by the bare group key over doc-grain rows") {
+    // the two-phase prefix sum must keep the doc-grain window
+    // partitioned by (source, bucket) — a window spec of [source] alone
+    // over the documents frame is the one-task-per-source scale ceiling
+    val p = plan(graft.ops.TextOps.t26.fn(spark, TestSpark.sf0001))
+    // every Window node must either partition by the bucket too (doc
+    // grain) or run over the bucket-grain totals (which carry _tb_total)
+    val windowLines = p.linesIterator.filter(_.contains("Window ")).toList
+    assert(windowLines.nonEmpty, p.take(3000))
+    windowLines.foreach { l =>
+      assert(l.contains("_tb_bucket") || l.contains("_tb_total"),
+        s"window not bucketed: $l")
+    }
+  }
+
   test("s07: centroid assignment broadcasts the small side") {
     val p = plan(graft.ops.SimilarityOps.s07.fn(spark, TestSpark.sf0001))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

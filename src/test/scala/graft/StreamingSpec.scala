@@ -509,11 +509,11 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     val mem = MemoryStream[(Long, Long, Double)]
     val table = tmp("graft_zm_table")
-    val statsP = tmp("graft_zm_stats")
+    val statsP = graft.io.ZoneMap.statsGlob(table)
     val cp = tmp("graft_zm_cp")
     def run(): Unit = Pipelines.runToCompletion(
       Pipelines.zoneMappedSink(mem.toDF().toDF("us", "user_id", "value"),
-        table, statsP, cp, tsCol = "us"))
+        table, cp, tsCol = "us"))
 
     // two micro-batches spanning [0, 32000); 4 clustered files each
     mem.addData((0L to 15999L by 40L).map(us => (us, us % 7, us * 0.5)): _*)
@@ -545,7 +545,7 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val table = tmp("graft_zmr_table")
-    val statsP = tmp("graft_zmr_stats")
+    val statsP = graft.io.ZoneMap.statsGlob(table)
     val cp = tmp("graft_zmr_cp")
     val rows = (0L to 7999L by 20L).map(us => (us, us % 5, us * 1.5))
 
@@ -554,12 +554,12 @@ class StreamingSpec extends AnyFunSuite {
     val mem1 = MemoryStream[(Long, Long, Double)]
     mem1.addData(rows: _*)
     Pipelines.runToCompletion(Pipelines.zoneMappedSink(
-      mem1.toDF().toDF("us", "user_id", "value"), table, statsP, cp, "us"))
+      mem1.toDF().toDF("us", "user_id", "value"), table, cp, "us"))
     val mem2 = MemoryStream[(Long, Long, Double)]
     mem2.addData(rows: _*) // committed offsets: must NOT re-emit
     mem2.addData((8000L to 9999L by 20L).map(us => (us, us % 5, us * 1.5)): _*)
     Pipelines.runToCompletion(Pipelines.zoneMappedSink(
-      mem2.toDF().toDF("us", "user_id", "value"), table, statsP, cp, "us"))
+      mem2.toDF().toDF("us", "user_id", "value"), table, cp, "us"))
 
     val data = spark.read.parquet(table)
     assert(data.count() == 500L, s"replay duplicated rows: ${data.count()}")
@@ -571,6 +571,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(statFiles == diskFiles,
       s"stats/disk divergence: ${statFiles.diff(diskFiles).size} orphaned, " +
         s"${diskFiles.diff(statFiles).size} missing")
+  }
+
+  test("zone-mapped sink: data and stats publish in one atomic rename; staging is invisible") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Double)]
+    val table = tmp("graft_zma_table")
+    val cp = tmp("graft_zma_cp")
+    mem.addData((0L to 999L by 10L).map(us => (us, us % 3, us * 2.0)): _*)
+    Pipelines.runToCompletion(Pipelines.zoneMappedSink(
+      mem.toDF().toDF("us", "user_id", "value"), table, cp, "us"))
+
+    // every published batch directory carries its _zonemap INSIDE it —
+    // the same rename made both visible, so no reader interleaving can
+    // observe fresh data with stale (or missing) stats
+    val batchDirs = Option(new java.io.File(table).listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(batchDirs.nonEmpty)
+    batchDirs.foreach { d =>
+      assert(new java.io.File(d, "_zonemap").isDirectory,
+        s"${d.getName} published without its stats")
+    }
+
+    // a leftover staging directory (crash before the rename) is a
+    // SIBLING of the table and must be invisible to readers of it
+    val junk = new java.io.File(s"$table.staged-batch-99")
+    junk.mkdirs()
+    spark.range(5).toDF("us").write.mode("overwrite")
+      .parquet(junk.getPath + "/data")
+    val visible = spark.read.parquet(table).count()
+    assert(visible == 100L, s"reader saw staged rows: $visible")
+    // ...and the plain data read never surfaces _zonemap rows: the
+    // schema is the data schema (+ the batch layout dir partition
+    // discovery surfaces), never the stats (file, min_us, max_us)
+    assert(spark.read.parquet(table).columns.toSet ==
+      Set("us", "user_id", "value", "batch"))
   }
 
   test("checkpoint recovery: a restarted query resumes without duplicating output") {
