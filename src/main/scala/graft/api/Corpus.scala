@@ -76,6 +76,57 @@ object Corpus {
         expr(s"CAST((cum - $nTokens) div $budget AS INT)"))
   }
 
+  /** Round-robin interleaved batch assignment (m09): rows are ordered
+    * within their group by `order`, then groups take turns filling
+    * global slots — slot = ordinal * nGroups + groupIndex — and
+    * consecutive `batchSize` slots form a batch. This is the training
+    * batch composer for mixed-modality (or mixed-source) data: every
+    * batch carries an even split of each group while all groups still
+    * have rows, and the assignment is a pure function of (group,
+    * order), so re-running it on the same corpus reproduces the same
+    * batches. When group sizes are unequal the exhausted groups leave
+    * deterministic holes (slot numbering is unchanged), so tail
+    * batches shrink rather than reshuffle.
+    *
+    * Scale shape: per-group ordinals use the same two-phase prefix
+    * pattern as [[tokenBudget]] — row_number within (group, range
+    * bucket of `order`), bucket counts prefix-summed per group, offset
+    * joined back — so a 3-modality corpus does NOT serialize through 3
+    * window tasks. The group-index frame is |groups| rows (tiny by
+    * definition of "modality"/"source") and broadcasts.
+    *
+    * Adds (batch_id, pos) — pos is the slot within the batch.
+    */
+  def interleaveBatches(df: DataFrame, group: String, order: String,
+      batchSize: Int, bucketWidth: Long = 4096L): DataFrame = {
+    require(batchSize >= 1, s"bad batchSize $batchSize")
+    require(bucketWidth >= 1, s"bad bucketWidth $bucketWidth")
+    val wIn = Window.partitionBy(col(group), col("_ib_bucket")).orderBy(order)
+    val withB = df.withColumn("_ib_bucket",
+        expr(s"CAST($order AS BIGINT) div $bucketWidth"))
+      .withColumn("_ib_rn", row_number().over(wIn))
+    val offsets = withB.groupBy(col(group), col("_ib_bucket"))
+      .agg(count(lit(1)).as("_ib_n"))
+      .withColumn("_ib_off",
+        coalesce(
+          sum(col("_ib_n")).over(
+            Window.partitionBy(group).orderBy("_ib_bucket")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(group), col("_ib_bucket"), col("_ib_off"))
+    val groups = df.select(col(group)).distinct()
+      .withColumn("_ib_gidx",
+        row_number().over(Window.orderBy(group)).cast("bigint") - 1)
+      .withColumn("_ib_ng", count(lit(1)).over(Window.partitionBy()))
+    withB.join(offsets, Seq(group, "_ib_bucket"))
+      .join(broadcast(groups), Seq(group))
+      .withColumn("_ib_slot",
+        (col("_ib_off") + col("_ib_rn") - 1) * col("_ib_ng") + col("_ib_gidx"))
+      .withColumn("batch_id", expr(s"CAST(_ib_slot div $batchSize AS BIGINT)"))
+      .withColumn("pos", expr(s"CAST(_ib_slot % $batchSize AS BIGINT)"))
+      .drop("_ib_bucket", "_ib_rn", "_ib_off", "_ib_gidx", "_ib_ng", "_ib_slot")
+  }
+
   /** Sliding-window chunking with overlap (t17, the RAG chunker):
     * `window`-token chunks at `stride` spacing, tail clipped. Input is
     * (id, tokens-array); output one row per chunk with its md5 — a

@@ -272,6 +272,128 @@ object Graph {
       .limit(topK)
   }
 
+  /** HyperBall (Boldi & Vigna, public): per-node HLL sketch of the
+    * radius-`radius` ball, by `radius` rounds of "max-merge my
+    * neighbors' previous registers with mine". 16 md5-derived
+    * registers per node (r34's from-first-principles HLL layout:
+    * h = first 60 md5 bits of the node id string, bucket = h mod 16,
+    * rho = 57 - bitlength(h div 16)); every round is one edge join +
+    * one (node, bucket) max-aggregate — 16 rows per node, uniform
+    * keys, cost INDEPENDENT of ball sizes, which is the whole point:
+    * exact per-node ball sizes pay sum-of-deg^radius. Returns
+    * (node, s_num, zero_regs, ball_estimate) where s_num is the
+    * integer harmonic numerator sum(2^(57-register)) over all 16
+    * registers (absent = 0) and ball_estimate = 0.673 * 16^2 * 2^57 /
+    * s_num — one IEEE division of exact integers, so the output is
+    * bit-deterministic even though the ball size it estimates is
+    * approximate. Superseded register generations are unpersisted per
+    * round (the [[multiSourceBfs]] hygiene contract).
+    */
+  def hyperBall(edgeList: DataFrame, radius: Int): DataFrame = {
+    require(radius >= 1, s"bad radius $radius")
+    val sym = edgeList.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(edgeList.select(col("pb").as("u"), col("pa").as("v")))
+      .persist()
+    val h = sym.select(col("u").as("node")).distinct()
+      .select(col("node"),
+        expr("CAST(conv(substr(md5(CAST(node AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+    var regs = h.select(col("node"),
+        expr("h % 16").as("bucket"),
+        expr("""CASE WHEN h div 16 = 0 THEN 57
+                |     ELSE 57 - length(conv(h div 16, 10, 2)) END""".stripMargin)
+          .as("register"))
+      .persist()
+    regs.count()
+    for (_ <- 1 to radius) {
+      val nbr = sym
+        .join(regs.select(col("node").as("u"), col("bucket"), col("register")),
+          "u")
+        .select(col("v").as("node"), col("bucket"), col("register"))
+      val next = regs.unionByName(nbr)
+        .groupBy("node", "bucket").agg(max("register").as("register"))
+        .persist()
+      next.count()
+      regs.unpersist(false)
+      regs = next
+    }
+    regs.groupBy("node")
+      .agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 57 - register)")).as("_ssum"),
+        count(lit(1)).as("_cnt"))
+      .select(col("node"),
+        (col("_ssum") +
+          (lit(16L) - col("_cnt")) * expr("shiftleft(CAST(1 AS BIGINT), 57)"))
+          .cast("bigint").as("s_num"),
+        (lit(16L) - col("_cnt")).cast("bigint").as("zero_regs"),
+        expr("""CAST(0.673 AS DOUBLE) * 256
+                | * CAST(shiftleft(CAST(1 AS BIGINT), 57) AS DOUBLE)""".stripMargin)
+          .as("_num"))
+      .withColumn("ball_estimate", col("_num") / col("s_num").cast("double"))
+      .drop("_num")
+  }
+
+  /** k-core peeling: iteratively delete nodes of degree < k (degrees
+    * recomputed each round) until none remain — the surviving subgraph
+    * is the k-core, the standard "dense enough to matter" graph gate
+    * (spam rings, co-citation cores, near-dup super-families). Returns
+    * the surviving edges (pa, pb).
+    *
+    * Each round is one degree aggregate plus two anti joins, all on
+    * uniform node keys — the same per-round cost class as a BFS hop;
+    * no step depends on a hub's degree quadratically. Rounds needed =
+    * the peel depth of the graph (small for cores away from the
+    * critical k; can reach O(n) on pathological chains — hence
+    * `maxRounds`). With `toFixpoint = true` (the production contract)
+    * the call THROWS if the core has not stabilized within
+    * `maxRounds` — partially-peeled output would silently overstate
+    * the core. With `toFixpoint = false` it returns the bounded-round
+    * peel — the deterministic transition the g09 oracle verifies
+    * round by round.
+    *
+    * Per-round frames are materialized and superseded generations
+    * unpersisted (the [[multiSourceBfs]] hygiene contract).
+    */
+  def kCore(edgeList: DataFrame, k: Int, maxRounds: Int,
+      toFixpoint: Boolean = true): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    require(maxRounds >= 1, s"bad maxRounds $maxRounds")
+    var cur = edgeList.select(col("pa"), col("pb")).persist()
+    var curCount = cur.count()
+    var converged = false
+    var r = 0
+    while (r < maxRounds && !converged) {
+      val deg = cur.select(col("pa").as("node"))
+        .unionAll(cur.select(col("pb").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val bad = deg.filter(col("deg") < k).select("node")
+      val next = cur
+        .join(bad.select(col("node").as("pa")), Seq("pa"), "left_anti")
+        .join(bad.select(col("node").as("pb")), Seq("pb"), "left_anti")
+        .select(col("pa"), col("pb"))
+        .persist()
+      val nextCount = next.count()
+      cur.unpersist(false)
+      converged = nextCount == curCount
+      cur = next
+      curCount = nextCount
+      r += 1
+    }
+    if (toFixpoint && !converged) {
+      // one more degree check: maxRounds peels might have just reached
+      // the fixpoint without an extra no-op round to confirm it
+      val deg = cur.select(col("pa").as("node"))
+        .unionAll(cur.select(col("pb").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val nBad = deg.filter(col("deg") < k).count()
+      if (nBad > 0)
+        throw new IllegalStateException(
+          s"kCore(k=$k) not converged after $maxRounds rounds: " +
+            s"$nBad nodes still below k — raise maxRounds")
+    }
+    cur
+  }
+
   /** Degree histogram + exact k_nn(k) assortativity curve: per degree
     * k, the node count and the exact average neighbor degree (rising
     * curve = hubs attach to hubs). Three uniform-key shuffles; every

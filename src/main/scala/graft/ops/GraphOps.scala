@@ -412,5 +412,113 @@ object GraphOps {
       maxConnectorDegree = Some(64L))
   }
 
-  val all: Seq[OpQuery] = Seq(g01, g02, g03, g04, g05, g06, g07, g08)
+  /** Bounded k-core peel: three rounds of delete-degree-below-k with
+    * degrees recomputed each round, reported as each surviving node's
+    * degree. The oracle unrolls the three rounds as nested CTEs —
+    * cross-engine parity proves the TRANSITION FUNCTION (one peel
+    * round) exact, which is the inductive step the fixpoint form
+    * ([[graft.api.Graph.kCore]] with `toFixpoint = true`, the
+    * production contract, spec-tested to convergence in GraphSpec)
+    * repeats; the full peel depth at the critical k (~20 rounds here)
+    * is not expressible as one SQL statement, so the oracle pins the
+    * algebra, the spec pins the fixpoint. k=8 sits at this graph's
+    * critical threshold — the rounds genuinely shrink the graph at
+    * every SF rather than no-op'ing.
+    */
+  val g09 = OpQuery.oracled("g09_kcore_peel", {
+    def peel(src: String, i: Int): String =
+      s"""d$i AS (
+      |  SELECT u, count(*) AS d FROM (
+      |    SELECT pa AS u FROM $src UNION ALL SELECT pb AS u FROM $src) GROUP BY 1
+      |), e${i + 1} AS (
+      |  SELECT pa, pb FROM $src
+      |  WHERE pa NOT IN (SELECT u FROM d$i WHERE d < 8)
+      |    AND pb NOT IN (SELECT u FROM d$i WHERE d < 8)
+      |)""".stripMargin
+    s"""WITH pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), e0 AS (
+      |  SELECT DISTINCT pa, pb FROM pairs WHERE $edgeKeep
+      |), ${peel("e0", 0)}, ${peel("e1", 1)}, ${peel("e2", 2)}
+      |SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+      |FROM (SELECT pa AS u FROM e3 UNION ALL SELECT pb AS u FROM e3)
+      |GROUP BY 1 ORDER BY node""".stripMargin
+  },
+    doc = "three k-core peel rounds (k=8): per-round degree recompute + anti joins; surviving node degrees vs the unrolled-CTE oracle") { (spark, dir) =>
+    graft.api.Graph.kCore(edges(spark, dir), k = 8, maxRounds = 3,
+        toFixpoint = false)
+      .select(explode(array(col("pa"), col("pb"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).cast("bigint").as("deg"))
+      .orderBy("node")
+  }
+
+  /** HyperBall (Boldi & Vigna, WWW 2013 — public algorithm): per-node
+    * approximate BALL SIZE at radius 2 via one 16-register HLL per
+    * node, iterated as "my ball sketch = max-merge of my neighbors'
+    * previous sketches and mine". This is THE scale path to
+    * neighborhood functions and harmonic/closeness centrality: each
+    * round is one edge join + one max-aggregate over (node, bucket)
+    * rows — 16 registers per node, uniform keys, cost independent of
+    * ball sizes — where the exact computation (multi-source BFS per
+    * node, or the sym∘sym expansion) pays the sum-of-deg² blowup g08
+    * caps. Registers reuse r34's from-first-principles md5 HLL, so
+    * every register, the harmonic numerator, and the IEEE estimate
+    * hash-compare against DuckDB (exactly deterministic — the
+    * approximation is to the BALL SIZE, not to the arithmetic).
+    * Radius-2 accuracy is spec-checked against exact ball sizes in
+    * GraphSpec; the oracle pins the sketch algebra.
+    */
+  val g10 = OpQuery.oracled("g10_hyperball_registers", {
+    def merge(src: String, dst: String): String =
+      s"""$dst AS (
+      |  SELECT node, bucket, max(register) AS register FROM (
+      |    SELECT node, bucket, register FROM $src
+      |    UNION ALL
+      |    SELECT s.v AS node, r.bucket, r.register
+      |    FROM sym s JOIN $src r ON r.node = s.u)
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+    s"""WITH pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), e0 AS (
+      |  SELECT DISTINCT pa, pb FROM pairs WHERE $edgeKeep
+      |), sym AS (
+      |  SELECT pa AS u, pb AS v FROM e0
+      |  UNION ALL
+      |  SELECT pb AS u, pa AS v FROM e0
+      |), h AS (
+      |  SELECT DISTINCT u AS node,
+      |         CAST('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM sym
+      |), r0 AS (
+      |  SELECT node, h % 16 AS bucket,
+      |         CASE WHEN h // 16 = 0 THEN 57
+      |              ELSE 57 - length(bin(h // 16)) END AS register
+      |  FROM h
+      |), ${merge("r0", "r1")}, ${merge("r1", "r2")}
+      |SELECT node,
+      |       CAST(ssum + (16 - cnt) * (CAST(1 AS BIGINT) << 57) AS BIGINT) AS s_num,
+      |       CAST(16 - cnt AS BIGINT) AS zero_regs,
+      |       CAST(0.673 AS DOUBLE) * 256
+      |         * CAST((CAST(1 AS BIGINT) << 57) AS DOUBLE)
+      |         / CAST(ssum + (16 - cnt) * (CAST(1 AS BIGINT) << 57) AS DOUBLE)
+      |         AS ball_estimate
+      |FROM (
+      |  SELECT node,
+      |         sum(CAST(1 AS BIGINT) << (57 - register)) AS ssum,
+      |         count(*) AS cnt
+      |  FROM r2 GROUP BY 1)
+      |ORDER BY node""".stripMargin
+  },
+    doc = "HyperBall radius-2 ball-size sketch: per-node 16-register HLL max-merged along edges for 2 rounds; registers, harmonic numerator and estimate hash-compared") { (spark, dir) =>
+    val e = edges(spark, dir)
+    graft.api.Graph.hyperBall(e, radius = 2).orderBy("node")
+  }
+
+  val all: Seq[OpQuery] = Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09,
+    g10)
 }

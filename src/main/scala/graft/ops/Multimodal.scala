@@ -504,5 +504,49 @@ object Multimodal {
       .orderBy(col("n_shared").desc, col("media_a"), col("media_b"))
   }
 
-  val all: Seq[OpQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
+  /** Modality-interleaved training batches: each batch of 6 draws 2
+    * image, 2 audio, 2 video rows (in doc_id order per modality) while
+    * all three modalities last — the batch composer a multimodal
+    * trainer actually consumes, complementing m05 (what's the mix) and
+    * m06 (how much fits the budget) with WHICH ROWS SIT TOGETHER. The
+    * oracle is the canonical single-window row_number form; the engine
+    * runs [[graft.api.Corpus.interleaveBatches]]' two-phase ordinals
+    * (no one-task-per-modality sort), and hash-parity proves the
+    * decomposition slot-identical.
+    */
+  val m09 = OpQuery.oracled("m09_interleaved_batches",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS media_type
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), o AS (
+      |  SELECT doc_id, media_type,
+      |         row_number() OVER (PARTITION BY media_type ORDER BY doc_id) - 1 AS ord
+      |  FROM m
+      |), g AS (
+      |  SELECT media_type,
+      |         row_number() OVER (ORDER BY media_type) - 1 AS gidx,
+      |         (SELECT count(DISTINCT media_type) FROM m) AS ng
+      |  FROM (SELECT DISTINCT media_type FROM m)
+      |)
+      |SELECT o.media_type, o.doc_id,
+      |       CAST((o.ord * g.ng + g.gidx) // 6 AS BIGINT) AS batch_id,
+      |       CAST((o.ord * g.ng + g.gidx) % 6 AS BIGINT) AS pos
+      |FROM o JOIN g USING (media_type)
+      |ORDER BY batch_id, pos""".stripMargin,
+    doc = "round-robin modality-interleaved batch composer (2 of each modality per batch of 6; two-phase ordinals vs single-window oracle)") { (spark, dir) =>
+    val typed = Sources.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"))
+    graft.api.Corpus.interleaveBatches(typed, group = "media_type",
+        order = "doc_id", batchSize = 6)
+      .select("media_type", "doc_id", "batch_id", "pos")
+      .orderBy("batch_id", "pos")
+  }
+
+  val all: Seq[OpQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
 }

@@ -39,6 +39,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < 40, got.toString)
   }
 
+  test("interleaveBatches: round-robin slots, unequal groups leave holes, two-phase matches") {
+    import spark.implicits._
+    // groups a(4 rows), b(2 rows): slots a0,b0,a1,b1,a2,a3 -> with
+    // batchSize 2: batches (a1,b1),(a2,b2),(a3),(a4) by slot numbering
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L),
+      ("b", 15L), ("b", 25L)).toDF("g", "ord")
+    val got = Corpus.interleaveBatches(df, "g", "ord", batchSize = 2,
+        bucketWidth = 16L) // forces multiple buckets per group
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("a", 10L) -> ((0L, 0L)), ("b", 15L) -> ((0L, 1L)),
+      ("a", 20L) -> ((1L, 0L)), ("b", 25L) -> ((1L, 1L)),
+      ("a", 30L) -> ((2L, 0L)), // slot 4; slot 5 (b's 3rd) is a hole
+      ("a", 40L) -> ((3L, 0L))), got.toString)
+  }
+
   test("packBins: greedy prefix bins; an oversized doc owns the bin it starts") {
     import spark.implicits._
     val df = Seq(("s", 1L, 80L), ("s", 2L, 40L), ("s", 3L, 250L),

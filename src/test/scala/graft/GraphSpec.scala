@@ -79,4 +79,84 @@ class GraphSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.toSeq == Seq((1L, 4L, 2L, 1.0)), got.mkString(","))
   }
+
+  test("linkFeatures connector cap: pairs linked only through a barred hub drop out") {
+    // star center 9 connects 1..4; also a direct wedge 1-5-2. With the
+    // hub barred (cap 3 < deg(9)=4), pairs whose ONLY connector is the
+    // hub — (3,4) and the other star pairs — drop out; (1,2) survives
+    // via connector 5 and (5,9) via connectors 1 and 2.
+    val e = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L),
+      (1L, 5L), (5L, 2L))
+    val df = spark.createDataFrame(e).toDF("pa", "pb")
+    val capped = graft.api.Graph.linkFeatures(df, topK = 100,
+        maxConnectorDegree = Some(3L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L), (5L, 9L)), capped.toString)
+    val uncapped = graft.api.Graph.linkFeatures(df, topK = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((3L, 4L)) && uncapped.contains((1L, 2L)))
+  }
+
+  test("kCore peels to the exact core and throws when rounds are too few") {
+    import graft.api.Graph
+    // K4 {1,2,3,4} is a 3-core; 5 starts at degree 3 (edges to 4, 6,
+    // 7) so it survives round one — only after its leaves 6 and 7
+    // peel does round two remove it. A genuinely iterative case.
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val e = k4 ++ Seq((4L, 5L), (5L, 6L), (5L, 7L))
+    val df = spark.createDataFrame(e).toDF("pa", "pb")
+    val core = Graph.kCore(df, k = 3, maxRounds = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(core == k4.toSet, core.toString)
+    // k=4: nothing survives (K4 degrees are 3) — empty core, converged
+    assert(Graph.kCore(df, k = 4, maxRounds = 10).count() == 0L)
+    // the production contract refuses a partial peel: one round is not
+    // enough (5 only drops below k after 6 and 7 do)
+    val ex = intercept[IllegalStateException] {
+      Graph.kCore(df, k = 3, maxRounds = 1).count()
+    }
+    assert(ex.getMessage.contains("not converged"), ex.getMessage)
+    // bounded-round mode returns the 1-round peel instead of throwing:
+    // 6 and 7 are gone, 5 still hangs on via the (4,5) edge
+    val oneRound = Graph.kCore(df, k = 3, maxRounds = 1,
+        toFixpoint = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oneRound == k4.toSet + ((4L, 5L)), oneRound.toString)
+  }
+
+  test("hyperBall: r-round max-merge equals the HLL of the exact r-ball membership") {
+    import graft.api.Graph
+    // irregular graph: K4 core, a 2-chain off node 4, a pendant at 3
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val e = k4 ++ Seq((4L, 5L), (5L, 6L), (3L, 7L))
+    val adj = e.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    def ball(v: Long, r: Int): Set[Long] =
+      (1 to r).foldLeft(Set(v)) { (acc, _) => acc ++ acc.flatMap(adj(_)) }
+    // the same md5 register arithmetic the engine uses, on the JVM
+    def sNum(members: Set[Long]): (Long, Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val regs = members.toSeq.map { m =>
+        val hex = md.digest(m.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val h = BigInt(hex.take(15), 16).longValue
+        val w = h / 16
+        val rho = if (w == 0) 57 else 57 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        (h % 16) -> rho
+      }.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+      val present = regs.values.map(r => 1L << (57 - r)).sum
+      val s = present + (16L - regs.size) * (1L << 57)
+      (s, 16L - regs.size)
+    }
+    val df = spark.createDataFrame(e).toDF("pa", "pb")
+    for (radius <- Seq(1, 2)) {
+      val got = Graph.hyperBall(df, radius).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val want = adj.keys.map(v => v -> sNum(ball(v, radius))).toMap
+      assert(got == want,
+        s"radius $radius: " + got.keys.toSeq.sorted
+          .map(v => s"$v got=${got(v)} want=${want(v)}")
+          .mkString("; "))
+    }
+  }
 }
