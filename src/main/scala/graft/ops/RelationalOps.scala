@@ -896,7 +896,56 @@ object RelationalOps {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q19 shape (public spec): revenue under an OR of three
+    * brand/size/quantity brackets — the disjunctive-predicate pattern
+    * that defeats naive pushdown, because the OR straddles both join
+    * sides. The scale move is the one the spec's own queries model:
+    * conjoin the DERIVED single-side envelopes (brand IN the three
+    * brands AND size within the union of ranges; quantity within the
+    * union of ranges) — redundant given the OR, but each reaches its
+    * parquet scan as a pushed filter, so the join probes only
+    * bracket-eligible rows and the OR evaluates as a residual on that
+    * slice. The oracle carries the identical redundant conjuncts
+    * (same semantics, provably: each envelope is implied by the OR).
+    * PlanSpec pins both pushdowns and the broadcast.
+    */
+  val r52 = OpQuery.oracled("r52_bracketed_promo_revenue",
+    """SELECT CAST(count(*) AS BIGINT) AS n_li,
+      |       CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand IN ('Brand#2', 'Brand#3', 'Brand#4')
+      |  AND p.p_size BETWEEN 1 AND 15
+      |  AND l.l_quantity BETWEEN 1 AND 30
+      |  AND (   (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 5
+      |           AND l.l_quantity BETWEEN 1 AND 11)
+      |       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 10
+      |           AND l.l_quantity BETWEEN 10 AND 20)
+      |       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+      |           AND l.l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    doc = "TPC-H Q19 disjunctive brackets: derived per-side envelopes pushed to both scans, OR as residual on the probed slice") { (spark, dir) =>
+    val p = Sources.table(spark, dir, "part")
+      .filter(col("p_brand").isin("Brand#2", "Brand#3", "Brand#4") &&
+        col("p_size").between(1, 15))
+      .select("p_partkey", "p_brand", "p_size")
+    val li = Sources.table(spark, dir, "lineitem")
+      .filter(col("l_quantity").between(1, 30))
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val bracket =
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(bracket)
+      .agg(count(lit(1)).cast("bigint").as("n_li"),
+        prodSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+  }
+
   val all: Seq[OpQuery] = Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09,
     r10, r11, r12, r30, r32, r38, r41, r42, r43, r44, r46, r47, r48, r49,
-    r50, r51)
+    r50, r51, r52)
 }

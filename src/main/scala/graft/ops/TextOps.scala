@@ -1316,8 +1316,95 @@ object TextOps {
       .orderBy("source", "t")
   }
 
+  /** UniMax allocation (Chung et al. 2023's budget-capped-uniform
+    * language sampling, public): split a document budget across
+    * sources as EVENLY as possible, capped by each source's supply —
+    * the mixture rule multilingual corpora use so high-resource
+    * sources don't drown low-resource ones (t20's largest-remainder
+    * rule is proportional; this is its egalitarian dual). Exact
+    * integer water-filling, closed-form via windows:
+    * sort sources ascending by supply; source i is fully taken iff
+    * `supply_i * (n - i + 1) <= budget - prefix_{i-1}` (the integer
+    * form of "its supply sits below the remaining water level" — full
+    * sources form a prefix, provable by induction); everyone else
+    * gets `(budget - used) div (n - m)` with the remainder going +1
+    * to the largest capped sources. sum(alloc) == budget by
+    * construction, alloc <= supply always. The per-source frame is
+    * |sources| rows, so the windows are trivially bounded; the only
+    * corpus-scale work is the initial count.
+    */
+  val t30 = OpQuery.oracled("t30_unimax_allocation",
+    """WITH cells AS (
+      |  SELECT source, count(*) AS cnt
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |  GROUP BY 1
+      |), b AS (
+      |  SELECT sum(cnt) // 2 AS budget, count(*) AS n FROM cells
+      |), sorted AS (
+      |  SELECT source, cnt,
+      |         row_number() OVER (ORDER BY cnt, source) AS i,
+      |         coalesce(sum(cnt) OVER (ORDER BY cnt, source
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+      |  FROM cells
+      |), flagged AS (
+      |  SELECT s.source, s.cnt, s.i, b.budget, b.n,
+      |         CASE WHEN s.cnt * (b.n - s.i + 1) <= b.budget - s.pre
+      |              THEN 1 ELSE 0 END AS is_full
+      |  FROM sorted s, b
+      |), agg AS (
+      |  SELECT sum(CASE WHEN is_full = 1 THEN cnt ELSE 0 END) AS used,
+      |         sum(is_full) AS m
+      |  FROM flagged
+      |), rest AS (
+      |  SELECT f.*, a.used, a.m,
+      |         CASE WHEN f.n > a.m
+      |              THEN (f.budget - a.used) // (f.n - a.m) ELSE 0 END AS q,
+      |         CASE WHEN f.n > a.m
+      |              THEN (f.budget - a.used) % (f.n - a.m) ELSE 0 END AS r,
+      |         row_number() OVER (ORDER BY f.is_full ASC, f.cnt DESC, f.source)
+      |           AS rk
+      |  FROM flagged f, agg a
+      |)
+      |SELECT source, CAST(cnt AS BIGINT) AS cnt,
+      |       CAST(CASE WHEN is_full = 1 THEN cnt
+      |                 ELSE q + CASE WHEN rk <= r THEN 1 ELSE 0 END END
+      |            AS BIGINT) AS alloc
+      |FROM rest
+      |ORDER BY source""".stripMargin,
+    doc = "UniMax budget-capped-uniform source allocation: integer water-filling via windows; sum(alloc) == budget, alloc <= supply") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val cells = Sources.table(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("cnt"))
+    val b = cells.agg(
+      expr("sum(cnt) div 2").as("budget"), count(lit(1)).as("n"))
+    val wAsc = Window.orderBy(col("cnt"), col("source"))
+    val sorted = cells.crossJoin(broadcast(b))
+      .withColumn("i", row_number().over(wAsc))
+      .withColumn("pre", coalesce(
+        sum(col("cnt")).over(wAsc.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("is_full",
+        when(col("cnt") * (col("n") - col("i") + 1) <= col("budget") - col("pre"),
+          1L).otherwise(0L))
+    val a = sorted.agg(
+      sum(when(col("is_full") === 1, col("cnt")).otherwise(0L)).as("used"),
+      sum(col("is_full")).as("m"))
+    sorted.crossJoin(broadcast(a))
+      .withColumn("q", when(col("n") > col("m"),
+        expr("(budget - used) div (n - m)")).otherwise(0L))
+      .withColumn("r", when(col("n") > col("m"),
+        expr("(budget - used) % (n - m)")).otherwise(0L))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("is_full").asc, col("cnt").desc, col("source"))))
+      .select(col("source"), col("cnt").cast("bigint").as("cnt"),
+        when(col("is_full") === 1, col("cnt"))
+          .otherwise(col("q") + when(col("rk") <= col("r"), 1L).otherwise(0L))
+          .cast("bigint").as("alloc"))
+      .orderBy("source")
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
-      t28, t29)
+      t28, t29, t30)
 }

@@ -713,6 +713,52 @@ object Pipelines {
       }
   }
 
+  case class BatchDoc(group: String, doc_id: Long)
+  case class BatchSlot(group: String, doc_id: Long, batch_id: Long, pos: Long)
+
+  /** Streaming twin of [[graft.api.Corpus.interleaveBatches]]: rows
+    * claim round-robin slots as they arrive — slot = ordinal * nGroups
+    * + groupIndex, batch = slot div batchSize — so training batches
+    * assemble incrementally with the SAME assignment the batch
+    * composer would produce on the accumulated tape (StreamingSpec
+    * pins that parity across a batch split, given per-group arrival
+    * in doc_id order). The group universe is a PARAMETER, not
+    * discovered from the stream: a late-appearing modality would
+    * renumber every slot already emitted, so an unknown group fails
+    * the query loudly instead. State is one ordinal counter per group
+    * — bytes per modality, the cheapest state in this file; within-
+    * batch order is pinned by doc_id so replays reproduce identical
+    * slots.
+    */
+  def streamInterleave(docs: org.apache.spark.sql.Dataset[BatchDoc],
+      groups: Seq[String], batchSize: Int)
+      : org.apache.spark.sql.Dataset[BatchSlot] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    require(groups.nonEmpty && batchSize >= 1,
+      s"bad interleave config: $groups / $batchSize")
+    val gidx = groups.sorted.zipWithIndex.map { case (g, i) => g -> i.toLong }
+      .toMap
+    val n = groups.size.toLong
+    docs.groupByKey(_.group)
+      .flatMapGroupsWithState[Long, BatchSlot](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[BatchDoc],
+            state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val base = gidx.getOrElse(g, sys.error(
+            s"streamInterleave: group '$g' not in the declared universe " +
+              groups.mkString("[", ",", "]")))
+          var ord = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(_.doc_id).map { d =>
+            val slot = ord * n + base
+            ord += 1
+            BatchSlot(g, d.doc_id, slot / batchSize, slot % batchSize)
+          }
+          state.update(ord)
+          out.iterator
+      }
+  }
+
   case class StreamVec(vec_id: Long, v: Array[Double])
   case class AssignedVec(cell: Long, vec_id: Long, v: Array[Double], nrm: Double)
   case class CellEntry(vec_id: Long, v: Array[Double], nrm: Double)

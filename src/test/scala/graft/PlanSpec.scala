@@ -128,6 +128,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("r52: bracket envelopes push to both scans; the OR stays a join residual") {
+    val p = plan(RelationalOps.r52.fn(spark, TestSpark.sf0001))
+    assert(p.contains("In(p_brand"), p.take(3000))
+    assert(p.contains("LessThanOrEqual(l_quantity,30.0)"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("s07: centroid assignment broadcasts the small side") {
     val p = plan(graft.ops.SimilarityOps.s07.fn(spark, TestSpark.sf0001))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -899,6 +899,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(("a", 4L)) == ((false, 125L)), got.toString)
   }
 
+  test("streaming interleave matches the batch composer across a batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Pipelines.BatchDoc]
+    val q = Pipelines.streamInterleave(mem.toDS(),
+        groups = Seq("image", "audio", "video"), batchSize = 6)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("interleave").start()
+    // modalities arrive unevenly across two micro-batches
+    mem.addData(
+      Pipelines.BatchDoc("image", 3L), Pipelines.BatchDoc("image", 6L),
+      Pipelines.BatchDoc("audio", 1L), Pipelines.BatchDoc("video", 2L))
+    q.processAllAvailable()
+    mem.addData(
+      Pipelines.BatchDoc("audio", 4L), Pipelines.BatchDoc("video", 5L),
+      Pipelines.BatchDoc("image", 9L), Pipelines.BatchDoc("audio", 7L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("interleave")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // batch twin on the accumulated tape
+    val tape = Seq(("image", 3L), ("image", 6L), ("image", 9L),
+      ("audio", 1L), ("audio", 4L), ("audio", 7L),
+      ("video", 2L), ("video", 5L)).toDF("group", "doc_id")
+    val want = graft.api.Corpus.interleaveBatches(tape, "group", "doc_id",
+        batchSize = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want, s"got $got\nwant $want")
+    // batch 0 holds the first two of each modality
+    assert(got(("audio", 1L))._1 == 0L && got(("video", 5L))._1 == 0L)
+  }
+
   test("streaming semantic dedup matches the batch operator across a batch split") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
