@@ -154,25 +154,26 @@ object Graph {
     val sym = edgeList.select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(edgeList.select(col("pb").as("u"), col("pa").as("v")))
       .persist()
-    var visited = seeds.select(col("node"), lit(0).as("hop")).persist()
+    // eager localCheckpoint per hop, NOT persist: each hop references
+    // the previous visited frame twice (anti join + union), so an
+    // uncut lineage doubles per hop — 2^hops planning blowup (g06
+    // audited at 3,545 Exchanges in the plan STRING before the cut;
+    // p03, which embeds this, at 22,020). The checkpoint truncates the
+    // plan to a scan of the stored blocks; superseded generations are
+    // freed immediately via the bridge.
+    var visited = seeds.select(col("node"), lit(0).as("hop"))
+      .localCheckpoint(true)
     var frontier = visited.select("node")
     for (h <- 1 to maxHops) {
-      val next = sym.join(frontier.select(col("node").as("u")), "u")
-        .select(col("v").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .select(col("node"), lit(h).as("hop"))
-        .persist()
-      val grown = visited.unionAll(next).persist()
-      // materialize the new generation, then drop the superseded
-      // frames — without this every hop's frontier AND every previous
-      // visited copy stays cached for the whole job (eviction-only
-      // recompute is the worst case after unpersist, not wrong results)
-      grown.count()
-      visited.unpersist(false)
-      next.unpersist(false)
+      val grown = visited.unionAll(
+        sym.join(frontier.select(col("node").as("u")), "u")
+          .select(col("v").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+          .select(col("node"), lit(h).as("hop")))
+        .localCheckpoint(true)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(visited)
       visited = grown
-      // read the new frontier out of the cached union, not the (now
-      // unpersisted) next frame
+      // the new frontier reads out of the checkpointed union
       frontier = grown.filter(col("hop") === h).select("node")
     }
     visited
@@ -199,8 +200,11 @@ object Graph {
       .persist()
     val seedFix = seeds.select(col("node").as("s_node"),
       col("label").as("s_label"))
+    // eager localCheckpoint per round: each round reads `lab` twice
+    // (self + neighbor sides), so an uncut lineage doubles per round;
+    // the checkpoint truncates it and the bridge frees the superseded
+    // generation's blocks immediately
     var lab = seeds.select(col("node"), col("label"))
-    var cached: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
       val fromNbr = sym
         .join(lab.select(col("node").as("u"), col("label")), "u")
@@ -210,13 +214,8 @@ object Graph {
         .join(broadcast(seedFix), col("node") === col("s_node"), "left")
         .select(col("node"),
           coalesce(col("s_label"), col("label")).as("label"))
-        .persist()
-      // each round reads `lab` twice (self + neighbor sides) — cache
-      // the new generation, materialize it, then drop the superseded
-      // one so per-round label tables don't pile up in storage memory
-      next.count()
-      cached.foreach(_.unpersist(false))
-      cached = Some(next)
+        .localCheckpoint(true)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(lab)
       lab = next
     }
     lab
@@ -298,13 +297,16 @@ object Graph {
       .select(col("node"),
         expr("CAST(conv(substr(md5(CAST(node AS STRING)), 1, 15), 16, 10) AS BIGINT)")
           .as("h"))
+    // eager localCheckpoint per round (not persist): each round reads
+    // the previous register table twice, so an uncut lineage doubles
+    // per round; the checkpoint truncates it and the bridge frees the
+    // superseded generation's blocks immediately
     var regs = h.select(col("node"),
         expr("h % 16").as("bucket"),
         expr("""CASE WHEN h div 16 = 0 THEN 57
                 |     ELSE 57 - length(conv(h div 16, 10, 2)) END""".stripMargin)
           .as("register"))
-      .persist()
-    regs.count()
+      .localCheckpoint(true)
     for (_ <- 1 to radius) {
       val nbr = sym
         .join(regs.select(col("node").as("u"), col("bucket"), col("register")),
@@ -312,9 +314,8 @@ object Graph {
         .select(col("v").as("node"), col("bucket"), col("register"))
       val next = regs.unionByName(nbr)
         .groupBy("node", "bucket").agg(max("register").as("register"))
-        .persist()
-      next.count()
-      regs.unpersist(false)
+        .localCheckpoint(true)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(regs)
       regs = next
     }
     regs.groupBy("node")
@@ -358,7 +359,14 @@ object Graph {
       toFixpoint: Boolean = true): DataFrame = {
     require(k >= 1, s"bad k $k")
     require(maxRounds >= 1, s"bad maxRounds $maxRounds")
-    var cur = edgeList.select(col("pa"), col("pb")).persist()
+    // eager localCheckpoint per round, NOT persist: each round's plan
+    // references the previous round three times (degree union + the
+    // filtered edge list), so an uncut lineage grows 3^rounds — the
+    // checkpoint truncates it to a scan of the stored blocks (the d07
+    // cluster-fixpoint pattern). Superseded generations are freed
+    // immediately via the bridge (getPersistentRDDs only releases
+    // checkpoint blocks at driver GC).
+    var cur = edgeList.select(col("pa"), col("pb")).localCheckpoint(true)
     var curCount = cur.count()
     var converged = false
     var r = 0
@@ -371,9 +379,9 @@ object Graph {
         .join(bad.select(col("node").as("pa")), Seq("pa"), "left_anti")
         .join(bad.select(col("node").as("pb")), Seq("pb"), "left_anti")
         .select(col("pa"), col("pb"))
-        .persist()
+        .localCheckpoint(true)
       val nextCount = next.count()
-      cur.unpersist(false)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(cur)
       converged = nextCount == curCount
       cur = next
       curCount = nextCount

@@ -23,6 +23,21 @@ object GraftSqlBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Free the blocks behind an eagerly `localCheckpoint`ed DataFrame —
+    * its analyzed plan is a `LogicalRDD` over the checkpointed RDD,
+    * which `SparkContext.getPersistentRDDs` only releases at driver GC.
+    * Iterative kernels (k-core, HyperBall, cluster fixpoints) call this
+    * on each superseded generation so per-round blocks don't pile up in
+    * storage memory for the rest of the job. No-op for any other plan
+    * shape.
+    */
+  def unpersistCheckpointed(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   /** Listener events are delivered async; `listenerBus` is
     * `private[spark]`, so the flush Bench needs between per-query
     * shuffle-volume readings lives in this shim too. A slow drain makes
