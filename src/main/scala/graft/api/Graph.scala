@@ -288,8 +288,19 @@ object Graph {
     * approximate. Superseded register generations are unpersisted per
     * round (the [[multiSourceBfs]] hygiene contract).
     */
-  def hyperBall(edgeList: DataFrame, radius: Int): DataFrame = {
-    require(radius >= 1, s"bad radius $radius")
+  def hyperBall(edgeList: DataFrame, radius: Int): DataFrame =
+    hyperBallProfile(edgeList, radius)
+      .filter(col("radius") === radius)
+      .drop("radius")
+
+  /** The per-radius HyperBall profile: (node, radius, s_num, zero_regs,
+    * ball_estimate) for every radius 1..maxRadius — the frame harmonic
+    * centrality reads its deltas from ([[harmonicCentrality]]). Same
+    * iteration as [[hyperBall]] (which is the last slice of this), one
+    * cheap 16-rows-per-node summary aggregate per round.
+    */
+  def hyperBallProfile(edgeList: DataFrame, maxRadius: Int): DataFrame = {
+    require(maxRadius >= 1, s"bad maxRadius $maxRadius")
     val sym = edgeList.select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(edgeList.select(col("pb").as("u"), col("pa").as("v")))
       .persist()
@@ -297,6 +308,21 @@ object Graph {
       .select(col("node"),
         expr("CAST(conv(substr(md5(CAST(node AS STRING)), 1, 15), 16, 10) AS BIGINT)")
           .as("h"))
+    def summarize(regs: DataFrame, r: Int): DataFrame =
+      regs.groupBy("node")
+        .agg(
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 57 - register)")).as("_ssum"),
+          count(lit(1)).as("_cnt"))
+        .select(col("node"), lit(r).as("radius"),
+          (col("_ssum") +
+            (lit(16L) - col("_cnt")) * expr("shiftleft(CAST(1 AS BIGINT), 57)"))
+            .cast("bigint").as("s_num"),
+          (lit(16L) - col("_cnt")).cast("bigint").as("zero_regs"),
+          expr("""CAST(0.673 AS DOUBLE) * 256
+                  | * CAST(shiftleft(CAST(1 AS BIGINT), 57) AS DOUBLE)""".stripMargin)
+            .as("_num"))
+        .withColumn("ball_estimate", col("_num") / col("s_num").cast("double"))
+        .drop("_num")
     // eager localCheckpoint per round (not persist): each round reads
     // the previous register table twice, so an uncut lineage doubles
     // per round; the checkpoint truncates it and the bridge frees the
@@ -307,7 +333,8 @@ object Graph {
                 |     ELSE 57 - length(conv(h div 16, 10, 2)) END""".stripMargin)
           .as("register"))
       .localCheckpoint(true)
-    for (_ <- 1 to radius) {
+    var out: Option[DataFrame] = None
+    for (r <- 1 to maxRadius) {
       val nbr = sym
         .join(regs.select(col("node").as("u"), col("bucket"), col("register")),
           "u")
@@ -317,21 +344,40 @@ object Graph {
         .localCheckpoint(true)
       org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(regs)
       regs = next
+      // the summary must be materialized BEFORE the next round frees
+      // this round's register blocks — a checkpointed frame has no
+      // lineage to recompute from, so a lazy reader of freed blocks
+      // dies with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; it is |nodes|
+      // rows, so checkpointing it eagerly costs nothing
+      val s = summarize(next, r).localCheckpoint(true)
+      out = Some(out.map(_.unionByName(s)).getOrElse(s))
     }
-    regs.groupBy("node")
-      .agg(
-        sum(expr("shiftleft(CAST(1 AS BIGINT), 57 - register)")).as("_ssum"),
-        count(lit(1)).as("_cnt"))
-      .select(col("node"),
-        (col("_ssum") +
-          (lit(16L) - col("_cnt")) * expr("shiftleft(CAST(1 AS BIGINT), 57)"))
-          .cast("bigint").as("s_num"),
-        (lit(16L) - col("_cnt")).cast("bigint").as("zero_regs"),
-        expr("""CAST(0.673 AS DOUBLE) * 256
-                | * CAST(shiftleft(CAST(1 AS BIGINT), 57) AS DOUBLE)""".stripMargin)
-          .as("_num"))
-      .withColumn("ball_estimate", col("_num") / col("s_num").cast("double"))
-      .drop("_num")
+    out.get
+  }
+
+  /** Harmonic centrality from the HyperBall profile (the sketch's
+    * canonical consumer): H(v) = Σ_{r=1..R} (N̂_r(v) - N̂_{r-1}(v)) / r
+    * with N_0 = 1 exactly (the node itself). Every N̂ is the
+    * bit-deterministic register estimate, and the deltas/divisions are
+    * a fixed-order IEEE expression, so the centrality is oracle-
+    * checkable even though the ball sizes it derives from are
+    * approximate. Returns (node, est_1..est_R as a profile join,
+    * harmonic). Cost = [[hyperBallProfile]] + one self-join pivot of
+    * the |nodes|×R summary frame.
+    */
+  def harmonicCentrality(edgeList: DataFrame, maxRadius: Int): DataFrame = {
+    val prof = hyperBallProfile(edgeList, maxRadius).persist()
+    val slices = (1 to maxRadius).map { r =>
+      prof.filter(col("radius") === r)
+        .select(col("node"), col("ball_estimate").as(s"est_$r"))
+    }
+    val joined = slices.reduce((a, b) => a.join(b, "node"))
+    val harmonic = (2 to maxRadius).foldLeft(
+      col("est_1") - expr("CAST(1 AS DOUBLE)")) { (acc, r) =>
+      acc + (col(s"est_$r") - col(s"est_${r - 1}")) /
+        expr(s"CAST($r AS DOUBLE)")
+    }
+    joined.withColumn("harmonic", harmonic)
   }
 
   /** k-core peeling: iteratively delete nodes of degree < k (degrees

@@ -519,6 +519,71 @@ object GraphOps {
     graft.api.Graph.hyperBall(e, radius = 2).orderBy("node")
   }
 
+  /** Harmonic centrality from the HyperBall profile — the sketch's
+    * canonical consumer (what g10's registers exist FOR): H(v) =
+    * (N̂_1 - 1)/1 + (N̂_2 - N̂_1)/2, the discounted count of how much
+    * graph sits near each node, computable per radius from the same
+    * 16-register frames with NO per-node traversal. Deltas and
+    * divisions are fixed-order IEEE arithmetic over the
+    * bit-deterministic estimates, so both engines produce identical
+    * doubles. The exact computation needs per-node distances (all-pairs
+    * BFS); the sketch path is the only one that survives 100 TB.
+    */
+  val g11 = OpQuery.oracled("g11_harmonic_centrality", {
+    def merge(src: String, dst: String): String =
+      s"""$dst AS (
+      |  SELECT node, bucket, max(register) AS register FROM (
+      |    SELECT node, bucket, register FROM $src
+      |    UNION ALL
+      |    SELECT s.v AS node, r.bucket, r.register
+      |    FROM sym s JOIN $src r ON r.node = s.u)
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+    def est(src: String, dst: String): String =
+      s"""$dst AS (
+      |  SELECT node,
+      |         CAST(0.673 AS DOUBLE) * 256
+      |           * CAST((CAST(1 AS BIGINT) << 57) AS DOUBLE)
+      |           / CAST(ssum + (16 - cnt) * (CAST(1 AS BIGINT) << 57) AS DOUBLE)
+      |           AS est
+      |  FROM (
+      |    SELECT node,
+      |           sum(CAST(1 AS BIGINT) << (57 - register)) AS ssum,
+      |           count(*) AS cnt
+      |    FROM $src GROUP BY 1)
+      |)""".stripMargin
+    s"""WITH pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), e0 AS (
+      |  SELECT DISTINCT pa, pb FROM pairs WHERE $edgeKeep
+      |), sym AS (
+      |  SELECT pa AS u, pb AS v FROM e0
+      |  UNION ALL
+      |  SELECT pb AS u, pa AS v FROM e0
+      |), h AS (
+      |  SELECT DISTINCT u AS node,
+      |         CAST('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM sym
+      |), r0 AS (
+      |  SELECT node, h % 16 AS bucket,
+      |         CASE WHEN h // 16 = 0 THEN 57
+      |              ELSE 57 - length(bin(h // 16)) END AS register
+      |  FROM h
+      |), ${merge("r0", "r1")}, ${merge("r1", "r2")},
+      |${est("r1", "s1")}, ${est("r2", "s2")}
+      |SELECT s1.node, s1.est AS est_1, s2.est AS est_2,
+      |       (s1.est - CAST(1 AS DOUBLE))
+      |         + (s2.est - s1.est) / CAST(2 AS DOUBLE) AS harmonic
+      |FROM s1 JOIN s2 ON s2.node = s1.node
+      |ORDER BY s1.node""".stripMargin
+  },
+    doc = "harmonic centrality from HyperBall radius-1/2 estimate deltas (fixed-order IEEE arithmetic over bit-deterministic registers)") { (spark, dir) =>
+    graft.api.Graph.harmonicCentrality(edges(spark, dir), maxRadius = 2)
+      .orderBy("node")
+  }
+
   val all: Seq[OpQuery] = Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09,
-    g10)
+    g10, g11)
 }

@@ -1403,8 +1403,77 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Wilson lower-bound quality gate: keep documents whose 95% Wilson
+    * lower confidence bound on the good-token proportion clears the
+    * threshold — the statistically honest form of a ratio filter
+    * (t02/t22 rank by the raw ratio, which lets a 3-token doc at 3/3
+    * outrank a 100-token doc at 95/100; the Wilson bound prices in the
+    * sample size). "Good" here = token length in [3, 8], a
+    * deterministic integer proxy; the 0.9 threshold is set where the
+    * sample-size effect bites on this corpus — a 10-token document at
+    * a PERFECT 10/10 ratio still fails (its lower bound is ~0.72)
+    * while long documents at 0.97 pass.
+    *
+    * Cross-engine determinism note: this is the repo's first oracled
+    * use of sqrt — safe because IEEE 754 REQUIRES sqrt correctly
+    * rounded (unlike ln/exp, which the recipe bans), so identical
+    * expression trees produce identical doubles. Both sides write the
+    * Wilson formula with explicit parentheses in the same association
+    * order; z² is the same folded literal product.
+    */
+  val t31 = OpQuery.oracled("t31_wilson_quality_gate",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |                  t -> length(t) BETWEEN 3 AND 8)) AS BIGINT) AS n_good
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), w AS (
+      |  SELECT doc_id, n_tokens, n_good,
+      |         (CAST(n_good AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS phat,
+      |         (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) AS z2,
+      |         CAST(n_tokens AS DOUBLE) AS nn
+      |  FROM f
+      |)
+      |SELECT doc_id, n_tokens, n_good,
+      |       CAST(phat AS DOUBLE) AS good_ratio,
+      |       CAST(((phat + (z2 / (2.0 * nn)))
+      |              - (CAST(1.96 AS DOUBLE)
+      |                 * sqrt(((phat * (1.0 - phat)) + (z2 / (4.0 * nn))) / nn)))
+      |            / (1.0 + (z2 / nn)) AS DOUBLE) AS wilson_lb
+      |FROM w
+      |WHERE ((phat + (z2 / (2.0 * nn)))
+      |        - (CAST(1.96 AS DOUBLE)
+      |           * sqrt(((phat * (1.0 - phat)) + (z2 / (4.0 * nn))) / nn)))
+      |      / (1.0 + (z2 / nn)) >= 0.9
+      |ORDER BY doc_id""".stripMargin,
+    doc = "Wilson 95% lower-bound quality gate (sample-size-aware ratio filter; first oracled sqrt — IEEE-correctly-rounded in both engines)") { (spark, dir) =>
+    val f = Sources.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+        expr("CAST(size(filter(split(text, ' '), " +
+          "t -> length(t) >= 3 AND length(t) <= 8)) AS BIGINT)").as("n_good"))
+    val w = f
+      .withColumn("phat",
+        col("n_good").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("z2",
+        expr("CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)"))
+      .withColumn("nn", col("n_tokens").cast("double"))
+    val wlb =
+      ((col("phat") + (col("z2") / (lit(2.0) * col("nn")))) -
+        (expr("CAST(1.96 AS DOUBLE)") *
+          sqrt(((col("phat") * (lit(1.0) - col("phat"))) +
+            (col("z2") / (lit(4.0) * col("nn")))) / col("nn")))) /
+        (lit(1.0) + (col("z2") / col("nn")))
+    w.withColumn("wilson_lb", wlb.cast("double"))
+      .filter(col("wilson_lb") >= 0.9)
+      .select(col("doc_id"), col("n_tokens"), col("n_good"),
+        col("phat").cast("double").as("good_ratio"), col("wilson_lb"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
-      t28, t29, t30)
+      t28, t29, t30, t31)
 }
