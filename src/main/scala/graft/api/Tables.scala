@@ -83,6 +83,48 @@ object Tables {
       }: _*)
   }
 
+  /** Full CDC apply — [[upsert]] extended with DELETES, the complete
+    * `MERGE WHEN MATCHED [AND op='D'] THEN DELETE / THEN UPDATE / WHEN
+    * NOT MATCHED THEN INSERT` shape a change-data-capture feed needs
+    * (Debezium-style row images). `changes` carries `base`'s columns
+    * plus `opCol` with values 'U' (upsert — insert or update) and 'D'
+    * (delete; deleting an absent key is a no-op, matching MERGE).
+    *
+    * Same scale shape and duplicate-key guard as [[upsert]]: one
+    * full-outer key join (AQE broadcasts a small change batch), delete
+    * rows filtered in the same pass — no second anti join. Within one
+    * batch each key appears at most once; collapse a multi-event feed
+    * to latest-per-key first (the streaming upsertSink shows how).
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, key: String,
+      opCol: String = "op"): DataFrame = {
+    require(changes.columns.toSet == base.columns.toSet + opCol,
+      s"schema mismatch: base=${base.columns.mkString(",")} " +
+        s"changes=${changes.columns.mkString(",")} (need base + $opCol)")
+    val cols = base.columns
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+    val c = changes
+      .withColumn("_graft_n", count(lit(1)).over(w))
+      .withColumn(key,
+        when(col("_graft_n") > 1,
+          raise_error(concat(lit(s"applyCdc: duplicate change key $key="),
+            col(key).cast("string"))))
+          .otherwise(col(key)))
+      .drop("_graft_n")
+      .withColumn(opCol,
+        when(col(opCol).isin("U", "D"), col(opCol))
+          .otherwise(raise_error(
+            concat(lit(s"applyCdc: bad $opCol value "), col(opCol)))))
+    base.as("b").join(c.as("c"),
+        col(s"b.$key") === col(s"c.$key"), "full_outer")
+      .filter(!(col(s"c.$opCol") <=> lit("D")))
+      .select(cols.map { cn =>
+        if (cn == key) coalesce(col(s"c.$cn"), col(s"b.$cn")).as(cn)
+        else when(col(s"c.$opCol").isNotNull, col(s"c.$cn"))
+          .otherwise(col(s"b.$cn")).as(cn)
+      }: _*)
+  }
+
   /** Small-files compaction — the table-maintenance job every
     * streaming/incremental sink eventually needs (a 100 TB table fed by
     * per-minute micro-batches accretes millions of KB-sized files; scan

@@ -790,6 +790,44 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** DAU/WAU stickiness per day — the engagement ratio every product
+    * dashboard tracks: same-day distinct actives over trailing-7-day
+    * distinct actives ([[e21]]'s frame reused for the denominator; the
+    * numerator is the windowUnits=1 degenerate case of the same
+    * operator, so both legs share the one (day, user) dedup shape).
+    * The ratio is one IEEE division of exact BIGINT counts.
+    */
+  val e28 = OpQuery.oracled("e28_dau_wau_stickiness",
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, user_id
+      |  FROM events
+      |), days AS (SELECT DISTINCT day FROM du),
+      |w AS (
+      |  SELECT d.day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS active_7d
+      |  FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+      |  GROUP BY 1
+      |), dau AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS active_1d FROM du GROUP BY 1
+      |)
+      |SELECT w.day, dau.active_1d, w.active_7d,
+      |       CAST(dau.active_1d AS DOUBLE) / CAST(w.active_7d AS DOUBLE)
+      |         AS stickiness
+      |FROM w JOIN dau ON dau.day = w.day
+      |ORDER BY w.day""".stripMargin,
+    doc = "DAU / trailing-7d-active stickiness per day (two legs of the rolling-distinct operator, one exact-integer IEEE ratio)") { (spark, dir) =>
+    val du = Sources.table(spark, dir, "events")
+      .select(expr("ts DIV 86400000000000").as("day"), col("user_id"))
+    val wau = graft.api.Features.rollingDistinct(du,
+        key = "user_id", unit = "day", windowUnits = 7)
+    val dau = du.distinct()
+      .groupBy("day").agg(count(lit(1)).cast("bigint").as("active_1d"))
+    wau.join(dau, "day")
+      .select(col("day"), col("active_1d"), col("active_7d"),
+        (col("active_1d").cast("double") / col("active_7d").cast("double"))
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
   /** Consecutive-day activity streaks — the gaps-and-islands pattern:
     * `day - row_number` is constant within a run of consecutive days,
     * so one per-user window + one group-by turns runs into rows with
@@ -1034,5 +1072,5 @@ object EventOps {
 
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
     e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
-    e25, e26, e27)
+    e25, e26, e27, e28)
 }

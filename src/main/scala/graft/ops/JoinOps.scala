@@ -191,6 +191,65 @@ object JoinOps {
       .orderBy("c_custkey")
   }
 
+  /** Full CDC apply — r20's MERGE completed with the DELETE branch
+    * ([[graft.api.Tables.applyCdc]]): a synthesized Debezium-style
+    * change batch deletes every 7th customer, re-prices every 10th
+    * surviving one, and inserts a new key per 13th — one full-outer
+    * key join applies all three, with deleting-an-absent-key a no-op
+    * and the delete filter fused into the same pass (no second anti
+    * join). The oracle is the textbook CASE-over-full-outer-join MERGE.
+    */
+  val r53 = OpQuery.oracled("r53_cdc_apply",
+    """WITH changes AS (
+      |  SELECT c_custkey, c_name, c_mktsegment,
+      |         CAST(c_acctbal AS DOUBLE) AS c_acctbal, 'D' AS op
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, 'REPRICED',
+      |         CAST(c_acctbal + 50 AS DOUBLE), 'U'
+      |  FROM customer WHERE c_custkey % 7 <> 0 AND c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'NEW ' || c_name, 'INSERTED',
+      |         CAST(0 AS DOUBLE), 'U'
+      |  FROM customer WHERE c_custkey % 13 = 0
+      |), b AS (
+      |  SELECT c_custkey, c_name, c_mktsegment,
+      |         CAST(c_acctbal AS DOUBLE) AS c_acctbal
+      |  FROM customer
+      |)
+      |SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
+      |       CASE WHEN c.op IS NOT NULL THEN c.c_name ELSE b.c_name END AS c_name,
+      |       CASE WHEN c.op IS NOT NULL THEN c.c_mktsegment
+      |            ELSE b.c_mktsegment END AS c_mktsegment,
+      |       CAST(CASE WHEN c.op IS NOT NULL THEN c.c_acctbal
+      |                 ELSE b.c_acctbal END AS DOUBLE) AS acctbal
+      |FROM b FULL OUTER JOIN changes c ON c.c_custkey = b.c_custkey
+      |WHERE coalesce(c.op, '') <> 'D'
+      |ORDER BY c_custkey""".stripMargin,
+    doc = "CDC MERGE with deletes: one full-outer join applies delete/update/insert branches (Debezium-shaped change batch)") { (spark, dir) =>
+    val base = Sources.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal").cast("double").as("c_acctbal"))
+    val changes = base.filter(col("c_custkey") % 7 === 0)
+        .withColumn("op", lit("D"))
+      .unionByName(base
+        .filter(col("c_custkey") % 7 =!= 0 && col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          lit("REPRICED").as("c_mktsegment"),
+          (col("c_acctbal") + 50).cast("double").as("c_acctbal"))
+        .withColumn("op", lit("U")))
+      .unionByName(base.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          concat(lit("NEW "), col("c_name")).as("c_name"),
+          lit("INSERTED").as("c_mktsegment"),
+          lit(0.0).as("c_acctbal"))
+        .withColumn("op", lit("U")))
+    graft.api.Tables.applyCdc(base, changes, "c_custkey")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal").as("acctbal"))
+      .orderBy("c_custkey")
+  }
+
   /** One-time build of a date-partitioned copy of `events` (Hive-style
     * `day=<epoch-day>` directories). Idempotent per scale factor; the
     * layout a 100 TB event store actually ships with.
@@ -943,5 +1002,5 @@ object JoinOps {
     })
 
   val all: Seq[OpQuery] = Seq(r17, r18, r19, r20, r21, r22, r23, r24, r25,
-    r26, r27, r28, r29, r31, r33, r35, r36, r39, r45)
+    r26, r27, r28, r29, r31, r33, r35, r36, r39, r45, r53)
 }

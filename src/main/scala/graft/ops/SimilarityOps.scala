@@ -1323,6 +1323,99 @@ object SimilarityOps {
       .orderBy("method", "param")
   }
 
+  /** Filtered vector search — the question every vector store faces
+    * when a metadata predicate rides along with the query (RAG over
+    * one tenant's documents, search within a language): PREFILTER
+    * (restrict candidates to the predicate, then search — exact, and
+    * at 100 TB the predicate pushes to the parquet scan so the
+    * candidate set shrinks BEFORE any distance math) versus POSTFILTER
+    * (search unfiltered top-K', then apply the predicate — cheap to
+    * bolt on, but neighbors the filter discards are simply LOST).
+    * Here the postfilter path applies `label <= 2` (~30% selectivity)
+    * to the exact unfiltered top-5 (s01's splice — using the exact
+    * retriever isolates the filtering question from ANN error), the
+    * prefilter path is the exact filtered top-3 truth; per probe the
+    * output reports how many postfiltered results survive and their
+    * recall against the truth. On this corpus postfilter recall decays
+    * exactly as the textbook predicts: a 0.3-selective filter leaves
+    * the unfiltered top-5 with ~1.5 expected eligible rows against a
+    * truth set of 3.
+    */
+  val s19 = OpQuery.oracled("s19_filtered_ann", {
+    def strip(sql: String): String = sql.trim
+    s"""WITH e AS (
+       |  $duckEmbedded
+       |), probes AS (
+       |  SELECT * FROM e WHERE vec_id % 50 = 0
+       |), fpairs AS (
+       |  SELECT p.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |         ${duckDot("p.v", "c.v")} / (p.nrm * c.nrm) AS cos_sim
+       |  FROM probes p, e c
+       |  WHERE c.vec_id <> p.vec_id AND c.label <= 2
+       |), truth AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+       |    FROM fpairs
+       |  ) WHERE rk <= 3
+       |), post AS (
+       |  SELECT s.q_id, s.neighbor_id
+       |  FROM (
+       |${strip(s01.oracle.get)}
+       |  ) s
+       |  JOIN e ON e.vec_id = s.neighbor_id
+       |  WHERE e.label <= 2
+       |), hits AS (
+       |  SELECT t.q_id, count(*) AS n_hit
+       |  FROM truth t JOIN post p
+       |    ON p.q_id = t.q_id AND p.neighbor_id = t.neighbor_id
+       |  GROUP BY 1
+       |), npost AS (
+       |  SELECT q_id, count(*) AS n_post FROM post GROUP BY 1
+       |)
+       |SELECT p.vec_id AS q_id,
+       |       CAST(coalesce(np.n_post, 0) AS INT) AS n_post,
+       |       CAST(coalesce(h.n_hit, 0) AS INT) AS hits,
+       |       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3 AS recall_at_3
+       |FROM probes p
+       |LEFT JOIN npost np ON np.q_id = p.vec_id
+       |LEFT JOIN hits h ON h.q_id = p.vec_id
+       |ORDER BY q_id""".stripMargin
+  },
+    doc = "filtered vector search: prefilter (exact within the predicate) vs postfilter (predicate applied to the unfiltered top-5) — per-probe survivor count and recall") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = embedded(spark, dir).select("vec_id", "label", "v", "nrm")
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"))
+    val cand = e.filter(col("label") <= 2)
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val truth = probes.join(broadcast(cand), col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", expr(s"${dotDec("pv", "v")} / (pnrm * nrm)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+    val post = s01.fn(spark, dir)
+      .join(e.select(col("vec_id").as("neighbor_id"), col("label")),
+        "neighbor_id")
+      .filter(col("label") <= 2)
+      .select("q_id", "neighbor_id")
+    val hits = truth.join(post, Seq("q_id", "neighbor_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    val npost = post.groupBy("q_id").agg(count(lit(1)).as("n_post0"))
+    probes.select("q_id")
+      .join(npost, Seq("q_id"), "left")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_post0"), lit(0L)).cast("int").as("n_post"),
+        coalesce(col("n_hit"), lit(0L)).cast("int").as("hits"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(3.0))
+          .as("recall_at_3"))
+      .orderBy("q_id")
+  }
+
   val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14, s15, s16, s17, s18)
+    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19)
 }

@@ -117,6 +117,31 @@ class TablesSpec extends AnyFunSuite {
     assert(compTouched < n, s"compacted layout should skip files: $compTouched of $n")
   }
 
+  test("applyCdc: update, insert, delete, and delete-of-absent-key no-op in one batch") {
+    val changes = Seq(
+      (2L, Option("bobby"), Option(25L), "U"),  // update
+      (4L, Option("dave"), Option(40L), "U"),   // insert
+      (3L, Option.empty[String], Option.empty[Long], "D"), // delete
+      (9L, Option.empty[String], Option.empty[Long], "D")  // absent: no-op
+    ).toDF("id", "name", "score", "op")
+    val got = Tables.applyCdc(base, changes, "id", "op")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "alice", 10L), (2L, "bobby", 25L),
+      (4L, "dave", 40L)), got.toString)
+  }
+
+  test("applyCdc: a bad op value raises instead of silently passing through") {
+    val changes = Seq((2L, Option("x"), Option(1L), "X"))
+      .toDF("id", "name", "score", "op")
+    val e = intercept[Exception] {
+      Tables.applyCdc(base, changes, "id", "op").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("bad op value")), e.toString)
+  }
+
   test("duplicate update keys raise instead of fanning out the base row") {
     val updates = Seq(
       (2L, Option("x"), Option(1L)),
