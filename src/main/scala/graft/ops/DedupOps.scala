@@ -380,7 +380,7 @@ object DedupOps {
 
   // the same md5 hash bucket t06/t11 use: a deterministic 80/20 split
   // standing in for "corpus so far" vs "new ingest batch"
-  private val duckBucket =
+  private[ops] val duckBucket =
     "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16" +
       " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
 

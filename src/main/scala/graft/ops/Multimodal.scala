@@ -504,6 +504,77 @@ object Multimodal {
       .orderBy(col("n_shared").desc, col("media_a"), col("media_b"))
   }
 
+  /** Clip ALIGNMENT by offset voting — m08 finds that two videos share
+    * material; this estimates WHERE: every matching frame-signature
+    * pair casts a vote for its time offset (ts_a - ts_b), and the
+    * modal offset with its support is the alignment hypothesis (the
+    * standard audio/video fingerprint-alignment step — Shazam-style
+    * histogram voting, public technique). A genuine shared clip
+    * concentrates votes on one offset; coincidental signature
+    * collisions scatter. Same 256-value bounded signature alphabet as
+    * m08 (the blocking bound at scale), votes are exact integer
+    * (pair, offset) counts, and the winning offset per pair goes
+    * through the bounded-heap GroupTopK operator (ties break to the
+    * smallest offset) — never a per-pair full sort. Pairs must have
+    * support >= 2 frames at the winning offset (this synthetic corpus
+    * has no genuinely copied clips, so the query surfaces the
+    * coincidence floor — on real video the histogram peak towers over
+    * it).
+    */
+  val m10 = OpQuery.oracled("m10_clip_alignment",
+    """WITH frames AS (
+      |  SELECT doc_id AS media_id, ts_ms,
+      |         substr(md5(text), ((ts_ms // 40) % 28) + 1, 2) AS sig
+      |  FROM (
+      |    SELECT doc_id, text,
+      |           unnest(generate_series(0, n_chars * 40 - 1, 1000)) AS ts_ms
+      |    FROM read_parquet('{SFDIR}/documents.parquet')
+      |    WHERE doc_id % 3 = 2)
+      |), votes AS (
+      |  SELECT a.media_id AS media_a, b.media_id AS media_b,
+      |         a.ts_ms - b.ts_ms AS offset_ms,
+      |         CAST(count(*) AS BIGINT) AS support
+      |  FROM frames a JOIN frames b
+      |    ON a.sig = b.sig AND a.media_id < b.media_id
+      |  GROUP BY 1, 2, 3
+      |), best AS (
+      |  SELECT media_a, media_b, offset_ms, support,
+      |         row_number() OVER (PARTITION BY media_a, media_b
+      |                            ORDER BY support DESC, offset_ms ASC) AS rk
+      |  FROM votes
+      |)
+      |SELECT media_a, media_b, CAST(offset_ms AS BIGINT) AS offset_ms,
+      |       support
+      |FROM best WHERE rk = 1 AND support >= 2
+      |ORDER BY media_a, media_b""".stripMargin,
+    doc = "clip alignment by offset voting (Shazam-style histogram over matching frame signatures; modal offset per pair via GroupTopK)") { (spark, dir) =>
+    val frames = Sources.table(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").as("media_id"),
+        (col("n_chars") * 40L).as("duration_ms"), md5(col("text")).as("h"))
+      .select(col("media_id"), col("h"),
+        explode(expr("sequence(0L, duration_ms - 1, 1000L)")).as("ts_ms"))
+      .select(col("media_id"), col("ts_ms"),
+        col("h").substr(lit(1) + (expr("ts_ms DIV 40") % 28).cast("int"),
+          lit(2)).as("sig"))
+    val votes = frames.as("a")
+      .join(frames.as("b"),
+        col("a.sig") === col("b.sig") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("media_a"),
+        col("b.media_id").as("media_b"),
+        (col("a.ts_ms") - col("b.ts_ms")).as("offset_ms"))
+      .agg(count(lit(1)).cast("bigint").as("support"))
+    graft.api.Windows.topKPerGroup(votes,
+        group = Seq("media_a", "media_b"),
+        order = Seq(("support", true), ("offset_ms", false)),
+        k = 1)
+      .filter(col("support") >= 2)
+      .select(col("media_a"), col("media_b"),
+        col("offset_ms").cast("bigint").as("offset_ms"), col("support"))
+      .orderBy("media_a", "media_b")
+  }
+
   /** Modality-interleaved training batches: each batch of 6 draws 2
     * image, 2 audio, 2 video rows (in doc_id order per modality) while
     * all three modalities last — the batch composer a multimodal
@@ -548,5 +619,6 @@ object Multimodal {
       .orderBy("batch_id", "pos")
   }
 
-  val all: Seq[OpQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
+  val all: Seq[OpQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
+    m10)
 }

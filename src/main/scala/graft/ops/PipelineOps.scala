@@ -267,5 +267,128 @@ object PipelineOps {
       .orderBy("source")
   }
 
-  val all: Seq[OpQuery] = Seq(p01, p02, p03)
+  /** Incremental ingest refresh — p01's assembly recipe in its
+    * PRODUCTION form, where a new batch lands against an EXISTING
+    * corpus (dedup runs per ingest, not as a global recompute). The
+    * batch/corpus split is d09's hash-bucket split (bucket >= 205 =
+    * incoming). Stages, each classifying the incoming docs:
+    *
+    *  1. exact screen — incoming text whose content hash already
+    *     exists in the corpus (semi join on md5);
+    *  2. near screen  — survivors that near-dup a corpus document
+    *     (d09's incremental banded-LSH machinery, oracle spliced);
+    *  3. quality gate — integer ratio test `20*n_good >= 19*n_tokens
+    *     AND n_tokens >= 20` (good = token length in [3,8]);
+    *  4. admission    — per-source 500-token prefix-sum budget over
+    *     the survivors (the two-phase tokenBudget operator).
+    *
+    * Output: the per-source ingest manifest (incoming, exact-dup,
+    * near-dup, low-quality, admitted, admitted tokens) — what a daily
+    * ingest job reports. The oracle re-derives all four stages.
+    */
+  val p04 = OpQuery.oracled("p04_incremental_ingest", {
+    s"""WITH nd AS (
+      |  SELECT DISTINCT doc_new FROM (
+      |${DedupOps.d09.oracle.get}
+      |  )
+      |), sp AS (
+      |  SELECT doc_id,
+      |         CASE WHEN ${DedupOps.duckBucket} < 205 THEN 'old' ELSE 'new' END AS side
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), inc AS (
+      |  SELECT d.source, d.doc_id, md5(d.text) AS h,
+      |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_filter(string_split(d.text, ' '),
+      |                  t -> length(t) BETWEEN 3 AND 8)) AS BIGINT) AS n_good
+      |  FROM read_parquet('{SFDIR}/documents.parquet') d
+      |  JOIN sp ON sp.doc_id = d.doc_id AND sp.side = 'new'
+      |), old_h AS (
+      |  SELECT DISTINCT md5(d.text) AS h
+      |  FROM read_parquet('{SFDIR}/documents.parquet') d
+      |  JOIN sp ON sp.doc_id = d.doc_id AND sp.side = 'old'
+      |), staged AS (
+      |  SELECT source, doc_id, n_tokens,
+      |         CASE WHEN h IN (SELECT h FROM old_h) THEN 'exact'
+      |              WHEN doc_id IN (SELECT doc_new FROM nd) THEN 'near'
+      |              WHEN NOT (20 * n_good >= 19 * n_tokens
+      |                        AND n_tokens >= 20) THEN 'lowq'
+      |              ELSE 'pass' END AS st
+      |  FROM inc
+      |), adm AS (
+      |  SELECT source, doc_id, n_tokens,
+      |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+      |              AS BIGINT) AS cum
+      |  FROM staged WHERE st = 'pass'
+      |), admitted AS (
+      |  SELECT source, doc_id, n_tokens FROM adm WHERE cum <= 500
+      |), manifest AS (
+      |  SELECT source,
+      |         CAST(count(*) AS BIGINT) AS n_incoming,
+      |         CAST(sum(CASE WHEN st = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+      |         CAST(sum(CASE WHEN st = 'near' THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+      |         CAST(sum(CASE WHEN st = 'lowq' THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+      |  FROM staged GROUP BY 1
+      |), adm_agg AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_admitted,
+      |         CAST(sum(n_tokens) AS BIGINT) AS admitted_tokens
+      |  FROM admitted GROUP BY 1
+      |)
+      |SELECT m.source, m.n_incoming, m.n_exact_dup, m.n_near_dup,
+      |       m.n_low_quality,
+      |       CAST(coalesce(a.n_admitted, 0) AS BIGINT) AS n_admitted,
+      |       CAST(coalesce(a.admitted_tokens, 0) AS BIGINT) AS admitted_tokens
+      |FROM manifest m LEFT JOIN adm_agg a ON a.source = m.source
+      |ORDER BY m.source""".stripMargin
+  },
+    doc = "incremental ingest manifest: exact screen vs corpus + d09 near screen + integer quality gate + per-source token budget, all four stages oracle-spliced") { (spark, dir) =>
+    val docs = Sources.table(spark, dir, "documents")
+    val bucket = graft.api.Sampling.hashBucket(col("doc_id"))
+    val incomingRaw = docs.filter(bucket >= 205)
+    val corpus = docs.filter(bucket < 205)
+    val inc = incomingRaw.select(col("source"), col("doc_id"),
+      md5(col("text")).as("h"),
+      size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+      expr("CAST(size(filter(split(text, ' '), " +
+        "t -> length(t) >= 3 AND length(t) <= 8)) AS BIGINT)").as("n_good"))
+    val oldH = corpus.select(md5(col("text")).as("h")).distinct()
+      .withColumn("_ex", lit(1))
+    val nearNew = graft.api.Dedup.incrementalNearDups(
+        incoming = incomingRaw, corpus = corpus, threshold = 0.5)
+      .select(col("doc_new").as("doc_id")).distinct()
+      .withColumn("_nr", lit(1))
+    val staged = inc
+      .join(oldH, Seq("h"), "left")
+      .join(nearNew, Seq("doc_id"), "left")
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        when(col("_ex").isNotNull, "exact")
+          .when(col("_nr").isNotNull, "near")
+          .when(!(col("n_good") * 20 >= col("n_tokens") * 19 &&
+            col("n_tokens") >= 20), "lowq")
+          .otherwise("pass").as("st"))
+    val admitted = graft.api.Corpus.tokenBudget(
+        staged.filter(col("st") === "pass")
+          .select("source", "doc_id", "n_tokens"),
+        group = "source", order = "doc_id", nTokens = "n_tokens",
+        budget = 500L)
+    val manifest = staged.groupBy("source").agg(
+      count(lit(1)).cast("bigint").as("n_incoming"),
+      sum(when(col("st") === "exact", 1L).otherwise(0L)).cast("bigint")
+        .as("n_exact_dup"),
+      sum(when(col("st") === "near", 1L).otherwise(0L)).cast("bigint")
+        .as("n_near_dup"),
+      sum(when(col("st") === "lowq", 1L).otherwise(0L)).cast("bigint")
+        .as("n_low_quality"))
+    val admAgg = admitted.groupBy("source").agg(
+      count(lit(1)).cast("bigint").as("n_admitted0"),
+      sum(col("n_tokens")).cast("bigint").as("admitted_tokens0"))
+    manifest.join(admAgg, Seq("source"), "left")
+      .select(col("source"), col("n_incoming"), col("n_exact_dup"),
+        col("n_near_dup"), col("n_low_quality"),
+        coalesce(col("n_admitted0"), lit(0L)).cast("bigint").as("n_admitted"),
+        coalesce(col("admitted_tokens0"), lit(0L)).cast("bigint")
+          .as("admitted_tokens"))
+      .orderBy("source")
+  }
+
+  val all: Seq[OpQuery] = Seq(p01, p02, p03, p04)
 }
