@@ -354,6 +354,56 @@ object Pipelines {
       }
   }
 
+  /** Streaming CDC apply sink — [[upsertSink]] completed with the
+    * DELETE branch: the stream carries Debezium-shaped row images
+    * (`opCol` = 'U' upsert / 'D' delete), each micro-batch collapses
+    * to the latest change per key by `orderCol` (at-least-once sources
+    * redeliver; a later delete beats an earlier update and vice
+    * versa), and [[graft.api.Tables.applyCdc]] merges it into the
+    * parquet table — published by the same staged-swap rename, so a
+    * crash mid-write leaves the previous table intact. The table holds
+    * the data columns only; op/order are consumed by the merge. On
+    * Delta/Iceberg this body becomes `MERGE ... WHEN MATCHED AND
+    * op='D' THEN DELETE`, and nothing upstream changes.
+    */
+  def cdcSink(changes: DataFrame, tablePath: String, checkpoint: String,
+      key: String, orderCol: String, opCol: String = "op")
+      : DataStreamWriter[Row] = {
+    changes.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(key).orderBy(col(orderCol).desc)
+        val latest = batch
+          .withColumn("_graft_rn", row_number().over(w))
+          .filter(col("_graft_rn") === 1)
+          .drop("_graft_rn", orderCol)
+        val table = new java.io.File(tablePath)
+        val hasData = table.isDirectory && Option(table.listFiles())
+          .exists(_.exists(_.getName.startsWith("part-")))
+        val merged =
+          if (hasData)
+            graft.api.Tables.applyCdc(spark.read.parquet(tablePath), latest,
+              key, opCol)
+          else latest.filter(col(opCol) =!= "D").drop(opCol)
+        val staged = tablePath + ".staged"
+        merged.write.mode("overwrite").parquet(staged)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(table)
+        if (!new java.io.File(staged).renameTo(table))
+          throw new java.io.IOException(
+            s"cdcSink: commit rename failed for $tablePath")
+        ()
+      }
+  }
+
   /** Stream-stream interval join: left rows matched to right rows with
     * the same `key` whose event time falls in
     * `[leftTs + lower, leftTs + upper]`. Both sides carry watermarks, so

@@ -504,6 +504,37 @@ class StreamingSpec extends AnyFunSuite {
       4L -> (2L, "dup-new"), 5L -> (1L, "e1")))
   }
 
+  test("streaming CDC sink applies updates AND deletes; latest change per key wins") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, String, String)]
+    val table = tmp("graft_cdc_table")
+    val cp = tmp("graft_cdc_cp")
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.cdcSink(mem.toDF().toDF("id", "ver", "payload", "op"),
+        table, cp, key = "id", orderCol = "ver"))
+    def snapshot(): Map[Long, String] =
+      spark.read.parquet(table).select("id", "payload").as[(Long, String)]
+        .collect().toMap
+
+    // batch 1: inserts, plus an update-then-delete for one key in the
+    // SAME batch — the later change (the delete) must win, and a
+    // first-batch delete of a never-seen key is a no-op
+    mem.addData((1L, 1L, "a1", "U"), (2L, 1L, "b1", "U"),
+      (3L, 1L, "c-upd", "U"), (3L, 2L, "", "D"),
+      (9L, 1L, "", "D"))
+    run()
+    assert(snapshot() == Map(1L -> "a1", 2L -> "b1"), snapshot().toString)
+
+    // batch 2: delete an existing key, update another, re-insert the
+    // key deleted in batch 1
+    mem.addData((1L, 2L, "", "D"), (2L, 2L, "b2", "U"),
+      (3L, 3L, "c-back", "U"))
+    run()
+    assert(snapshot() == Map(2L -> "b2", 3L -> "c-back"),
+      snapshot().toString)
+  }
+
   test("zone-mapped sink maintains per-file stats a pruned read can trust") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
