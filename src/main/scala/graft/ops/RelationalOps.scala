@@ -945,7 +945,188 @@ object RelationalOps {
           .as("revenue"))
   }
 
+  /** TPC-H Q14 shape (public spec): promotion revenue share for one
+    * month — two conditional DECIMAL-exact revenue sums off one scan,
+    * one final fixed-order IEEE percentage. The part filter broadcasts;
+    * the month predicate pushes to the fact scan.
+    */
+  val r54 = OpQuery.oracled("r54_promo_revenue_share",
+    """SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+      |                THEN CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(18,6))
+      |                ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+      |       CAST(sum(CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+      |       (CAST(100 AS DOUBLE)
+      |        * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+      |                   THEN CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(18,6))
+      |                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE))
+      |       / CAST(sum(CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(18,6))) AS DOUBLE)
+      |         AS promo_share_pct
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE year(l.l_shipdate) = 1997 AND month(l.l_shipdate) = 9""".stripMargin,
+    doc = "TPC-H Q14 promo revenue share: two conditional exact-decimal sums, one fixed-order IEEE percentage") { (spark, dir) =>
+    val p = Sources.table(spark, dir, "part").select("p_partkey", "p_type")
+    val rev6 = expr(
+      "CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))")
+    val zero6 = expr("CAST(0 AS DECIMAL(18,6))")
+    Sources.table(spark, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === 1997 &&
+        month(col("l_shipdate")) === 9)
+      .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev6).otherwise(zero6))
+          .cast("double").as("promo_revenue"),
+        sum(rev6).cast("double").as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        ((expr("CAST(100 AS DOUBLE)") * col("promo_revenue"))
+          / col("total_revenue")).as("promo_share_pct"))
+  }
+
+  /** TPC-H Q6 shape (public spec): the forecasting-revenue-change
+    * query — a pure filter-aggregate with every predicate pushed to
+    * the parquet scan (year, discount band, quantity cap) and NO join
+    * at all: the simplest query in the suite and the purest pushdown
+    * test. Revenue here is price * discount (the forgone discount
+    * amount), DECIMAL-exact.
+    */
+  val r55 = OpQuery.oracled("r55_forecast_revenue_change",
+    """SELECT CAST(count(*) AS BIGINT) AS n_li,
+      |       CAST(sum(CAST((l_extendedprice * l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE year(l_shipdate) = 1997
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin,
+    doc = "TPC-H Q6 forecast revenue change: joinless filter-aggregate, all three predicates pushed to the scan") { (spark, dir) =>
+    Sources.table(spark, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === 1997 &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(count(lit(1)).cast("bigint").as("n_li"),
+        sum(expr("CAST((l_extendedprice * l_discount) AS DECIMAL(18,6))"))
+          .cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q4 shape (public spec): order-priority checking — orders
+    * placed in one quarter having at least one late-shipped line
+    * (shipped more than 60 days after the order date; the synthetic
+    * schema has no commit/receipt dates, so lateness is vs the order
+    * date — same EXISTS structure). The correlated EXISTS decorrelates
+    * to a LEFT SEMI join on the order key with the lateness predicate
+    * as the join residual — the fact table is touched once and never
+    * fans out an order row per matching line.
+    */
+  val r56 = OpQuery.oracled("r56_order_priority_checking",
+    """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    doc = "TPC-H Q4 order-priority checking: correlated EXISTS as a left-semi join with the lateness residual") { (spark, dir) =>
+    val o = Sources.table(spark, dir, "orders")
+      .filter(col("o_orderdate") >=
+          lit(java.sql.Timestamp.valueOf("1997-07-01 00:00:00")) &&
+        col("o_orderdate") <
+          lit(java.sql.Timestamp.valueOf("1997-10-01 00:00:00")))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Sources.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate")
+    o.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("bigint").as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q9 shape (public spec): product-type profit by supplier
+    * nation and order year — the 5-way join aggregate (the synthetic
+    * schema has no partsupp/supplycost, so "profit" is the
+    * discount-adjusted revenue; the join DAG is Q9's). Dimension sides
+    * (part filter, supplier⋈nation) broadcast; the only real shuffle
+    * is lineitem⋈orders on the order key, which AQE sizes.
+    */
+  val r57 = OpQuery.oracled("r57_nation_year_profit",
+    """SELECT n.n_name AS nation,
+      |       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+      |       CAST(sum(CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS profit
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |GROUP BY 1, 2
+      |ORDER BY nation, o_year""".stripMargin,
+    doc = "TPC-H Q9 nation/year profit: 5-way join, dimensions broadcast, one fact-fact shuffle") { (spark, dir) =>
+    val p = Sources.table(spark, dir, "part")
+      .filter(col("p_type") === "ECONOMY").select("p_partkey")
+    val sn = Sources.table(spark, dir, "supplier")
+      .join(Sources.table(spark, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val o = Sources.table(spark, dir, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    Sources.table(spark, dir, "lineitem")
+      .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+      .join(broadcast(sn), col("s_suppkey") === col("l_suppkey"))
+      .join(o, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        col("o_year").cast("bigint").as("o_year"))
+      .agg(sum(expr(
+        "CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))"))
+        .cast("double").as("profit"))
+      .orderBy("nation", "o_year")
+  }
+
+  /** TPC-H Q10 shape (public spec): top-20 customers by revenue lost
+    * to returned items in one quarter — customer⋈nation broadcast into
+    * the returned-lineitem⋈quarter-orders join, global top-20 via
+    * TakeOrderedAndProject (never a full sort).
+    */
+  val r58 = OpQuery.oracled("r58_returned_item_customers",
+    """SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+      |       CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+      |       CAST(sum(CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM customer c
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      | AND o.o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+      | AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin,
+    doc = "TPC-H Q10 returned-item customers: broadcast dims + quarter/returnflag pushdowns + TakeOrdered top-20") { (spark, dir) =>
+    val cn = Sources.table(spark, dir, "customer")
+      .join(broadcast(Sources.table(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"))
+    val o = Sources.table(spark, dir, "orders")
+      .filter(col("o_orderdate") >=
+          lit(java.sql.Timestamp.valueOf("1997-10-01 00:00:00")) &&
+        col("o_orderdate") <
+          lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .select("o_orderkey", "o_custkey")
+    val li = Sources.table(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(o, col("o_orderkey") === col("l_orderkey"))
+      .join(cn, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"),
+        col("n_name").as("nation"), col("c_acctbal"))
+      .agg(sum(expr(
+        "CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))"))
+        .cast("double").as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("nation"),
+        col("c_acctbal").cast("double").as("acctbal"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   val all: Seq[OpQuery] = Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09,
     r10, r11, r12, r30, r32, r38, r41, r42, r43, r44, r46, r47, r48, r49,
-    r50, r51, r52)
+    r50, r51, r52, r54, r55, r56, r57, r58)
 }

@@ -135,6 +135,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("r55: the Q6 predicates reach the parquet scan") {
+    // the executedPlan string truncates PushedFilters at ~100 chars, so
+    // assert on the untruncated FileSourceScan metadata directly
+    // AdaptiveSparkPlanExec is a leaf node: unwrap it to reach the scans
+    val exec = RelationalOps.r55.fn(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val pushed = exec.collectLeaves().flatMap {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.get("PushedFilters")
+      case _ => None
+    }.mkString(";")
+    assert(pushed.contains("GreaterThanOrEqual(l_discount,0.05)"), pushed)
+    assert(pushed.contains("LessThanOrEqual(l_discount,0.07)"), pushed)
+    assert(pushed.contains("LessThan(l_quantity,24.0)"), pushed)
+  }
+
+  test("r58: Q10 top-20 is TakeOrderedAndProject with broadcast dimensions") {
+    val p = plan(RelationalOps.r58.fn(spark, TestSpark.sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("EqualTo(l_returnflag,R)"), p.take(3000))
+  }
+
   test("s07: centroid assignment broadcasts the small side") {
     val p = plan(graft.ops.SimilarityOps.s07.fn(spark, TestSpark.sf0001))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
