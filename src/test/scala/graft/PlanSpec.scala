@@ -16,6 +16,22 @@ class PlanSpec extends AnyFunSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("registry sweep: no query plans a CartesianProduct") {
+    // the one smell with no legitimate use in this engine — every
+    // deliberate all-pairs baseline goes through a broadcast nested
+    // loop (bounded small side), never a shuffled cartesian. Planning
+    // all queries is cheap next to QueriesSpec's execution sweep and
+    // catches a regression the day it lands, not at the next audit.
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val p = try plan(q.fn(spark, TestSpark.sf0001))
+        catch { case e: Throwable => s"PLANNING FAILED: ${e.getMessage}" }
+      if (p.contains("CartesianProduct") || p.startsWith("PLANNING FAILED"))
+        Some(q.name -> p.take(200))
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("r10: shipdate filter is pushed to the parquet scan") {
     val p = plan(RelationalOps.r10.fn(spark, TestSpark.sf0001))
     assert(p.contains("PushedFilters"), p.take(2000))
