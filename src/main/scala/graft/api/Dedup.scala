@@ -121,7 +121,10 @@ object Dedup {
       textCol: String, n: Int, seeds: Int, bandSize: Int,
       maxShingleFreq: Option[Long]): (DataFrame, DataFrame) = {
     // the exploded shingle set feeds the signature, the sizes, and the
-    // verify join — persist instead of re-deriving from raw text
+    // verify join (twice) — eagerly checkpointed so the explode runs
+    // once AND the plan under every reference is a block scan, not a
+    // replicated explode subtree (lazy persist caches execution but
+    // leaves the plan tree to grow with each reuse)
     val shsRaw = shingles(docs, idCol, textCol, n)
     val shs = (maxShingleFreq match {
       case Some(cap) =>
@@ -129,12 +132,12 @@ object Dedup {
           .filter(col("_f") <= cap).select("sh")
         shsRaw.join(ok, "sh").select(col(idCol), col("sh"))
       case None => shsRaw
-    }).persist()
+    }).localCheckpoint(true)
     // one shuffle on the doc key yields the signature AND the shingle
     // count (the later metric denominators) — no separate sizes pass
     val aggs = minAggs(seeds) :+ count(lit(1)).as("n")
     val sig = withHashHalves(shs, idCol)
-      .groupBy(idCol).agg(aggs.head, aggs.tail: _*).persist()
+      .groupBy(idCol).agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
     val bands = sig.select(col(idCol),
       explode(bandKeyArray(seeds, bandSize)).as("bk"))
     val cand = bands.as("a")
@@ -185,11 +188,18 @@ object Dedup {
       textCol: String = "text", n: Int = 3, seeds: Int = 8,
       bandSize: Int = 2, threshold: Double = 0.5,
       maxShingleFreq: Option[Long] = None): DataFrame = {
+    // eagerly checkpointed, not persisted: the membership and group
+    // frames are referenced 3-4 times each across the expansion joins,
+    // and a lazy persist leaves the md5 subtree REPLICATED in the plan
+    // under every reference (~275 Exchanges in d04's audited plan
+    // string; execution was cached, planning was not). Both frames are
+    // (id, hash) grain — tiny next to the shingle work this function
+    // exists to bound.
     val mem = docs.select(col(idCol).as("_m_id"), md5(col(textCol)).as("_th"))
-      .persist()
+      .localCheckpoint(true)
     val grp = mem.groupBy("_th")
       .agg(min(col("_m_id")).as("_rep"), count(lit(1)).as("_k"))
-      .persist()
+      .localCheckpoint(true)
     val repDocs = docs.join(grp.select(col("_rep")), col(idCol) === col("_rep"))
       .select(col(idCol), col(textCol))
     val (counts, sizes) =
