@@ -547,6 +547,60 @@ object Dedup {
         coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
   }
 
+  /** Cross-corpus span SCRUBBING — the decontamination ACTION, where
+    * the contamination checks (t08/t19) only detect: every fixed-
+    * boundary `spanTokens`-token span of a training document that
+    * appears ANYWHERE in the eval corpus is removed, and the document
+    * is reassembled from its surviving spans (the benchmark-
+    * decontamination step an LLM training pipeline runs before
+    * training — span removal rather than whole-document dropping keeps
+    * the document's clean remainder). Same fixed span boundaries as
+    * [[spanDedup]], so duplicated text hashes to identical spans and
+    * the scrub is one anti join, not a pairwise comparison.
+    *
+    * Scale shape: the eval span set is benchmark-sized (tiny next to a
+    * 100 TB corpus) and broadcasts into the anti join; the training
+    * side is one explode + one per-doc aggregate. Returns per training
+    * doc: (id, n_spans, n_kept, n_scrubbed, kept_md5) — kept_md5 is
+    * the md5 of the reassembled text, md5('') for fully-scrubbed or
+    * span-less docs.
+    */
+  def spanScrub(train: DataFrame, evalDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      spanTokens: Int = 10): DataFrame = {
+    def spansOf(df: DataFrame): DataFrame = {
+      val toks = split(col(textCol), " ")
+      df.select(col(idCol), toks.as("_t"),
+          floor(size(toks) / spanTokens).cast("long").as("_nsp"))
+        .filter(col("_nsp") >= 1)
+        .select(col(idCol), col("_t"),
+          explode(sequence(lit(1L), col("_nsp"))).as("pos"))
+        .select(col(idCol), col("pos"),
+          concat_ws(" ", slice(col("_t"),
+            ((col("pos") - 1) * spanTokens + 1).cast("int"),
+            lit(spanTokens))).as("span"))
+    }
+    val toks = split(col(textCol), " ")
+    val base = train.select(col(idCol),
+      floor(size(toks) / spanTokens).cast("long").as("n_spans"))
+    val evalSpans = spansOf(evalDocs).select("span").distinct()
+    val kept = spansOf(train)
+      .join(broadcast(evalSpans), Seq("span"), "left_anti")
+    val reassembled = kept
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(
+            sort_array(collect_list(struct(col("pos"), col("span")))),
+            s => s.getField("span")),
+          " ")).as("kept_md5"))
+    base.join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_scrubbed"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+  }
+
   /** EXACT sparse-cosine similarity self-join over binary shingle
     * vectors — AllPairs/PPJoin prefix filtering (Bayardo et al.,
     * "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al.,

@@ -1472,8 +1472,55 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination by span scrubbing
+    * ([[graft.api.Dedup.spanScrub]]): every 10-token span of a
+    * training document found anywhere in the eval slice (every 50th
+    * doc plays the benchmark) is REMOVED and the document reassembled
+    * — the action t08/t19 only flag. The eval span set broadcasts; the
+    * kept-text md5 pins the reassembly byte-for-byte against the
+    * oracle's string_agg.
+    */
+  val t32 = OpQuery.oracled("t32_span_scrub_decontamination",
+    """WITH tr AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t
+      |  FROM read_parquet('{SFDIR}/documents.parquet') WHERE doc_id % 50 <> 0
+      |), ev AS (
+      |  SELECT string_split(text, ' ') AS t
+      |  FROM read_parquet('{SFDIR}/documents.parquet') WHERE doc_id % 50 = 0
+      |), evs AS (
+      |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) // 10),
+      |           i -> array_to_string(list_slice(t, (i-1)*10+1, i*10), ' '))) AS span
+      |  FROM ev WHERE len(t) // 10 >= 1
+      |), trs AS (
+      |  SELECT doc_id,
+      |         unnest(generate_series(1, len(t) // 10)) AS pos,
+      |         unnest(list_transform(generate_series(1, len(t) // 10),
+      |                i -> array_to_string(list_slice(t, (i-1)*10+1, i*10), ' '))) AS span
+      |  FROM tr WHERE len(t) // 10 >= 1
+      |), kept AS (
+      |  SELECT doc_id, pos, span FROM trs
+      |  WHERE span NOT IN (SELECT span FROM evs)
+      |), r AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |         md5(string_agg(span, ' ' ORDER BY pos)) AS kept_md5
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT b.doc_id, CAST(len(b.t) // 10 AS BIGINT) AS n_spans,
+      |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+      |       CAST(len(b.t) // 10 - coalesce(r.n_kept, 0) AS BIGINT) AS n_scrubbed,
+      |       coalesce(r.kept_md5, md5('')) AS kept_md5
+      |FROM tr b LEFT JOIN r ON r.doc_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin,
+    doc = "benchmark decontamination: eval-set 10-token spans scrubbed from training docs, reassembly md5-pinned (the action t08/t19 only detect)") { (spark, dir) =>
+    val docs = Sources.table(spark, dir, "documents")
+    graft.api.Dedup.spanScrub(
+        train = docs.filter(col("doc_id") % 50 =!= 0),
+        evalDocs = docs.filter(col("doc_id") % 50 === 0))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
-      t28, t29, t30, t31)
+      t28, t29, t30, t31, t32)
 }

@@ -157,6 +157,24 @@ class DedupApiSpec extends AnyFunSuite {
     assert(got(4L) == ((2L, 0L, 2L, md5hex(""))))
   }
 
+  test("spanScrub removes exactly the eval-set spans, keeps the clean remainder") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val train = Seq(
+      (1L, "a b c d e f g h i"),  // spans "a b c"(eval), "d e f", "g h i"
+      (2L, "x y z q r s"),        // fully clean
+      (3L, "a b c a b c")         // fully contaminated
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.spanScrub(train, eval_, spanTokens = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got(1L) == ((3L, 2L, 1L, md5hex("d e f g h i"))), got(1L).toString)
+    assert(got(2L) == ((2L, 2L, 0L, md5hex("x y z q r s"))), got(2L).toString)
+    assert(got(3L) == ((2L, 0L, 2L, md5hex(""))), got(3L).toString)
+  }
+
   test("containmentPairs catches subsumption that jaccard dilutes") {
     // doc 2 is doc 1 verbatim inside 3x more surrounding text: shingle
     // containment of 1-in-2 is high while jaccard is well under 0.5
