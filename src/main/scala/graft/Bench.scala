@@ -127,6 +127,7 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.io.Sources.schemaManifest(spark, sfDir).foreach(println)
     spark.sparkContext.addSparkListener(meter)
     // JVM/codegen/parquet-reader warm-up so the first measured query is
     // not charged ~5s of classloading; not counted in any timing.

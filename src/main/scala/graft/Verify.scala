@@ -20,6 +20,7 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.io.Sources.schemaManifest(spark, sfDir).foreach(println)
     // start from an EMPTY output dir: results of queries that no longer
     // exist (renames, removals) — or of a run that died before this one
     // compiled — must not leak into the compare as phantom passes

@@ -33,6 +33,14 @@ object Graph {
     * — degree agg, wedge join, closing join — every one on uniform
     * endpoint keys; no step is quadratic in a hub's degree, which is
     * the whole game on a 100 TB power-law graph.
+    *
+    * Even so bounded, an EXACT census grows with the graph's wedge
+    * count — super-linear on denser graphs by the nature of the
+    * statistic, not the plan. g01/g02 are the exactness baselines; at
+    * 100 TB, when the downstream consumer tolerates approximation, the
+    * constant-work-per-node alternatives are [[hyperBall]] (g10/g11)
+    * for neighborhood/centrality structure and the capped wedge
+    * expansion of g08 for per-pair overlap.
     */
   def triangleFrames(edgeList: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val e = edgeList.persist()

@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Readers for the engine. Everything is expressed against plain paths so
   * the same code runs on a laptop, local[32], or a 1000-executor cluster;
@@ -20,9 +20,47 @@ object Sources {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one parquet table from a scale-factor directory. */
+  /** Read one parquet table from a scale-factor directory. Event-time
+    * is normalized to the engine's canonical representation on the way
+    * in — see [[canonicalEventTime]].
+    */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    canonicalEventTime(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Canonical event-time contract: downstream operators always see
+    * `ts` as a LONG of epoch-nanoseconds, whatever the physical parquet
+    * encoding was. Accepted encodings:
+    *
+    *   - TIMESTAMP(NANOS) parquet read as a long via
+    *     `spark.sql.legacy.parquet.nanosAsLong` — already canonical;
+    *   - TIMESTAMP / TIMESTAMP_NTZ (micro- or milli-second parquet,
+    *     the overwhelmingly common case in the wild, and what the
+    *     reference itself declares — `(Clone)
+    *     kinesis_streaming_process_in_databricks.py:75-81`) —
+    *     converted to epoch-nanos exactly (µs × 1000 cannot overflow:
+    *     epoch-µs ≈ 1.8e15, × 1000 ≪ Long.MaxValue).
+    *
+    * The NTZ→LTZ cast inside `unix_micros` uses the session timezone;
+    * every entry point (Verify/Bench/PlanAudit/TestSpark) pins it to
+    * UTC, so the recovered integer is the raw parquet value — the same
+    * number DuckDB's `epoch_us(ts)` yields on the oracle side.
+    *
+    * Anything else fails fast with a named error instead of letting 31
+    * queries die of `DATATYPE_MISMATCH` one by one (round-7 lesson:
+    * fixture drift must be loud).
+    */
+  def canonicalEventTime(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case None | Some(LongType) => df
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"events.ts: expected LongType (epoch-ns, nanosAsLong) or " +
+            s"TimestampType/TimestampNTZType, got $other — fixture " +
+            "drift; extend Sources.canonicalEventTime for this encoding")
+    }
 
   /** Load every table and register a temp view per table so DataFrame and
     * `spark.sql` entry points stay in sync (SURVEY.md §3.3).
@@ -33,6 +71,20 @@ object Sources {
       df.createOrReplaceTempView(n)
       n -> df
     }.toMap
+
+  /** One line per table: the RAW on-disk schema (before any
+    * normalization). Printed by Verify/Bench at startup so a fixture
+    * regeneration that changes an encoding is visible in every run log
+    * instead of surfacing as dozens of unrelated analysis errors
+    * (round-7 lesson).
+    */
+  def schemaManifest(spark: SparkSession, sfDir: String): Seq[String] =
+    tableNames.map { n =>
+      val line =
+        try spark.read.parquet(s"$sfDir/$n.parquet").schema.simpleString
+        catch { case e: Throwable => s"unreadable: ${e.getMessage}" }
+      s"[schema] $n: $line"
+    }
 
   /** Batch JSON scan with an explicit schema — the production path.
     * Schema inference (`inferJson`) is kept as a tested option because the

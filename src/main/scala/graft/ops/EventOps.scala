@@ -10,12 +10,15 @@ import graft.io.Sources
   * the streaming pipelines in graft.stream (same transforms, bounded
   * input), SURVEY.md §2.9 generalization.
   *
-  * Timestamp discipline: `ts` is nanosecond parquet. Spark reads it as a
-  * long of epoch nanoseconds (spark.sql.legacy.parquet.nanosAsLong) while
-  * DuckDB truncates to a microsecond TIMESTAMP on read — so every oracled
+  * Timestamp discipline: `Sources.canonicalEventTime` normalizes `ts`
+  * to a long of epoch nanoseconds at load, whatever the physical
+  * parquet encoding (TIMESTAMP(NANOS)-as-long via nanosAsLong, or
+  * µs/ms TIMESTAMP / TIMESTAMP_NTZ converted exactly). DuckDB reads
+  * any of those as a microsecond TIMESTAMP — so every oracled
   * computation here drops to epoch microseconds (`ts div 1000` /
   * `epoch_us(ts)`) before any comparison, ordering, or output
-  * (SURVEY.md §7.4.6).
+  * (SURVEY.md §7.4.6; EventTimeCompatSpec pins the cross-encoding
+  * equivalence).
   */
 object EventOps {
 
@@ -650,7 +653,7 @@ object EventOps {
       |  FROM cum CROSS JOIN (SELECT unnest([0.5, 0.9]) AS q) q
       |  WHERE cum.cum_cnt >= CAST(ceil(q.q * cum.n) AS BIGINT)
       |)
-      |SELECT hour_start, q, CAST(n AS BIGINT) AS n,
+      |SELECT hour_start, CAST(q AS DOUBLE) AS q, CAST(n AS BIGINT) AS n,
       |       (bucket * 1000 + CAST(target - prev_cnt AS DOUBLE) / cnt * 1000) / 100.0
       |         AS est_value
       |FROM hit WHERE rn = 1

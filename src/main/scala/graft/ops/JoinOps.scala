@@ -905,8 +905,8 @@ object JoinOps {
       |         CAST(CAST(o_totalprice AS DECIMAL(15,2)) + 25 AS DECIMAL(15,2))
       |  FROM orders WHERE o_orderkey % 50 = 0 AND o_orderkey % 7 = 0
       |)
-      |SELECT k, version_ts AS valid_from,
-      |       lead(version_ts) OVER (PARTITION BY k ORDER BY version_ts) AS valid_to,
+      |SELECT k, CAST(epoch_us(version_ts) AS BIGINT) AS valid_from,
+      |       CAST(epoch_us(lead(version_ts) OVER (PARTITION BY k ORDER BY version_ts)) AS BIGINT) AS valid_to,
       |       pr,
       |       CAST(CASE WHEN lead(version_ts) OVER (PARTITION BY k ORDER BY version_ts)
       |                 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
@@ -926,8 +926,14 @@ object JoinOps {
       .unionByName(wave("2025-03-01 00:00:00", 25, col("k") % 7 === 0))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("k").orderBy("version_ts")
-    feed.select(col("k"), col("version_ts").as("valid_from"),
-        lead(col("version_ts"), 1).over(w).as("valid_to"), col("pr"),
+    // validity bounds leave as epoch-µs BIGINT, not TIMESTAMP: Spark
+    // writes parquet timestamps at a different physical unit than the
+    // DuckDB oracle produces, so the driver's raw-value hash would see
+    // equal instants as different integers (round-6/7 hash-fail). The
+    // engine's own µs discipline, applied to its outputs.
+    feed.select(col("k"), unix_micros(col("version_ts")).as("valid_from"),
+        unix_micros(lead(col("version_ts"), 1).over(w)).as("valid_to"),
+        col("pr"),
         when(lead(col("version_ts"), 1).over(w).isNull, 1L).otherwise(0L)
           .cast("bigint").as("is_current"))
       .orderBy("k", "valid_from")

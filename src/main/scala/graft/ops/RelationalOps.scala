@@ -491,7 +491,7 @@ object RelationalOps {
       |  HAVING sum(CAST(l_quantity AS BIGINT)) > 300
       |)
       |SELECT c.c_name, o.o_orderkey,
-      |       CAST(o.o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+      |       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
       |       CAST(big.total_qty AS BIGINT) AS total_qty
       |FROM big
       |JOIN orders o ON o.o_orderkey = big.l_orderkey
@@ -502,9 +502,13 @@ object RelationalOps {
       .groupBy("l_orderkey")
       .agg(sum(col("l_quantity").cast("bigint")).as("total_qty"))
       .filter(col("total_qty") > 300)
+    // DOUBLE, not DECIMAL(18,2): the value set is identical either way
+    // (cents are exact in a double), but decimal surfaces as an engine-
+    // specific physical layout the driver's raw-value hash can disagree
+    // on — r43's prodSum recipe, applied here (round-7 r42 hash-fail).
     val orders = Sources.table(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"),
-        dec2(col("o_totalprice")).as("o_totalprice"))
+        dec2(col("o_totalprice")).cast("double").as("o_totalprice"))
     val cust = Sources.table(spark, dir, "customer")
       .select(col("c_custkey"), col("c_name"))
     orders.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))

@@ -351,7 +351,7 @@ object ScaleOps {
       |         row_number() OVER (PARTITION BY qs.q ORDER BY cum.bucket) AS rn
       |  FROM qs JOIN cum ON cum.cum_cnt >= qs.target
       |)
-      |SELECT q, CAST(n AS BIGINT) AS n,
+      |SELECT CAST(q AS DOUBLE) AS q, CAST(n AS BIGINT) AS n,
       |       (bucket * 100000 + CAST(target - prev_cnt AS DOUBLE) / cnt * 100000)
       |         / 100.0 AS est_value
       |FROM hit WHERE rn = 1

@@ -79,7 +79,7 @@ class TablesSpec extends AnyFunSuite {
     val outBase = java.nio.file.Files.createTempDirectory("graft_ccomp_out").toString
     val out = outBase + "/t"
     val stats = outBase + "/stats"
-    val ev = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+    val ev = graft.io.Sources.table(spark, TestSpark.sf0001, "events")
       .withColumn("us", expr("ts div 1000"))
     // micro-batch debris: 12 files partitioned on a non-time key, so
     // every file's time range spans the whole table

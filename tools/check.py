@@ -14,6 +14,7 @@ import sys
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
 import pyarrow.dataset as ds
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -29,20 +30,45 @@ def canon(v):
         return v
     if isinstance(v, bytes):
         return v.hex()
-    # Decimal / Timestamp / date -> canonical string
     import decimal, datetime
+    # Decimal stays a scale-preserving string: Decimal('10.50') and
+    # Decimal('10.5') are equal values in different physical layouts,
+    # and the driver's hash distinguishes layouts — float() here made
+    # the local gate blinder than the driver (round-7 lesson).
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        return ("dec", str(v))
+    # Temporal values that slipped past the arrow-level raw cast (e.g.
+    # inside nested lists). Tag with the concrete type so a date never
+    # silently equals a datetime of the same instant.
     if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
+        return (type(v).__name__, v.isoformat())
     if isinstance(v, list):
         return tuple(canon(x) for x in v)
     return v
 
 
+def raw_storage(table):
+    """Driver-fidelity normalization: temporal columns compare as their
+    RAW storage integers, unit included — a timestamp[ns] result vs a
+    timestamp[us] oracle is a real driver hash mismatch even when both
+    name the same instant (r39, round 6+7), so it must fail here too.
+    Integer widths widen to int64 (a value-preserving cast both engines'
+    hashes agree on); everything else is left for canon()."""
+    cols = []
+    for f in table.schema:
+        c = table.column(f.name)
+        t = f.type
+        if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
+            c = c.cast(pa.int64())
+        elif pa.types.is_integer(t):
+            c = c.cast(pa.int64())
+        cols.append((f.name, c))
+    return pa.table(dict(cols))
+
+
 def rows_of(table):
     cols = sorted(table.column_names)
-    table = table.select(cols)
+    table = raw_storage(table.select(cols))
     data = table.to_pylist()
     rows = [tuple(canon(r[c]) for c in cols) for r in data]
     return cols, sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
