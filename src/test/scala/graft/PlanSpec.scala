@@ -55,6 +55,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("o_totalprice"), "q02 must not read o_totalprice")
   }
 
+  test("canonicalEventTime: events pushdown and pruning survive the ts projection") {
+    import org.apache.spark.sql.functions.col
+    // the load-time ts normalization inserts a Project over the scan;
+    // it must stay transparent to the optimizer — a filter on another
+    // column still reaches PushedFilters, and when ts is unused its
+    // unix_micros expression (and the ts column itself) is pruned out
+    // of the parquet read entirely
+    val df = graft.io.Sources.table(spark, TestSpark.sf0001, "events")
+      .filter(col("event_type") === "view")
+      .select("user_id", "event_type")
+    val p = plan(df)
+    assert(p.contains("EqualTo(event_type,view)"), p.take(2000))
+    assert(p.contains("ReadSchema: struct<user_id:bigint,event_type:string>"),
+      p.take(2000))
+  }
+
   test("r17: range join is an equi-join on the time bucket, not nested-loop") {
     val p = plan(JoinOps.r17.fn(spark, TestSpark.sf0001))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
