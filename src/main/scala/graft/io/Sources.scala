@@ -20,12 +20,16 @@ object Sources {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one parquet table from a scale-factor directory. Event-time
-    * is normalized to the engine's canonical representation on the way
-    * in — see [[canonicalEventTime]].
+  /** Read one parquet table from a scale-factor directory. The events
+    * table's event-time is normalized to the engine's canonical
+    * representation on the way in — see [[canonicalEventTime]]; other
+    * tables load as-is (a future table that happens to carry a `ts`
+    * column is not governed by the events contract).
     */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    canonicalEventTime(spark.read.parquet(s"$sfDir/$name.parquet"))
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") canonicalEventTime(df) else df
+  }
 
   /** Canonical event-time contract: downstream operators always see
     * `ts` as a LONG of epoch-nanoseconds, whatever the physical parquet
@@ -52,7 +56,18 @@ object Sources {
   def canonicalEventTime(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case None | Some(LongType) => df
-      case Some(TimestampType) | Some(TimestampNTZType) =>
+      case Some(TimestampType) =>
+        // LTZ is an instant; unix_micros is session-tz-independent
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case Some(TimestampNTZType) =>
+        // the NTZ→LTZ cast interprets the wall-clock in the session
+        // timezone: only UTC recovers the raw parquet integer. Fail
+        // loudly rather than silently shifting every event by the
+        // caller's zone offset.
+        val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+        require(tz == "UTC",
+          s"canonicalEventTime on a TIMESTAMP_NTZ ts requires " +
+            s"spark.sql.session.timeZone=UTC (got $tz)")
         df.withColumn("ts",
           unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
       case Some(other) =>
@@ -61,6 +76,34 @@ object Sources {
             s"TimestampType/TimestampNTZType, got $other — fixture " +
             "drift; extend Sources.canonicalEventTime for this encoding")
     }
+
+  /** Events restricted to `[fromNs, toNs)` canonical event-time, with
+    * the range predicate applied to the PHYSICAL ts column BEFORE
+    * normalization. Filtering after [[canonicalEventTime]] would put
+    * the predicate above a projection the scan cannot see through —
+    * no PushedFilters, no row-group stats pruning, a full scan at
+    * 100 TB. Here the physical filter is a (boundary-rounded) superset
+    * prune that reaches the parquet reader, and the exact canonical
+    * bound is re-applied after normalization.
+    */
+  def eventsBetween(spark: SparkSession, sfDir: String,
+      fromNs: Long, toNs: Long): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val pruned = raw.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        raw.filter(col("ts") >= fromNs && col("ts") < toNs)
+      case Some(t) if t == TimestampType || t == TimestampNTZType =>
+        // floor/ceil to the containing microseconds so the physical
+        // prune never drops a boundary row the exact filter would keep
+        val fromUs = Math.floorDiv(fromNs, 1000L)
+        val toUs = Math.floorDiv(toNs + 999L, 1000L)
+        raw.filter(col("ts") >= timestamp_micros(lit(fromUs)).cast(t) &&
+          col("ts") < timestamp_micros(lit(toUs)).cast(t))
+      case _ => raw
+    }
+    canonicalEventTime(pruned)
+      .filter(col("ts") >= fromNs && col("ts") < toNs)
+  }
 
   /** Load every table and register a temp view per table so DataFrame and
     * `spark.sql` entry points stay in sync (SURVEY.md §3.3).
@@ -82,7 +125,10 @@ object Sources {
     tableNames.map { n =>
       val line =
         try spark.read.parquet(s"$sfDir/$n.parquet").schema.simpleString
-        catch { case e: Throwable => s"unreadable: ${e.getMessage}" }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            s"unreadable: ${e.getMessage}"
+        }
       s"[schema] $n: $line"
     }
 

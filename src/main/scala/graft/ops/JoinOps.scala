@@ -907,7 +907,7 @@ object JoinOps {
       |)
       |SELECT k, CAST(epoch_us(version_ts) AS BIGINT) AS valid_from,
       |       CAST(epoch_us(lead(version_ts) OVER (PARTITION BY k ORDER BY version_ts)) AS BIGINT) AS valid_to,
-      |       pr,
+      |       CAST(pr AS DOUBLE) AS pr,
       |       CAST(CASE WHEN lead(version_ts) OVER (PARTITION BY k ORDER BY version_ts)
       |                 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
       |FROM feed
@@ -917,9 +917,12 @@ object JoinOps {
       .filter(col("o_orderkey") % 50 === 0)
       .select(col("o_orderkey").as("k"),
         col("o_totalprice").cast("decimal(15,2)").as("pr0"))
+    // to_timestamp parses in the SESSION timezone (pinned UTC by every
+    // entry point) — java.sql.Timestamp.valueOf would parse in the JVM
+    // default zone and shift the emitted epoch-µs on any non-UTC host
     def wave(ts: String, bump: Int, pred: org.apache.spark.sql.Column) =
       o.filter(pred).select(col("k"),
-        lit(java.sql.Timestamp.valueOf(ts)).as("version_ts"),
+        to_timestamp(lit(ts)).as("version_ts"),
         (col("pr0") + bump).cast("decimal(15,2)").as("pr"))
     val feed = wave("2025-01-01 00:00:00", 0, lit(true))
       .unionByName(wave("2025-02-01 00:00:00", 10, col("k") % 3 === 0))
@@ -933,7 +936,7 @@ object JoinOps {
     // engine's own µs discipline, applied to its outputs.
     feed.select(col("k"), unix_micros(col("version_ts")).as("valid_from"),
         unix_micros(lead(col("version_ts"), 1).over(w)).as("valid_to"),
-        col("pr"),
+        col("pr").cast("double").as("pr"),
         when(lead(col("version_ts"), 1).over(w).isNull, 1L).otherwise(0L)
           .cast("bigint").as("is_current"))
       .orderBy("k", "valid_from")

@@ -64,6 +64,17 @@ class EventTimeCompatSpec extends AnyFunSuite {
     assert(run(ntzDir) == expected)
   }
 
+  test("eventsBetween is encoding-invariant and boundary-exact") {
+    // [second event inclusive, fifth event exclusive) in canonical ns
+    val lo = 1735689612345678L * 1000L
+    val hi = 1735696800000001L * 1000L
+    for (dir <- Seq(longNsDir, ltzDir, ntzDir)) {
+      val got = Sources.eventsBetween(spark, dir, lo, hi)
+        .select("event_id").as[Long].collect().sorted.toSeq
+      assert(got == Seq(2L, 3L, 4L), s"dir=$dir")
+    }
+  }
+
   test("an unsupported ts encoding fails fast with a named error") {
     val dir = writeFixture(col("ts_us").cast("string"))
     val e = intercept[IllegalArgumentException] {

@@ -71,6 +71,16 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("eventsBetween: the time-range predicate reaches the parquet scan") {
+    // the canonical-ns range must land on the PHYSICAL ts column below
+    // the normalization projection — PushedFilters, not a post-scan
+    // Filter, is what turns "last 7 days over 100 TB" into a pruned read
+    val df = graft.io.Sources.eventsBetween(spark, TestSpark.sf0001,
+      0L, 4102444800L * 1000000000L)
+    val p = plan(df)
+    assert(p.contains("GreaterThanOrEqual(ts"), p.take(3000))
+  }
+
   test("r17: range join is an equi-join on the time bucket, not nested-loop") {
     val p = plan(JoinOps.r17.fn(spark, TestSpark.sf0001))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))

@@ -58,7 +58,11 @@ def raw_storage(table):
     for f in table.schema:
         c = table.column(f.name)
         t = f.type
-        if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
+        if pa.types.is_date32(t) or (pa.types.is_time(t) and t.bit_width == 32):
+            # 32-bit temporals only cast via int32 (int64 directly is
+            # unimplemented in arrow and would crash the gate)
+            c = c.cast(pa.int32()).cast(pa.int64())
+        elif pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
             c = c.cast(pa.int64())
         elif pa.types.is_integer(t):
             c = c.cast(pa.int64())
