@@ -1073,7 +1073,37 @@ object EventOps {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** Time-bounded event profile through `Sources.eventsBetween` — the
+    * one registry query whose scan is pruned by an event-time range
+    * predicate on the PHYSICAL ts column (PushedFilters + row-group
+    * stats), not filtered above the normalization projection. At
+    * 100 TB "profile last week" must read last week, not the store;
+    * this keeps that path driver-oracled, not just spec-asserted.
+    * Window: [2024-01-08, 2024-01-15) UTC, inside every SF's 30-day
+    * January 2024 span.
+    */
+  val e29 = OpQuery.oracled("e29_time_pruned_profile",
+    """SELECT event_type, count(*) AS cnt,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      |       CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+      |       CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    doc = "per-type profile of one week, scan-pruned via eventsBetween (physical-ts pushdown under the canonical event-time layer)") { (spark, dir) =>
+    Sources.eventsBetween(spark, dir,
+        1704672000000000000L, 1705276800000000000L)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"),
+        expr("CAST(min(ts) div 1000 AS BIGINT)").as("first_us"),
+        expr("CAST(max(ts) div 1000 AS BIGINT)").as("last_us"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
     e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
-    e25, e26, e27, e28)
+    e25, e26, e27, e28, e29)
 }
