@@ -94,9 +94,17 @@ object Sources {
         raw.filter(col("ts") >= fromNs && col("ts") < toNs)
       case Some(t) if t == TimestampType || t == TimestampNTZType =>
         // floor/ceil to the containing microseconds so the physical
-        // prune never drops a boundary row the exact filter would keep
+        // prune never drops a boundary row the exact filter would keep.
+        // Ceiling computed as floorDiv(toNs-1)+1 rather than
+        // floorDiv(toNs+999): the +999 form overflows for toNs near
+        // Long.MaxValue (a plausible "unbounded" sentinel), wrapping the
+        // physical prune negative and silently emptying the scan. For
+        // toNs == Long.MinValue the exact range is empty, so any finite
+        // prune bound is a valid superset.
         val fromUs = Math.floorDiv(fromNs, 1000L)
-        val toUs = Math.floorDiv(toNs + 999L, 1000L)
+        val toUs =
+          if (toNs == Long.MinValue) Long.MinValue / 1000L
+          else Math.floorDiv(toNs - 1L, 1000L) + 1L
         raw.filter(col("ts") >= timestamp_micros(lit(fromUs)).cast(t) &&
           col("ts") < timestamp_micros(lit(toUs)).cast(t))
       case _ => raw

@@ -503,7 +503,10 @@ object RelationalOps {
       .agg(sum(col("l_quantity").cast("bigint")).as("total_qty"))
       .filter(col("total_qty") > 300)
     // DOUBLE, not DECIMAL(18,2): the value set is identical either way
-    // (cents are exact in a double), but decimal surfaces as an engine-
+    // (both engines perform the same IEEE-754 correctly-rounded
+    // decimal(18,2)->double cast, so the bit patterns agree even though
+    // most cent values are not exactly representable), but decimal
+    // surfaces as an engine-
     // specific physical layout the driver's raw-value hash can disagree
     // on — r43's prodSum recipe, applied here (round-7 r42 hash-fail).
     val orders = Sources.table(spark, dir, "orders")

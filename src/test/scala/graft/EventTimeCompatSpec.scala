@@ -75,6 +75,20 @@ class EventTimeCompatSpec extends AnyFunSuite {
     }
   }
 
+  test("eventsBetween with an unbounded-sentinel upper bound keeps every row") {
+    // toNs = Long.MaxValue: the old `toNs + 999` ceiling wrapped negative
+    // and the physical prune silently emptied the scan on timestamp
+    // encodings. Long.MinValue lower bound exercises the mirrored edge.
+    for (dir <- Seq(longNsDir, ltzDir, ntzDir)) {
+      val got = Sources.eventsBetween(spark, dir, Long.MinValue, Long.MaxValue)
+        .select("event_id").as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L, 4L, 5L), s"dir=$dir")
+      // degenerate empty range at the sentinel floor must not overflow
+      assert(Sources.eventsBetween(spark, dir, Long.MinValue, Long.MinValue)
+        .count() == 0L, s"dir=$dir")
+    }
+  }
+
   test("an unsupported ts encoding fails fast with a named error") {
     val dir = writeFixture(col("ts_us").cast("string"))
     val e = intercept[IllegalArgumentException] {

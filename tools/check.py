@@ -53,7 +53,12 @@ def raw_storage(table):
     timestamp[us] oracle is a real driver hash mismatch even when both
     name the same instant (r39, round 6+7), so it must fail here too.
     Integer widths widen to int64 (a value-preserving cast both engines'
-    hashes agree on); everything else is left for canon()."""
+    hashes agree on); uint64 is left as-is (values above 2**63-1 would
+    make arrow's checked cast raise and crash the gate — both engines
+    emit the same uint64 storage anyway). Nested (struct/list) temporals
+    bypass the unit-sensitive raw cast and fall back to canon()'s
+    isoformat — a known soft spot; keep temporals out of nested final
+    columns. Everything else is left for canon()."""
     cols = []
     for f in table.schema:
         c = table.column(f.name)
@@ -64,7 +69,7 @@ def raw_storage(table):
             c = c.cast(pa.int32()).cast(pa.int64())
         elif pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
             c = c.cast(pa.int64())
-        elif pa.types.is_integer(t):
+        elif pa.types.is_integer(t) and not pa.types.is_uint64(t):
             c = c.cast(pa.int64())
         cols.append((f.name, c))
     return pa.table(dict(cols))
