@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   * distinct keys per file with 4 hashes, the false-positive rate is
   * well under 1% and the index is ~KBs per file — metadata-scale
   * against the scan it prunes. Size `bits` to ~16x the expected
-  * per-file distinct keys (and never above 2^20 — the index must stay
-  * driver-readable).
+  * per-file distinct keys; probing evaluates the sketch rows
+  * distributed (only surviving file paths reach the driver), so
+  * `bits` is bounded by per-file index size, not driver memory.
   *
   * Hashing is Kirsch-Mitzenmacher double hashing over md5 of the key's
   * string form (the same construction the dedup signatures use): bit i
@@ -86,16 +87,26 @@ object BloomIndex {
     val pos = positions(key, bits, hashes)
     val wordOf = pos.map(p => p / 64 -> (1L << (p % 64).toInt))
       .groupBy(_._1).map { case (w, ms) => w -> ms.map(_._2).reduce(_ | _) }
-    val rows = spark.read.parquet(statsPath)
+    // Distributed verification: the probe's (word_idx -> required mask)
+    // map is a tiny literal evaluated inside the stats scan; a file
+    // survives iff every probed word row is present AND contains all
+    // its probed bits (rows are unique per (file, word_idx) by
+    // construction, so "all k words matched" is a count). The sketch
+    // words themselves never leave the executors — the driver receives
+    // only the surviving leaf paths, which is the same path list the
+    // scan planner must hold to plan the read anyway (exactly how
+    // table-format drivers consume a distributed manifest prune).
+    val requiredMask = {
+      val kv = wordOf.toSeq.flatMap { case (w, m) => Seq(lit(w), lit(m)) }
+      element_at(map(kv: _*), col("word_idx"))
+    }
+    val files = spark.read.parquet(statsPath)
       .filter(col("word_idx").isin(wordOf.keys.toSeq: _*))
-      .collect()
-    val byFile = rows.groupBy(_.getString(0))
-    val files = byFile.collect { case (f, rs) =>
-      val have = rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
-      // every probed word must exist AND contain all its probed bits
-      if (wordOf.forall { case (w, m) => (have.getOrElse(w, 0L) & m) == m }) Some(f)
-      else None
-    }.flatten.toSeq.sorted
+      .filter(col("word_bits").bitwiseAND(requiredMask) === requiredMask)
+      .groupBy("file").agg(count(lit(1)).as("_matched"))
+      .filter(col("_matched") === lit(wordOf.size))
+      .select("file").orderBy("file")
+      .collect().map(_.getString(0)).toIndexedSeq
     if (files.isEmpty) spark.read.parquet(dataPath).filter(lit(false))
     else spark.read.parquet(files: _*)
   }

@@ -46,9 +46,14 @@ object ZoneMap {
     */
   def prunedRead(spark: SparkSession, statsPath: String,
       lo: Long, hi: Long): DataFrame = {
+    // The range intersect runs distributed over the stats table; the
+    // driver receives only the SURVIVING leaf paths (bounded by the
+    // post-prune file count — at 100 TB, the files of the queried
+    // window, not of the table), which is the path list the scan
+    // planner must hold to plan the read in any case.
     val files = spark.read.parquet(statsPath)
       .filter(col("max_us") >= lo && col("min_us") < hi)
-      .select("file").collect().map(_.getString(0))
+      .select("file").orderBy("file").collect().map(_.getString(0))
     require(files.nonEmpty,
       s"zone map at $statsPath prunes every file for [$lo, $hi) — " +
         "read the base path directly for provably-empty windows")

@@ -159,4 +159,32 @@ class GraphSpec extends AnyFunSuite {
           .mkString("; "))
     }
   }
+
+  test("materialized edge cache matches the inline derivation and " +
+    "rebuilds when the source lineitem changes") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_edge_cache").toString
+    import spark.implicits._
+    def writeLineitem(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("l_orderkey", "l_partkey")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/lineitem.parquet")
+    def cached(): Set[(Long, Long)] =
+      spark.read.parquet(GraphOps.ensureEdges(spark, dir))
+        .select(col("pa").cast("long"), col("pb").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    def inline(): Set[(Long, Long)] =
+      GraphOps.deriveEdges(spark, dir)
+        .select(col("pa").cast("long"), col("pb").cast("long"))
+        .as[(Long, Long)].collect().toSet
+
+    // pa ≡ pb (mod 10) pairs survive the sparsifier: (10,20), (3,13)
+    writeLineitem(Seq((1L, 10L), (1L, 20L), (1L, 7L), (2L, 3L), (2L, 13L)))
+    assert(cached() == inline() && cached() == Set((10L, 20L), (3L, 13L)))
+    // regenerated source (different rows) must invalidate the cache
+    writeLineitem(Seq((5L, 40L), (5L, 50L)))
+    assert(cached() == Set((40L, 50L)), "stale edge cache served after " +
+      "the source lineitem was regenerated")
+  }
 }
