@@ -206,16 +206,39 @@ object RelationalOps {
         |ORDER BY region_name, nation_name""".stripMargin)
   }
 
-  /** HLL cardinality — approximate, so rows-only checked (no oracle:
-    * DuckDB's HLL would produce different estimates).
+  /** HLL cardinality via the engine-native sketch
+    * (`approx_count_distinct`). Its register layout is engine-private
+    * and its raw estimate is not portable to another engine — so the
+    * oracle checks the sketch's PUBLIC contract instead: the estimate
+    * must land within the documented relative-error bound of the exact
+    * count (3σ at the default rsd = 0.05, floored at 16 for tiny
+    * groups). The exact distinct count in the output is the contract's
+    * measuring stick the oracle re-derives; the 100 TB production path
+    * is the sketch alone (see r34 for the from-first-principles HLL
+    * whose registers ARE value-oracled). A broken sketch path — zeros,
+    * garbage, misrouted column — fails this check loudly, which is what
+    * the old rows-only entry could not do.
     */
-  val r09 = OpQuery.unoracled("r09_approx_distinct_parts",
-    doc = "approx_count_distinct (HLL) per return flag — the 100 TB path for distinct counts") { (spark, dir) =>
+  val r09 = OpQuery.oracled("r09_approx_distinct_parts",
+    """SELECT l_returnflag,
+      |       count(*) AS cnt,
+      |       TRUE AS est_in_bound,
+      |       count(DISTINCT l_partkey) AS exact_parts
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY l_returnflag""".stripMargin,
+    doc = "approx_count_distinct (HLL) per return flag — the 100 TB path for distinct counts; oracled on the sketch's rsd contract vs the exact count") { (spark, dir) =>
     Sources.table(spark, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        count(lit(1)).as("cnt"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("cnt"),
+        approx_count_distinct(col("l_partkey")).as("_est"))
+      .select(col("l_returnflag"), col("cnt"),
+        (abs(col("_est") - col("exact_parts")).cast("double") <=
+          greatest(lit(3.0 * 0.05) * col("exact_parts"), lit(16.0)))
+          .as("est_in_bound"),
+        col("exact_parts"))
       .orderBy("l_returnflag")
   }
 

@@ -131,17 +131,43 @@ object ScaleOps {
   }
 
   /** Approximate percentile — the 100 TB path for quantiles (single
-    * pass, bounded sketch). Rows-only: approximation algorithms differ
-    * across engines by design.
+    * pass, bounded sketch). The Greenwald-Khanna estimates themselves
+    * are partition-merge-order dependent, so their raw values are not
+    * oracle-able (nor even run-stable); what IS checkable is the
+    * algorithm's published guarantee: the returned element's exact rank
+    * within its group must sit within n/accuracy of the target rank.
+    * The engine ranks its own estimates exactly (one broadcast join of
+    * the 5-row estimate table back over orders) and emits the bound
+    * checks; the oracle re-derives the group counts and asserts the
+    * bounds hold. Slack is n/1000 + 2: the guarantee's ±n/accuracy plus
+    * the ≤-vs-< rank-convention off-by-ones. A misrouted column, an
+    * empty sketch, or a broken merge fails loudly — the old rows-only
+    * entry could not.
     */
-  val r16 = OpQuery.unoracled("r16_approx_percentiles",
-    doc = "percentile_approx sketch quantiles (scale path for A3)") { (spark, dir) =>
-    Sources.table(spark, dir, "orders")
+  val r16 = OpQuery.oracled("r16_approx_percentiles",
+    """SELECT o_orderpriority, count(*) AS cnt,
+      |       TRUE AS p50_in_bound, TRUE AS p95_in_bound
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY o_orderpriority""".stripMargin,
+    doc = "percentile_approx sketch quantiles (scale path for A3); oracled on the GK rank-error contract") { (spark, dir) =>
+    val orders = Sources.table(spark, dir, "orders")
+      .select("o_orderpriority", "o_totalprice")
+    val est = orders.groupBy("o_orderpriority")
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("_p50"),
+        percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("_p95"))
+    orders.join(broadcast(est), "o_orderpriority")
       .groupBy("o_orderpriority")
       .agg(
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50"),
-        percentile_approx(col("o_totalprice"), lit(0.95), lit(1000)).as("p95"),
-        count(lit(1)).as("cnt"))
+        count(lit(1)).as("cnt"),
+        sum(when(col("o_totalprice") <= col("_p50"), 1L).otherwise(0L)).as("_r50"),
+        sum(when(col("o_totalprice") <= col("_p95"), 1L).otherwise(0L)).as("_r95"))
+      .select(col("o_orderpriority"), col("cnt"),
+        (abs(col("_r50") - lit(0.5) * col("cnt")) <=
+          col("cnt") / lit(1000.0) + lit(2.0)).as("p50_in_bound"),
+        (abs(col("_r95") - lit(0.95) * col("cnt")) <=
+          col("cnt") / lit(1000.0) + lit(2.0)).as("p95_in_bound"))
       .orderBy("o_orderpriority")
   }
 
