@@ -72,6 +72,16 @@ object Bench {
   private val only: Option[Set[String]] =
     sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
 
+  // De-noising knob: SPARK_GRAFT_BENCH_REPS=N runs each query N times
+  // and keeps the MINIMUM — the statistic that converges to the true
+  // cost under co-tenant interference (round-8's e04 swung 0.6→6.4 s
+  // between a builder and a driver run of identical code; min-of-2
+  // collapses that class of scatter). Off by default (1): it multiplies
+  // total bench wall-clock by ~N, and the single-shot number is the
+  // honest default for throughput comparison.
+  private val reps: Int = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS")
+    .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(1))
+
   private def timeAll(spark: SparkSession, sfDir: String): Seq[Timing] =
     SparkEntry.registry.sortBy(_.name)
       .filter(q => only.forall(_.exists(q.name.startsWith)))
@@ -80,22 +90,30 @@ object Bench {
       // costs, not per-query throughput — keep them outside the clock
       try q.prepare(spark, sfDir) catch { case _: Throwable => () }
       meter.drain(spark) // discard prepare's (and predecessors') shuffles
-      val t0 = System.nanoTime()
-      val failed =
-        try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
-        catch { case _: Throwable => true }
-      val dt = (System.nanoTime() - t0) / 1e9
-      val shuffleMB = meter.drain(spark)
-      // drop blocks persisted inside the query so they don't squeeze
-      // execution memory for everything that runs after it. clearCache
-      // only covers catalog-cached plans; localCheckpoint blocks (d07's
-      // fixpoint rounds) sit in the block manager until driver GC, and
-      // measurably inflated every query that ran after d07 — unpersist
-      // every persistent RDD explicitly.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = false))
-      Timing(q.name, if (failed) -1.0 else dt, failed, shuffleMB)
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val failed =
+          try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
+          catch { case _: Throwable => true }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val shuffleMB = meter.drain(spark)
+        // drop blocks persisted inside the query so they don't squeeze
+        // execution memory for everything that runs after it. clearCache
+        // only covers catalog-cached plans; localCheckpoint blocks (d07's
+        // fixpoint rounds) sit in the block manager until driver GC, and
+        // measurably inflated every query that ran after d07 — unpersist
+        // every persistent RDD explicitly.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
+        (dt, failed, shuffleMB)
+      }
+      val good = runs.filterNot(_._2)
+      if (good.isEmpty) Timing(q.name, -1.0, failed = true, runs.head._3)
+      else {
+        val best = good.minBy(_._1)
+        Timing(q.name, best._1, failed = false, best._3)
+      }
     }
 
   /** Median wall time of a trivial shuffle + noop write: the per-query
