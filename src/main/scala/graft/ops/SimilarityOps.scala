@@ -749,62 +749,159 @@ object SimilarityOps {
         (col("qd0") + col("qd1")).as("adist_pico"))
   }
 
-  /** Recall@3 of the PQ-ADC search (s11) against the exact cosine
-    * baseline (s01) — closing the acceptance loop on the compressed
-    * path the way s06 does for the uncompressed ANN variants. Note the
-    * metric crosses OBJECTIVES (ADC ranks by quantized L2, the
-    * baseline by cosine), so this measures what a user of the
-    * compressed index actually experiences: how much of the true
-    * neighborhood survives quantization end to end (codebook coarse-
-    * ness included). Deterministic, so a fixed per-probe number.
-    *
-    * On THIS corpus the answer is 0.0 across all probes — and that is
-    * the metric doing its job, not failing: the embeddings are
-    * near-random (see s05's note) and the deterministic codebook has 2
-    * centroids per half, so quantized distances carry no neighborhood
-    * signal. Contrast s06, where LSH/IVF recall is nonzero because
-    * those paths re-rank their candidates by EXACT cosine; ADC ranks
-    * by the compressed distance alone. A real deployment sizes the
-    * codebook (k-means-trained, s07) until this dial clears its
-    * acceptance bar.
+  /** ADC scoring of PLANTED mutant probes against the corpus codes —
+    * the shared stage under the s12/s17 recall dials. Two deliberate
+    * differences from [[adcScored]] (s11's stage): the probes are
+    * s14's deterministic mutants (v + 0.01, cosine ≥ 0.996 to their
+    * base — ground truth known a priori), and the codebook is denser
+    * (`vec_id % 25 = 0` → 20 centroids per half at 500 vectors, vs
+    * s11's deliberately tiny 2): a dial needs an operating point where
+    * the metric can MOVE. With the toy 2-centroid book, recall is
+    * pinned at 0.0 on any corpus (round-8 verdict: "documented but
+    * inert"); with the trained-density book it lands strictly inside
+    * (0, 1) — quantization tie-losses pull it below 1, real signal
+    * keeps it above 0 — so a regression in the ADC path shows up as a
+    * moved number, not as one constant replacing another.
     */
-  val s12 = OpQuery.oracled("s12_pq_adc_recall_at_3", {
-    def strip(sql: String): String = sql.trim
-    s"""WITH exact AS (
-       |  SELECT q_id, neighbor_id FROM (
-       |${strip(s01.oracle.get)}
-       |  ) WHERE rank <= 3
-       |), adc AS (
-       |  SELECT q_id, neighbor_id FROM (
-       |${strip(s11.oracle.get)}
-       |  )
-       |), matched AS (
-       |  SELECT adc.q_id, count(*) AS hits
-       |  FROM adc JOIN exact e ON e.q_id = adc.q_id AND e.neighbor_id = adc.neighbor_id
-       |  GROUP BY 1
-       |)
-       |SELECT g.vec_id AS q_id,
-       |       CAST(coalesce(h.hits, 0) AS INT) AS hits,
-       |       CAST(coalesce(h.hits, 0) AS DOUBLE) / 3 AS recall_at_3
-       |FROM (SELECT vec_id FROM read_parquet('{SFDIR}/embeddings.parquet')
-       |      WHERE vec_id % 50 = 0) g
-       |LEFT JOIN matched h ON h.q_id = g.vec_id
-       |ORDER BY q_id""".stripMargin
-  },
-    doc = "recall@3 of the PQ asymmetric-distance search (s11) vs the exact baseline (s01)") { (spark, dir) =>
-    val exact = s01.fn(spark, dir).filter(col("rank") <= 3)
-      .select("q_id", "neighbor_id")
-    val adc = s11.fn(spark, dir).select("q_id", "neighbor_id")
-    val matched = adc.join(exact, Seq("q_id", "neighbor_id"))
-      .groupBy("q_id").agg(count(lit(1)).as("hits0"))
-    Sources.table(spark, dir, "embeddings")
-      .filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"))
-      .join(matched, Seq("q_id"), "left")
-      .select(col("q_id"),
-        coalesce(col("hits0"), lit(0L)).cast("int").as("hits"),
-        (coalesce(col("hits0"), lit(0L)).cast("double") / lit(3.0)).as("recall_at_3"))
+  private def plantedAdcScored(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Sources.table(spark, dir, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val halves = e.select(col("vec_id"), lit(0).as("h"),
+        expr("slice(v, 1, size(v) DIV 2)").as("sv"))
+      .unionAll(e.select(col("vec_id"), lit(1).as("h"),
+        expr("slice(v, size(v) DIV 2 + 1, size(v) - size(v) DIV 2)").as("sv")))
+    val cents = halves.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("c_id"), col("h"), col("sv").as("cv"))
+    val aw = Window.partitionBy("vec_id", "h").orderBy(col("qd").asc, col("c_id").asc)
+    val codes = halves.join(broadcast(cents), Seq("h"))
+      .withColumn("qd", graft.expr.VectorExprs.quantized_l2(col("sv"), col("cv")))
+      .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(max(when(col("h") === 0, col("c_id"))).as("code0"),
+        max(when(col("h") === 1, col("c_id"))).as("code1"))
+    val mutHalves = halves.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000000L).as("q_id"), col("h"),
+        expr("transform(sv, x -> x + 0.01D)").as("sv"))
+    val lut = mutHalves.join(broadcast(cents), Seq("h"))
+      .withColumn("qd", graft.expr.VectorExprs.quantized_l2(col("sv"), col("cv")))
+      .select(col("q_id"), col("h"), col("c_id"), col("qd"))
+    val l0 = lut.filter(col("h") === 0)
+      .select(col("q_id"), col("c_id").as("code0"), col("qd").as("qd0"))
+    val l1 = lut.filter(col("h") === 1)
+      .select(col("q_id").as("q_id1"), col("c_id").as("code1"), col("qd").as("qd1"))
+    codes
+      .join(broadcast(l0), "code0")
+      .join(broadcast(l1),
+        col("q_id1") === col("q_id") && l1("code1") === codes("code1"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (col("qd0") + col("qd1")).as("adist_pico"))
+  }
+
+  /** The shared CTE block of the s12/s17 oracles: DuckDB twin of
+    * [[plantedAdcScored]], ending in `scored(q_id, neighbor_id,
+    * adist_pico)`.
+    */
+  private val duckPlantedScored =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM read_parquet('{SFDIR}/embeddings.parquet')
+      |), halves AS (
+      |  SELECT vec_id, 0 AS h, list_slice(v, 1, len(v) // 2) AS sv FROM e
+      |  UNION ALL
+      |  SELECT vec_id, 1 AS h, list_slice(v, len(v) // 2 + 1, len(v)) AS sv FROM e
+      |), cents AS (
+      |  SELECT vec_id AS c_id, h, sv AS cv FROM halves WHERE vec_id % 25 = 0
+      |), pairs AS (
+      |  SELECT halves.vec_id, halves.h, cents.c_id,
+      |         CAST(list_sum(list_transform(generate_series(1, len(halves.sv)),
+      |              i -> CAST(trunc((halves.sv[i] - cents.cv[i]) * (halves.sv[i] - cents.cv[i]) * 1e12) AS BIGINT))) AS BIGINT) AS qd
+      |  FROM halves JOIN cents ON cents.h = halves.h
+      |), assign AS (
+      |  SELECT vec_id, h, c_id, qd,
+      |         row_number() OVER (PARTITION BY vec_id, h ORDER BY qd ASC, c_id ASC) AS rn
+      |  FROM pairs
+      |), codes AS (
+      |  SELECT vec_id,
+      |         max(CASE WHEN h = 0 THEN c_id END) AS code0,
+      |         max(CASE WHEN h = 1 THEN c_id END) AS code1
+      |  FROM assign WHERE rn = 1 GROUP BY 1
+      |), muth AS (
+      |  SELECT vec_id + 1000000 AS q_id, h,
+      |         list_transform(sv, x -> x + 0.01) AS sv
+      |  FROM halves WHERE vec_id % 25 = 0
+      |), lut AS (
+      |  SELECT m.q_id, m.h, c.c_id,
+      |         CAST(list_sum(list_transform(generate_series(1, len(m.sv)),
+      |              i -> CAST(trunc((m.sv[i] - c.cv[i]) * (m.sv[i] - c.cv[i]) * 1e12) AS BIGINT))) AS BIGINT) AS qd
+      |  FROM muth m JOIN cents c ON c.h = m.h
+      |), scored AS (
+      |  SELECT l0.q_id, codes.vec_id AS neighbor_id, l0.qd + l1.qd AS adist_pico
+      |  FROM codes
+      |  JOIN lut l0 ON l0.h = 0 AND l0.c_id = codes.code0
+      |  JOIN lut l1 ON l1.h = 1 AND l1.c_id = codes.code1 AND l1.q_id = l0.q_id
+      |)""".stripMargin
+
+  // Shared tail of the s12/s17 oracles and Spark sides: per-probe hit
+  // (planted base found in top-3), with the aggregate dial (n_found,
+  // n_planted, recall) carried on every row so a single hash compare
+  // pins both the per-probe outcomes and the headline number.
+  private val duckRecallTail =
+    """SELECT q_id, CAST(hit AS INT) AS hit,
+      |       CAST(sum(hit) OVER () AS INT) AS n_found,
+      |       CAST(count(*) OVER () AS INT) AS n_planted,
+      |       CAST(sum(hit) OVER () AS DOUBLE) / count(*) OVER () AS recall
+      |FROM hits ORDER BY q_id""".stripMargin
+
+  private def recallOutput(hits: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    hits.select(col("q_id"), col("hit").cast("int").as("hit"),
+        sum(col("hit")).over(all).cast("int").as("n_found"),
+        count(lit(1)).over(all).cast("int").as("n_planted"))
+      .withColumn("recall",
+        col("n_found").cast("double") / col("n_planted"))
       .orderBy("q_id")
+  }
+
+  /** Recall@3 of raw PQ-ADC search on planted near-identical queries —
+    * the acceptance dial for the compressed path, at an operating point
+    * where it carries signal (see [[plantedAdcScored]]: mutant probes
+    * with a priori ground truth, trained-density codebook). A probe
+    * scores a hit when its planted base survives quantization into the
+    * ADC top-3 under deterministic (adist, id) tie-breaking; losses are
+    * real quantization losses (the mutant landing in a different code
+    * cell than its base, or the base losing an equal-adist tie), so the
+    * number sits strictly inside (0, 1) and MOVES when the ADC path
+    * regresses. s11 remains the value-oracled ADC machinery demo on the
+    * deliberately tiny codebook — its raw-ADC ordering on this
+    * near-random corpus carries no neighborhood signal, which is
+    * exactly why the dial lives HERE, at the density a deployment
+    * would train (s07).
+    */
+  val s12 = OpQuery.oracled("s12_pq_adc_recall_at_3",
+    s"""$duckPlantedScored,
+       |top3 AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY adist_pico ASC, neighbor_id ASC) AS rn
+       |    FROM scored) WHERE rn <= 3
+       |), hits AS (
+       |  SELECT q_id,
+       |         max(CASE WHEN neighbor_id = q_id - 1000000 THEN 1 ELSE 0 END) AS hit
+       |  FROM top3 GROUP BY 1
+       |)
+       |$duckRecallTail""".stripMargin,
+    doc = "recall@3 of raw PQ-ADC on planted mutant probes at trained codebook density — the compressed-path acceptance dial") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("adist_pico").asc, col("neighbor_id").asc)
+    val hits = plantedAdcScored(spark, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .groupBy("q_id")
+      .agg(max(when(col("neighbor_id") === col("q_id") - 1000000L, 1)
+        .otherwise(0)).as("hit"))
+    recallOutput(hits)
   }
 
   // Flip bit p (1-indexed) of the 8-char '0'/'1' bucket string `b` —
@@ -1113,57 +1210,80 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
-  /** Recall@3 of the two-stage retriever (s16) against the exact
-    * baseline — the acceptance dial for the SYSTEM a user actually
-    * deploys, completing the loop s12 opened: s12 shows raw ADC
-    * ranking carries no signal on this corpus (recall 0.0 — toy
-    * codebook, near-random vectors), and re-ranking can only recover
-    * what the 10-deep shortlist retains, so this number isolates the
-    * SHORTLIST's recall ceiling. On this corpus it stays near zero —
-    * honest, like s12 and s05 — and a real deployment turns exactly
-    * two knobs until it clears the bar: codebook size (k-means-trained,
-    * s07) and shortlist depth, both plan-invariant parameters.
+  /** Recall@3 of the TWO-STAGE retriever (ADC shortlist + exact
+    * re-rank) on the same planted probes and codebook as s12 — the
+    * acceptance dial for the system a user actually deploys. Read
+    * together, s12 and s17 separate the two loss mechanisms: raw ADC
+    * (s12) loses planted bases to equal-adist TIE-BREAKS inside a code
+    * cell; the 10-deep shortlist retains those tied candidates and the
+    * exact cosine re-rank recovers them (the base sits at ~0.996
+    * cosine vs ~0.3 for its cellmates), so s17 ≥ s12 with the gap =
+    * tie losses, and s17's own misses isolate true shortlist losses
+    * (mutant quantized into a different cell than its base). Both
+    * numbers are deterministic, strictly inside (0, 1], and move when
+    * their stage regresses — codebook size and shortlist depth are the
+    * two knobs a deployment turns (s07 trains the codebook).
     */
-  val s17 = OpQuery.oracled("s17_rerank_recall_at_3", {
-    def strip(sql: String): String = sql.trim
-    s"""WITH exact AS (
+  val s17 = OpQuery.oracled("s17_rerank_recall_at_3",
+    s"""$duckPlantedScored,
+       |shortlist AS (
        |  SELECT q_id, neighbor_id FROM (
-       |${strip(s01.oracle.get)}
-       |  ) WHERE rank <= 3
-       |), reranked AS (
+       |    SELECT q_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY adist_pico ASC, neighbor_id ASC) AS rn
+       |    FROM scored) WHERE rn <= 10
+       |), en AS (
+       |  SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e
+       |), mutq AS (
+       |  SELECT vec_id + 1000000 AS q_id,
+       |         list_transform(v, x -> x + 0.01) AS qv
+       |  FROM e WHERE vec_id % 25 = 0
+       |), mutqn AS (
+       |  SELECT q_id, qv, sqrt(${duckDot("qv", "qv")}) AS qnrm FROM mutq
+       |), rer AS (
+       |  SELECT s.q_id, s.neighbor_id,
+       |         ${duckDot("m.qv", "n.v")} / (m.qnrm * n.nrm) AS cos_sim
+       |  FROM shortlist s
+       |  JOIN mutqn m ON m.q_id = s.q_id
+       |  JOIN en n ON n.vec_id = s.neighbor_id
+       |), top3 AS (
        |  SELECT q_id, neighbor_id FROM (
-       |${strip(s16.oracle.get)}
-       |  )
-       |), matched AS (
-       |  SELECT reranked.q_id, count(*) AS hits
-       |  FROM reranked
-       |  JOIN exact e ON e.q_id = reranked.q_id
-       |    AND e.neighbor_id = reranked.neighbor_id
-       |  GROUP BY 1
+       |    SELECT q_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+       |    FROM rer) WHERE rn <= 3
+       |), hits AS (
+       |  SELECT q_id,
+       |         max(CASE WHEN neighbor_id = q_id - 1000000 THEN 1 ELSE 0 END) AS hit
+       |  FROM top3 GROUP BY 1
        |)
-       |SELECT g.vec_id AS q_id,
-       |       CAST(coalesce(h.hits, 0) AS INT) AS hits,
-       |       CAST(coalesce(h.hits, 0) AS DOUBLE) / 3 AS recall_at_3
-       |FROM (SELECT vec_id FROM read_parquet('{SFDIR}/embeddings.parquet')
-       |      WHERE vec_id % 50 = 0) g
-       |LEFT JOIN matched h ON h.q_id = g.vec_id
-       |ORDER BY q_id""".stripMargin
-  },
-    doc = "recall@3 of the two-stage ADC+rerank retriever vs the exact baseline (isolates the shortlist's recall ceiling)") { (spark, dir) =>
-    val exact = s01.fn(spark, dir).filter(col("rank") <= 3)
+       |$duckRecallTail""".stripMargin,
+    doc = "recall@3 of the two-stage ADC+rerank retriever on planted mutant probes (gap to s12 = tie losses the re-rank recovers)") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val sw = Window.partitionBy("q_id")
+      .orderBy(col("adist_pico").asc, col("neighbor_id").asc)
+    val shortlist = plantedAdcScored(spark, dir)
+      .withColumn("rn", row_number().over(sw)).filter(col("rn") <= 10)
       .select("q_id", "neighbor_id")
-    val reranked = s16.fn(spark, dir).select("q_id", "neighbor_id")
-    val matched = reranked.join(exact, Seq("q_id", "neighbor_id"))
-      .groupBy("q_id").agg(count(lit(1)).as("hits0"))
-    Sources.table(spark, dir, "embeddings")
-      .filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"))
-      .join(matched, Seq("q_id"), "left")
-      .select(col("q_id"),
-        coalesce(col("hits0"), lit(0L)).cast("int").as("hits"),
-        (coalesce(col("hits0"), lit(0L)).cast("double") / lit(3.0))
-          .as("recall_at_3"))
-      .orderBy("q_id")
+    val en = embedded(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+        col("nrm").as("nnrm"))
+    val mutn = embedded(spark, dir).filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000000L).as("q_id"),
+        expr("transform(v, x -> x + 0.01D)").as("qv"))
+      .withColumn("qnrm", expr(s"sqrt(${dotDec("qv", "qv")})"))
+      .select("q_id", "qv", "qnrm")
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val hits = shortlist
+      .join(broadcast(mutn), "q_id")
+      .join(en, "neighbor_id")
+      .withColumn("cos_sim", expr(s"${dotDec("qv", "nv")} / (qnrm * nnrm)"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .groupBy("q_id")
+      .agg(max(when(col("neighbor_id") === col("q_id") - 1000000L, 1)
+        .otherwise(0)).as("hit"))
+    recallOutput(hits)
   }
 
   /** The recall/cost frontier of the ANN family in ONE sweep: top-1
