@@ -723,10 +723,18 @@ class StreamingSpec extends AnyFunSuite {
       Pipelines.cleanPinStream(mem.toDF().select(col("value").as("data"))),
       tmp("graft_delta_sink"), tmp("graft_delta_cp"), format = "delta")
     // the writer builds — the swap surface is complete; starting it can
-    // only fail on datasource resolution (the delta jar is cloud-only)
+    // only fail on datasource resolution (the delta jar is cloud-only).
+    // Pin the EXACT resolution error: Spark's registry lookup must be
+    // what failed (DATA_SOURCE_NOT_FOUND naming the delta source), not
+    // any plumbing on our side — which proves a cloud run is exactly
+    // one jar away.
     val ex = intercept[Exception] { writer.start() }
-    val msg = ex.getMessage.toLowerCase
-    assert(msg.contains("delta"), s"unexpected failure: $msg")
+    val cond = ex match {
+      case st: org.apache.spark.SparkThrowable => Option(st.getCondition).getOrElse("")
+      case _ => ""
+    }
+    assert(cond == "DATA_SOURCE_NOT_FOUND", s"condition=$cond msg=${ex.getMessage}")
+    assert(ex.getMessage.toLowerCase.contains("delta"), ex.getMessage)
   }
 
   test("stream-stream interval join equals the batch join on the same slice") {
@@ -775,8 +783,19 @@ class StreamingSpec extends AnyFunSuite {
         .option("kafka.bootstrap.servers", "localhost:9092")
         .option("subscribe", "pin").load()
     }
-    val msg = ex.getMessage.toLowerCase
-    assert(msg.contains("kafka"), s"unexpected failure: $msg")
+    // Pin the exact resolution failure: the registry lookup for the
+    // streaming "kafka" source (shipped as spark-sql-kafka-0-10) is
+    // the ONLY thing missing — Spark's dedicated kafka-absent error
+    // (_LEGACY_ERROR_TEMP_1140) even points at the Kafka integration
+    // guide's deployment section.
+    val cond = ex match {
+      case st: org.apache.spark.SparkThrowable => Option(st.getCondition).getOrElse("")
+      case _ => ""
+    }
+    assert(cond == "_LEGACY_ERROR_TEMP_1140", s"condition=$cond msg=${ex.getMessage}")
+    val msg = ex.getMessage
+    assert(msg.contains("Failed to find data source: kafka") &&
+      msg.contains("Structured Streaming + Kafka Integration Guide"), msg)
   }
 
   test("IoProfile drives the full pipeline: local profile runs, cloud profile fails only on the jar") {
@@ -803,7 +822,14 @@ class StreamingSpec extends AnyFunSuite {
     val ex = intercept[Exception] {
       Pipelines.cleanPinStream(Sources.streamEnvelopeVia(spark, cloud))
     }
-    assert(ex.getMessage.toLowerCase.contains("kafka"), ex.getMessage)
+    // same pinned resolution error as the direct-format test: the
+    // profile plumbing is complete, only the connector jar is absent
+    val cond = ex match {
+      case st: org.apache.spark.SparkThrowable => Option(st.getCondition).getOrElse("")
+      case _ => ""
+    }
+    assert(cond == "_LEGACY_ERROR_TEMP_1140", s"condition=$cond msg=${ex.getMessage}")
+    assert(ex.getMessage.contains("Failed to find data source: kafka"), ex.getMessage)
   }
 
   test("malformed envelope rows decode to null and are dropped by cleaning") {
