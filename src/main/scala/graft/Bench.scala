@@ -82,10 +82,13 @@ object Bench {
   private val reps: Int = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS")
     .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(1))
 
-  private def timeAll(spark: SparkSession, sfDir: String): Seq[Timing] =
+  private def selected: Seq[graft.ops.OpQuery] =
     SparkEntry.registry.sortBy(_.name)
       .filter(q => only.forall(_.exists(q.name.startsWith)))
-      .map { q =>
+
+  private def timeAll(spark: SparkSession, sfDir: String,
+      queries: Seq[graft.ops.OpQuery] = selected): Seq[Timing] =
+    queries.map { q =>
       // one-time builds (bucketed tables, media staging) are amortized
       // costs, not per-query throughput — keep them outside the clock
       try q.prepare(spark, sfDir) catch { case _: Throwable => () }
@@ -191,10 +194,47 @@ object Bench {
         s""""superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     }.getOrElse("")
 
+    // Third curve rung: a 10x-bigger local dir (GenScale's target/sf1)
+    // turns the 2-point adjusted ratio into a 3-point fit — a 2-point
+    // ratio cannot distinguish mild super-linearity from noise; the
+    // big rung can. Only queries whose primary (sf0.1) cost is real
+    // (adjusted >= 0.3 s — below that the ratio is scheduling noise)
+    // and bounded (<= 5 s — the documented-superlinear exact baselines
+    // like d13/g01/g02 would add minutes each for a fact their docs
+    // already state) run at the big rung; everything else is listed in
+    // "skipped" so the cap is never silent.
+    val curveBig = {
+      val cand = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1"))
+      if (sys.env.getOrElse("SPARK_GRAFT_CURVE", "1") == "0" ||
+          !cand.isDirectory) ""
+      else {
+        def adj(v: Double): Double = math.max(v - overhead, 0.0)
+        val primary = results.filterNot(_.failed).map(t => t.name -> t.sec).toMap
+        val eligible = selected.filter(q =>
+          primary.get(q.name).exists(s => adj(s) >= 0.3 && s <= 5.0))
+        val skipped = results.map(_.name)
+          .filterNot(eligible.map(_.name).toSet).sorted
+        val big = timeAll(spark, cand.getPath, eligible)
+        val ratios = big.map { t =>
+          val s = primary.getOrElse(t.name, -1.0)
+          t.name -> (if (t.failed || s < 0.0) -1.0 else adj(t.sec) / adj(s))
+        }
+        val superlinear = ratios.collect {
+          case (k, r) if r > SuperlinearRatio &&
+            big.find(_.name == k).exists(_.sec > MinFlagSeconds) => k
+        }
+        s""","curve_big":{"dir":"${cand.getPath}","queries":${jsonMap(big.map(t => t.name -> t.sec))},""" +
+          s""""ratio":${jsonMap(ratios)},""" +
+          s""""superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      }
+    }
+
     val shuffleJson = jsonMap(results.map(t =>
       t.name -> math.round(t.shuffleMB * 1000.0) / 1000.0))
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map(t => t.name -> t.sec))},"shuffle_mb":$shuffleJson,"errors":$errJson,"sf":"$sfDir"$curve}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map(t => t.name -> t.sec))},"shuffle_mb":$shuffleJson,"errors":$errJson,"sf":"$sfDir"$curve$curveBig}"""
     // Full diagnostics: printed early and persisted to a file, because
     // the driver records only the LAST ~2000 chars of stdout and parses
     // the JSON line inside that window. A 10 KB line starts outside the
