@@ -54,23 +54,6 @@ object GraphOps {
       .filter(expr(edgeKeep))
       .distinct()
 
-  /** Fingerprint of the source lineitem files (names, sizes, mtimes) —
-    * cheap driver-side metadata walk, O(file count). Staleness guard for
-    * the materialized edge list: a driver-side fixture regeneration must
-    * rebuild the cache, never serve stale derived data (the round-7
-    * fixture-drift lesson applied to derived assets).
-    */
-  private def lineitemFingerprint(dir: String): String = {
-    def ls(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(ls)
-      else Seq(f)
-    val root = new java.io.File(dir, "lineitem.parquet")
-    if (!root.exists()) "absent"
-    else java.util.UUID.nameUUIDFromBytes(
-      ls(root).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .mkString("|").getBytes("UTF-8")).toString
-  }
-
   /** Materialized per-SF co-purchase edge list; returns its path,
     * building (or refreshing) it when absent or stale vs the source
     * fingerprint. The edge list is a shared asset of the whole g-family
@@ -86,17 +69,12 @@ object GraphOps {
     */
   private[graft] def ensureEdges(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = synchronized {
-    import java.nio.file.{Files, Paths}
     val sf = new java.io.File(dir).getName.replace(".", "_")
     val loc = s"/root/repo/target/edges/$sf/copurchase"
-    val marker = Paths.get(loc, "_FINGERPRINT")
-    val fp = lineitemFingerprint(dir)
-    val fresh = Files.exists(Paths.get(loc, "_SUCCESS")) &&
-      Files.exists(marker) &&
-      new String(Files.readAllBytes(marker), "UTF-8") == fp
-    if (!fresh) {
+    val fp = graft.io.DerivedCache.fingerprint(dir, Seq("lineitem"))
+    if (!graft.io.DerivedCache.isFresh(loc, s"$loc/_SUCCESS", fp)) {
       deriveEdges(spark, dir).write.mode("overwrite").parquet(loc)
-      Files.write(marker, fp.getBytes("UTF-8"))
+      graft.io.DerivedCache.stamp(loc, fp)
     }
     loc
   }

@@ -109,21 +109,25 @@ object JoinOps {
     * the files.
     */
   def ensureBucketed(spark: org.apache.spark.sql.SparkSession, dir: String): (String, String) = synchronized {
-    import java.nio.file.{Files, Paths}
     val sf = new java.io.File(dir).getName.replace(".", "_")
     val names = Seq(("orders", "o_orderkey"), ("lineitem", "l_orderkey")).map { case (t, k) =>
       val name = s"graft_${t}_bucketed_$sf"
-      if (!spark.catalog.tableExists(name)) {
-        val loc = s"/root/repo/target/bucketed/$sf/$t"
+      val loc = s"/root/repo/target/bucketed/$sf/$t"
+      val fp = graft.io.DerivedCache.fingerprint(dir, Seq(t))
+      if (!graft.io.DerivedCache.isFresh(loc, s"$loc/_SUCCESS", fp)) {
+        // stale (or first build): rewrite files AND refresh the catalog
+        // entry — a regenerated fixture must never serve old buckets
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        Sources.table(spark, dir, t).write.mode("overwrite")
+          .bucketBy(8, k).sortBy(k)
+          .option("path", loc).saveAsTable(name)
+        graft.io.DerivedCache.stamp(loc, fp)
+      } else if (!spark.catalog.tableExists(name)) {
+        // fresh files from an earlier JVM: re-attach the catalog entry
+        // (Spark keeps bucketing metadata in the catalog, not the files)
         val src = Sources.table(spark, dir, t)
-        if (Files.exists(Paths.get(s"$loc/_SUCCESS"))) {
-          spark.sql(s"CREATE TABLE $name (${src.schema.toDDL}) USING parquet " +
-            s"CLUSTERED BY ($k) INTO 8 BUCKETS LOCATION '$loc'")
-        } else {
-          src.write.mode("overwrite")
-            .bucketBy(8, k).sortBy(k)
-            .option("path", loc).saveAsTable(name)
-        }
+        spark.sql(s"CREATE TABLE $name (${src.schema.toDDL}) USING parquet " +
+          s"CLUSTERED BY ($k) INTO 8 BUCKETS LOCATION '$loc'")
       }
       name
     }
@@ -256,13 +260,14 @@ object JoinOps {
     */
   def ensurePartitioned(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = synchronized {
-    import java.nio.file.{Files, Paths}
     val sf = new java.io.File(dir).getName.replace(".", "_")
     val loc = s"/root/repo/target/partitioned/$sf/events_by_day"
-    if (!Files.exists(Paths.get(s"$loc/_SUCCESS"))) {
+    val fp = graft.io.DerivedCache.fingerprint(dir, Seq("events"))
+    if (!graft.io.DerivedCache.isFresh(loc, s"$loc/_SUCCESS", fp)) {
       Sources.table(spark, dir, "events")
         .withColumn("day", expr("ts div 1000 div 86400000000"))
         .write.mode("overwrite").partitionBy("day").parquet(loc)
+      graft.io.DerivedCache.stamp(loc, fp)
     }
     loc
   }
@@ -718,11 +723,11 @@ object JoinOps {
     */
   def ensureZoneMapped(spark: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) = synchronized {
-    import java.nio.file.{Files, Paths}
     val sf = new java.io.File(dir).getName.replace(".", "_")
     val loc = s"/root/repo/target/zonemap/$sf/events_by_time"
     val statsLoc = s"/root/repo/target/zonemap/$sf/stats"
-    if (!Files.exists(Paths.get(s"$statsLoc/_SUCCESS"))) {
+    val fp = graft.io.DerivedCache.fingerprint(dir, Seq("events"))
+    if (!graft.io.DerivedCache.isFresh(statsLoc, s"$statsLoc/_SUCCESS", fp)) {
       Sources.table(spark, dir, "events")
         .withColumn("us", expr("ts div 1000"))
         .repartitionByRange(16, col("us"))
@@ -731,6 +736,7 @@ object JoinOps {
       graft.io.ZoneMap.stats(spark, loc, "us")
         .coalesce(1)
         .write.mode("overwrite").parquet(statsLoc)
+      graft.io.DerivedCache.stamp(statsLoc, fp)
     }
     (loc, statsLoc)
   }
@@ -777,18 +783,19 @@ object JoinOps {
     */
   def ensureCompacted(spark: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) = synchronized {
-    import java.nio.file.{Files, Paths}
     val sf = new java.io.File(dir).getName.replace(".", "_")
     val frag = s"/root/repo/target/compact/$sf/events_fragmented"
     val loc = s"/root/repo/target/compact/$sf/events_compacted"
     val statsLoc = s"/root/repo/target/compact/$sf/stats"
-    if (!Files.exists(Paths.get(s"$statsLoc/_SUCCESS"))) {
+    val fp = graft.io.DerivedCache.fingerprint(dir, Seq("events"))
+    if (!graft.io.DerivedCache.isFresh(statsLoc, s"$statsLoc/_SUCCESS", fp)) {
       Sources.table(spark, dir, "events")
         .withColumn("us", expr("ts div 1000"))
         .repartition(48, col("event_id"))
         .write.mode("overwrite").parquet(frag)
       graft.api.Tables.compactClustered(spark, frag, loc, "us", statsLoc,
         targetFileBytes = 4L * 1024 * 1024)
+      graft.io.DerivedCache.stamp(statsLoc, fp)
     }
     (loc, statsLoc)
   }
@@ -828,16 +835,17 @@ object JoinOps {
 
   def ensureBloomIndexed(spark: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) = synchronized {
-    import java.nio.file.{Files, Paths}
     val sf = new java.io.File(dir).getName.replace(".", "_")
     val loc = s"/root/repo/target/bloomidx/$sf/lineitem_by_shipdate"
     val statsLoc = s"/root/repo/target/bloomidx/$sf/stats"
-    if (!Files.exists(Paths.get(s"$statsLoc/_SUCCESS"))) {
+    val fp = graft.io.DerivedCache.fingerprint(dir, Seq("lineitem"))
+    if (!graft.io.DerivedCache.isFresh(statsLoc, s"$statsLoc/_SUCCESS", fp)) {
       Sources.table(spark, dir, "lineitem")
         .repartitionByRange(16, col("l_shipdate"))
         .sortWithinPartitions("l_shipdate")
         .write.mode("overwrite").parquet(loc)
       graft.io.BloomIndex.build(spark, loc, "l_orderkey", statsLoc)
+      graft.io.DerivedCache.stamp(statsLoc, fp)
     }
     (loc, statsLoc)
   }
@@ -950,10 +958,10 @@ object JoinOps {
     */
   def ensureDayDim(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = synchronized {
-    import java.nio.file.{Files, Paths}
     val sf = new java.io.File(dir).getName.replace(".", "_")
     val loc = s"/root/repo/target/partitioned/$sf/day_dim"
-    if (!Files.exists(Paths.get(s"$loc/_SUCCESS"))) {
+    val fp = graft.io.DerivedCache.fingerprint(dir, Seq("events"))
+    if (!graft.io.DerivedCache.isFresh(loc, s"$loc/_SUCCESS", fp)) {
       val days = Sources.table(spark, dir, "events")
         .withColumn("day", expr("ts div 1000 div 86400000000"))
         .groupBy("day").agg(count(lit(1)).as("n"))
@@ -962,6 +970,7 @@ object JoinOps {
       days.select("day").join(busy, Seq("day"), "left")
         .select(col("day"), coalesce(col("tag"), lit("cold")).as("tag"))
         .write.mode("overwrite").parquet(loc)
+      graft.io.DerivedCache.stamp(loc, fp)
     }
     loc
   }

@@ -64,15 +64,23 @@ object Multimodal {
     * written by the EXECUTORS (`foreachPartition`, exactly how a real
     * cluster job would stage media into a shared store) — never
     * collected to the driver. Idempotent: content is a pure function of
-    * the documents table, so presence of the _DONE marker skips the
-    * write.
+    * the documents table — the _DONE marker plus a source fingerprint
+    * ([[graft.io.DerivedCache]]) skips the write only while the
+    * documents fixture is unchanged; a regeneration clears and
+    * restages.
     */
   def ensureMediaFiles(spark: SparkSession, dir: String): String = synchronized {
     import java.nio.file.{Files, Paths}
     val sfName = new java.io.File(dir).getName
     val out = s"$mediaFixtureRoot/media_$sfName"
-    if (!Files.exists(Paths.get(s"$out/_DONE"))) {
+    val fp = graft.io.DerivedCache.fingerprint(dir, Seq("documents"))
+    if (!graft.io.DerivedCache.isFresh(out, s"$out/_DONE", fp)) {
       Files.createDirectories(Paths.get(out))
+      // a stale rebuild must CLEAR the directory first: leftover
+      // media_<id>.bin files from the old fixture would survive the
+      // overwrite (ids change) and leak into the binaryFile glob
+      Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+        .foreach(f => Files.deleteIfExists(f.toPath))
       Sources.table(spark, dir, "documents")
         .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -84,6 +92,7 @@ object Multimodal {
           }
         }
       Files.createFile(Paths.get(s"$out/_DONE"))
+      graft.io.DerivedCache.stamp(out, fp)
     }
     out
   }
