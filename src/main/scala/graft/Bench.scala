@@ -203,6 +203,28 @@ object Bench {
     // like d13/g01/g02 would add minutes each for a fact their docs
     // already state) run at the big rung; everything else is listed in
     // "skipped" so the cap is never silent.
+    // By-construction-quadratic benchmarks, excluded from the big rung
+    // and surfaced in "skipped" (never silent):
+    //  - the brute/ADC similarity set: their PROBE SET is a fixed
+    //    fraction of the corpus (vec_id mod classes), so 10x data means
+    //    10x probes AGAINST 10x corpus = 100x scored pairs — the flag
+    //    would fire on the harness's workload scaling, not the
+    //    operator. At deployment the probe batch and codebook are
+    //    fixed, making the same scans linear; the bounded blocking
+    //    siblings (s02/s04/s13/s19) stay timed.
+    //  - m08/m10 clip detection: the toy 2-hex-char frame signature
+    //    space (256 values) saturates as the corpus grows, so
+    //    signature blocks — and the pair expansion over them — grow
+    //    linearly with data (quadratic pair count). Production systems
+    //    use 64-bit frame signatures precisely so blocks stay bounded;
+    //    the operator shape (block on signature, threshold shared
+    //    count, offset voting) is unchanged by signature width.
+    val quadraticByConstruction = Set(
+      "s01_knn_cosine_brute", "s10_mips_brute", "s11_pq_adc_topk",
+      "s12_pq_adc_recall_at_3", "s16_adc_rerank_topk",
+      "s17_rerank_recall_at_3",
+      "m08_shared_clip_pairs", "m10_clip_alignment")
+
     val curveBig = {
       val cand = new java.io.File(
         sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1"))
@@ -212,7 +234,8 @@ object Bench {
         def adj(v: Double): Double = math.max(v - overhead, 0.0)
         val primary = results.filterNot(_.failed).map(t => t.name -> t.sec).toMap
         val eligible = selected.filter(q =>
-          primary.get(q.name).exists(s => adj(s) >= 0.3 && s <= 5.0))
+          primary.get(q.name).exists(s => adj(s) >= 0.3 && s <= 5.0) &&
+            !quadraticByConstruction.contains(q.name))
         val skipped = results.map(_.name)
           .filterNot(eligible.map(_.name).toSet).sorted
         val big = timeAll(spark, cand.getPath, eligible)

@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   * correctness oracle never reads it; Bench auto-detects the outDir
   * as the big rung of the cross-SF curve.
   *
+  * Content columns are mutated per replica (token prefixing for text,
+  * a dimension rotation for embeddings — see `mutateContent`) so the
+  * scaled corpus does not consist of 10 exact twins of every entity;
+  * `n_chars` is intentionally left at the base value (timing-only
+  * data, and the prefix inflation is uniform).
+  *
   * Known bias of the growth model: replication grows ENTITY COUNT at
   * fixed per-entity density, so operators whose cost is super-linear
   * in per-entity structure (wedge censuses, per-order basket
@@ -56,6 +62,34 @@ object GenScale {
       ("documents", Seq("doc_id"), None),
       ("embeddings", Seq("vec_id"), None))
 
+    // Content columns must NOT replicate verbatim: 10 byte-identical
+    // copies of every document/vector would hand the near-dup and
+    // shared-payload operators a corpus where EVERY entity has 9 exact
+    // twins — cross-replica pair expansion is then quadratic in the
+    // replica count and the first big-rung run flagged exactly that
+    // (d06/m08/m10 at 14-54x). Replica r instead gets:
+    //  - documents.text: every token prefixed with "r<r>_" — token
+    //    counts, lengths and WITHIN-replica dup structure are
+    //    preserved exactly; cross-replica token/shingle overlap is 0.
+    //  - embeddings.embedding: dimensions cyclically shifted by 7r —
+    //    norms and within-replica geometry are preserved exactly
+    //    (a permutation is an isometry); random vectors decorrelate
+    //    across replicas.
+    def mutateContent(table: String, df: DataFrame): DataFrame = table match {
+      case "documents" =>
+        df.withColumn("text",
+          when(col("_r") === 0, col("text")).otherwise(
+            array_join(
+              transform(split(col("text"), " "),
+                t => concat(lit("r"), col("_r"), lit("_"), t)), " ")))
+      case "embeddings" =>
+        df.withColumn("embedding",
+          transform(sequence(lit(0), size(col("embedding")) - 1),
+            i => element_at(col("embedding"),
+              (i + lit(7) * col("_r")) % size(col("embedding")) + 1)))
+      case _ => df
+    }
+
     plan.foreach { case (table, keys, tsCol) =>
       val base = spark.read.parquet(s"$src/$table.parquet")
       val scaled: DataFrame =
@@ -71,7 +105,8 @@ object GenScale {
               (col(k).cast("long") + col("_r").cast("long") * lit(stride))
                 .cast(base.schema(k).dataType))
           }
-          tsCol.fold(keyed) { c =>
+          val mutated = mutateContent(table, keyed)
+          tsCol.fold(mutated) { c =>
             // fixture ts may be TIMESTAMP or TIMESTAMP_NTZ depending on
             // driver writer version; round-trip through LTZ under the
             // UTC session tz (exact) and restore the on-disk type

@@ -467,9 +467,14 @@ object Multimodal {
     * key is the signature itself: exact-match blocking at frame
     * granularity, the d02 idea applied per-frame) → per-pair shared
     * count, thresholded. The signature alphabet is deliberately
-    * coarse (256 values) so the key distribution is uniform-bounded:
-    * at 100 TB the join shuffles on ~uniform keys and no bucket
-    * exceeds |videos|²/256 pair candidates per signature.
+    * coarse (256 values) so the key distribution is uniform-bounded
+    * and no single signature bucket skews the shuffle — the flip side
+    * is that the 256-value space SATURATES as the corpus grows, so
+    * the |videos|²/256 pair-candidate count per signature grows
+    * quadratically with data (Bench excludes m08/m10 from the big
+    * curve rung for exactly this). A deployment widens the signature
+    * to 64 bits, keeping blocks bounded; the plan shape is identical
+    * at any signature width.
     */
   val m08 = OpQuery.oracled("m08_shared_clip_pairs",
     """WITH frames AS (
