@@ -390,5 +390,13 @@ object PipelineOps {
       .orderBy("source")
   }
 
-  val all: Seq[OpQuery] = Seq(p01, p02, p03, p04)
+  /** p01/p03 consume d04's verified-pairs stage, which reads the
+    * per-SF materialized pairs table — carry its build as prepare so
+    * their timings never absorb it, independent of run order.
+    */
+  val all: Seq[OpQuery] = Seq(p01, p02, p03, p04).map { q =>
+    if (Set(p01.name, p03.name).contains(q.name))
+      q.copy(prepare = (s, d) => { DedupOps.ensureNearDupPairs(s, d); () })
+    else q
+  }
 }
