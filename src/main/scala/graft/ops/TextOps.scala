@@ -1519,8 +1519,107 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BPE tokenizer TRAINING — the iterative loop t23 computes one round
+    * of. Three greedy merge rounds: count adjacent symbol pairs over
+    * every word occurrence, pick the most frequent pair (count desc,
+    * pair asc tie-break), splice it into the symbol sequences, repeat.
+    * This is the Sennrich BPE algorithm (learn_bpe's get_stats /
+    * replace_pair) as a dataflow.
+    *
+    * Scale shape: word occurrences collapse to DISTINCT words with
+    * occurrence weights first (the word-frequency dict every real BPE
+    * trainer builds), so each round's explode runs over the distinct
+    * vocabulary — bounded by vocabulary size, not corpus size — and
+    * the pair count is an alphabet²-keyed aggregate whose map-side
+    * partials collapse the shuffle to KBs. The winning merge is a
+    * 1-row broadcast applied in a map stage. Per-round cost is
+    * O(vocab), with the corpus touched exactly once up front.
+    *
+    * Symbol sequences ride in a '|'-delimited string ('|a|b|c|') and a
+    * merge is `replace(s, '|x|y|', '|xy|')` — non-overlapping
+    * left-to-right in both Spark (UTF8String.replace) and DuckDB, so
+    * the greedy merge semantics (aaa + merge(a,a) -> [aa, a]) agree
+    * bit-for-bit, and the pair statistic counts overlapping pairs
+    * naively exactly as reference BPE's get_stats does.
+    */
+  val t33 = OpQuery.oracled("t33_bpe_merge_train", {
+    def pairsOf(src: String, p: String) =
+      s"""$p AS (
+        |  SELECT syms[CAST(i AS INT)] AS lhs, syms[CAST(i AS INT)+1] AS rhs,
+        |         sum(freq) AS cnt
+        |  FROM (SELECT list_filter(string_split(s, '|'), x -> x <> '') AS syms,
+        |               freq FROM $src),
+        |       LATERAL unnest(range(1, len(syms))) AS t(i)
+        |  GROUP BY 1, 2
+        |)""".stripMargin
+    def mergedOf(src: String, m: String, w: String) =
+      s"""$w AS (
+        |  SELECT replace(s, '|'||$m.lhs||'|'||$m.rhs||'|',
+        |                 '|'||$m.lhs||$m.rhs||'|') AS s, freq
+        |  FROM $src, $m
+        |)""".stripMargin
+    s"""WITH w0 AS (
+      |  SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS s,
+      |         count(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |        FROM read_parquet('{SFDIR}/documents.parquet'))
+      |  GROUP BY 1
+      |),
+      |${pairsOf("w0", "p1")},
+      |m1 AS (SELECT lhs, rhs, cnt FROM p1 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      |${mergedOf("w0", "m1", "w1")},
+      |${pairsOf("w1", "p2")},
+      |m2 AS (SELECT lhs, rhs, cnt FROM p2 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      |${mergedOf("w1", "m2", "w2")},
+      |${pairsOf("w2", "p3")},
+      |m3 AS (SELECT lhs, rhs, cnt FROM p3 ORDER BY cnt DESC, lhs, rhs LIMIT 1)
+      |SELECT * FROM (
+      |  SELECT 1 AS round, lhs, rhs, lhs||rhs AS merged,
+      |         CAST(cnt AS BIGINT) AS cnt FROM m1
+      |  UNION ALL
+      |  SELECT 2, lhs, rhs, lhs||rhs, CAST(cnt AS BIGINT) FROM m2
+      |  UNION ALL
+      |  SELECT 3, lhs, rhs, lhs||rhs, CAST(cnt AS BIGINT) FROM m3
+      |) ORDER BY round""".stripMargin
+  },
+    doc = "BPE tokenizer training: 3 greedy merge rounds over the weighted distinct-word vocabulary; per-round cost O(vocab), 1-row broadcast merge apply") { (spark, dir) =>
+    import org.apache.spark.sql.DataFrame
+    val words0 = Sources.table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")).as("s"),
+        col("freq"))
+    def pairCounts(words: DataFrame): DataFrame =
+      words
+        .select(col("freq"),
+          expr("filter(split(s, '\\\\|'), x -> x != '')").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS lhs, element_at(syms, i + 1) AS rhs))"))
+          .as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("freq").as("cnt"))
+    var words = words0
+    var out: DataFrame = null
+    for (r <- 1 to 3) {
+      val m = pairCounts(words)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
+      val row = m.select(lit(r).as("round"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("cnt"))
+      out = if (out == null) row else out.unionAll(row)
+      words = words
+        .crossJoin(broadcast(m.select(col("lhs").as("_ml"), col("rhs").as("_mr"))))
+        .select(
+          expr("replace(s, '|' || _ml || '|' || _mr || '|', '|' || _ml || _mr || '|')")
+            .as("s"),
+          col("freq"))
+    }
+    out.orderBy("round")
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
-      t28, t29, t30, t31, t32)
+      t28, t29, t30, t31, t32, t33)
 }

@@ -1063,4 +1063,47 @@ class StreamingSpec extends AnyFunSuite {
       }.toSet
     assert(rows.toSet == batch)
   }
+
+  test("trianglesSink maintains an exact triangle count incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long)]
+    val table = tmp("graft_tri_edges")
+    val counts = tmp("graft_tri_counts")
+    val cp = tmp("graft_tri_cp")
+    def run(): Unit = {
+      val q = Pipelines.trianglesSink(
+        mem.toDS().map { case (a, b) => Pipelines.CoEdge(a, b) },
+        table, counts, cp).start()
+      q.awaitTermination()
+    }
+    def snapshot(): (Long, Long) =
+      spark.read.parquet(counts)
+        .select("n_edges", "n_triangles").as[(Long, Long)].head()
+
+    // batch 1: one all-new triangle {1,2,3} plus a dangling edge, with
+    // a within-batch duplicate and a reversed duplicate
+    mem.addData((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (1L, 2L), (3L, 1L))
+    run()
+    assert(snapshot() == (4L, 1L), snapshot().toString)
+
+    // batch 2: (1,4) closes {1,3,4} via two OLD edges (the 1-new-edge
+    // path); (2,5)+(3,5) form a new-new wedge closed by OLD (2,3) (the
+    // 2-new-edge path); a replayed (1,2) must be a no-op
+    mem.addData((1L, 4L), (2L, 5L), (3L, 5L), (1L, 2L))
+    run()
+    assert(snapshot() == (7L, 3L), snapshot().toString)
+
+    // parity with the batch census over the accumulated edge table
+    val batchCount = graft.api.Graph
+      .triangleStats(spark.read.parquet(table))
+      .select("n_edges", "n_triangles").as[(Long, Long)].head()
+    assert(batchCount == snapshot(), s"batch=$batchCount inc=${snapshot()}")
+
+    // batch 3: an entirely redelivered batch changes nothing
+    mem.addData((1L, 2L), (2L, 3L), (1L, 3L))
+    run()
+    assert(snapshot() == (7L, 3L), snapshot().toString)
+  }
 }
