@@ -1583,11 +1583,24 @@ object TextOps {
       |) ORDER BY round""".stripMargin
   },
     doc = "BPE tokenizer training: 3 greedy merge rounds over the weighted distinct-word vocabulary; per-round cost O(vocab), 1-row broadcast merge apply") { (spark, dir) =>
+    bpeTrain(spark, dir, rounds = 3)._1.orderBy("round")
+  }
+
+  /** The shared BPE machinery behind t33 (training trace) and t34
+    * (encode-side stats): builds the weighted distinct-word vocabulary
+    * in '|'-delimited symbol form, runs `rounds` greedy merge rounds,
+    * and returns (one row per chosen merge, the vocabulary with each
+    * word's post-merge symbol sequence).
+    */
+  private def bpeTrain(spark: org.apache.spark.sql.SparkSession,
+      dir: String, rounds: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.DataFrame
     val words0 = Sources.table(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")).as("s"),
+      .select(col("w"),
+        concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")).as("s"),
         col("freq"))
     def pairCounts(words: DataFrame): DataFrame =
       words
@@ -1602,7 +1615,7 @@ object TextOps {
         .agg(sum("freq").as("cnt"))
     var words = words0
     var out: DataFrame = null
-    for (r <- 1 to 3) {
+    for (r <- 1 to rounds) {
       val m = pairCounts(words)
         .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
       val row = m.select(lit(r).as("round"), col("lhs"), col("rhs"),
@@ -1610,16 +1623,93 @@ object TextOps {
       out = if (out == null) row else out.unionAll(row)
       words = words
         .crossJoin(broadcast(m.select(col("lhs").as("_ml"), col("rhs").as("_mr"))))
-        .select(
+        .select(col("w"),
           expr("replace(s, '|' || _ml || '|' || _mr || '|', '|' || _ml || _mr || '|')")
             .as("s"),
           col("freq"))
     }
-    out.orderBy("round")
+    (out, words)
+  }
+
+  /** BPE ENCODE — the apply side of t33's training: the vocabulary's
+    * post-merge symbol sequences score the whole corpus, reporting
+    * per-source fertility (tokens per word) and compression
+    * (chars per token) — the numbers a tokenizer bake-off compares.
+    * The encoded vocabulary is tiny (distinct words), so the corpus
+    * join is a broadcast; everything else is one per-source aggregate
+    * of exact integer sums, with the only division in the final
+    * projection (the house float-determinism rule).
+    */
+  val t34 = OpQuery.oracled("t34_bpe_encode", {
+    def pairsOf(src: String, p: String) =
+      s"""$p AS (
+        |  SELECT syms[CAST(i AS INT)] AS lhs, syms[CAST(i AS INT)+1] AS rhs,
+        |         sum(freq) AS cnt
+        |  FROM (SELECT list_filter(string_split(s, '|'), x -> x <> '') AS syms,
+        |               freq FROM $src),
+        |       LATERAL unnest(range(1, len(syms))) AS t(i)
+        |  GROUP BY 1, 2
+        |)""".stripMargin
+    def mergedOf(src: String, m: String, w: String) =
+      s"""$w AS (
+        |  SELECT w, replace(s, '|'||$m.lhs||'|'||$m.rhs||'|',
+        |                 '|'||$m.lhs||$m.rhs||'|') AS s, freq
+        |  FROM $src, $m
+        |)""".stripMargin
+    s"""WITH w0 AS (
+      |  SELECT w, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS s,
+      |         count(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |        FROM read_parquet('{SFDIR}/documents.parquet'))
+      |  GROUP BY 1
+      |),
+      |${pairsOf("w0", "p1")},
+      |m1 AS (SELECT lhs, rhs, cnt FROM p1 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      |${mergedOf("w0", "m1", "w1")},
+      |${pairsOf("w1", "p2")},
+      |m2 AS (SELECT lhs, rhs, cnt FROM p2 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      |${mergedOf("w1", "m2", "w2")},
+      |${pairsOf("w2", "p3")},
+      |m3 AS (SELECT lhs, rhs, cnt FROM p3 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      |${mergedOf("w2", "m3", "w3")},
+      |enc AS (
+      |  SELECT w, len(list_filter(string_split(s, '|'), x -> x <> '')) AS n_syms
+      |  FROM w3
+      |),
+      |docw AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_words,
+      |       CAST(sum(length(w)) AS BIGINT) AS n_chars,
+      |       CAST(sum(n_syms) AS BIGINT) AS n_tokens,
+      |       CAST(sum(n_syms) AS DOUBLE) / count(*) AS fertility,
+      |       CAST(sum(length(w)) AS DOUBLE) / sum(n_syms) AS chars_per_token
+      |FROM docw JOIN enc USING (w)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+  },
+    doc = "BPE encode-side stats: learned merges applied to the corpus via a broadcast vocabulary join; per-source fertility + compression from exact integer sums") { (spark, dir) =>
+    val enc = bpeTrain(spark, dir, rounds = 3)._2
+      .select(col("w"),
+        size(expr("filter(split(s, '\\\\|'), x -> x != '')")).as("n_syms"))
+    Sources.table(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(enc), "w")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("n_chars"),
+        sum(col("n_syms")).as("n_tokens"),
+        (sum(col("n_syms")).cast("double") / count(lit(1))).as("fertility"),
+        (sum(length(col("w"))).cast("double") / sum(col("n_syms")))
+          .as("chars_per_token"))
+      .orderBy("source")
   }
 
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
-      t28, t29, t30, t31, t32, t33)
+      t28, t29, t30, t31, t32, t33, t34)
 }
