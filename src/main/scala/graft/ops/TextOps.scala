@@ -1554,9 +1554,10 @@ object TextOps {
         |)""".stripMargin
     def mergedOf(src: String, m: String, w: String) =
       s"""$w AS (
-        |  SELECT replace(s, '|'||$m.lhs||'|'||$m.rhs||'|',
-        |                 '|'||$m.lhs||$m.rhs||'|') AS s, freq
-        |  FROM $src, $m
+        |  SELECT CASE WHEN $m.lhs IS NULL THEN s
+        |         ELSE replace(s, '|'||$m.lhs||'|'||$m.rhs||'|',
+        |                      '|'||$m.lhs||$m.rhs||'|') END AS s, freq
+        |  FROM $src LEFT JOIN $m ON true
         |)""".stripMargin
     s"""WITH w0 AS (
       |  SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS s,
@@ -1621,10 +1622,17 @@ object TextOps {
       val row = m.select(lit(r).as("round"), col("lhs"), col("rhs"),
         concat(col("lhs"), col("rhs")).as("merged"), col("cnt"))
       out = if (out == null) row else out.unionAll(row)
+      // LEFT join on true, not a cross join: once the pair space is
+      // exhausted (every word a single symbol) the winner frame is
+      // EMPTY, and a cross join would silently wipe the vocabulary —
+      // the merge must be a no-op instead
       words = words
-        .crossJoin(broadcast(m.select(col("lhs").as("_ml"), col("rhs").as("_mr"))))
+        .join(broadcast(m.select(col("lhs").as("_ml"), col("rhs").as("_mr"))),
+          lit(true), "left")
         .select(col("w"),
-          expr("replace(s, '|' || _ml || '|' || _mr || '|', '|' || _ml || _mr || '|')")
+          when(col("_ml").isNull, col("s"))
+            .otherwise(expr(
+              "replace(s, '|' || _ml || '|' || _mr || '|', '|' || _ml || _mr || '|')"))
             .as("s"),
           col("freq"))
     }
@@ -1652,9 +1660,10 @@ object TextOps {
         |)""".stripMargin
     def mergedOf(src: String, m: String, w: String) =
       s"""$w AS (
-        |  SELECT w, replace(s, '|'||$m.lhs||'|'||$m.rhs||'|',
-        |                 '|'||$m.lhs||$m.rhs||'|') AS s, freq
-        |  FROM $src, $m
+        |  SELECT w, CASE WHEN $m.lhs IS NULL THEN s
+        |            ELSE replace(s, '|'||$m.lhs||'|'||$m.rhs||'|',
+        |                         '|'||$m.lhs||$m.rhs||'|') END AS s, freq
+        |  FROM $src LEFT JOIN $m ON true
         |)""".stripMargin
     s"""WITH w0 AS (
       |  SELECT w, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS s,
