@@ -1061,4 +1061,84 @@ object Pipelines {
         ()
       }
   }
+
+  /** Streaming IVF index maintenance — the ingest path of the ANN
+    * serving shapes (s04/s11/s15/s16): the codebook is trained OFFLINE
+    * and fixed (`centroids`: c_id, cv rows, broadcast every batch);
+    * the stream of new vectors is assigned to nearest-centroid cells
+    * and APPENDED to a cell-partitioned index store, so queries prune
+    * to their probe cells without the index ever being rebuilt. This
+    * is how a production IVF index absorbs data between codebook
+    * retrains — per-batch cost is |batch| × k assignment work plus one
+    * partitioned write; the accumulated index is never rewritten.
+    *
+    * Each micro-batch lands in its own `batch=<id>/cell=<c>/` subtree,
+    * staged and published by ONE rename (the [[zoneMappedSink]]
+    * replay contract: a crashed-and-replayed batch id overwrites its
+    * own dir, never duplicates). Redelivered vec_ids are dropped by an
+    * anti join against the accumulated index — on Delta/Iceberg that
+    * anti join becomes the table's MERGE insert-if-absent.
+    *
+    * Cell-population health (the s15 balance diagnostic) is DERIVED
+    * from the index by [[ivfCellStats]] rather than maintained as a
+    * second mutable artifact — one source of truth, and the count per
+    * cell is a metadata-only scan of the partitioned layout.
+    */
+  def ivfIndexSink(vectors: DataFrame, centroids: DataFrame,
+      indexPath: String, checkpoint: String): DataStreamWriter[Row] = {
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        import graft.expr.VectorExprs.dot
+        val spark = batch.sparkSession
+        val cent = centroids
+          .select(col("c_id").as("_cid"), col("cv").as("_cv"))
+          .withColumn("_cnrm", sqrt(dot(col("_cv"), col("_cv"))))
+        val e = batch.select(col("vec_id"), col("embedding"))
+          .withColumn("_nrm", sqrt(dot(col("embedding"), col("embedding"))))
+        val wA = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("_ccos").desc, col("_cid").asc)
+        val assigned = e.crossJoin(broadcast(cent))
+          .withColumn("_ccos",
+            dot(col("embedding"), col("_cv")) / (col("_nrm") * col("_cnrm")))
+          .withColumn("_rn", row_number().over(wA))
+          .filter(col("_rn") === 1)
+          .select(col("vec_id"), col("_cid").as("cell"), col("embedding"))
+        val root = new java.io.File(indexPath)
+        val hasBatches = root.isDirectory && Option(root.listFiles())
+          .exists(_.exists(_.getName.startsWith("batch=")))
+        val fresh =
+          if (hasBatches)
+            assigned.join(spark.read.parquet(indexPath).select("vec_id"),
+              Seq("vec_id"), "left_anti")
+          else assigned
+        val staged = new java.io.File(root, s".staged_batch=$batchId")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(staged)
+        fresh.write.mode("overwrite").partitionBy("cell")
+          .parquet(staged.toString)
+        val target = new java.io.File(root, s"batch=$batchId")
+        rm(target) // replayed batch id republishes, never duplicates
+        if (!staged.renameTo(target))
+          throw new java.io.IOException(
+            s"ivfIndexSink: commit rename failed for $target")
+        ()
+      }
+  }
+
+  /** Per-cell population of a [[ivfIndexSink]]-maintained index — the
+    * streaming-side twin of the s15 cell-balance diagnostic. Counting
+    * rows per partition value touches parquet footers only.
+    */
+  def ivfCellStats(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame =
+    spark.read.parquet(indexPath)
+      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("cell")
 }

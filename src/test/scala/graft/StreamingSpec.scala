@@ -1106,4 +1106,49 @@ class StreamingSpec extends AnyFunSuite {
     run()
     assert(snapshot() == (7L, 3L), snapshot().toString)
   }
+
+  test("ivfIndexSink appends cell-partitioned assignments; stats derive from the index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val centroids = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("c_id", "cv")
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val index = tmp("graft_ivf_index")
+    val cp = tmp("graft_ivf_cp")
+    def run(): Unit = {
+      val q = Pipelines.ivfIndexSink(
+        mem.toDF().toDF("vec_id", "embedding"), centroids, index, cp).start()
+      q.awaitTermination()
+    }
+    def cells(): Map[Long, Long] =
+      spark.read.parquet(index).select("vec_id", "cell")
+        .as[(Long, Long)].collect().toMap
+
+    mem.addData((1L, Seq(0.9, 0.1)), (2L, Seq(0.1, 0.9)), (3L, Seq(2.0, 0.0)))
+    run()
+    assert(cells() == Map(1L -> 1L, 2L -> 2L, 3L -> 1L), cells().toString)
+
+    // batch 2: one new vector per cell, a redelivered vec_id (dropped
+    // by the index anti join), and an exact cosine tie broken by c_id
+    mem.addData((4L, Seq(0.0, 3.0)), (1L, Seq(0.9, 0.1)),
+      (5L, Seq(0.7, 0.7)))
+    run()
+    assert(cells() == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L, 5L -> 1L),
+      cells().toString)
+
+    // each micro-batch owns its own published dir (replay overwrites it)
+    val dirs = Option(new java.io.File(index).listFiles())
+      .getOrElse(Array.empty).map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(dirs == Set("batch=0", "batch=1"), dirs.toString)
+
+    // the balance diagnostic derives from the index — one source of truth
+    val stats = Pipelines.ivfCellStats(spark, index)
+      .as[(Long, Long)].collect().toSeq
+    assert(stats == Seq((1L, 3L), (2L, 2L)), stats.toString)
+
+    // the cell a probe would search reads a strict subset of the index
+    val c2 = spark.read.parquet(index).filter(col("cell") === 2L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(c2 == Set(2L, 4L), c2.toString)
+  }
 }
