@@ -1536,6 +1536,118 @@ object SimilarityOps {
       .orderBy("q_id")
   }
 
+  /** IVF index maintenance: SPLIT the hottest cell. s15 diagnoses cell
+    * imbalance; this is the repair — the most-populated cell (the one
+    * dragging every nprobe search that touches it) is split by one
+    * deterministic 2-means round: seed A = the member with the lowest
+    * vec_id, seed B = the member least similar to A (the standard
+    * farthest-point heuristic, made deterministic by the quantized
+    * cosine + id tie-break), members re-assigned to the nearer seed,
+    * and each sub-cell's count + picounit-exact mean of dim 1 reported
+    * (the s07 exact-mean formulation — sub-centroid math is oracle-
+    * checked without emitting 64 columns).
+    *
+    * Scale shape: ONE corpus-wide broadcast assignment pass (shared
+    * with s04/s07/s15 — in a deployment it's the index itself), then
+    * everything downstream touches only the hot cell's members; the
+    * three 1-row frames (hot cell, seed A, seed B) are broadcasts. At
+    * 100 TB this is exactly the local repair you want: no global
+    * re-clustering, no second corpus scan.
+    */
+  val s20 = OpQuery.oracled("s20_ivf_cell_split", {
+    s"""WITH e AS (
+       |  $duckEmbedded
+       |), cent AS (
+       |  SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id % 250 = 0
+       |), assign AS (
+       |  SELECT e.vec_id, cent.c_id, e.v, e.nrm,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY e.vec_id
+       |           ORDER BY ${duckDot("e.v", "cent.cv")} / (e.nrm * cent.cnrm) DESC, cent.c_id ASC)
+       |         AS INT) AS crn
+       |  FROM e, cent
+       |), cells AS (
+       |  SELECT vec_id, c_id, v, nrm FROM assign WHERE crn = 1
+       |), hot AS (
+       |  SELECT c_id AS hot_id, count(*) AS n_parent
+       |  FROM cells GROUP BY 1
+       |  ORDER BY count(*) DESC, c_id ASC LIMIT 1
+       |), members AS (
+       |  SELECT c.vec_id, c.v, c.nrm, h.hot_id, h.n_parent
+       |  FROM cells c JOIN hot h ON c.c_id = h.hot_id
+       |), sa AS (
+       |  SELECT vec_id AS sa_id, v AS sa_v, nrm AS sa_nrm
+       |  FROM members ORDER BY vec_id ASC LIMIT 1
+       |), sb AS (
+       |  SELECT m.vec_id AS sb_id, m.v AS sb_v, m.nrm AS sb_nrm
+       |  FROM members m, sa
+       |  WHERE m.vec_id <> sa.sa_id
+       |  ORDER BY ${duckDot("m.v", "sa.sa_v")} / (m.nrm * sa.sa_nrm) ASC,
+       |           m.vec_id ASC
+       |  LIMIT 1
+       |), asg AS (
+       |  SELECT m.hot_id, m.n_parent, m.vec_id, m.v,
+       |         CASE WHEN ${duckDot("m.v", "sb.sb_v")} / (m.nrm * sb.sb_nrm)
+       |                 > ${duckDot("m.v", "sa.sa_v")} / (m.nrm * sa.sa_nrm)
+       |              THEN 1 ELSE 0 END AS sub,
+       |         sa.sa_id, sb.sb_id
+       |  FROM members m, sa, sb
+       |)
+       |SELECT hot_id AS c_id, CAST(n_parent AS BIGINT) AS n_parent,
+       |       CAST(sub AS INT) AS sub,
+       |       CASE WHEN sub = 1 THEN sb_id ELSE sa_id END AS seed_id,
+       |       CAST(count(*) AS BIGINT) AS n_members,
+       |       CAST(sum(CAST(trunc(v[1] * 1e12) AS BIGINT)) AS DOUBLE)
+       |         / 1e12 / count(*) AS mean_d1
+       |FROM asg
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY sub""".stripMargin
+  },
+    doc = "IVF cell split: hottest cell repaired by a deterministic 2-means round (farthest-point seeds, broadcast-only after the shared assignment pass)") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = embedded(spark, dir).select("vec_id", "v", "nrm")
+    val cent2 = e.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("c_id").asc)
+    // persist the shared frames: hot / seed-A / seed-B / final are four
+    // consumers of the same assignment subtree (the s04 lesson — the
+    // corpus-wide pass must run once, not once per 1-row derivation)
+    val cells = e.crossJoin(broadcast(cent2))
+      .withColumn("ccos", expr(s"${dotDec("v", "cv")} / (nrm * cnrm)"))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select("vec_id", "c_id", "v", "nrm")
+      .persist()
+    val hot = cells.groupBy("c_id").agg(count(lit(1)).as("n_parent"))
+      .orderBy(col("n_parent").desc, col("c_id").asc).limit(1)
+      .select(col("c_id").as("hot_id"), col("n_parent"))
+    val members = cells.join(broadcast(hot), col("c_id") === col("hot_id"))
+      .select("vec_id", "v", "nrm", "hot_id", "n_parent")
+      .persist()
+    val sa = members.orderBy(col("vec_id").asc).limit(1)
+      .select(col("vec_id").as("sa_id"), col("v").as("sa_v"),
+        col("nrm").as("sa_nrm"))
+    val sb = members.crossJoin(broadcast(sa))
+      .filter(col("vec_id") =!= col("sa_id"))
+      .withColumn("ca", expr(s"${dotDec("v", "sa_v")} / (nrm * sa_nrm)"))
+      .orderBy(col("ca").asc, col("vec_id").asc).limit(1)
+      .select(col("vec_id").as("sb_id"), col("v").as("sb_v"),
+        col("nrm").as("sb_nrm"))
+    members.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .withColumn("ca", expr(s"${dotDec("v", "sa_v")} / (nrm * sa_nrm)"))
+      .withColumn("cb", expr(s"${dotDec("v", "sb_v")} / (nrm * sb_nrm)"))
+      .withColumn("sub", when(col("cb") > col("ca"), 1).otherwise(0))
+      .withColumn("seed_id",
+        when(col("sub") === 1, col("sb_id")).otherwise(col("sa_id")))
+      .groupBy(col("hot_id").as("c_id"), col("n_parent"), col("sub"),
+        col("seed_id"))
+      .agg(count(lit(1)).as("n_members"),
+        (sum(expr("CAST(element_at(v, 1) * 1e12 AS BIGINT)")).cast("double")
+          / 1e12 / count(lit(1))).as("mean_d1"))
+      .orderBy("sub")
+  }
+
   val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19)
+    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20)
 }
