@@ -138,6 +138,43 @@ object Graph {
     ranks.select(col("node"), col("r").cast("bigint").as("rank_pico"))
   }
 
+  /** PERSONALIZED PageRank in the same exact fixed-point arithmetic as
+    * [[pageRankFixedPoint]], with the teleport mass concentrated on
+    * `seeds` (node column) instead of spread uniformly: rank flows out
+    * from the seed set and decays with graph distance — the "related
+    * to THESE products" recommendation kernel, vs global PageRank's
+    * "important anywhere". Per iteration
+    * `r(v) = (85 * Σ_{u~v} r(u) div deg(u)) div 100 + (prBase if v ∈ seeds)`,
+    * and only nodes with nonzero rank are materialized, so the rank
+    * frame grows like the seed neighborhood, not the graph — the
+    * locality that makes PPR cheap at 100 TB when global PageRank is
+    * not. All operands positive, so integer div is identical floor/
+    * truncation in every dialect and the unrolled-CTE oracle lands on
+    * the same bits. Returns (node, rank_pico).
+    */
+  def personalizedPageRank(edgeList: DataFrame, seeds: DataFrame,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"bad iterations $iterations")
+    val prOne = 1000000000000L
+    val prBase = 150000000000L // 0.15 in picoranks
+    val e2 = edgeList.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(edgeList.select(col("pb").as("u"), col("pa").as("v")))
+    val deg = e2.groupBy("u").agg(count(lit(1)).as("deg"))
+    val ed = e2.join(deg, "u").persist()
+    val seedBase = seeds.select(col("node"), lit(prBase).as("base"))
+    var ranks = seeds.select(col("node"), lit(prOne).as("r"))
+    for (_ <- 1 to iterations) {
+      val spread = ed.join(ranks, col("node") === col("u"))
+        .select(col("v"), expr("r div deg").as("contrib"))
+        .groupBy(col("v").as("n2")).agg(sum("contrib").as("s"))
+        .select(col("n2").as("node"), expr("(85 * s) div 100").as("sp"))
+      ranks = spread.join(seedBase, Seq("node"), "full_outer")
+        .select(col("node"),
+          (coalesce(col("sp"), lit(0L)) + coalesce(col("base"), lit(0L))).as("r"))
+    }
+    ranks.select(col("node"), col("r").cast("bigint").as("rank_pico"))
+  }
+
   /** Connected components — transitive closure is ONE operator in this
     * engine whatever the edges mean: delegates to the min-label
     * propagation + pointer-jumping machinery shared with the near-dup

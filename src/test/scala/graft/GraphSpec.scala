@@ -70,6 +70,26 @@ class GraphSpec extends AnyFunSuite {
     assert(run(5)(6L) == 60L)
   }
 
+  test("personalized PageRank: seed-only teleport, locality, exact picoranks") {
+    // path 1-2-3-4, seed {1}: rank can only have reached distance k
+    // after k iterations, and every value is hand-computable in exact
+    // integer arithmetic
+    val path = spark.createDataFrame(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+      .toDF("pa", "pb")
+    val seeds = spark.createDataFrame(Seq(Tuple1(1L))).toDF("node")
+    def run(iters: Int): Map[Long, Long] =
+      graft.api.Graph.personalizedPageRank(path, seeds, iters).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // iter 1: seed keeps only its teleport share 0.15; neighbor 2 gets
+    // 0.85 * (1.0 / deg(1)=1)
+    assert(run(1) == Map(1L -> 150000000000L, 2L -> 850000000000L),
+      run(1).toString)
+    // iter 2: 1 <- 0.85*(0.85/2) + 0.15; 2 <- 0.85*(0.15/1);
+    // 3 <- 0.85*(0.85/2); node 4 (distance 3) still unreached
+    assert(run(2) == Map(1L -> 511250000000L, 2L -> 127500000000L,
+      3L -> 361250000000L), run(2).toString)
+  }
+
   test("link features on two triangles sharing an edge") {
     // {1,2,3} + {2,3,4}: the only distance-2 non-edge is (1,4) with
     // common neighborhood {2,3}; deg(1)=deg(4)=2 -> jaccard 2/(2+2-2)=1
