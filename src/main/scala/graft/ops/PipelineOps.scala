@@ -390,11 +390,119 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** ANN index BUILD — the similarity-family composition: the
+    * IVF-PQ index construction job every vector deployment runs,
+    * chaining
+    *
+    *  1. coarse quantizer — every vector assigned to its nearest
+    *     centroid cell by the bit-portable quantized cosine (s04's
+    *     assignment stage);
+    *  2. product quantization — each vector's two halves encoded
+    *     against the per-half codebooks, residual errors kept (s09);
+    *  3. inverted-list manifest — per cell: posting-list size,
+    *     distinct PQ code pairs (the table an ADC scan loads), and the
+    *     total quantization error in exact picounits (the build-time
+    *     quality number that decides codebook retraining).
+    *
+    * What this pins is the COMPOSITION: the same vector keyed through
+    * both quantizers lands in one posting row, hash-checked end to end
+    * by an oracle re-deriving both stages. Scale shape: two broadcast
+    * codebook joins (kilobytes each) + per-(vector, half) windows whose
+    * partitions are k rows + one final cell-keyed aggregate — the
+    * corpus shuffles once, on the cell key; no stage is quadratic.
+    */
+  val p05 = OpQuery.oracled("p05_ann_index_build", {
+    s"""WITH e AS (
+      |  ${SimilarityOps.duckEmbedded}
+      |), cent AS (
+      |  SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id % 250 = 0
+      |), assign AS (
+      |  SELECT e.vec_id, cent.c_id,
+      |         CAST(row_number() OVER (
+      |           PARTITION BY e.vec_id
+      |           ORDER BY ${SimilarityOps.duckDot("e.v", "cent.cv")} / (e.nrm * cent.cnrm) DESC, cent.c_id ASC)
+      |         AS INT) AS crn
+      |  FROM e, cent
+      |), cells AS (
+      |  SELECT vec_id, c_id FROM assign WHERE crn = 1
+      |), halves AS (
+      |  SELECT vec_id, 0 AS h, list_slice(v, 1, len(v) // 2) AS sv FROM e
+      |  UNION ALL
+      |  SELECT vec_id, 1, list_slice(v, len(v) // 2 + 1, len(v)) FROM e
+      |), cents2 AS (
+      |  SELECT vec_id AS p_id, h, sv AS cv FROM halves WHERE vec_id % 250 = 0
+      |), ppairs AS (
+      |  SELECT halves.vec_id, halves.h, cents2.p_id,
+      |         CAST(list_sum(list_transform(generate_series(1, len(halves.sv)),
+      |              i -> CAST(trunc((halves.sv[i] - cents2.cv[i]) * (halves.sv[i] - cents2.cv[i]) * 1e12) AS BIGINT))) AS BIGINT) AS qd
+      |  FROM halves JOIN cents2 ON cents2.h = halves.h
+      |), passign AS (
+      |  SELECT vec_id, h, p_id, qd,
+      |         row_number() OVER (PARTITION BY vec_id, h ORDER BY qd ASC, p_id ASC) AS rn
+      |  FROM ppairs
+      |), codes AS (
+      |  SELECT vec_id,
+      |         max(CASE WHEN h = 0 THEN p_id END) AS code0,
+      |         max(CASE WHEN h = 1 THEN p_id END) AS code1,
+      |         max(CASE WHEN h = 0 THEN qd END)
+      |           + max(CASE WHEN h = 1 THEN qd END) AS err_pico
+      |  FROM passign WHERE rn = 1 GROUP BY 1
+      |)
+      |SELECT c.c_id,
+      |       CAST(count(*) AS BIGINT) AS n_vectors,
+      |       CAST(count(DISTINCT CAST(code0 AS VARCHAR) || ':' || CAST(code1 AS VARCHAR)) AS BIGINT) AS n_code_pairs,
+      |       CAST(sum(err_pico) AS BIGINT) AS sum_err_pico
+      |FROM cells c JOIN codes k ON k.vec_id = c.vec_id
+      |GROUP BY 1
+      |ORDER BY c_id""".stripMargin
+  },
+    doc = "ANN index build: IVF cell assignment + PQ encode composed into the per-cell inverted-list manifest; both stages oracle-rederived end to end") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = SimilarityOps.embedded(spark, dir).select("vec_id", "v", "nrm")
+    val cent = e.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val wA = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("c_id").asc)
+    val cells = e.crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        expr(s"${SimilarityOps.dotDec("v", "cv")} / (nrm * cnrm)"))
+      .withColumn("crn", row_number().over(wA))
+      .filter(col("crn") === 1)
+      .select("vec_id", "c_id")
+    val halves = e.select(col("vec_id"), lit(0).as("h"),
+        expr("slice(v, 1, size(v) DIV 2)").as("sv"))
+      .unionAll(e.select(col("vec_id"), lit(1).as("h"),
+        expr("slice(v, size(v) DIV 2 + 1, size(v) - size(v) DIV 2)").as("sv")))
+    val cents2 = halves.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("p_id"), col("h"), col("sv").as("cv"))
+    val ppairs = halves.join(broadcast(cents2), Seq("h"))
+      .withColumn("qd",
+        graft.expr.VectorExprs.quantized_l2(col("sv"), col("cv")))
+    val wP = Window.partitionBy("vec_id", "h")
+      .orderBy(col("qd").asc, col("p_id").asc)
+    val codes = ppairs.withColumn("rn", row_number().over(wP))
+      .filter(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(
+        max(when(col("h") === 0, col("p_id"))).as("code0"),
+        max(when(col("h") === 1, col("p_id"))).as("code1"),
+        (max(when(col("h") === 0, col("qd")))
+          + max(when(col("h") === 1, col("qd")))).as("err_pico"))
+    cells.join(codes, "vec_id")
+      .groupBy("c_id")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        countDistinct(concat_ws(":", col("code0"), col("code1")))
+          .as("n_code_pairs"),
+        sum("err_pico").cast("bigint").as("sum_err_pico"))
+      .orderBy("c_id")
+  }
+
   /** p01/p03 consume d04's verified-pairs stage, which reads the
     * per-SF materialized pairs table — carry its build as prepare so
     * their timings never absorb it, independent of run order.
     */
-  val all: Seq[OpQuery] = Seq(p01, p02, p03, p04).map { q =>
+  val all: Seq[OpQuery] = Seq(p01, p02, p03, p04, p05).map { q =>
     if (Set(p01.name, p03.name).contains(q.name))
       q.copy(prepare = (s, d) => { DedupOps.ensureNearDupPairs(s, d); () })
     else q

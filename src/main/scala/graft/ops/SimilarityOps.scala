@@ -24,23 +24,23 @@ object SimilarityOps {
     * truncates while Spark's rounds, so the quantizer must be an
     * explicit truncation in both dialects.
     */
-  private def dotDec(a: String, b: String): String =
+  private[ops] def dotDec(a: String, b: String): String =
     s"quantized_dot($a, $b)" // codegen'd; bit-identical to the SQL
                              // aggregate/zip_with fold (see VectorExprs)
 
   /** DuckDB side of the same truncation-quantized dot product. */
-  private def duckDot(a: String, b: String): String =
+  private[ops] def duckDot(a: String, b: String): String =
     s"""(CAST(list_sum(list_transform(generate_series(1, len($a)),
        |     i -> CAST(trunc(($a[i] * $b[i]) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)""".stripMargin
 
-  private def embedded(spark: SparkSession, dir: String): DataFrame = {
+  private[ops] def embedded(spark: SparkSession, dir: String): DataFrame = {
     graft.expr.Functions.register(spark) // quantized_dot for expr() text
     Sources.table(spark, dir, "embeddings")
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", expr(s"sqrt(${dotDec("v", "v")})"))
   }
 
-  private val duckEmbedded =
+  private[ops] val duckEmbedded =
     s"""SELECT vec_id, label, v, sqrt(${duckDot("v", "v")}) AS nrm
        |FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM read_parquet('{SFDIR}/embeddings.parquet'))""".stripMargin
 
