@@ -1019,6 +1019,114 @@ object JoinOps {
       ensurePartitioned(spark, dir); ensureDayDim(spark, dir); ()
     })
 
+  /** Two-epoch orders layout for the schema-evolution scan (r59): the
+    * v1 batch was written BEFORE the `o_channel` column existed, the v2
+    * batch after. Both derive deterministically from `orders` split at
+    * a date cutoff, so the oracle can re-derive the merged read from
+    * the flat table. Cached per SF under `target/` with the standard
+    * fingerprint staleness guard.
+    */
+  def ensureEvolved(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    val sf = new java.io.File(dir).getName.replace(".", "_")
+    val loc = s"/root/repo/target/evolved/$sf/orders_channel"
+    val fp = graft.io.DerivedCache.fingerprint(dir, Seq("orders"))
+    if (!graft.io.DerivedCache.isFresh(loc, s"$loc/v2/_SUCCESS", fp)) {
+      val o = Sources.table(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      o.filter(col("o_orderdate") < "1996-01-01")
+        .write.mode("overwrite").parquet(s"$loc/v1")
+      o.filter(col("o_orderdate") >= "1996-01-01")
+        .withColumn("o_channel",
+          when(col("o_orderkey") % 3 === 0, "web")
+            .when(col("o_orderkey") % 3 === 1, "store")
+            .otherwise("app"))
+        .write.mode("overwrite").parquet(s"$loc/v2")
+      graft.io.DerivedCache.stamp(loc, fp)
+    }
+    loc
+  }
+
+  /** Schema evolution across file generations — the scan-layer fact of
+    * life on any long-lived 100 TB table: columns get added, and the
+    * petabytes already written are never rewritten. `mergeSchema`
+    * unions the per-file schemas at planning time and null-backfills
+    * the missing column on old files; the query layer then applies the
+    * backfill rule (`coalesce(o_channel, 'legacy')`). The oracle
+    * re-derives the same report from the flat table with the epoch
+    * split inlined, so both the merged read AND the null-backfill are
+    * value-checked — a schema-evolved scan must be indistinguishable
+    * from a table that always had the column.
+    */
+  val r59 = OpQuery(
+    name = "r59_schema_evolved_scan",
+    fn = { (spark, dir) =>
+      val loc = ensureEvolved(spark, dir)
+      spark.read.option("mergeSchema", "true")
+        .parquet(s"$loc/v1", s"$loc/v2")
+        .groupBy(coalesce(col("o_channel"), lit("legacy")).as("channel"))
+        .agg(count(lit(1)).cast("bigint").as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+        .orderBy("channel")
+    },
+    oracle = Some(
+      """SELECT CASE WHEN o_orderdate >= DATE '1996-01-01'
+        |            THEN CASE WHEN o_orderkey % 3 = 0 THEN 'web'
+        |                      WHEN o_orderkey % 3 = 1 THEN 'store'
+        |                      ELSE 'app' END
+        |            ELSE 'legacy' END AS channel,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY 1 ORDER BY channel""".stripMargin),
+    doc = "schema-evolution scan: mergeSchema union over two file generations + null-backfill, invisible vs the flat table",
+    prepare = (spark, dir) => { ensureEvolved(spark, dir); () })
+
+  /** Incremental JOIN-view maintenance — r24's partial-agg merge where
+    * the view's grain is a join-derived key (`c_nationkey` lives on the
+    * dimension, not the fact): the delta batch must be JOINED before
+    * its partials can merge into the stored view. The dimension is
+    * broadcast, so maintenance costs one map-side join over the delta
+    * plus a k-group merge — the base fact is never rescanned (here both
+    * branches derive from the same table split at a date cutoff so the
+    * flat-join oracle can certify the merge is lossless). Decimal-exact
+    * money keeps the merge order-insensitive; avg is re-derived from
+    * the merged sums, never averaged across partials.
+    */
+  val r60 = OpQuery.oracled("r60_incremental_join_view",
+    """SELECT c_nationkey,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_order
+      |FROM orders JOIN customer ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+    doc = "incremental join-view maintenance: broadcast-dim delta join + partial-agg merge; the stored base is never rescanned") { (spark, dir) =>
+    val cust = Sources.table(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey")
+    val o = Sources.table(spark, dir, "orders")
+      .select(col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"),
+        col("o_orderdate"))
+    def partial(df: DataFrame): DataFrame =
+      df.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum("p").as("s"))
+    // "base" = the stored view's partials (derived here; a real
+    // pipeline reads them); "delta" = the newly-landed batch — the
+    // only fact data a production maintenance pass scans and joins
+    val base = partial(o.filter(col("o_orderdate") < "1996-01-01"))
+    val delta = partial(o.filter(col("o_orderdate") >= "1996-01-01"))
+    base.unionByName(delta)
+      .groupBy("c_nationkey")
+      .agg(sum("n").as("n2"), sum("s").as("s2"))
+      .select(col("c_nationkey"),
+        col("n2").cast("bigint").as("n_orders"),
+        col("s2").cast("double").as("revenue"),
+        (col("s2").cast("double") / col("n2")).as("avg_order"))
+      .orderBy("c_nationkey")
+  }
+
   val all: Seq[OpQuery] = Seq(r17, r18, r19, r20, r21, r22, r23, r24, r25,
-    r26, r27, r28, r29, r31, r33, r35, r36, r39, r45, r53)
+    r26, r27, r28, r29, r31, r33, r35, r36, r39, r45, r53, r59, r60)
 }

@@ -1717,8 +1717,41 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Weighted priority sampling (Duffield/Lund/Thorup): per source, the
+    * 5 documents with the smallest `u / w` keys — `u` a 32-bit md5
+    * uniform of the doc id, `w = n_chars` — form a deterministic
+    * weighted-without-replacement sample that favors long documents
+    * (the "sample by token mass, not by row count" draw a corpus audit
+    * wants). The engine takes the k smallest through the bounded-heap
+    * GroupTopK operator; the oracle evaluates the IDENTICAL key
+    * expression but ranks with a window — so the custom operator is
+    * value-checked against the canonical formulation, and the
+    * hash-derived randomness itself is bit-compared across engines.
+    */
+  val t35 = OpQuery.oracled("t35_weighted_priority_sample", {
+    val key = graft.api.Sampling.priorityKeySql("doc_id", "n_chars")
+    s"""WITH keyed AS (
+      |  SELECT source, doc_id, n_chars, $key AS priority
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY priority, doc_id) AS rn
+      |  FROM keyed
+      |)
+      |SELECT source, doc_id, n_chars, priority
+      |FROM ranked WHERE rn <= 5
+      |ORDER BY source, priority, doc_id""".stripMargin
+  },
+    doc = "weighted priority sampling per source (u/w keys, k smallest via bounded-heap GroupTopK; favors heavy docs, fully deterministic)") { (spark, dir) =>
+    graft.api.Sampling.prioritySample(
+      Sources.table(spark, dir, "documents")
+        .select("source", "doc_id", "n_chars"),
+      idCol = "doc_id", weightCol = "n_chars", strataCol = "source", k = 5)
+      .select("source", "doc_id", "n_chars", "priority")
+      .orderBy("source", "priority", "doc_id")
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
-      t28, t29, t30, t31, t32, t33, t34)
+      t28, t29, t30, t31, t32, t33, t34, t35)
 }

@@ -153,4 +153,24 @@ class TablesSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("duplicate update key")), e.toString)
   }
+
+  test("schema-evolved scan: union schema + null backfill on the old generation") {
+    import org.apache.spark.sql.functions.col
+    val dir = TestSpark.sf0001
+    val loc = graft.ops.JoinOps.ensureEvolved(spark, dir)
+    // the old generation was written without the column at all
+    val v1 = spark.read.parquet(s"$loc/v1")
+    assert(!v1.columns.contains("o_channel"), v1.columns.mkString(","))
+    // the merged read surfaces the union schema...
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$loc/v1", s"$loc/v2")
+    assert(merged.columns.contains("o_channel"), merged.columns.mkString(","))
+    // ...with nulls exactly where the old files are
+    val nullChannel = merged.filter(col("o_channel").isNull).count()
+    assert(nullChannel == v1.count(), s"$nullChannel vs ${v1.count()}")
+    val preCutoffNonNull = merged
+      .filter(col("o_orderdate") < "1996-01-01" && col("o_channel").isNotNull)
+      .count()
+    assert(preCutoffNonNull == 0)
+  }
 }
