@@ -590,6 +590,41 @@ object JoinOps {
       .orderBy("n_name")
   }
 
+  /** UNPIVOT (melt) — the inverse reshape of r26's pivot: the wide
+    * one-column-per-year report back to (nation, year, revenue) long
+    * form, the shape every downstream groupBy/join/window wants.
+    * Engine side is the native `Dataset.unpivot` (one Expand node — a
+    * zero-shuffle generator stage over the already-small wide frame);
+    * the oracle splices r26's own text as the wide input and unrolls
+    * the melt as a UNION ALL per year column, so the round trip
+    * pivot→unpivot is value-checked against the long-form aggregate.
+    * Nation-years with no orders surface as NULL cells in the wide
+    * frame and are dropped from the long form on both sides.
+    */
+  val r61 = OpQuery.oracled("r61_unpivot_revenue_long", {
+    val arms = pivotYears.map(y =>
+      s"SELECT n_name, $y AS order_year, y$y AS revenue FROM wide")
+      .mkString("\n      |  UNION ALL\n      |  ")
+    s"""WITH wide AS (
+      |${r26.oracle.get.trim}
+      |), long AS (
+      |  $arms
+      |)
+      |SELECT n_name, order_year, revenue
+      |FROM long WHERE revenue IS NOT NULL
+      |ORDER BY n_name, order_year""".stripMargin
+  },
+    doc = "UNPIVOT/melt: wide per-year columns back to long form via native unpivot; oracle unrolls the melt over r26's spliced text") { (spark, dir) =>
+    r26.fn(spark, dir)
+      .unpivot(Array(col("n_name")),
+        pivotYears.map(y => col(s"y$y")).toArray, "yr_name", "revenue")
+      .filter(col("revenue").isNotNull)
+      .select(col("n_name"),
+        substring(col("yr_name"), 2, 4).cast("int").as("order_year"),
+        col("revenue"))
+      .orderBy("n_name", "order_year")
+  }
+
   /** Hybrid skew join (manual hot-key split): revenue per part brand
     * with the 20 most frequent part keys routed around the shuffle
     * through a broadcast join ([[graft.api.Joins.skewSplitJoin]]). On
@@ -1128,5 +1163,5 @@ object JoinOps {
   }
 
   val all: Seq[OpQuery] = Seq(r17, r18, r19, r20, r21, r22, r23, r24, r25,
-    r26, r27, r28, r29, r31, r33, r35, r36, r39, r45, r53, r59, r60)
+    r26, r27, r28, r29, r31, r33, r35, r36, r39, r45, r53, r59, r60, r61)
 }

@@ -1648,6 +1648,95 @@ object SimilarityOps {
       .orderBy("sub")
   }
 
+  /** Scalar-quantized (int8) search recall — the SQ counterpart of the
+    * PQ path (s11/s12): score every probe against int8 codes (s08's
+    * absmax quantization) and measure top-3 recall vs the exact float
+    * baseline (s01). The integer code dot product is EXACT arithmetic
+    * (|dot| ≤ 64·127² < 2^21 — both engines agree bit for bit); the
+    * only float work is the candidate-side dequant scale
+    * `maxabs_c / nrm_c`, two correctly-rounded IEEE ops. Probe-side
+    * scale factors are per-probe constants, so ranking by
+    * `int_dot · maxabs_c / nrm_c` reproduces the approximate-cosine
+    * order without ever touching the probe's float vector — at 100 TB
+    * the corpus is stored and scanned as int8 codes (4× smaller than
+    * float32, SIMD-friendly), and this query prices what that layout
+    * costs in neighbor fidelity.
+    */
+  val s21 = OpQuery.oracled("s21_int8_search_recall", {
+    def strip(sql: String): String = sql.trim
+    s"""WITH exact3 AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |${strip(s01.oracle.get)}
+       |  ) WHERE rank <= 3
+       |), e AS (
+       |  $duckEmbedded
+       |), m AS (
+       |  SELECT vec_id, nrm,
+       |         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+       |              THEN 1.0 ELSE list_max(list_transform(v, x -> abs(x))) END AS maxabs,
+       |         v
+       |  FROM e
+       |), q AS (
+       |  SELECT vec_id, nrm, maxabs,
+       |         list_transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT)) AS qv
+       |  FROM m
+       |), probes AS (
+       |  SELECT vec_id AS q_id, qv AS pq FROM q WHERE vec_id % 50 = 0
+       |), pairs AS (
+       |  SELECT p.q_id, c.vec_id AS neighbor_id,
+       |         CAST(list_sum(list_transform(generate_series(1, len(p.pq)),
+       |              i -> p.pq[i] * c.qv[i])) AS DOUBLE) * c.maxabs / c.nrm AS score
+       |  FROM probes p JOIN q c ON c.vec_id <> p.q_id
+       |), ranked AS (
+       |  SELECT q_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY score DESC, neighbor_id ASC) AS rn
+       |  FROM pairs
+       |), approx AS (
+       |  SELECT q_id, neighbor_id FROM ranked WHERE rn <= 3
+       |), matched AS (
+       |  SELECT a.q_id, count(*) AS hits
+       |  FROM approx a JOIN exact3 x ON x.q_id = a.q_id AND x.neighbor_id = a.neighbor_id
+       |  GROUP BY 1
+       |)
+       |SELECT p.q_id,
+       |       CAST(coalesce(h.hits, 0) AS INT) AS hits,
+       |       CAST(coalesce(h.hits, 0) AS DOUBLE) / 3 AS recall_at_3
+       |FROM (SELECT DISTINCT q_id FROM probes) p
+       |LEFT JOIN matched h ON h.q_id = p.q_id
+       |ORDER BY p.q_id""".stripMargin
+  },
+    doc = "int8 scalar-quantized search: exact integer code dots + candidate-side dequant scale; top-3 recall vs the float baseline") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = embedded(spark, dir).select("vec_id", "v", "nrm")
+      .withColumn("maxabs",
+        expr("""CASE WHEN array_max(transform(v, x -> abs(x))) = 0D
+               |THEN 1.0D ELSE array_max(transform(v, x -> abs(x))) END""".stripMargin))
+      .withColumn("qv",
+        expr("transform(v, x -> CAST(floor(x * 127.0D / maxabs + 0.5D) AS BIGINT))"))
+      .select("vec_id", "qv", "maxabs", "nrm")
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("pq"))
+    val pairs = probes.join(broadcast(e), col("vec_id") =!= col("q_id"))
+      .withColumn("iscore",
+        expr("aggregate(zip_with(pq, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("score", expr("CAST(iscore AS DOUBLE) * maxabs / nrm"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    val approx = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+    val exact3 = s01.fn(spark, dir).filter(col("rank") <= 3)
+      .select("q_id", "neighbor_id")
+    val matched = approx.join(exact3, Seq("q_id", "neighbor_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits0"))
+    probes.select("q_id").distinct()
+      .join(matched, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("hits0"), lit(0L)).cast("int").as("hits"),
+        (coalesce(col("hits0"), lit(0L)).cast("double") / lit(3.0)).as("recall_at_3"))
+      .orderBy("q_id")
+  }
+
   val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20)
+    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21)
 }

@@ -404,6 +404,94 @@ object Pipelines {
       }
   }
 
+  /** Fold one micro-batch's aggregate partials into a stored
+    * aggregate view — the ADDITIVE merge behind [[aggViewSink]],
+    * exposed so its replay contract is testable in isolation.
+    *
+    * Unlike [[upsertSink]]'s replace-by-key merge, an additive merge
+    * (`n += n_delta`, `s += s_delta`) is NOT naturally idempotent: a
+    * redelivered batch would double-count. The guard is the batch-id
+    * high-water mark committed INSIDE the table directory
+    * (`_LAST_BATCH`, written to the staged dir BEFORE the publish
+    * rename): data and mark move in the same commit, so a batch is
+    * either fully folded in and marked, or neither — a replay with
+    * `batchId <= mark` is a no-op. `partial` must carry
+    * `(viewKey, n_rows BIGINT, s DECIMAL(18,2))`; decimal partials
+    * keep the merge order-insensitive (the r24/r60 algebra).
+    */
+  private[graft] def applyAggViewBatch(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      partial: DataFrame, viewKey: String, batchId: Long): Unit = {
+    val markFile = new java.io.File(tablePath, "_LAST_BATCH")
+    val lastApplied =
+      if (markFile.exists())
+        new String(java.nio.file.Files.readAllBytes(markFile.toPath),
+          "UTF-8").trim.toLong
+      else -1L
+    if (batchId <= lastApplied) return // replayed batch: already folded in
+    val table = new java.io.File(tablePath)
+    val hasData = table.isDirectory && Option(table.listFiles())
+      .exists(_.exists(_.getName.startsWith("part-")))
+    val merged =
+      if (hasData)
+        spark.read.parquet(tablePath).unionByName(partial)
+          .groupBy(viewKey)
+          .agg(sum("n_rows").as("n2"), sum("s").as("s2"))
+          .select(col(viewKey),
+            col("n2").cast("bigint").as("n_rows"),
+            // sums widen decimal precision per merge round; renormalize
+            // on store so the view schema is a fixpoint
+            col("s2").cast("decimal(18,2)").as("s"))
+      else partial
+    val staged = tablePath + ".staged"
+    merged.write.mode("overwrite").parquet(staged)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(staged, "_LAST_BATCH"),
+      batchId.toString.getBytes("UTF-8"))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(table)
+    if (!new java.io.File(staged).renameTo(table))
+      throw new java.io.IOException(
+        s"aggViewSink: commit rename failed for $tablePath")
+    ()
+  }
+
+  /** Streaming incremental aggregate-view maintenance — the streaming
+    * twin of the r60 batch query: each micro-batch of fact rows is
+    * broadcast-joined to the (small, static) dimension, reduced to
+    * per-`viewKey` partials (`count`, decimal-exact `sum(valueCol)`),
+    * and ADDITIVELY folded into the stored view by
+    * [[applyAggViewBatch]] — the stored base is read once per batch
+    * and never re-derived from the fact history. The view's grain is a
+    * join-derived dimension key, which is exactly what plain streaming
+    * aggregation state cannot give without carrying the join in state;
+    * here the join happens per micro-batch and only k groups persist.
+    * Replays are no-ops via the batch-id high-water mark committed
+    * with the data.
+    */
+  def aggViewSink(facts: DataFrame, dim: DataFrame, tablePath: String,
+      checkpoint: String, joinKey: String, viewKey: String,
+      valueCol: String): DataStreamWriter[Row] = {
+    facts.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val partial = batch
+          .join(broadcast(dim), batch(joinKey) === dim(joinKey))
+          .groupBy(viewKey)
+          .agg(count(lit(1)).cast("bigint").as("n_rows"),
+            sum(col(valueCol).cast("decimal(18,2)"))
+              .cast("decimal(18,2)").as("s"))
+        applyAggViewBatch(batch.sparkSession, tablePath, partial,
+          viewKey, batchId)
+      }
+  }
+
   /** Stream-stream interval join: left rows matched to right rows with
     * the same `key` whose event time falls in
     * `[leftTs + lower, leftTs + upper]`. Both sides carry watermarks, so

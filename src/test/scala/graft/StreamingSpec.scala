@@ -535,6 +535,51 @@ class StreamingSpec extends AnyFunSuite {
       snapshot().toString)
   }
 
+  test("aggregate-view sink folds batches additively and ignores replays") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Double)] // (cust_id, amount)
+    val dim = Seq((1L, "EU"), (2L, "EU"), (3L, "US"))
+      .toDF("cust_id", "region")
+    val table = tmp("graft_aggview_table")
+    val cp = tmp("graft_aggview_cp")
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.aggViewSink(mem.toDF().toDF("cust_id", "amount"),
+        dim, table, cp, joinKey = "cust_id", viewKey = "region",
+        valueCol = "amount"))
+    def snapshot(): Map[String, (Long, BigDecimal)] =
+      spark.read.parquet(table)
+        .select("region", "n_rows", "s")
+        .as[(String, Long, BigDecimal)].collect()
+        .map { case (r, n, s) => r -> (n, s) }.toMap
+
+    mem.addData((1L, 10.0), (2L, 20.0), (3L, 5.0))
+    run()
+    assert(snapshot() == Map(
+      "EU" -> (2L, BigDecimal("30.00")), "US" -> (1L, BigDecimal("5.00"))))
+
+    // batch 2 folds into the stored view: counts and sums ACCUMULATE
+    mem.addData((1L, 1.5), (3L, 4.5))
+    run()
+    val after2 = snapshot()
+    assert(after2 == Map(
+      "EU" -> (3L, BigDecimal("31.50")), "US" -> (2L, BigDecimal("9.50"))),
+      after2.toString)
+
+    // replay: re-applying an already-folded batch id must be a no-op —
+    // the additive merge would otherwise double-count
+    val partial = Seq(("EU", 3L, BigDecimal("31.50")))
+      .toDF("region", "n_rows", "s")
+      .select(col("region"), col("n_rows"),
+        col("s").cast("decimal(18,2)").as("s"))
+    Pipelines.applyAggViewBatch(spark, table, partial, "region", 1L)
+    assert(snapshot() == after2, "replayed batch must not re-fold")
+    // a genuinely new batch id DOES fold in
+    Pipelines.applyAggViewBatch(spark, table, partial, "region", 7L)
+    val after3 = snapshot()
+    assert(after3("EU") == (6L, BigDecimal("63.00")), after3.toString)
+  }
+
   test("zone-mapped sink maintains per-file stats a pruned read can trust") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
