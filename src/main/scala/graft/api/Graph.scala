@@ -138,6 +138,37 @@ object Graph {
     ranks.select(col("node"), col("r").cast("bigint").as("rank_pico"))
   }
 
+  /** WEIGHTED PageRank in the same exact fixed-point arithmetic as
+    * [[pageRankFixedPoint]]: rank flows along each edge in proportion
+    * to its weight — `r(v) = prBase + 0.85 · Σ_{u~v} r(u)·w(u,v) div W(u)`
+    * with `W(u)` the node's total incident weight. Weighted graphs are
+    * the production norm (co-purchase counts, interaction strengths);
+    * the unweighted kernel is this with w ≡ 1. All operands stay
+    * positive integers (`r·w` is bounded by total-rank-mass × max
+    * weight, far inside 2^63 at any realistic rank scale), so integer
+    * div is the same floor in every dialect and the unrolled-CTE
+    * oracle reproduces the exact bits. `edgeList` carries
+    * (pa, pb, w); returns (node, rank_pico).
+    */
+  def weightedPageRank(edgeList: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"bad iterations $iterations")
+    val prOne = 1000000000000L
+    val prBase = 150000000000L // 0.15 in picoranks
+    val e2 = edgeList.select(col("pa").as("u"), col("pb").as("v"), col("w"))
+      .unionAll(edgeList.select(col("pb").as("u"), col("pa").as("v"), col("w")))
+    val wdeg = e2.groupBy("u").agg(sum("w").as("wsum"))
+    val ed = e2.join(wdeg, "u").persist()
+    var ranks = wdeg.select(col("u").as("node"), lit(prOne).as("r"))
+    for (_ <- 1 to iterations) {
+      ranks = ed.join(ranks, col("node") === col("u"))
+        .select(col("v"), expr("(r * w) div wsum").as("contrib"))
+        .groupBy(col("v").as("nxt")).agg(sum("contrib").as("s"))
+        .select(col("nxt").as("node"),
+          (lit(prBase) + expr("(85 * s) div 100")).as("r"))
+    }
+    ranks.select(col("node"), col("r").cast("bigint").as("rank_pico"))
+  }
+
   /** PERSONALIZED PageRank in the same exact fixed-point arithmetic as
     * [[pageRankFixedPoint]], with the teleport mass concentrated on
     * `seeds` (node column) instead of spread uniformly: rank flows out

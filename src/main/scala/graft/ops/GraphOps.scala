@@ -672,10 +672,157 @@ object GraphOps {
       .limit(20)
   }
 
+  /** WEIGHTED co-purchase edges: the distinct-pair derivation kept at
+    * order grain so each pair's multiplicity (how many orders bought
+    * both parts) survives as the edge weight — the collect_set basket
+    * already dedups within an order, so `count(*)` over the expanded
+    * pairs IS the distinct-order count. Materialized per SF beside the
+    * unweighted table with the same staleness guard.
+    */
+  private[graft] def ensureWeightedEdges(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    synchronized {
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      val loc = s"/root/repo/target/edges/$sf/copurchase_weighted"
+      val fp = graft.io.DerivedCache.fingerprint(dir, Seq("lineitem"))
+      if (!graft.io.DerivedCache.isFresh(loc, s"$loc/_SUCCESS", fp)) {
+        Sources.table(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
+          .select(explode(expr(
+            """flatten(transform(ps,
+              |  (x, i) -> transform(slice(ps, i + 2, size(ps)),
+              |            y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("p"))
+          .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+          .filter(expr(edgeKeep))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+          .write.mode("overwrite").parquet(loc)
+        graft.io.DerivedCache.stamp(loc, fp)
+      }
+      loc
+    }
+
+  private def weightedEdges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(ensureWeightedEdges(spark, dir))
+
+  /** Weighted PageRank over the co-purchase graph — g03 with rank
+    * flowing in proportion to how often each pair is actually bought
+    * together ([[graft.api.Graph.weightedPageRank]]). Weighted graphs
+    * are the production norm; the oracle unrolls the same fixed-point
+    * recurrence with the weight ratio inside the integer division.
+    */
+  val g13 = OpQuery.oracled("g13_weighted_pagerank", {
+    def iterSql(i: Int): String = {
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS (
+      |  SELECT ed.v AS node, sum((p.r * ed.w) // ed.wsum) AS s
+      |  FROM ed JOIN $prev p ON p.node = ed.u
+      |  GROUP BY 1
+      |), r$i AS (
+      |  SELECT node, $prBase + (85 * s) // 100 AS r FROM c$i
+      |)"""
+    }
+    s"""WITH pairs AS (
+      |  SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), e AS (
+      |  SELECT pa, pb, count(*) AS w FROM pairs WHERE $edgeKeep GROUP BY 1, 2
+      |), e2 AS (
+      |  SELECT pa AS u, pb AS v, w FROM e UNION ALL SELECT pb, pa, w FROM e
+      |), wdeg AS (
+      |  SELECT u, sum(w) AS wsum FROM e2 GROUP BY 1
+      |), ed AS (
+      |  SELECT e2.u, e2.v, e2.w, wdeg.wsum FROM e2 JOIN wdeg ON wdeg.u = e2.u
+      |), r0 AS (
+      |  SELECT u AS node, CAST($prOne AS BIGINT) AS r FROM wdeg
+      |), ${iterSql(1)}, ${iterSql(2)}, ${iterSql(3)}
+      |SELECT node, CAST(r AS BIGINT) AS rank_pico
+      |FROM r3
+      |ORDER BY rank_pico DESC, node LIMIT 20""".stripMargin
+  },
+    doc = "weighted PageRank, 3 fixed-point iterations: rank flows proportional to co-purchase multiplicity") { (spark, dir) =>
+    graft.api.Graph.weightedPageRank(weightedEdges(spark, dir), iterations = 3)
+      .orderBy(col("rank_pico").desc, col("node"))
+      .limit(20)
+  }
+
+  /** Association-rule mining over the co-purchase baskets — the
+    * market-basket classic (Apriori at the 2-itemset level): for each
+    * kept pair A,B bought together in >= 2 orders, both directed rules
+    * A->B and B->A with their support, confidence and lift. The pair
+    * counts ARE the weighted edge table ([[ensureWeightedEdges]], g13's
+    * input) — one maintained asset, two consumers — over the same
+    * sparsifier-kept pair universe (mirrored in the oracle, as for
+    * every g-query). The min-support cut is the Apriori scale guard:
+    * at any SF the rule candidates are the pairs that repeat, a tiny
+    * fraction of all pairs. Per-item order counts come from one
+    * distinct-aggregate over lineitem and broadcast into the rule
+    * join (items are a dimension next to fact-scale pair data). All
+    * three metrics are single IEEE divisions of exact integer products
+    * (`lift = w·N / (c_A·c_B)` cross-multiplied before the one cast),
+    * so the doubles — and the lift-ranked top-20 cut — are
+    * bit-identical on both engines.
+    */
+  val r62 = OpQuery.oracled("r62_association_rules", {
+    s"""WITH pairs AS (
+      |  SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), e AS (
+      |  SELECT pa, pb, count(*) AS w FROM pairs WHERE $edgeKeep GROUP BY 1, 2
+      |), n AS (
+      |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem
+      |), item AS (
+      |  SELECT l_partkey AS p, count(DISTINCT l_orderkey) AS c
+      |  FROM lineitem GROUP BY 1
+      |), rules AS (
+      |  SELECT pa AS antecedent, pb AS consequent, w FROM e WHERE w >= 2
+      |  UNION ALL
+      |  SELECT pb AS antecedent, pa AS consequent, w FROM e WHERE w >= 2
+      |)
+      |SELECT r.antecedent, r.consequent, CAST(r.w AS BIGINT) AS pair_orders,
+      |       CAST(r.w AS DOUBLE) / n.n_orders AS support,
+      |       CAST(r.w AS DOUBLE) / ca.c AS confidence,
+      |       CAST(r.w * n.n_orders AS DOUBLE) / (ca.c * cb.c) AS lift
+      |FROM rules r
+      |CROSS JOIN n
+      |JOIN item ca ON ca.p = r.antecedent
+      |JOIN item cb ON cb.p = r.consequent
+      |ORDER BY lift DESC, antecedent, consequent LIMIT 20""".stripMargin
+  },
+    doc = "market-basket association rules (Apriori 2-itemsets): support/confidence/lift from the shared weighted co-purchase table, top-20 by lift") { (spark, dir) =>
+    val li = Sources.table(spark, dir, "lineitem")
+    val nOrders = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val item = li.groupBy(col("l_partkey").as("p"))
+      .agg(countDistinct(col("l_orderkey")).as("c"))
+    val e = weightedEdges(spark, dir).filter(col("w") >= 2)
+    val rules = e.select(col("pa").as("antecedent"),
+        col("pb").as("consequent"), col("w"))
+      .unionAll(e.select(col("pb").as("antecedent"),
+        col("pa").as("consequent"), col("w")))
+    rules
+      .crossJoin(broadcast(nOrders))
+      .join(broadcast(item.select(col("p").as("antecedent"), col("c").as("ca"))),
+        "antecedent")
+      .join(broadcast(item.select(col("p").as("consequent"), col("c").as("cb"))),
+        "consequent")
+      .select(col("antecedent"), col("consequent"),
+        col("w").cast("bigint").as("pair_orders"),
+        (col("w").cast("double") / col("n_orders")).as("support"),
+        (col("w").cast("double") / col("ca")).as("confidence"),
+        ((col("w") * col("n_orders")).cast("double") / (col("ca") * col("cb")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(20)
+  }
+
   /** Every g-query carries the shared edge build as its `prepare` step:
     * Verify/Bench run it once per SF outside the timed section, so the
     * per-query numbers measure the kernel, not an 12×-repaid derivation.
     */
   val all: Seq[OpQuery] = Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09,
-    g10, g11, g12).map(_.copy(prepare = (s, d) => { ensureEdges(s, d); () }))
+    g10, g11, g12).map(_.copy(prepare = (s, d) => { ensureEdges(s, d); () })) ++
+    Seq(g13, r62).map(_.copy(prepare = (s, d) => { ensureWeightedEdges(s, d); () }))
 }

@@ -498,11 +498,91 @@ object PipelineOps {
       .orderBy("c_id")
   }
 
+  /** Point-in-time-correct training-set assembly — the leakage-safe
+    * feature join every supervised pipeline needs: for each label event
+    * (a purchase), attach the user's feature snapshot as it stood
+    * STRICTLY BEFORE the label's timestamp. Features here are running
+    * click aggregates (count + decimal-exact value sum) materialized as
+    * one snapshot per (user, instant); the label side reaches its
+    * snapshot through the native [[graft.plans.AsOfJoin]] operator at
+    * `label_ts - 1 µs` — the operator matches at-or-before, so the
+    * 1-µs shift makes the strictness structural rather than a filter
+    * someone can forget (a feature computed AT the label instant is
+    * label leakage, the classic silent training bug). Purchases before
+    * any click surface with zeroed features, not dropped rows. The
+    * oracle re-derives snapshots with windows and ranks candidates
+    * with `s_us < label_ts` directly, so the operator path and the
+    * strictness rule are both value-checked.
+    *
+    * Scale shape: snapshots are one window pass over the click slice;
+    * the as-of is the one-pass co-partitioned merge (no per-label
+    * candidate expansion, unlike the oracle's quadratic form).
+    */
+  val p06 = OpQuery.oracled("p06_point_in_time_features",
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+      |), c AS (
+      |  SELECT user_id, event_id, ts_us, CAST(value AS DECIMAL(18,6)) AS v
+      |  FROM e WHERE event_type = 'click'
+      |), snap0 AS (
+      |  SELECT user_id, ts_us,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS n_run,
+      |         sum(v) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_run
+      |  FROM c
+      |), snap AS (
+      |  SELECT user_id, ts_us AS s_us, max(n_run) AS n_clicks, max(cum_run) AS cumv
+      |  FROM snap0 GROUP BY 1, 2
+      |), p AS (
+      |  SELECT event_id, user_id, ts_us, value FROM e WHERE event_type = 'purchase'
+      |), cand AS (
+      |  SELECT p.event_id, s.n_clicks, s.cumv,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |                            ORDER BY s.s_us DESC) AS rn
+      |  FROM p JOIN snap s ON s.user_id = p.user_id AND s.s_us < p.ts_us
+      |)
+      |SELECT p.event_id, p.user_id, p.ts_us,
+      |       CAST(coalesce(m.n_clicks, 0) AS BIGINT) AS n_clicks_before,
+      |       CAST(coalesce(m.cumv, 0) AS DOUBLE) AS value_before,
+      |       p.value AS label_value
+      |FROM p LEFT JOIN (SELECT event_id, n_clicks, cumv FROM cand WHERE rn = 1) m
+      |  ON m.event_id = p.event_id
+      |ORDER BY p.event_id""".stripMargin,
+    doc = "point-in-time training join: strictly-before feature snapshots attached to labels via the native as-of operator (leakage-safe by construction)") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Sources.table(spark, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one feature snapshot per (user, instant): same-instant clicks
+    // collapse to the latest running state (max of monotone columns)
+    val snap = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .withColumn("n_run", row_number().over(w))
+      .withColumn("cum_run", sum(col("v")).over(w))
+      .groupBy(col("user_id").as("s_user"), col("ts_us").as("s_us"))
+      .agg(max("n_run").as("n_clicks"), max("cum_run").as("cumv"))
+    val labels = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("value").as("label_value"),
+        // operator matches at-or-before; -1µs makes it strictly-before
+        (col("ts_us") - 1).as("asof_us"))
+    graft.api.Joins.asOfJoin(labels, snap,
+        leftKeys = Seq("user_id"), rightKeys = Seq("s_user"),
+        leftTimeCol = "asof_us", rightTimeCol = "s_us")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        coalesce(col("n_clicks"), lit(0)).cast("bigint").as("n_clicks_before"),
+        coalesce(col("cumv"), lit(0)).cast("double").as("value_before"),
+        col("label_value"))
+      .orderBy("event_id")
+  }
+
   /** p01/p03 consume d04's verified-pairs stage, which reads the
     * per-SF materialized pairs table — carry its build as prepare so
     * their timings never absorb it, independent of run order.
     */
-  val all: Seq[OpQuery] = Seq(p01, p02, p03, p04, p05).map { q =>
+  val all: Seq[OpQuery] = Seq(p01, p02, p03, p04, p05, p06).map { q =>
     if (Set(p01.name, p03.name).contains(q.name))
       q.copy(prepare = (s, d) => { DedupOps.ensureNearDupPairs(s, d); () })
     else q

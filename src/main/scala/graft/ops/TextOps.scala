@@ -1750,8 +1750,94 @@ object TextOps {
       .orderBy("source", "priority", "doc_id")
   }
 
+  /** Sparse TF-vector cosine top-3 per probe doc via an INVERTED-INDEX
+    * join — the classic sparse-text similarity scale path, and the
+    * weighted complement of d06's set-Jaccard: term frequencies weight
+    * the overlap, so a doc that repeats a query's salient terms ranks
+    * above one that merely mentions them. Postings are df-capped (the
+    * d06 fractional cap): a term in >90% of docs contributes nothing to
+    * discrimination but dominates the join fan-out — dropping it is
+    * what bounds every posting list, the same guard production sparse
+    * retrieval (prefix filtering / impact-ordered indexes) relies on.
+    * All dot products and squared norms are exact integer sums; the
+    * only float ops are two correctly-rounded sqrts, one product and
+    * one division, mirrored expression-for-expression in the oracle
+    * (the t31 sqrt precedent), so the cosines are bit-identical and
+    * the top-3 cut (bounded-heap [[graft.api.Windows.topKPerGroup]])
+    * selects the same rows on both engines.
+    *
+    * Scale shape: tf build = one shuffle on (doc, term); the probe⋈
+    * corpus join keys on term with bounded posting lists; top-k is the
+    * two-phase bounded-heap operator, never a full sort per group.
+    */
+  val t36 = OpQuery.oracled("t36_sparse_cosine_topk", {
+    s"""WITH tf AS (
+      |  SELECT doc_id, t, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |    FROM read_parquet('{SFDIR}/documents.parquet'))
+      |  GROUP BY 1, 2
+      |), nd AS (
+      |  SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) AS cap
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), ok AS (
+      |  SELECT t FROM tf GROUP BY t HAVING count(*) <= (SELECT cap FROM nd)
+      |), ptf AS (
+      |  SELECT tf.doc_id, tf.t, tf.tf FROM tf JOIN ok USING (t)
+      |), norms AS (
+      |  SELECT doc_id, sum(tf * tf) AS n2 FROM ptf GROUP BY 1
+      |), dot AS (
+      |  SELECT a.doc_id AS query_doc, b.doc_id AS doc_id, sum(a.tf * b.tf) AS d
+      |  FROM ptf a JOIN ptf b ON a.t = b.t AND a.doc_id <> b.doc_id
+      |  WHERE a.doc_id % 50 = 0
+      |  GROUP BY 1, 2
+      |), cos AS (
+      |  SELECT d.query_doc, d.doc_id,
+      |         CAST(d.d AS DOUBLE)
+      |           / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine,
+      |         row_number() OVER (PARTITION BY d.query_doc
+      |                            ORDER BY CAST(d.d AS DOUBLE)
+      |           / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) DESC,
+      |                            d.doc_id) AS rn
+      |  FROM dot d
+      |  JOIN norms na ON na.doc_id = d.query_doc
+      |  JOIN norms nb ON nb.doc_id = d.doc_id
+      |)
+      |SELECT query_doc, doc_id, cosine FROM cos WHERE rn <= 3
+      |ORDER BY query_doc, cosine DESC, doc_id""".stripMargin
+  },
+    doc = "sparse TF cosine top-3 per probe doc: df-capped inverted-index join, integer dot/norm sums, bounded-heap GroupTopK cut") { (spark, dir) =>
+    val docs = Sources.table(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val nd = docs.agg(count(lit(1)).as("_nd"))
+    val ok = tf.groupBy("t").agg(count(lit(1)).as("_df"))
+      .crossJoin(broadcast(nd))
+      .filter(col("_df") <= ceil(lit(0.9) * col("_nd")).cast("long"))
+      .select("t")
+    val ptf = tf.join(ok, "t").select("doc_id", "t", "tf").persist()
+    val norms = ptf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+    val dot = ptf.as("a").filter(col("a.doc_id") % 50 === 0)
+      .join(ptf.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("query_doc"), col("b.doc_id").as("doc_id"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("d"))
+    val cos = dot
+      .join(norms.select(col("doc_id").as("query_doc"), col("n2").as("na")),
+        "query_doc")
+      .join(norms.select(col("doc_id"), col("n2").as("nb")), "doc_id")
+      .select(col("query_doc"), col("doc_id"),
+        (col("d").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cosine"))
+    graft.api.Windows.topKPerGroup(cos, Seq("query_doc"),
+        Seq(("cosine", true), ("doc_id", false)), 3)
+      .select("query_doc", "doc_id", "cosine")
+      .orderBy(col("query_doc"), col("cosine").desc, col("doc_id"))
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
-      t28, t29, t30, t31, t32, t33, t34, t35)
+      t28, t29, t30, t31, t32, t33, t34, t35, t36)
 }

@@ -90,6 +90,21 @@ class GraphSpec extends AnyFunSuite {
       3L -> 361250000000L), run(2).toString)
   }
 
+  test("weighted PageRank: rank splits by edge weight, exact picoranks") {
+    // star 2-1-3 with weights 3 and 1: node 1 sends 3/4 of its rank to
+    // 2 and 1/4 to 3 (unweighted would send 1/2 each). One iteration,
+    // every value hand-computable in exact integer arithmetic:
+    //   r(1) = 0.15 + 0.85·(1·3/3 + 1·1/1)          = 1.85
+    //   r(2) = 0.15 + 0.85·(1·3/4)                  = 0.7875
+    //   r(3) = 0.15 + 0.85·(1·1/4)                  = 0.3625
+    val e = spark.createDataFrame(Seq((1L, 2L, 3L), (1L, 3L, 1L)))
+      .toDF("pa", "pb", "w")
+    val got = graft.api.Graph.weightedPageRank(e, iterations = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1850000000000L, 2L -> 787500000000L,
+      3L -> 362500000000L), got.toString)
+  }
+
   test("link features on two triangles sharing an edge") {
     // {1,2,3} + {2,3,4}: the only distance-2 non-edge is (1,4) with
     // common neighborhood {2,3}; deg(1)=deg(4)=2 -> jaccard 2/(2+2-2)=1
