@@ -6,6 +6,13 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // argument-order guard: outDir is DELETED below, so refuse anything
+    // that looks like a fixture directory (the args were once passed
+    // reversed and Verify emptied /root/testdata/sf0.001)
+    require(!outDir.contains("/testdata"),
+      s"refusing to use fixture dir $outDir as the output dir (arg order is <sfDir> <outDir>)")
+    require(Files.exists(Paths.get(s"$sfDir/lineitem.parquet")),
+      s"$sfDir does not look like a scale-factor dir (no lineitem.parquet) — arg order is <sfDir> <outDir>")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -547,4 +547,49 @@ object Graph {
           .as("avg_neighbor_deg"))
       .orderBy("deg")
   }
+
+  /** Item-item collaborative-filtering similarity from a bipartite
+    * incidence frame (u, p) — user u touched item p, distinct. Projects
+    * to item pairs weighted by shared-user count, normalizes by item
+    * popularity (cosine `co / (√n_a·√n_b)`), keeps pairs with at least
+    * `minShared` shared users, and returns each item's top-`k`
+    * neighbors as (item, neighbor, shared_users, cosine).
+    *
+    * Scale: the pair expansion is per-USER over that user's item set —
+    * when per-user baskets are bounded (the norm: a user's history is
+    * small next to the catalog), total pairs are O(users·basket²), not
+    * O(items²). Hot users (unbounded baskets) would need the g08-style
+    * connector cap on who may serve as a pair source — callers with
+    * power-law incidence should pre-cap. Popularity counts broadcast as
+    * a dimension; the top-k cut is the bounded-heap [[Windows.topKPerGroup]].
+    */
+  def itemCfSimilarity(incidence: DataFrame, minShared: Int, k: Int): DataFrame = {
+    // the deduped incidence feeds BOTH the popularity counts and the
+    // basket expansion — materialize it once or the upstream join +
+    // distinct shuffle runs twice
+    val ui = incidence.select(col("u"), col("p")).distinct().persist()
+    val np = ui.groupBy("p").agg(count(lit(1)).as("n"))
+    val co = ui.groupBy("u").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps,
+          |  (x, i) -> transform(slice(ps, i + 2, size(ps)),
+          |            y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("q"))
+      .groupBy(col("q.pa").as("pa"), col("q.pb").as("pb"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minShared)
+    val sym = co.select(col("pa").as("item"), col("pb").as("neighbor"), col("co"))
+      .unionAll(co.select(col("pb").as("item"), col("pa").as("neighbor"), col("co")))
+    val scored = sym
+      .join(broadcast(np.select(col("p").as("item"), col("n").as("na"))), "item")
+      .join(broadcast(np.select(col("p").as("neighbor"), col("n").as("nb"))),
+        "neighbor")
+      .select(col("item"), col("neighbor"),
+        col("co").cast("bigint").as("shared_users"),
+        (col("co").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cosine"))
+    Windows.topKPerGroup(scored, Seq("item"),
+        Seq(("cosine", true), ("neighbor", false)), k)
+      .select("item", "neighbor", "shared_users", "cosine")
+  }
 }

@@ -1103,7 +1103,64 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Scripted-traffic (bot) detection by inter-arrival regularity: a
+    * human's event gaps are bursty, a cron job's are metronomic — the
+    * squared coefficient of variation `cv² = Var(g)/E(g)²` of each
+    * user's gap sequence separates them, and it reduces to EXACT
+    * integer arithmetic: with n gaps in whole seconds,
+    * `cv² = (n·Σg² − (Σg)²) / (Σg)²` — both operands BIGINT products
+    * of BIGINT sums, one final double division (second-scale gaps keep
+    * n·Σg² far inside 2^63 for any realistic per-user history; the
+    * µs-scale version would overflow, which is why the gap drops to
+    * seconds first). This is the traffic-quality filter a training-data
+    * pipeline runs before trusting engagement signals: one lag window
+    * + one aggregation, both shuffled on user_id — nothing quadratic,
+    * nothing driver-side. DuckDB's sum(BIGINT) widens to HUGEINT, so
+    * every sum is cast back before the products (recipe rule).
+    */
+  val e30 = OpQuery.oracled("e30_bot_regularity",
+    """WITH g AS (
+      |  SELECT user_id,
+      |         (epoch_ns(ts) - epoch_ns(lag(ts) OVER (
+      |            PARTITION BY user_id ORDER BY ts, event_id))) // 1000000000 AS gap_s
+      |  FROM events
+      |), a AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+      |         CAST(sum(gap_s) AS BIGINT) AS s1,
+      |         CAST(sum(gap_s * gap_s) AS BIGINT) AS s2
+      |  FROM g WHERE gap_s IS NOT NULL
+      |  GROUP BY 1
+      |  HAVING count(*) >= 5 AND CAST(sum(gap_s) AS BIGINT) > 0
+      |)
+      |SELECT user_id, n_gaps,
+      |       CAST(s1 AS DOUBLE) / n_gaps AS mean_gap_s,
+      |       CAST(n_gaps * s2 - s1 * s1 AS DOUBLE) / (s1 * s1) AS cv2,
+      |       CAST(CASE WHEN CAST(n_gaps * s2 - s1 * s1 AS DOUBLE) / (s1 * s1) < 0.25
+      |            THEN 1 ELSE 0 END AS INT) AS scripted
+      |FROM a ORDER BY user_id""".stripMargin,
+    doc = "bot detection by inter-arrival regularity: per-user gap cv^2 from exact integer sums, one division; cv2 < 0.25 flags metronomic traffic") { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val a = Sources.table(spark, dir, "events")
+      .select(col("user_id"),
+        (col("ts") - lag(col("ts"), 1).over(w)).as("gap_ns"))
+      .select(col("user_id"), expr("gap_ns DIV 1000000000").as("gap_s"))
+      .filter(col("gap_s").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_gaps"),
+        sum(col("gap_s")).cast("bigint").as("s1"),
+        sum(col("gap_s") * col("gap_s")).cast("bigint").as("s2"))
+      .filter(col("n_gaps") >= 5 && col("s1") > 0)
+    val cv2 = (col("n_gaps") * col("s2") - col("s1") * col("s1")).cast("double") /
+      (col("s1") * col("s1"))
+    a.select(col("user_id"), col("n_gaps"),
+        (col("s1").cast("double") / col("n_gaps")).as("mean_gap_s"),
+        cv2.as("cv2"),
+        when(cv2 < 0.25, 1).otherwise(0).cast("int").as("scripted"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
     e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
-    e25, e26, e27, e28, e29)
+    e25, e26, e27, e28, e29, e30)
 }

@@ -1162,6 +1162,97 @@ object JoinOps {
       .orderBy("c_nationkey")
   }
 
+  /** Bitemporal point-in-time query — r39's VALID-time axis crossed
+    * with a TRANSACTION-time axis ("when did the warehouse learn it"):
+    * for each knowledge cutoff K, the value of every key at valid
+    * instant V is the feed row with the greatest valid_ts ≤ V among
+    * rows recorded by K, latest-recorded winning inside equal valid_ts
+    * (a correction restates an instant; the newest statement of that
+    * instant is the truth). The feed is r39's deterministic synthesis
+    * plus a LATE CORRECTION wave: every 6th-key February value is
+    * restated on Feb 10 — so the SAME (key, V) query answers
+    * differently at K=Feb 7 (correction not yet known) and K=Mar 1
+    * (correction applied), which is exactly the reproducibility
+    * contract a bitemporal store gives an ML pipeline: "rebuild the
+    * features as they were computable on day X".
+    *
+    * Scale shape: the two knowledge cutoffs are a broadcast 2-row
+    * dimension; one window per (key, cutoff) over per-key histories
+    * that are short by construction (version chains, not event
+    * streams); everything else is a projection.
+    */
+  val r63 = OpQuery.oracled("r63_bitemporal_pointintime",
+    """WITH feed AS (
+      |  SELECT o_orderkey AS k, TIMESTAMP '2025-01-01 00:00:00' AS valid_ts,
+      |         TIMESTAMP '2025-01-02 00:00:00' AS recorded_ts,
+      |         CAST(o_totalprice AS DECIMAL(15,2)) AS pr
+      |  FROM orders WHERE o_orderkey % 50 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, TIMESTAMP '2025-02-01 00:00:00',
+      |         TIMESTAMP '2025-02-05 00:00:00',
+      |         CAST(CAST(o_totalprice AS DECIMAL(15,2)) + 10 AS DECIMAL(15,2))
+      |  FROM orders WHERE o_orderkey % 50 = 0 AND o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, TIMESTAMP '2025-02-01 00:00:00',
+      |         TIMESTAMP '2025-02-10 00:00:00',
+      |         CAST(CAST(o_totalprice AS DECIMAL(15,2)) + 5 AS DECIMAL(15,2))
+      |  FROM orders WHERE o_orderkey % 50 = 0 AND o_orderkey % 6 = 0
+      |), cutoff AS (
+      |  SELECT CAST(epoch_us(TIMESTAMP '2025-02-07 00:00:00') AS BIGINT) AS kc_us
+      |  UNION ALL
+      |  SELECT CAST(epoch_us(TIMESTAMP '2025-03-01 00:00:00') AS BIGINT)
+      |), visible AS (
+      |  SELECT c.kc_us, f.k,
+      |         CAST(epoch_us(f.valid_ts) AS BIGINT) AS valid_us,
+      |         CAST(epoch_us(f.recorded_ts) AS BIGINT) AS recorded_us,
+      |         f.pr,
+      |         row_number() OVER (
+      |           PARTITION BY c.kc_us, f.k
+      |           ORDER BY f.valid_ts DESC, f.recorded_ts DESC) AS rn
+      |  FROM feed f CROSS JOIN cutoff c
+      |  WHERE epoch_us(f.recorded_ts) <= c.kc_us
+      |    AND f.valid_ts <= TIMESTAMP '2025-02-03 00:00:00'
+      |)
+      |SELECT kc_us, k, valid_us, recorded_us, CAST(pr AS DOUBLE) AS pr
+      |FROM visible WHERE rn = 1
+      |ORDER BY kc_us, k""".stripMargin,
+    doc = "bitemporal point-in-time: per knowledge-cutoff, value at a valid instant with late corrections applied only once recorded (valid-desc, recorded-desc window)") { (spark, dir) =>
+    val o = Sources.table(spark, dir, "orders")
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("decimal(15,2)").as("pr0"))
+    def wave(validTs: String, recordedTs: String, bump: Int,
+        pred: org.apache.spark.sql.Column) =
+      o.filter(pred).select(col("k"),
+        to_timestamp(lit(validTs)).as("valid_ts"),
+        to_timestamp(lit(recordedTs)).as("recorded_ts"),
+        (col("pr0") + bump).cast("decimal(15,2)").as("pr"))
+    val feed = wave("2025-01-01 00:00:00", "2025-01-02 00:00:00", 0, lit(true))
+      .unionByName(wave("2025-02-01 00:00:00", "2025-02-05 00:00:00", 10,
+        col("k") % 3 === 0))
+      .unionByName(wave("2025-02-01 00:00:00", "2025-02-10 00:00:00", 5,
+        col("k") % 6 === 0))
+    import spark.implicits._
+    val cutoffs = Seq("2025-02-07 00:00:00", "2025-03-01 00:00:00")
+      .toDF("kc_str")
+      .select(unix_micros(to_timestamp(col("kc_str"))).as("kc_us"))
+    val v = to_timestamp(lit("2025-02-03 00:00:00"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("kc_us", "k")
+      .orderBy(col("valid_ts").desc, col("recorded_ts").desc)
+    feed.filter(col("valid_ts") <= v)
+      .crossJoin(broadcast(cutoffs))
+      .filter(unix_micros(col("recorded_ts")) <= col("kc_us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("kc_us"), col("k"),
+        unix_micros(col("valid_ts")).as("valid_us"),
+        unix_micros(col("recorded_ts")).as("recorded_us"),
+        col("pr").cast("double").as("pr"))
+      .orderBy("kc_us", "k")
+  }
+
   val all: Seq[OpQuery] = Seq(r17, r18, r19, r20, r21, r22, r23, r24, r25,
-    r26, r27, r28, r29, r31, r33, r35, r36, r39, r45, r53, r59, r60, r61)
+    r26, r27, r28, r29, r31, r33, r35, r36, r39, r45, r53, r59, r60, r61,
+    r63)
 }

@@ -633,6 +633,96 @@ object Multimodal {
       .orderBy("batch_id", "pos")
   }
 
+  /** Content-addressed chunk-level dedup — the storage-layer dedup a
+    * 100 TB media lake runs BELOW whole-file identity (m03's level):
+    * every payload splits into fixed 64-byte chunks, each chunk is
+    * addressed by its md5, and storage cost is counted once per
+    * distinct chunk. Reports, per modality: chunk counts, distinct
+    * chunk counts, logical vs stored bytes, and the dedup ratio (the
+    * fraction of chunk writes a content-addressed store would elide).
+    *
+    * The engine slices the BINARY payload (`substring` on binary +
+    * `md5`, both codegen'd builtins); the oracle slices the documents
+    * TEXT the payloads are encoded from — byte-identical because the
+    * corpus is pure ASCII (asserted when this landed: octet_length ==
+    * length for every document; a non-ASCII corpus would need the
+    * oracle to chunk a BLOB, which DuckDB's substring does not take).
+    *
+    * Scale shape: one explode bounded by payload_bytes/64 per record
+    * (linear in corpus bytes), one (type, hash) aggregation — chunk
+    * hashes shard uniformly so the shuffle has no hot keys by
+    * construction; nothing driver-side.
+    */
+  val m11 = OpQuery.oracled("m11_chunk_dedup",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS media_type,
+      |         text
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), ch AS (
+      |  SELECT m.media_type,
+      |         md5(substring(m.text, u.s, 64)) AS h,
+      |         length(substring(m.text, u.s, 64)) AS len
+      |  FROM m, unnest(range(1, length(m.text)::BIGINT + 1, 64)) u(s)
+      |), per_chunk AS (
+      |  SELECT media_type, h, count(*) AS n, max(len) AS len
+      |  FROM ch GROUP BY 1, 2
+      |), media_counts AS (
+      |  SELECT media_type, count(*) AS n_media FROM m GROUP BY 1
+      |)
+      |SELECT p.media_type, mc.n_media,
+      |       CAST(sum(p.n) AS BIGINT) AS n_chunks,
+      |       CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+      |       CAST(sum(p.n * p.len) AS BIGINT) AS logical_bytes,
+      |       CAST(sum(p.len) AS BIGINT) AS stored_bytes,
+      |       CAST(sum(p.n) - count(*) AS DOUBLE) / sum(p.n) AS dedup_ratio
+      |FROM per_chunk p JOIN media_counts mc USING (media_type)
+      |GROUP BY 1, 2
+      |ORDER BY media_type""".stripMargin,
+    doc = "content-addressed 64-byte-chunk dedup over binary payloads: per-modality chunk counts, logical vs stored bytes, dedup ratio") { (spark, dir) =>
+    chunkDedupStats(mediaFromDocuments(spark, dir).toDF())
+      .orderBy("media_type")
+  }
+
+  /** m11's kernel over any (media_type, payload[binary]) frame —
+    * shared with MultimodalSpec's hand-built duplicate-chunk corpus.
+    */
+  /** Fixed-size content-addressed chunking of a binary `payload`
+    * column: one row per chunk with its md5 address and byte length,
+    * all other columns carried through. Shared by m11's stats and the
+    * streaming chunk-store sink ([[graft.stream.Pipelines.chunkStoreSink]]).
+    */
+  private[graft] def payloadChunks(media: DataFrame, chunkBytes: Int): DataFrame =
+    media
+      .withColumn("s",
+        explode(sequence(lit(1), octet_length(col("payload")), lit(chunkBytes))))
+      .withColumn("h", md5(expr(s"substring(payload, s, $chunkBytes)")))
+      .withColumn("len", octet_length(expr(s"substring(payload, s, $chunkBytes)")))
+      .drop("s", "payload")
+
+  private[graft] def chunkDedupStats(media: DataFrame, chunkBytes: Int = 64): DataFrame = {
+    val chunks = payloadChunks(media, chunkBytes)
+      .select("media_type", "h", "len")
+    val perChunk = chunks.groupBy("media_type", "h")
+      .agg(count(lit(1)).as("n"), max(col("len")).as("len"))
+    val mediaCounts = media.groupBy("media_type")
+      .agg(count(lit(1)).as("n_media"))
+    perChunk.groupBy("media_type")
+      .agg(
+        sum(col("n")).cast("bigint").as("n_chunks"),
+        count(lit(1)).cast("bigint").as("n_distinct_chunks"),
+        sum(col("n") * col("len")).cast("bigint").as("logical_bytes"),
+        sum(col("len")).cast("bigint").as("stored_bytes"),
+        ((sum(col("n")) - count(lit(1))).cast("double") / sum(col("n")))
+          .as("dedup_ratio"))
+      .join(broadcast(mediaCounts), "media_type")
+      .select(col("media_type"), col("n_media"), col("n_chunks"),
+        col("n_distinct_chunks"), col("logical_bytes"), col("stored_bytes"),
+        col("dedup_ratio"))
+  }
+
   val all: Seq[OpQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
-    m10)
+    m10, m11)
 }

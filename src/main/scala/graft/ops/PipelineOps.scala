@@ -578,11 +578,118 @@ object PipelineOps {
       .orderBy("event_id")
   }
 
+  /** Planted-probe recall of the BM25 retriever — the lexical twin of
+    * s14's ANN acceptance metric: every 25th document, two novel
+    * tokens appended, becomes a probe whose right answer is known a
+    * priori (its own base), so top-1 recall isolates what the scorer +
+    * df-cap lose — the number a retrieval tuning loop actually
+    * watches. A hit counts when the retrieved doc's TEXT equals the
+    * base text (an exact copy of the source is a retrieval success;
+    * at SFs with real duplicate groups the id tie-break alone would
+    * misattribute copy wins as misses). Composition: the t37 scoring
+    * core ([[graft.ops.TextOps.bm25ScoresMicro]]) over the probe-
+    * augmented corpus, the bounded-heap top-1 cut, and a text-identity
+    * join — the oracle re-derives the whole chain.
+    */
+  val p07 = OpQuery.oracled("p07_bm25_planted_recall", {
+    s"""WITH base AS (
+      |  SELECT doc_id, text FROM read_parquet('{SFDIR}/documents.parquet')
+      |), mutn AS (
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         text || ' zq' || CAST(doc_id AS VARCHAR) AS text
+      |  FROM base WHERE doc_id % 25 = 0
+      |), docs AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM mutn
+      |), tf AS (
+      |  SELECT doc_id, t, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM docs)
+      |  GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+      |), corp AS (
+      |  SELECT count(*) AS n, sum(dl) AS tt FROM dl
+      |), nd AS (
+      |  SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) AS cap FROM docs
+      |), df AS (
+      |  SELECT t, count(*) AS df FROM tf GROUP BY 1
+      |  HAVING count(*) <= (SELECT cap FROM nd)
+      |), scored AS (
+      |  SELECT q.doc_id AS query_doc, c.doc_id AS doc_id,
+      |         sum(CAST(floor(
+      |           (CAST(2 * corp.n - 2 * df.df + 1 AS DOUBLE) / (2 * df.df + 1))
+      |             * (CAST(22 * corp.tt * c.tf AS DOUBLE)
+      |                / (10 * corp.tt * c.tf + 3 * corp.tt + 9 * dl.dl * corp.n))
+      |             * 1000000.0) AS BIGINT)) AS score_micro
+      |  FROM tf q
+      |  JOIN df ON df.t = q.t
+      |  JOIN tf c ON c.t = q.t AND c.doc_id <> q.doc_id
+      |  JOIN dl ON dl.doc_id = c.doc_id
+      |  CROSS JOIN corp
+      |  WHERE q.doc_id >= 1000000
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT query_doc, doc_id,
+      |         row_number() OVER (PARTITION BY query_doc
+      |                            ORDER BY score_micro DESC, doc_id) AS rn
+      |  FROM scored
+      |), hit AS (
+      |  SELECT r.query_doc,
+      |         max(CASE WHEN r.rn = 1 AND cb.text = bb.text THEN 1 ELSE 0 END) AS h1,
+      |         max(CASE WHEN cb.text = bb.text THEN 1 ELSE 0 END) AS h10
+      |  FROM ranked r
+      |  JOIN docs cb ON cb.doc_id = r.doc_id
+      |  JOIN base bb ON bb.doc_id = r.query_doc - 1000000
+      |  WHERE r.rn <= 10
+      |  GROUP BY 1
+      |), np AS (SELECT CAST(count(*) AS BIGINT) AS n_planted FROM mutn
+      |), nf AS (
+      |  SELECT CAST(coalesce(sum(h1), 0) AS BIGINT) AS at1,
+      |         CAST(coalesce(sum(h10), 0) AS BIGINT) AS at10
+      |  FROM hit)
+      |SELECT np.n_planted, nf.at1 AS top1_hits, nf.at10 AS top10_hits,
+      |       CAST(nf.at1 AS DOUBLE) / np.n_planted AS recall_at1,
+      |       CAST(nf.at10 AS DOUBLE) / np.n_planted AS recall_at10
+      |FROM np CROSS JOIN nf""".stripMargin
+  },
+    doc = "BM25 planted-probe recall@1/@10 (the s14 acceptance metric for lexical retrieval): per-probe unique-suffix mutants over the t37 scoring core, text-identity hits; the 31-token synthetic vocabulary caps @1 — the corpus-limitation dial, like s12's") { (spark, dir) =>
+    val base = Sources.table(spark, dir, "documents").select("doc_id", "text")
+    val mutn = base.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zq"), col("doc_id").cast("string"))
+          .as("text"))
+    val docs = base.unionByName(mutn)
+    val scored = TextOps.bm25ScoresMicro(docs, col("doc_id") >= 1000000L)
+    // rank within the bounded top-10 only — the heap cut runs first, the
+    // per-query window then sorts 10 rows, never the full candidate set
+    val top10 = graft.api.Windows.topKPerGroup(scored, Seq("query_doc"),
+        Seq(("score_micro", true), ("doc_id", false)), 10)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_doc")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    val hit = top10.withColumn("rn", row_number().over(w))
+      .join(docs.select(col("doc_id"), col("text").as("cand_text")), "doc_id")
+      .join(base.select((col("doc_id") + 1000000L).as("query_doc"),
+        col("text").as("base_text")), "query_doc")
+      .groupBy("query_doc")
+      .agg(
+        max(when(col("rn") === 1 && col("cand_text") === col("base_text"), 1)
+          .otherwise(0)).as("h1"),
+        max(when(col("cand_text") === col("base_text"), 1).otherwise(0))
+          .as("h10"))
+    val np = mutn.agg(count(lit(1)).cast("bigint").as("n_planted"))
+    val nf = hit.agg(
+      coalesce(sum(col("h1")), lit(0)).cast("bigint").as("top1_hits"),
+      coalesce(sum(col("h10")), lit(0)).cast("bigint").as("top10_hits"))
+    np.crossJoin(nf)
+      .select(col("n_planted"), col("top1_hits"), col("top10_hits"),
+        (col("top1_hits").cast("double") / col("n_planted")).as("recall_at1"),
+        (col("top10_hits").cast("double") / col("n_planted")).as("recall_at10"))
+  }
+
   /** p01/p03 consume d04's verified-pairs stage, which reads the
     * per-SF materialized pairs table — carry its build as prepare so
     * their timings never absorb it, independent of run order.
     */
-  val all: Seq[OpQuery] = Seq(p01, p02, p03, p04, p05, p06).map { q =>
+  val all: Seq[OpQuery] = Seq(p01, p02, p03, p04, p05, p06, p07).map { q =>
     if (Set(p01.name, p03.name).contains(q.name))
       q.copy(prepare = (s, d) => { DedupOps.ensureNearDupPairs(s, d); () })
     else q

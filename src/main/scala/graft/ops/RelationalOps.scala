@@ -1156,7 +1156,57 @@ object RelationalOps {
       .limit(20)
   }
 
+  /** Per-customer purchase-diversity profile via the Gini–Simpson
+    * index — the diversity statistic that needs NO transcendental
+    * function (Shannon entropy's ln is banned from oracled outputs):
+    * `1 − Σ(nᵢ/N)² = (N² − Σnᵢ²) / N²` over each customer's brand
+    * purchase counts — exact BIGINT squares and sums, ONE final double
+    * division. 0 = always the same brand (a bot-like monoculture),
+    * →1 = evenly spread; recommenders and fraud screens both read it.
+    * Shape: fact⋈fact equi-join on orderkey (orders is only there to
+    * carry custkey), brand from the broadcast part dim, one (customer,
+    * brand) aggregation, one customer rollup — no windows, nothing
+    * quadratic. DuckDB's sum(BIGINT)→HUGEINT widening cast back per
+    * the recipe.
+    */
+  val r64 = OpQuery.oracled("r64_basket_diversity",
+    """WITH cb AS (
+      |  SELECT o.o_custkey AS c, p.p_brand AS b, count(*) AS n
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT c, CAST(count(*) AS BIGINT) AS n_brands,
+      |         CAST(sum(n) AS BIGINT) AS n_items,
+      |         CAST(sum(n * n) AS BIGINT) AS sq
+      |  FROM cb GROUP BY 1
+      |)
+      |SELECT c AS c_custkey, n_items, n_brands,
+      |       CAST(n_items * n_items - sq AS DOUBLE) / (n_items * n_items)
+      |         AS simpson
+      |FROM agg ORDER BY c_custkey""".stripMargin,
+    doc = "per-customer Gini-Simpson brand diversity: (N^2 - sum n_i^2)/N^2 from exact integer counts, one division — the log-free diversity index") { (spark, dir) =>
+    val cb = Sources.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Sources.table(spark, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey").as("c")),
+        "l_orderkey")
+      .join(broadcast(Sources.table(spark, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand").as("b"))),
+        "l_partkey")
+      .groupBy("c", "b").agg(count(lit(1)).as("n"))
+    cb.groupBy("c")
+      .agg(count(lit(1)).cast("bigint").as("n_brands"),
+        sum(col("n")).cast("bigint").as("n_items"),
+        sum(col("n") * col("n")).cast("bigint").as("sq"))
+      .select(col("c").as("c_custkey"), col("n_items"), col("n_brands"),
+        ((col("n_items") * col("n_items") - col("sq")).cast("double")
+          / (col("n_items") * col("n_items"))).as("simpson"))
+      .orderBy("c_custkey")
+  }
+
   val all: Seq[OpQuery] = Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09,
     r10, r11, r12, r30, r32, r38, r41, r42, r43, r44, r46, r47, r48, r49,
-    r50, r51, r52, r54, r55, r56, r57, r58)
+    r50, r51, r52, r54, r55, r56, r57, r58, r64)
 }

@@ -1836,8 +1836,114 @@ object TextOps {
       .orderBy(col("query_doc"), col("cosine").desc, col("doc_id"))
   }
 
+  /** BM25 top-3 retrieval per probe doc over the df-capped inverted
+    * index — the canonical lexical ranking function, completing t36's
+    * unweighted-cosine with the tf-saturating, length-normalized scorer
+    * production search actually runs. Every BM25 ingredient is kept
+    * rational until exactly one float step per term:
+    *
+    *  - idf is the LINEAR Robertson form `(N - df + ½)/(df + ½)` scaled
+    *    to integers `(2N - 2df + 1)/(2df + 1)` (ln is banned from
+    *    oracled outputs — the t07/t25 precedent);
+    *  - the tf part `tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))` with
+    *    k1 = 6/5, b = 3/4, avgdl = T/N is cross-multiplied through by
+    *    10·T into `22·T·tf / (10·T·tf + 3·T + 9·dl·N)` — exact BIGINT
+    *    numerator/denominator, well inside double's 2^53 mantissa;
+    *  - each term's score = one division × one division × one product,
+    *    then truncation-quantized to integer MICROS (`floor(x·1e6)`,
+    *    the picounit-cosine recipe) so the cross-term SUM is an exact
+    *    integer aggregate — immune to Spark's partial-aggregation
+    *    order, which a double sum of per-term scores would not be.
+    *
+    * Scale shape mirrors t36: one (doc,term) shuffle for the index,
+    * df-capped posting lists bound the probe⋈corpus join fan-out, and
+    * the top-3 cut is the bounded-heap GroupTopK — never a per-query
+    * full sort.
+    */
+  /** BM25 scoring core shared by t37 and RetrievalSpec's scalar
+    * re-derivation: per (probe, candidate) pair, the exact-integer
+    * micro-quantized BM25 score sum over shared df-capped terms.
+    * Returns (query_doc, doc_id, score_micro).
+    */
+  private[graft] def bm25ScoresMicro(docs: org.apache.spark.sql.DataFrame,
+      probe: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .persist()
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val corp = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tt"))
+    val nd = docs.agg(ceil(lit(0.9) * count(lit(1))).cast("long").as("cap"))
+    val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd)).filter(col("df") <= col("cap"))
+      .select("t", "df")
+    tf.as("q").filter(probe)
+      .join(dfT, "t")
+      .join(tf.as("c"), col("c.t") === col("q.t") && col("c.doc_id") =!= col("q.doc_id"))
+      .join(dl.select(col("doc_id").as("c_doc"), col("dl")), col("c_doc") === col("c.doc_id"))
+      .crossJoin(broadcast(corp))
+      .groupBy(col("q.doc_id").as("query_doc"), col("c.doc_id").as("doc_id"))
+      .agg(sum(floor(
+        ((lit(2) * col("n") - lit(2) * col("df") + lit(1)).cast("double")
+          / (lit(2) * col("df") + lit(1)))
+          * ((lit(22) * col("tt") * col("c.tf")).cast("double")
+            / (lit(10) * col("tt") * col("c.tf") + lit(3) * col("tt")
+              + lit(9) * col("dl") * col("n")))
+          * lit(1000000.0))).as("score_micro"))
+  }
+
+  val t37 = OpQuery.oracled("t37_bm25_topk", {
+    s"""WITH tf AS (
+      |  SELECT doc_id, t, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |    FROM read_parquet('{SFDIR}/documents.parquet'))
+      |  GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+      |), corp AS (
+      |  SELECT count(*) AS n, sum(dl) AS tt FROM dl
+      |), nd AS (
+      |  SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) AS cap
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), df AS (
+      |  SELECT t, count(*) AS df FROM tf GROUP BY 1
+      |  HAVING count(*) <= (SELECT cap FROM nd)
+      |), scored AS (
+      |  SELECT q.doc_id AS query_doc, c.doc_id AS doc_id,
+      |         sum(CAST(floor(
+      |           (CAST(2 * corp.n - 2 * df.df + 1 AS DOUBLE) / (2 * df.df + 1))
+      |             * (CAST(22 * corp.tt * c.tf AS DOUBLE)
+      |                / (10 * corp.tt * c.tf + 3 * corp.tt + 9 * dl.dl * corp.n))
+      |             * 1000000.0) AS BIGINT)) AS score_micro
+      |  FROM tf q
+      |  JOIN df ON df.t = q.t
+      |  JOIN tf c ON c.t = q.t AND c.doc_id <> q.doc_id
+      |  JOIN dl ON dl.doc_id = c.doc_id
+      |  CROSS JOIN corp
+      |  WHERE q.doc_id % 50 = 0
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT query_doc, doc_id, score_micro,
+      |         row_number() OVER (PARTITION BY query_doc
+      |                            ORDER BY score_micro DESC, doc_id) AS rn
+      |  FROM scored
+      |)
+      |SELECT query_doc, doc_id, CAST(score_micro AS DOUBLE) / 1000000.0 AS bm25
+      |FROM ranked WHERE rn <= 3
+      |ORDER BY query_doc, bm25 DESC, doc_id""".stripMargin
+  },
+    doc = "BM25 top-3 per probe doc: df-capped inverted index, linear idf, integer cross-multiplied tf part, micro-quantized order-free score sum, bounded-heap top-k") { (spark, dir) =>
+    val docs = Sources.table(spark, dir, "documents")
+    val scored = bm25ScoresMicro(docs, col("doc_id") % 50 === 0)
+    graft.api.Windows.topKPerGroup(scored, Seq("query_doc"),
+        Seq(("score_micro", true), ("doc_id", false)), 3)
+      .select(col("query_doc"), col("doc_id"),
+        (col("score_micro").cast("double") / lit(1000000.0)).as("bm25"))
+      .orderBy(col("query_doc"), col("bm25").desc, col("doc_id"))
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
-      t28, t29, t30, t31, t32, t33, t34, t35, t36)
+      t28, t29, t30, t31, t32, t33, t34, t35, t36, t37)
 }

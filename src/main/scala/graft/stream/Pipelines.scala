@@ -354,6 +354,50 @@ object Pipelines {
       }
   }
 
+  /** Streaming content-addressed chunk store — the WRITE path of m11's
+    * chunk-level dedup: each micro-batch of binary payloads is split
+    * into fixed 64-byte chunks ([[graft.ops.Multimodal.payloadChunks]]),
+    * anti-joined against the accumulated store on the chunk md5, and
+    * only NOVEL chunks are admitted — so storage grows by content the
+    * lake has never seen, no matter how often payloads repeat across
+    * batches. Published by the upsertSink staged-swap rename (crash
+    * mid-write leaves the previous store intact), and idempotent under
+    * replay by construction: a redelivered batch's chunks are already
+    * in the store, so its novel set is empty. On an object store this
+    * body becomes a table-format MERGE keyed on the chunk hash.
+    */
+  def chunkStoreSink(media: DataFrame, storePath: String, checkpoint: String,
+      chunkBytes: Int = 64): DataStreamWriter[Row] = {
+    media.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val novel = graft.ops.Multimodal.payloadChunks(batch.toDF(), chunkBytes)
+          .select("h", "len").dropDuplicates("h")
+        val store = new java.io.File(storePath)
+        val hasData = store.isDirectory && Option(store.listFiles())
+          .exists(_.exists(_.getName.startsWith("part-")))
+        val merged =
+          if (hasData) {
+            val existing = spark.read.parquet(storePath)
+            existing.unionByName(
+              novel.join(existing.select(col("h")), Seq("h"), "left_anti"))
+          } else novel
+        val staged = storePath + ".staged"
+        merged.write.mode("overwrite").parquet(staged)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(store)
+        if (!new java.io.File(staged).renameTo(store))
+          throw new java.io.IOException(s"chunkStoreSink: commit rename failed for $storePath")
+        ()
+      }
+  }
+
   /** Streaming CDC apply sink — [[upsertSink]] completed with the
     * DELETE branch: the stream carries Debezium-shaped row images
     * (`opCol` = 'U' upsert / 'D' delete), each micro-batch collapses
@@ -582,6 +626,46 @@ object Pipelines {
           }
           state.update(RfmState(last, n, cents))
           Iterator(RfmUpdate(uid, last, n, cents))
+      }
+  }
+
+  case class GapEvent(user_id: Long, ts_ns: Long)
+  case class GapState(last_ns: Long, n: Long, s1: Long, s2: Long)
+  case class GapUpdate(user_id: Long, n_gaps: Long, s1: Long, s2: Long)
+
+  /** Streaming twin of e30's bot-regularity moments: per-user
+    * inter-arrival gap count / sum / sum-of-squares maintained as O(1)
+    * keyed state (plus the last-seen timestamp), so the cv² regularity
+    * score is computable after every batch from exact integers — the
+    * same merge-associative second-scale sums the batch aggregate
+    * takes, immune to how the stream is batched. Within a batch the
+    * group buffers and sorts (micro-batch iterators carry no order);
+    * ACROSS batches per-user event-time order is the upstream
+    * watermark's job (the funnelStages contract) — a late event would
+    * need its two adjacent gaps re-opened, which O(1) state cannot do.
+    */
+  def botRegularity(events: org.apache.spark.sql.Dataset[GapEvent])
+      : org.apache.spark.sql.Dataset[GapUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, GapUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[GapEvent], state: org.apache.spark.sql.streaming.GroupState[GapState]) =>
+          val prev = state.getOption.getOrElse(GapState(Long.MinValue, 0L, 0L, 0L))
+          var last = prev.last_ns
+          var n = prev.n; var s1 = prev.s1; var s2 = prev.s2
+          it.toSeq.sortBy(_.ts_ns).foreach { e =>
+            if (last != Long.MinValue) {
+              // positive under ordered arrival, so / == DIV == floor
+              val g = (e.ts_ns - last) / 1000000000L
+              n += 1; s1 += g; s2 += g * g
+            }
+            last = e.ts_ns
+          }
+          state.update(GapState(last, n, s1, s2))
+          Iterator(GapUpdate(uid, n, s1, s2))
       }
   }
 

@@ -222,4 +222,29 @@ class GraphSpec extends AnyFunSuite {
     assert(cached() == Set((40L, 50L)), "stale edge cache served after " +
       "the source lineitem was regenerated")
   }
+
+  test("item CF similarity on a hand-built incidence (g14 kernel)") {
+    import org.apache.spark.sql.functions.col
+    // u1:{1,2,3} u2:{1,2} u3:{1,2,4} u4:{3,4} — only (1,2) repeats
+    val ui = spark.createDataFrame(Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (3L, 4L),
+      (4L, 3L), (4L, 4L))).toDF("u", "p")
+
+    val strict = graft.api.Graph.itemCfSimilarity(ui, minShared = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // co(1,2)=3 shared users; n1=n2=3 -> cosine 3/(√3·√3), which in
+    // IEEE is 1.0000000000000002 (√3·√3 rounds just below 3)
+    val one = 3.0 / (math.sqrt(3.0) * math.sqrt(3.0))
+    assert(strict.toSet == Set((1L, 2L, 3L, one), (2L, 1L, 3L, one)), strict.mkString(","))
+
+    // minShared=1: item 1's neighbors rank 2 (cos 1.0) above the tied
+    // 3 and 4 (1/(√3·√2) each), tie broken by neighbor id
+    val loose = graft.api.Graph.itemCfSimilarity(ui, minShared = 1, k = 2)
+      .filter(col("item") === 1L).orderBy(col("cosine").desc, col("neighbor"))
+      .collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(loose.map(_._1).toSeq == Seq(2L, 3L), loose.mkString(","))
+    assert(loose(1)._2 == 1.0 / (math.sqrt(3.0) * math.sqrt(2.0)))
+  }
 }

@@ -51,4 +51,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.length == 3)
     assert(out.map(_.getLong(1)).sum == 50) // every 10th of 500 docs
   }
+
+  test("chunk dedup stats on hand-built payloads (m11 kernel)") {
+    // chunkBytes=4: p1 = AAAA|BBBB|CC, p2 = AAAA|CC — shared chunks
+    // AAAA and the short tail CC dedup across payloads
+    val media = spark.createDataFrame(Seq(
+      ("img", "AAAABBBBCC".getBytes("UTF-8")),
+      ("img", "AAAACC".getBytes("UTF-8")))).toDF("media_type", "payload")
+    val r = Multimodal.chunkDedupStats(media, chunkBytes = 4).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 2L, "n_media")
+    assert(row.getLong(2) == 5L, "n_chunks")          // 3 + 2
+    assert(row.getLong(3) == 3L, "distinct: AAAA BBBB CC")
+    assert(row.getLong(4) == 16L, "logical: 2*4 + 4 + 2*2")
+    assert(row.getLong(5) == 10L, "stored: 4 + 4 + 2")
+    assert(row.getDouble(6) == 2.0 / 5.0, "dedup ratio (5-3)/5")
+  }
 }

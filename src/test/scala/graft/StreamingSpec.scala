@@ -257,6 +257,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(1L) == ((900L, 3L, 850L)), got.toString) // out-of-order recency held
   }
 
+  test("streaming gap moments match the batch e30 sums across a batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sec = 1000000000L
+    // user 1 metronomic at 10 s; user 2 bursty; split mid-stream
+    val events = Seq(
+      Pipelines.GapEvent(1L, 0 * sec), Pipelines.GapEvent(1L, 10 * sec),
+      Pipelines.GapEvent(2L, 5 * sec), Pipelines.GapEvent(2L, 6 * sec),
+      // --- batch boundary ---
+      Pipelines.GapEvent(1L, 20 * sec), Pipelines.GapEvent(1L, 30 * sec),
+      Pipelines.GapEvent(2L, 100 * sec))
+    val mem = MemoryStream[Pipelines.GapEvent]
+    val q = Pipelines.botRegularity(mem.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("gap_state")
+      .start()
+    mem.addData(events.take(4): _*)
+    q.processAllAvailable()
+    mem.addData(events.drop(4): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("gap_state")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(org.apache.spark.sql.functions.col("n_gaps").desc)))
+      .filter($"rn" === 1).drop("rn")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // batch re-derivation: per-user sorted gaps in whole seconds
+    val want = events.groupBy(_.user_id).map { case (u, es) =>
+      val ts = es.map(_.ts_ns).sorted
+      val gaps = ts.zip(ts.tail).map { case (a, b) => (b - a) / sec }
+      u -> ((gaps.length.toLong, gaps.sum, gaps.map(g => g * g).sum))
+    }
+    assert(got == want, s"got $got\nwant $want")
+    // cv² from the moments: user 1 exactly regular (variance 0)
+    val (n1, s11, s21) = got(1L)
+    assert(n1 * s21 - s11 * s11 == 0L, got.toString)
+  }
+
   test("keyed quota admits across batches until the per-source cap, then rejects") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Pipelines.QuotaDoc]
@@ -502,6 +541,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(snapshot() == Map(
       1L -> (1L, "a1"), 2L -> (2L, "b2"), 3L -> (1L, "c1"),
       4L -> (2L, "dup-new"), 5L -> (1L, "e1")))
+  }
+
+  test("streaming chunk store admits only never-seen chunks across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val store = tmp("graft_chunk_store")
+    val cp = tmp("graft_chunk_cp")
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.chunkStoreSink(mem.toDF().toDF("media_id", "payload"),
+        store, cp, chunkBytes = 4))
+    def hashes(): Set[String] =
+      spark.read.parquet(store).select("h").as[String].collect().toSet
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    // batch 1: AAAA|BBBB and AAAA|CCCC — within-batch chunk dedup
+    mem.addData((1L, "AAAABBBB".getBytes("UTF-8")),
+      (2L, "AAAACCCC".getBytes("UTF-8")))
+    run()
+    assert(hashes() == Set(md5("AAAA"), md5("BBBB"), md5("CCCC")))
+
+    // batch 2: BBBB repeats (not re-stored), DDDD is novel
+    mem.addData((3L, "BBBBDDDD".getBytes("UTF-8")))
+    run()
+    assert(hashes() == Set(md5("AAAA"), md5("BBBB"), md5("CCCC"), md5("DDDD")))
+    assert(spark.read.parquet(store).count() == 4L, "chunks must store once")
+
+    // batch 3: an already-fully-known payload adds nothing
+    mem.addData((4L, "AAAADDDD".getBytes("UTF-8")))
+    run()
+    assert(spark.read.parquet(store).count() == 4L)
   }
 
   test("streaming CDC sink applies updates AND deletes; latest change per key wins") {
