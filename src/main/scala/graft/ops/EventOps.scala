@@ -1160,7 +1160,100 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Day-of-week × hour-of-day seasonality heatmap — the traffic-shape
+    * profile that decides batch-window placement and staffing curves.
+    * Both axes are INTEGER epoch arithmetic (epoch day 0 = a Thursday;
+    * `(day + 4) % 7` relabels so 0 = Sunday), never calendar functions
+    * — the recipe's timezone-proof bucketing, mirrored digit-for-digit
+    * in the oracle. Counts are exact; each cell's share of total is
+    * one division against a 1-row broadcast total.
+    */
+  val e31 = OpQuery.oracled("e31_seasonality_profile",
+    """WITH g AS (
+      |  SELECT ((epoch_ns(ts) // 1000 // 86400000000) + 4) % 7 AS dow,
+      |         (epoch_ns(ts) // 1000 % 86400000000) // 3600000000 AS hour,
+      |         count(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM g)
+      |SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+      |       CAST(cnt AS BIGINT) AS cnt,
+      |       CAST(cnt AS DOUBLE) / tot.n AS share
+      |FROM g CROSS JOIN tot
+      |ORDER BY dow, hour""".stripMargin,
+    doc = "dow x hour seasonality heatmap in pure integer epoch arithmetic (0=Sunday via (day+4)%7); exact counts + one share division") { (spark, dir) =>
+    val g = Sources.table(spark, dir, "events")
+      .select(
+        ((expr("ts div 1000 div 86400000000") + 4) % 7).as("dow"),
+        expr("(ts div 1000 % 86400000000) div 3600000000").as("hour"))
+      .groupBy("dow", "hour").agg(count(lit(1)).as("cnt"))
+    val tot = g.agg(sum(col("cnt")).cast("bigint").as("n"))
+    g.crossJoin(broadcast(tot))
+      .select(col("dow").cast("bigint").as("dow"),
+        col("hour").cast("bigint").as("hour"),
+        col("cnt").cast("bigint").as("cnt"),
+        (col("cnt").cast("double") / col("n")).as("share"))
+      .orderBy("dow", "hour")
+  }
+
+  /** First-order Markov next-event prediction accuracy — the e13
+    * transition matrix USED as a model and scored in-sample: for each
+    * observed transition, the prediction is the argmax next type given
+    * the previous type (ties to the lexicographically first, pinned in
+    * both engines), and accuracy is the hit fraction. This is the
+    * eval-loop shape (train table → argmax policy → join back → score)
+    * that grades any sequence model; with only a handful of event
+    * types the matrix is a broadcast dimension and the tape join
+    * shuffles once on the type key. Exact integer hit counts, one
+    * division per row.
+    */
+  val e32 = OpQuery.oracled("e32_markov_next_event_accuracy",
+    """WITH tape AS (
+      |  SELECT event_type AS prev,
+      |         lead(event_type) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id) AS next
+      |  FROM events
+      |), trans AS (
+      |  SELECT prev, next, count(*) AS c FROM tape
+      |  WHERE next IS NOT NULL GROUP BY 1, 2
+      |), pred AS (
+      |  SELECT prev, next AS predicted FROM (
+      |    SELECT prev, next,
+      |           row_number() OVER (PARTITION BY prev
+      |                              ORDER BY c DESC, next) AS rn
+      |    FROM trans) WHERE rn = 1
+      |)
+      |SELECT t.prev,
+      |       CAST(count(*) AS BIGINT) AS n_transitions,
+      |       CAST(sum(CASE WHEN t.next = p.predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |       CAST(sum(CASE WHEN t.next = p.predicted THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / count(*) AS accuracy
+      |FROM tape t JOIN pred p ON p.prev = t.prev
+      |WHERE t.next IS NOT NULL
+      |GROUP BY 1 ORDER BY t.prev""".stripMargin,
+    doc = "first-order Markov next-event accuracy: e13's transition matrix as an argmax policy joined back onto the tape; exact hit counts, one division") { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tape = Sources.table(spark, dir, "events")
+      .select(col("event_type").as("prev"),
+        lead(col("event_type"), 1).over(w).as("next"))
+      .filter(col("next").isNotNull)
+      .persist()
+    val trans = tape.groupBy("prev", "next").agg(count(lit(1)).as("c"))
+    val wp = Window.partitionBy("prev").orderBy(col("c").desc, col("next"))
+    val pred = trans.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") === 1)
+      .select(col("prev"), col("next").as("predicted"))
+    tape.join(broadcast(pred), "prev")
+      .groupBy("prev")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_transitions"),
+        sum(when(col("next") === col("predicted"), 1).otherwise(0))
+          .cast("bigint").as("n_correct"),
+        (sum(when(col("next") === col("predicted"), 1).otherwise(0))
+          .cast("double") / count(lit(1))).as("accuracy"))
+      .orderBy("prev")
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
     e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
-    e25, e26, e27, e28, e29, e30)
+    e25, e26, e27, e28, e29, e30, e31, e32)
 }

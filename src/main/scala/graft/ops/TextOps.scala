@@ -1858,7 +1858,12 @@ object TextOps {
     * Scale shape mirrors t36: one (doc,term) shuffle for the index,
     * df-capped posting lists bound the probe⋈corpus join fan-out, and
     * the top-3 cut is the bounded-heap GroupTopK — never a per-query
-    * full sort.
+    * full sort. Honest caveat shared with t36/p07: the cap only binds
+    * when the vocabulary is Zipf-shaped; on THIS synthetic corpus
+    * (~31 distinct tokens, every term near-universal) the probe⋈
+    * corpus join degrades toward all-pairs — the same labeled
+    * by-construction class as d13, visible in the bench's cross-SF
+    * ratios. A natural corpus restores the bound.
     */
   /** BM25 scoring core shared by t37 and RetrievalSpec's scalar
     * re-derivation: per (probe, candidate) pair, the exact-integer
@@ -1942,8 +1947,78 @@ object TextOps {
       .orderBy(col("query_doc"), col("bm25").desc, col("doc_id"))
   }
 
+  /** Cross-source BIGRAM-vocabulary Jaccard matrix — the
+    * distributional-similarity companion to t18's span-level provenance
+    * overlap and t29's token drift: which sources write in the same
+    * phrase patterns? Unigram vocabularies are too small to
+    * discriminate (this corpus has ~31 distinct tokens, every pair
+    * near 1.0), so the comparison runs at bigram grain, where the
+    * vocabulary is quadratic in tokens and genuinely diverges across
+    * sources. Set sizes and the intersection are exact integer counts
+    * (the distinct (source, bigram) frame joined to itself on the
+    * bigram — source-pairs bounded by the source dimension, never by
+    * data volume), union by inclusion-exclusion, ONE double division.
+    */
+  val t38 = OpQuery.oracled("t38_source_bigram_jaccard",
+    """WITH tok AS (
+      |  SELECT source,
+      |         unnest(string_split(text, ' ')) AS t,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos,
+      |         doc_id
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), sv AS (
+      |  SELECT DISTINCT source, t AS w1,
+      |         lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |  FROM tok
+      |), v AS (
+      |  SELECT DISTINCT source, w1, w2 FROM sv WHERE w2 IS NOT NULL
+      |), sizes AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1
+      |), inter AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |         CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM v a JOIN v b
+      |    ON a.w1 = b.w1 AND a.w2 = b.w2 AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT i.source_a, i.source_b, sa.n AS vocab_a, sb.n AS vocab_b,
+      |       i.n_shared,
+      |       CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared) AS jaccard
+      |FROM inter i
+      |JOIN sizes sa ON sa.source = i.source_a
+      |JOIN sizes sb ON sb.source = i.source_b
+      |ORDER BY source_a, source_b""".stripMargin,
+    doc = "cross-source bigram-vocabulary Jaccard matrix: exact integer set sizes + intersection join on the bigram, inclusion-exclusion union, one division") { (spark, dir) =>
+    val toks = Sources.table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), split(col("text"), " ").as("toks"))
+    val v = toks.filter(size(col("toks")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .distinct()
+      .persist()
+    val sizes = v.groupBy("source").agg(count(lit(1)).cast("bigint").as("n"))
+    val inter = v.as("a")
+      .join(v.as("b"),
+        col("a.w1") === col("b.w1") && col("a.w2") === col("b.w2")
+          && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).cast("bigint").as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("vocab_a"))),
+        "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("vocab_b"))),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("vocab_a"), col("vocab_b"),
+        col("n_shared"),
+        (col("n_shared").cast("double")
+          / (col("vocab_a") + col("vocab_b") - col("n_shared"))).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
-      t28, t29, t30, t31, t32, t33, t34, t35, t36, t37)
+      t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38)
 }
