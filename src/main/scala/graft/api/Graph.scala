@@ -563,6 +563,41 @@ object Graph {
     * power-law incidence should pre-cap. Popularity counts broadcast as
     * a dimension; the top-k cut is the bounded-heap [[Windows.topKPerGroup]].
     */
+  /** Deterministic hash-directed random walks — the walk-corpus
+    * primitive behind node2vec/DeepWalk-style graph embeddings, made
+    * oracle-checkable by replacing the RNG with a portable md5 draw:
+    * at step s, a walk at node u moves to the neighbor v minimizing
+    * `md5(seed|s|u|v)` (ties by v — practically unreachable). Every
+    * engine computing the same hex strings picks the same neighbor, so
+    * the walk table is bit-reproducible — the property a training
+    * pipeline needs to regenerate its walk corpus identically.
+    *
+    * One join + one bounded per-seed argmin per step — frontier size
+    * never exceeds |seeds|, so cost is O(steps · |seeds| · avg-degree)
+    * however large the graph. A walk ending at a dead-end node (inner
+    * join finds no neighbor) simply stops. Returns (seed, step, node)
+    * with step 0 = the seed itself.
+    */
+  def hashWalks(edgeList: DataFrame, seeds: DataFrame, steps: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edgeList.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(edgeList.select(col("pb").as("u"), col("pa").as("v")))
+      .persist()
+    var cur = seeds.select(col("node").as("seed"), col("node"))
+    var out = cur.select(col("seed"), lit(0).as("step"), col("node"))
+    for (s <- 1 to steps) {
+      val w = Window.partitionBy("seed").orderBy(col("key"), col("v"))
+      cur = cur.join(sym, col("node") === col("u"))
+        .withColumn("key", md5(concat_ws("|",
+          col("seed").cast("string"), lit(s).cast("string"),
+          col("u").cast("string"), col("v").cast("string"))))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("seed"), col("v").as("node"))
+      out = out.unionAll(cur.select(col("seed"), lit(s).as("step"), col("node")))
+    }
+    out
+  }
+
   def itemCfSimilarity(incidence: DataFrame, minShared: Int, k: Int): DataFrame = {
     // the deduped incidence feeds BOTH the popularity counts and the
     // basket expansion — materialize it once or the upstream join +

@@ -2017,8 +2017,56 @@ object TextOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** Per-source boilerplate screen — the C4-style "same header on
+    * every page" detector: each document's LEADING trigram is its
+    * template signature; a source whose modal signature covers a large
+    * share of its documents is emitting boilerplate that span-level
+    * dedup (d10) will then strip. Complements t13 (repetition WITHIN a
+    * doc) and t18 (span provenance ACROSS sources): this is template
+    * repetition across one source's documents. Counts are exact; the
+    * modal pick is a bounded per-source argmax (ties to the
+    * lexicographically first signature); share is one division.
+    */
+  val t39 = OpQuery.oracled("t39_boilerplate_prefix_share",
+    """WITH sig AS (
+      |  SELECT source,
+      |         array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS prefix
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), counts AS (
+      |  SELECT source, prefix, count(*) AS n FROM sig GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT source, CAST(sum(n) AS BIGINT) AS n_docs FROM counts GROUP BY 1
+      |), modal AS (
+      |  SELECT source, prefix, n FROM (
+      |    SELECT source, prefix, n,
+      |           row_number() OVER (PARTITION BY source
+      |                              ORDER BY n DESC, prefix) AS rn
+      |    FROM counts) WHERE rn = 1
+      |)
+      |SELECT m.source, t.n_docs, m.prefix AS modal_prefix,
+      |       CAST(m.n AS BIGINT) AS n_modal,
+      |       CAST(m.n AS DOUBLE) / t.n_docs AS boilerplate_share
+      |FROM modal m JOIN tot t ON t.source = m.source
+      |ORDER BY m.source""".stripMargin,
+    doc = "per-source boilerplate screen: modal leading trigram + its document share (exact counts, bounded argmax, one division)") { (spark, dir) =>
+    val sig = Sources.table(spark, dir, "documents")
+      .select(col("source"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("prefix"))
+    val counts = sig.groupBy("source", "prefix").agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy("source")
+      .agg(sum(col("n")).cast("bigint").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("n").desc, col("prefix"))
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(broadcast(tot), "source")
+      .select(col("source"), col("n_docs"), col("prefix").as("modal_prefix"),
+        col("n").cast("bigint").as("n_modal"),
+        (col("n").cast("double") / col("n_docs")).as("boilerplate_share"))
+      .orderBy("source")
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
-      t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38)
+      t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39)
 }

@@ -223,6 +223,31 @@ class GraphSpec extends AnyFunSuite {
       "the source lineitem was regenerated")
   }
 
+  test("hash-directed walks follow the scalar md5 argmin (g15 kernel)") {
+    import org.apache.spark.sql.functions.col
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // triangle {1,2,3} plus pendant 3-4; walk from seed 1, 3 steps
+    val edges = spark.createDataFrame(Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))).toDF("pa", "pb")
+    val seeds = spark.createDataFrame(Seq(Tuple1(1L))).toDF("node")
+    val got = graft.api.Graph.hashWalks(edges, seeds, steps = 3)
+      .orderBy("step").collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+
+    // scalar re-derivation with the same neighbor lists
+    val nbrs = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L),
+      3L -> Seq(1L, 2L, 4L), 4L -> Seq(3L))
+    var node = 1L
+    val want = scala.collection.mutable.Map(0 -> 1L)
+    for (s <- 1 to 3) {
+      node = nbrs(node).minBy(v => (md5hex(s"1|$s|$node|$v"), v))
+      want(s) = node
+    }
+    assert(got == want.toMap, s"got $got want $want")
+  }
+
   test("item CF similarity on a hand-built incidence (g14 kernel)") {
     import org.apache.spark.sql.functions.col
     // u1:{1,2,3} u2:{1,2} u3:{1,2,4} u4:{3,4} — only (1,2) repeats
