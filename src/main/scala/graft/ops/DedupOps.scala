@@ -326,8 +326,10 @@ object DedupOps {
 
   /** SimHash: 64-bit (16 hex nibble) majority-vote fingerprint over the
     * distinct-token md5s. Near-identical docs differ in few bits.
+    * The oracle body is shared with d16's banded pair search (which
+    * splices it as a nested CTE).
     */
-  val d05 = OpQuery.oracled("d05_simhash",
+  private val simhashOracleBody =
     """WITH tok AS (
       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM read_parquet('{SFDIR}/documents.parquet')
       |), h AS (
@@ -352,11 +354,79 @@ object DedupOps {
       |  FROM nib
       |)
       |SELECT doc_id, string_agg(c, '' ORDER BY p) AS simhash
-      |FROM ch GROUP BY doc_id
-      |ORDER BY doc_id""".stripMargin,
+      |FROM ch GROUP BY doc_id""".stripMargin
+
+  val d05 = OpQuery.oracled("d05_simhash",
+    simhashOracleBody + "\nORDER BY doc_id",
     doc = "SimHash fingerprint (bitwise majority of token hashes)") { (spark, dir) =>
     graft.api.Dedup.simhash(Sources.table(spark, dir, "documents"))
       .orderBy("doc_id")
+  }
+
+  /** Dialect-portable Hamming distance between two 16-hex-char SimHash
+    * strings: per-nibble decode via instr on the hex alphabet, xor as
+    * `(a|b) - (a&b)` (DuckDB's `^` is POWER, so the operator form is
+    * not portable), popcounted with bit_count — the SAME expression
+    * text runs in Spark and DuckDB (the t35 identical-text pattern).
+    */
+  private[graft] def hammingSql(sa: String, sb: String): String = {
+    def nib(s: String, p: Int) =
+      s"(instr('0123456789abcdef', substr($s, $p, 1)) - 1)"
+    (1 to 16).map { p =>
+      val a = nib(sa, p); val b = nib(sb, p)
+      s"bit_count(($a | $b) - ($a & $b))"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** SimHash banded near-dup PAIR SEARCH — the production use of d05's
+    * fingerprints (the Google-crawl dedup shape): the 64-bit simhash
+    * splits into 4 16-bit bands; any pair within Hamming distance 3
+    * agrees exactly on at least one band (pigeonhole), so exact-match
+    * band buckets generate ALL candidates and the full Hamming check
+    * (≤ 3 bits) verifies them. Complements d04: MinHash-LSH finds
+    * near-dup token SETS, simhash banding finds near-identical
+    * WEIGHTED fingerprints at a few-bit radius — constant-size
+    * signatures, no shingle join. Candidates are bounded by band-bucket
+    * sizes (uniform 16-bit hash values); the verify is a per-pair
+    * 16-nibble popcount expression, no second data join.
+    */
+  val d16 = OpQuery.oracled("d16_simhash_near_dup", {
+    s"""WITH sig AS (
+      |${simhashOracleBody.replace("{SFDIR}", "{SFDIR}")}
+      |), bands AS (
+      |  SELECT doc_id, simhash, u.b,
+      |         substr(simhash, u.b * 4 + 1, 4) AS bv
+      |  FROM sig, unnest(generate_series(0, 3)) AS u(b)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
+      |                  b.doc_id AS doc_b, b.simhash AS sb
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |)
+      |SELECT doc_a, doc_b,
+      |       CAST(${hammingSql("sa", "sb")} AS INT) AS hamming
+      |FROM cand
+      |WHERE ${hammingSql("sa", "sb")} <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+  },
+    doc = "SimHash banded near-dup pair search: 4x16-bit exact-match bands generate candidates (pigeonhole-complete for Hamming<=3), portable nibble-popcount verify") { (spark, dir) =>
+    val sig = graft.api.Dedup.simhash(Sources.table(spark, dir, "documents"))
+      .persist()
+    val bands = sig
+      .withColumn("b", explode(expr("sequence(0, 3)")))
+      .withColumn("bv", expr("substr(simhash, b * 4 + 1, 4)"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sa"),
+        col("b.doc_id").as("doc_b"), col("b.simhash").as("sb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr(hammingSql("sa", "sb")))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Stopword guard for d06: tokens present in more than this fraction
@@ -784,7 +854,7 @@ object DedupOps {
     * 3×-repaid pipeline); every other d-query is standalone.
     */
   val all: Seq[OpQuery] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    d10, d11, d12, d13, d14, d15).map { q =>
+    d10, d11, d12, d13, d14, d15, d16).map { q =>
     if (Set(d04.name, d07.name, d08.name).contains(q.name))
       q.copy(prepare = (s, d) => { ensureNearDupPairs(s, d); () })
     else q

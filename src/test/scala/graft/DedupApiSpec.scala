@@ -267,4 +267,25 @@ class DedupApiSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq((1L, 2L, 10L)), got.mkString(","))
   }
+
+  test("portable hamming expression matches scalar popcount (d16)") {
+    import org.apache.spark.sql.functions.expr
+    def scalarHamming(a: String, b: String): Int =
+      a.zip(b).map { case (x, y) =>
+        Integer.bitCount(
+          Integer.parseInt(x.toString, 16) ^ Integer.parseInt(y.toString, 16))
+      }.sum
+    val cases = Seq(
+      ("0000000000000000", "0000000000000000"), // 0 bits
+      ("0000000000000000", "0000000000000001"), // 1 bit
+      ("ffffffffffffffff", "0000000000000000"), // 64 bits
+      ("a5a5a5a5a5a5a5a5", "5a5a5a5a5a5a5a5a"), // alternating
+      ("0123456789abcdef", "0123456789abcdee"))
+    val df = cases.toDF("sa", "sb")
+      .withColumn("h", expr(graft.ops.DedupOps.hammingSql("sa", "sb")))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    got.foreach { case (a, b, h) =>
+      assert(h == scalarHamming(a, b), s"$a vs $b: got $h")
+    }
+  }
 }
