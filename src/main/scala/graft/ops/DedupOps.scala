@@ -390,6 +390,19 @@ object DedupOps {
     * sizes (uniform 16-bit hash values); the verify is a per-pair
     * 16-nibble popcount expression, no second data join.
     */
+  /** Viral-band guard: a band VALUE shared by more than this many
+    * documents generates a quadratic candidate bucket while carrying no
+    * discrimination — the d04 shingle-cap argument applied to simhash
+    * bands. On a natural corpus 16-bit band buckets are tiny; on this
+    * 31-token synthetic vocabulary fingerprints concentrate and a few
+    * bands go viral (first landing: 40 s at sf0.1, superlinear-flagged
+    * — the cap returned it to sub-second). Recall tradeoff is explicit
+    * and mirrored in the oracle: a pair agreeing ONLY inside viral
+    * bands is not reported — pigeonhole completeness for Hamming ≤ 3
+    * holds over the surviving bands.
+    */
+  private val maxBandDocFreq = 100L
+
   val d16 = OpQuery.oracled("d16_simhash_near_dup", {
     s"""WITH sig AS (
       |${simhashOracleBody.replace("{SFDIR}", "{SFDIR}")}
@@ -397,10 +410,15 @@ object DedupOps {
       |  SELECT doc_id, simhash, u.b,
       |         substr(simhash, u.b * 4 + 1, 4) AS bv
       |  FROM sig, unnest(generate_series(0, 3)) AS u(b)
+      |), okb AS (
+      |  SELECT b, bv FROM bands GROUP BY 1, 2
+      |  HAVING count(*) <= $maxBandDocFreq
+      |), kept AS (
+      |  SELECT bands.* FROM bands JOIN okb USING (b, bv)
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
       |                  b.doc_id AS doc_b, b.simhash AS sb
-      |  FROM bands a JOIN bands b
+      |  FROM kept a JOIN kept b
       |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
       |)
       |SELECT doc_a, doc_b,
@@ -409,14 +427,18 @@ object DedupOps {
       |WHERE ${hammingSql("sa", "sb")} <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
   },
-    doc = "SimHash banded near-dup pair search: 4x16-bit exact-match bands generate candidates (pigeonhole-complete for Hamming<=3), portable nibble-popcount verify") { (spark, dir) =>
+    doc = "SimHash banded near-dup pair search: 4x16-bit exact-match bands generate candidates (pigeonhole-complete for Hamming<=3 over non-viral bands; d04-style band-frequency cap), portable nibble-popcount verify") { (spark, dir) =>
     val sig = graft.api.Dedup.simhash(Sources.table(spark, dir, "documents"))
       .persist()
     val bands = sig
       .withColumn("b", explode(expr("sequence(0, 3)")))
       .withColumn("bv", expr("substr(simhash, b * 4 + 1, 4)"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+      .persist()
+    val okb = bands.groupBy("b", "bv").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBandDocFreq).select("b", "bv")
+    val kept = bands.join(okb, Seq("b", "bv"))
+    val cand = kept.as("a")
+      .join(kept.as("b"),
         col("a.b") === col("b.b") && col("a.bv") === col("b.bv")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sa"),
