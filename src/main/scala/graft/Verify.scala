@@ -8,9 +8,14 @@ object Verify {
     val Array(sfDir, outDir) = args
     // argument-order guard: outDir is DELETED below, so refuse anything
     // that looks like a fixture directory (the args were once passed
-    // reversed and Verify emptied /root/testdata/sf0.001)
-    require(!outDir.contains("/testdata"),
-      s"refusing to use fixture dir $outDir as the output dir (arg order is <sfDir> <outDir>)")
+    // reversed and Verify emptied /root/testdata/sf0.001). Canonicalize
+    // first so relative paths / symlinks can't sidestep the check, and
+    // refuse anything containing a parquet fixture regardless of name.
+    val outCanon = Paths.get(outDir).toAbsolutePath.normalize.toString
+    require(!outCanon.contains("/testdata"),
+      s"refusing to use fixture dir $outCanon as the output dir (arg order is <sfDir> <outDir>)")
+    require(!Files.exists(Paths.get(outCanon, "lineitem.parquet")),
+      s"$outCanon contains lineitem.parquet — it looks like a fixture dir, refusing to wipe it")
     require(Files.exists(Paths.get(s"$sfDir/lineitem.parquet")),
       s"$sfDir does not look like a scale-factor dir (no lineitem.parquet) — arg order is <sfDir> <outDir>")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

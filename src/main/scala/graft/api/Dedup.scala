@@ -267,27 +267,65 @@ object Dedup {
     *
     * Same banded-MinHash machinery as [[nearDupPairs]], but the two
     * sides are asymmetric and that is the scale story: the corpus
-    * side's signatures/bands are a write-once INDEX (in production,
-    * persisted as a table and reused every batch; here re-derived
-    * because the oracle must see one self-contained query), while the
-    * incoming batch is small — so its band keys broadcast, candidates
-    * are bounded by real band collisions, and the corpus's shingle
-    * store is only touched on the candidate doc ids (AQE broadcasts
-    * the candidate set; the corpus side never fully shuffles).
+    * side's signatures/bands are a write-once INDEX (persisted as a
+    * table and reused every batch — build it with
+    * [[incrementalCorpusIndex]] and probe with
+    * [[incrementalNearDupsIndexed]]), while the incoming batch is
+    * small — so its band keys broadcast, candidates are bounded by
+    * real band collisions, and the corpus's shingle store is only
+    * touched on the candidate doc ids (AQE broadcasts the candidate
+    * set; the corpus side never fully shuffles).
+    *
+    * This overload re-derives the corpus index inline for callers who
+    * want one self-contained query; per-batch production use should
+    * persist the index once and call the indexed variant.
     */
   def incrementalNearDups(incoming: DataFrame, corpus: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, seeds: Int = 8, bandSize: Int = 2,
       threshold: Double = 0.5): DataFrame = {
-    def prep(side: DataFrame): (DataFrame, DataFrame) = {
-      val shs = shingles(side, idCol, textCol, n).persist()
-      val aggs = minAggs(seeds) :+ count(lit(1)).as("n")
-      (shs, withHashHalves(shs, idCol).groupBy(idCol).agg(aggs.head, aggs.tail: _*))
-    }
+    val (coShs, coSig) =
+      incrementalCorpusIndex(corpus, idCol, textCol, n, seeds)
+    incrementalNearDupsIndexed(incoming, coShs.persist(), coSig.persist(),
+      idCol, textCol, n, seeds, bandSize, threshold)
+  }
+
+  /** The write-once corpus-side index [[incrementalNearDupsIndexed]]
+    * probes: (exploded shingles (id, sh), signatures
+    * (id, mh0..mh{seeds-1}, n)). Persist both as tables; each ingest
+    * batch then pays only its own shingling plus a band join against
+    * the signature table and a candidate-pruned join against the
+    * shingle table — the corpus is never re-shingled.
+    */
+  def incrementalCorpusIndex(corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, seeds: Int = 8)
+      : (DataFrame, DataFrame) = {
+    val shs = shingles(corpus, idCol, textCol, n)
+    val aggs = minAggs(seeds) :+ count(lit(1)).as("n")
+    val sig = withHashHalves(shs, idCol)
+      .groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    (shs, sig)
+  }
+
+  /** Probe a new ingest batch against a prebuilt corpus index (see
+    * [[incrementalCorpusIndex]]) — the per-batch production path.
+    * `corpusShingles`/`corpusSig` are typically parquet scans of the
+    * persisted index, so only candidate doc ids are ever read from
+    * the shingle store.
+    */
+  def incrementalNearDupsIndexed(incoming: DataFrame,
+      corpusShingles: DataFrame, corpusSig: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, seeds: Int = 8, bandSize: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val inShs = shingles(incoming, idCol, textCol, n).persist()
+    val aggs = minAggs(seeds) :+ count(lit(1)).as("n")
+    val inSig = withHashHalves(inShs, idCol)
+      .groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    val coShs = corpusShingles
+    val coSig = corpusSig
     def bandsOf(sig: DataFrame): DataFrame =
       sig.select(col(idCol), explode(bandKeyArray(seeds, bandSize)).as("bk"))
-    val (inShs, inSig) = prep(incoming)
-    val (coShs, coSig) = prep(corpus)
     val cand = bandsOf(inSig).as("a")
       .join(bandsOf(coSig).as("b"), col("a.bk") === col("b.bk"))
       .select(col(s"a.$idCol").as("doc_new"), col(s"b.$idCol").as("doc_old"))

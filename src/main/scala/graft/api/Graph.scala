@@ -318,8 +318,21 @@ object Graph {
     * (a, b, common_neighbors, jaccard).
     */
   def linkFeatures(edgeList: DataFrame, topK: Int,
+      maxConnectorDegree: Option[Long] = None): DataFrame =
+    scoreLinkCandidates(linkCandidates(edgeList, maxConnectorDegree), topK)
+
+  /** The offline candidate-generation stage of [[linkFeatures]]:
+    * non-adjacent distance-2 pairs with their common-neighbor count
+    * and endpoint degrees — (a, b, common, deg_a, deg_b). This is the
+    * batch-index half of a production link-prediction pipeline
+    * (candidate generation runs offline and is persisted; scoring and
+    * ranking run per request over the persisted table), and the
+    * sum-of-outdeg² wedge expansion is exactly the cost that belongs
+    * in that offline build: materialize this frame once per corpus
+    * snapshot and run [[scoreLinkCandidates]] against it.
+    */
+  def linkCandidates(edgeList: DataFrame,
       maxConnectorDegree: Option[Long] = None): DataFrame = {
-    require(topK >= 1, s"bad topK $topK")
     val sym = edgeList.select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(edgeList.select(col("pb").as("u"), col("pa").as("v")))
       .persist()
@@ -338,6 +351,17 @@ object Graph {
         Seq("a", "b"), "left_anti")
       .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("common"),
+        col("deg_a"), col("deg_b"))
+  }
+
+  /** The online scoring/ranking stage of [[linkFeatures]] over a
+    * (persisted) [[linkCandidates]] frame: neighborhood Jaccard from
+    * the exact integer counts, deterministic top-k.
+    */
+  def scoreLinkCandidates(candidates: DataFrame, topK: Int): DataFrame = {
+    require(topK >= 1, s"bad topK $topK")
+    candidates
       .select(col("a"), col("b"),
         col("common").cast("bigint").as("common_neighbors"),
         (col("common").cast("double") /
@@ -558,10 +582,15 @@ object Graph {
     * Scale: the pair expansion is per-USER over that user's item set —
     * when per-user baskets are bounded (the norm: a user's history is
     * small next to the catalog), total pairs are O(users·basket²), not
-    * O(items²). Hot users (unbounded baskets) would need the g08-style
-    * connector cap on who may serve as a pair source — callers with
-    * power-law incidence should pre-cap. Popularity counts broadcast as
-    * a dimension; the top-k cut is the bounded-heap [[Windows.topKPerGroup]].
+    * O(items²). `maxBasket` is the g08-style connector cap that makes
+    * the bound ENFORCED rather than assumed: users with more than
+    * `maxBasket` distinct items are excluded from the pair expansion
+    * (a hot user's co-occurrence signal is mostly popularity noise,
+    * and their basket² is exactly the power-law blowup), while
+    * popularity counts stay over the full incidence — the same split
+    * as g08, where capped nodes can't serve as wedge centers but keep
+    * their true degrees. Popularity counts broadcast as a dimension;
+    * the top-k cut is the bounded-heap [[Windows.topKPerGroup]].
     */
   /** Deterministic hash-directed random walks — the walk-corpus
     * primitive behind node2vec/DeepWalk-style graph embeddings, made
@@ -598,13 +627,16 @@ object Graph {
     out
   }
 
-  def itemCfSimilarity(incidence: DataFrame, minShared: Int, k: Int): DataFrame = {
+  def itemCfSimilarity(incidence: DataFrame, minShared: Int, k: Int,
+      maxBasket: Option[Long] = None): DataFrame = {
     // the deduped incidence feeds BOTH the popularity counts and the
     // basket expansion — materialize it once or the upstream join +
     // distinct shuffle runs twice
     val ui = incidence.select(col("u"), col("p")).distinct().persist()
     val np = ui.groupBy("p").agg(count(lit(1)).as("n"))
-    val co = ui.groupBy("u").agg(sort_array(collect_set(col("p"))).as("ps"))
+    val baskets = ui.groupBy("u").agg(sort_array(collect_set(col("p"))).as("ps"))
+    val co = maxBasket.fold(baskets)(cap =>
+        baskets.filter(size(col("ps")) <= cap))
       .select(explode(expr(
         """flatten(transform(ps,
           |  (x, i) -> transform(slice(ps, i + 2, size(ps)),
