@@ -15,7 +15,7 @@ object SparkEntry {
     StarQueries.all ++ ReferenceQueries.all ++ RelationalOps.all ++
       EventOps.all ++ TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++
       Multimodal.all ++ ScaleOps.all ++ JoinOps.all ++ GraphOps.all ++
-      PipelineOps.all
+      PipelineOps.all ++ StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -696,6 +696,12 @@ object Multimodal {
     */
   private[graft] def payloadChunks(media: DataFrame, chunkBytes: Int): DataFrame =
     media
+      // a zero-length payload has no chunks: filter it out BEFORE the
+      // sequence — Spark's sequence(1, 0, k) throws on the illegal
+      // bounds, whereas the oracle's range(1, length+1, k) silently
+      // yields nothing; the guard aligns the engine with the oracle
+      // and keeps empty payloads from crashing chunkStoreSink batches
+      .filter(octet_length(col("payload")) > 0)
       .withColumn("s",
         explode(sequence(lit(1), octet_length(col("payload")), lit(chunkBytes))))
       .withColumn("h", md5(expr(s"substring(payload, s, $chunkBytes)")))

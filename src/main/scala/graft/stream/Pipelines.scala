@@ -303,16 +303,64 @@ object Pipelines {
         ()
       }
 
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(); ()
+  }
+
+  /** Publish a staged rewrite of a cumulative table directory with NO
+    * window in which the live data is the only casualty: the live dir
+    * is renamed ASIDE (`<live>.old`), the staged dir renamed into
+    * place, and only then is the aside copy deleted. A crash at any
+    * point leaves either the old table (recoverable by
+    * [[recoverPublished]]) or the new one on disk — never neither.
+    * The naive order (delete live, then rename staged in) has a
+    * delete→rename window that destroys the table outright, which for
+    * a CUMULATIVE store (chunk store, aggregate view) is unrecoverable
+    * data loss: the checkpoint has already committed earlier batches,
+    * so their content is never redelivered.
+    */
+  private[graft] def publishStaged(livePath: String, label: String): Unit = {
+    val live = new java.io.File(livePath)
+    val aside = new java.io.File(livePath + ".old")
+    rmTree(aside) // debris from a crash after a previous publish
+    if (live.exists() && !live.renameTo(aside))
+      throw new java.io.IOException(
+        s"$label: aside rename failed for $livePath")
+    if (!new java.io.File(livePath + ".staged").renameTo(live)) {
+      // put the previous table back before failing — the staged dir is
+      // from an uncommitted batch and will be rebuilt on replay
+      aside.renameTo(live)
+      throw new java.io.IOException(
+        s"$label: commit rename failed for $livePath")
+    }
+    rmTree(aside)
+  }
+
+  /** Crash recovery for [[publishStaged]], run before each batch reads
+    * the table: a live dir missing with the aside copy present means
+    * the crash hit between the two renames — restore the aside copy.
+    * (A crash after the commit rename leaves stale `.old` debris,
+    * which the next publish clears; live wins because it exists.)
+    */
+  private[graft] def recoverPublished(livePath: String, label: String): Unit = {
+    val live = new java.io.File(livePath)
+    val aside = new java.io.File(livePath + ".old")
+    if (!live.exists() && aside.exists() && !aside.renameTo(live))
+      throw new java.io.IOException(
+        s"$label: crash-recovery rename failed for $livePath")
+  }
+
   /** Streaming MERGE sink: every micro-batch is applied to a parquet
     * table as an upsert (`MERGE INTO` from a stream — the Delta
     * `foreachBatch` merge recipe, minus the Delta jar). Within a batch,
     * several updates for one key collapse to the latest by `orderCol`
     * BEFORE the merge ([[graft.api.Tables.upsert]] requires unique
     * update keys — at-least-once sources redeliver). The merged table
-    * is staged to a sibling dir and swapped in only after the write
-    * succeeds, so a crash mid-write leaves the previous table intact
-    * (the same publish-by-rename contract a table format's commit
-    * protocol provides).
+    * is staged to a sibling dir and published by the two-rename swap
+    * ([[publishStaged]]), so a crash at ANY point — including between
+    * the renames — leaves a recoverable table on disk.
     *
     * At scale the read-merge-rewrite becomes a real table format's
     * MERGE (Delta/Iceberg) — this sink IS that call site: swap the
@@ -332,6 +380,7 @@ object Pipelines {
         val latest = batch
           .withColumn("_graft_rn", row_number().over(w))
           .filter(col("_graft_rn") === 1).drop("_graft_rn")
+        recoverPublished(tablePath, "upsertSink")
         val table = new java.io.File(tablePath)
         // an existing-but-empty dir (fresh temp dir, wiped table) is a
         // first write, not a merge target
@@ -341,15 +390,8 @@ object Pipelines {
           if (hasData)
             graft.api.Tables.upsert(spark.read.parquet(tablePath), latest, key)
           else latest
-        val staged = tablePath + ".staged"
-        merged.write.mode("overwrite").parquet(staged)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(table)
-        if (!new java.io.File(staged).renameTo(table))
-          throw new java.io.IOException(s"upsertSink: commit rename failed for $tablePath")
+        merged.write.mode("overwrite").parquet(tablePath + ".staged")
+        publishStaged(tablePath, "upsertSink")
         ()
       }
   }
@@ -360,11 +402,13 @@ object Pipelines {
     * anti-joined against the accumulated store on the chunk md5, and
     * only NOVEL chunks are admitted — so storage grows by content the
     * lake has never seen, no matter how often payloads repeat across
-    * batches. Published by the upsertSink staged-swap rename (crash
-    * mid-write leaves the previous store intact), and idempotent under
-    * replay by construction: a redelivered batch's chunks are already
-    * in the store, so its novel set is empty. On an object store this
-    * body becomes a table-format MERGE keyed on the chunk hash.
+    * batches. Published by the two-rename swap ([[publishStaged]] —
+    * the cumulative store is the case where the naive delete+rename
+    * window is outright data loss, since committed batches are never
+    * redelivered), and idempotent under replay by construction: a
+    * redelivered batch's chunks are already in the store, so its novel
+    * set is empty. On an object store this body becomes a table-format
+    * MERGE keyed on the chunk hash.
     */
   def chunkStoreSink(media: DataFrame, storePath: String, checkpoint: String,
       chunkBytes: Int = 64): DataStreamWriter[Row] = {
@@ -376,6 +420,7 @@ object Pipelines {
         val spark = batch.sparkSession
         val novel = graft.ops.Multimodal.payloadChunks(batch.toDF(), chunkBytes)
           .select("h", "len").dropDuplicates("h")
+        recoverPublished(storePath, "chunkStoreSink")
         val store = new java.io.File(storePath)
         val hasData = store.isDirectory && Option(store.listFiles())
           .exists(_.exists(_.getName.startsWith("part-")))
@@ -385,15 +430,8 @@ object Pipelines {
             existing.unionByName(
               novel.join(existing.select(col("h")), Seq("h"), "left_anti"))
           } else novel
-        val staged = storePath + ".staged"
-        merged.write.mode("overwrite").parquet(staged)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(store)
-        if (!new java.io.File(staged).renameTo(store))
-          throw new java.io.IOException(s"chunkStoreSink: commit rename failed for $storePath")
+        merged.write.mode("overwrite").parquet(storePath + ".staged")
+        publishStaged(storePath, "chunkStoreSink")
         ()
       }
   }
@@ -425,6 +463,7 @@ object Pipelines {
           .withColumn("_graft_rn", row_number().over(w))
           .filter(col("_graft_rn") === 1)
           .drop("_graft_rn", orderCol)
+        recoverPublished(tablePath, "cdcSink")
         val table = new java.io.File(tablePath)
         val hasData = table.isDirectory && Option(table.listFiles())
           .exists(_.exists(_.getName.startsWith("part-")))
@@ -433,17 +472,8 @@ object Pipelines {
             graft.api.Tables.applyCdc(spark.read.parquet(tablePath), latest,
               key, opCol)
           else latest.filter(col(opCol) =!= "D").drop(opCol)
-        val staged = tablePath + ".staged"
-        merged.write.mode("overwrite").parquet(staged)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory)
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(table)
-        if (!new java.io.File(staged).renameTo(table))
-          throw new java.io.IOException(
-            s"cdcSink: commit rename failed for $tablePath")
+        merged.write.mode("overwrite").parquet(tablePath + ".staged")
+        publishStaged(tablePath, "cdcSink")
         ()
       }
   }
@@ -466,6 +496,7 @@ object Pipelines {
   private[graft] def applyAggViewBatch(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
       partial: DataFrame, viewKey: String, batchId: Long): Unit = {
+    recoverPublished(tablePath, "aggViewSink")
     val markFile = new java.io.File(tablePath, "_LAST_BATCH")
     val lastApplied =
       if (markFile.exists())
@@ -492,15 +523,7 @@ object Pipelines {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(staged, "_LAST_BATCH"),
       batchId.toString.getBytes("UTF-8"))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(table)
-    if (!new java.io.File(staged).renameTo(table))
-      throw new java.io.IOException(
-        s"aggViewSink: commit rename failed for $tablePath")
+    publishStaged(tablePath, "aggViewSink")
     ()
   }
 

@@ -574,6 +574,42 @@ class StreamingSpec extends AnyFunSuite {
     mem.addData((4L, "AAAADDDD".getBytes("UTF-8")))
     run()
     assert(spark.read.parquet(store).count() == 4L)
+
+    // an empty payload has no chunks and must not crash the batch
+    // (sequence(1, 0) would throw without the octet_length guard)
+    mem.addData((5L, Array.empty[Byte]))
+    run()
+    assert(spark.read.parquet(store).count() == 4L)
+  }
+
+  test("publish-by-rename survives a crash between the two renames") {
+    val live = tmp("graft_pub") + "/table"
+    def writeStaged(tag: String): Unit =
+      Seq(tag).toDF("v").write.mode("overwrite").parquet(live + ".staged")
+    def readBack(): Set[String] =
+      spark.read.parquet(live).as[String].collect().toSet
+
+    // normal publish: staged becomes live, no debris left behind
+    writeStaged("v1")
+    Pipelines.publishStaged(live, "spec")
+    assert(readBack() == Set("v1"))
+    assert(!new java.io.File(live + ".old").exists())
+    assert(!new java.io.File(live + ".staged").exists())
+
+    // crash window: live renamed aside, process dies before the staged
+    // rename — the store must be recoverable, not destroyed (this is
+    // the delete+rename window the naive publish order loses)
+    assert(new java.io.File(live).renameTo(new java.io.File(live + ".old")))
+    Pipelines.recoverPublished(live, "spec")
+    assert(readBack() == Set("v1"), "crash between renames must recover")
+
+    // crash after commit: stale .old debris must lose to the live dir
+    writeStaged("v2")
+    Pipelines.publishStaged(live, "spec")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(live + ".old"))
+    Pipelines.recoverPublished(live, "spec")
+    assert(readBack() == Set("v2"), "live dir must win over .old debris")
   }
 
   test("streaming CDC sink applies updates AND deletes; latest change per key wins") {
