@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   * correctness oracle never reads it; Bench auto-detects the outDir
   * as the big rung of the cross-SF curve.
   *
-  * Content columns are mutated per replica (token prefixing for text,
-  * a dimension rotation for embeddings — see `mutateContent`) so the
-  * scaled corpus does not consist of 10 exact twins of every entity;
-  * `n_chars` is intentionally left at the base value (timing-only
-  * data, and the prefix inflation is uniform).
+  * Content columns are regenerated per replica (documents.text from a
+  * 50k-token Zipf vocabulary with planted exact/near duplicates, a
+  * dimension rotation for embeddings — see `mutateContent`) so the
+  * scaled corpus does not consist of 10 exact twins of every entity
+  * AND the text rung has a realistic term-frequency distribution
+  * (the base fixture's 31-token vocabulary makes term-join keys
+  * viral and caps the retrieval recall dials); `n_chars` is
+  * recomputed from the synthesized text.
   *
   * Known bias of the growth model: replication grows ENTITY COUNT at
   * fixed per-entity density, so operators whose cost is super-linear
@@ -68,20 +71,57 @@ object GenScale {
     // twins — cross-replica pair expansion is then quadratic in the
     // replica count and the first big-rung run flagged exactly that
     // (d06/m08/m10 at 14-54x). Replica r instead gets:
-    //  - documents.text: every token prefixed with "r<r>_" — token
-    //    counts, lengths and WITHIN-replica dup structure are
-    //    preserved exactly; cross-replica token/shingle overlap is 0.
+    //  - documents.text: SYNTHESIZED from a 50k-token Zipf vocabulary
+    //    (see zipfText below) — the base fixture's 31-token vocabulary
+    //    makes every term-join key viral at 10x scale (t36/t37/p07
+    //    posting lists grow with the corpus instead of with the term's
+    //    true frequency) and caps the retrieval recall dials; a
+    //    realistic Zipf df distribution is what those operators are
+    //    DESIGNED for. Near-dup structure is planted deterministically
+    //    (1% exact copies, 2.5% mutated near-copies) so the dedup
+    //    family keeps real work at this rung.
     //  - embeddings.embedding: dimensions cyclically shifted by 7r —
     //    norms and within-replica geometry are preserved exactly
     //    (a permutation is an isometry); random vectors decorrelate
     //    across replicas.
+    //
+    // zipfText: token rank = floor(exp(u * ln(V))) over a portable
+    // md5 uniform u — the inverse-CDF draw of the density p(rank) ∝
+    // 1/rank on [1, V) (Zipf s=1, the canonical natural-language fit),
+    // so 'w1' behaves like a stopword (~6% of positions) and the tail
+    // is a long sea of rare terms. Doc length is uniform 10..100
+    // tokens (the base fixture's range). Every draw is keyed on
+    // (seed doc id, position), so the corpus is bit-reproducible:
+    //  - doc_id % 100 == 1 -> EXACT copy of doc_id-1 (keeps d01-d09's
+    //    exact-dup collapse honest at this rung);
+    //  - doc_id % 40 == 2 -> near-copy of doc_id-1 with every 10th
+    //    token redrawn under a doc-unique salt (~90% shingle overlap,
+    //    the LSH verify path's real workload). The two residue classes
+    //    are disjoint (1 mod 100 vs 2 mod 40 clash mod 20).
     def mutateContent(table: String, df: DataFrame): DataFrame = table match {
       case "documents" =>
-        df.withColumn("text",
-          when(col("_r") === 0, col("text")).otherwise(
-            array_join(
-              transform(split(col("text"), " "),
-                t => concat(lit("r"), col("_r"), lit("_"), t)), " ")))
+        val vocab = 50000
+        val sid = when(col("doc_id") % 100 === 1 || col("doc_id") % 40 === 2,
+          col("doc_id") - 1).otherwise(col("doc_id"))
+        val mutated = col("doc_id") % 40 === 2
+        val uLen =
+          expr("CAST(conv(substr(md5(concat('len:', CAST(__sid AS STRING))), 1, 15), 16, 10) AS BIGINT) / 1152921504606846976.0")
+        val df2 = df
+          .withColumn("__sid", sid)
+          .withColumn("__mut", mutated)
+          .withColumn("__n", (lit(10) + floor(uLen * 91)).cast("int"))
+        df2
+          .withColumn("text", expr(
+            s"""array_join(transform(sequence(1, __n), i ->
+               |  concat('w', CAST(floor(exp(
+               |    (CAST(conv(substr(md5(
+               |       CASE WHEN __mut AND i % 10 = 0
+               |            THEN concat('mut:', CAST(doc_id AS STRING), ':', CAST(i AS STRING))
+               |            ELSE concat('tok:', CAST(__sid AS STRING), ':', CAST(i AS STRING)) END
+               |    ), 1, 15), 16, 10) AS BIGINT) / 1152921504606846976.0)
+               |    * ln($vocab))) AS INT))), ' ')""".stripMargin))
+          .withColumn("n_chars", length(col("text")))
+          .drop("__sid", "__mut", "__n")
       case "embeddings" =>
         df.withColumn("embedding",
           transform(sequence(lit(0), size(col("embedding")) - 1),

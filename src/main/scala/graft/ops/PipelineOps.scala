@@ -597,7 +597,7 @@ object PipelineOps {
       |), mutn AS (
       |  SELECT doc_id + 1000000 AS doc_id,
       |         text || ' zq' || CAST(doc_id AS VARCHAR) AS text
-      |  FROM base WHERE doc_id % 25 = 0
+      |  FROM base WHERE doc_id % 25 = 0 AND doc_id < ${TextOps.probeIdBound}
       |), docs AS (
       |  SELECT * FROM base UNION ALL SELECT * FROM mutn
       |), tf AS (
@@ -651,9 +651,10 @@ object PipelineOps {
       |       CAST(nf.at10 AS DOUBLE) / np.n_planted AS recall_at10
       |FROM np CROSS JOIN nf""".stripMargin
   },
-    doc = "BM25 planted-probe recall@1/@10 (the s14 acceptance metric for lexical retrieval): per-probe unique-suffix mutants over the t37 scoring core, text-identity hits; the 31-token synthetic vocabulary caps @1 — the corpus-limitation dial, like s12's") { (spark, dir) =>
+    doc = "BM25 planted-probe recall@1/@10 (the s14 acceptance metric for lexical retrieval): bounded probe batch of unique-suffix mutants over the t37 scoring core, text-identity hits; the driver fixtures' 31-token vocabulary caps @1 there (corpus-limitation dial, like s12's) — on the Zipf-vocabulary sf1 rung recall@1 = 1.0") { (spark, dir) =>
     val base = Sources.table(spark, dir, "documents").select("doc_id", "text")
-    val mutn = base.filter(col("doc_id") % 25 === 0)
+    val mutn = base
+      .filter(col("doc_id") % 25 === 0 && col("doc_id") < TextOps.probeIdBound)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" zq"), col("doc_id").cast("string"))
           .as("text"))
