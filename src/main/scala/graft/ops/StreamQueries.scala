@@ -170,7 +170,110 @@ object StreamQueries {
       .orderBy("event_id")
   }
 
+  /** qs3: the streaming MERGE path under the hard signal — TWO
+    * incremental `AvailableNow` runs against a growing file source
+    * share one checkpoint, so the second run processes ONLY the newly
+    * landed files and upserts them into the table built by the first
+    * ([[graft.stream.Pipelines.upsertSink]], two-rename crash-safe
+    * publish). Batch 1 = even event_ids, batch 2 = odd; the upsert is
+    * last-write-wins per user, so a user's final row is their latest
+    * odd-batch event if any, else their latest even-batch event — the
+    * oracle re-derives exactly that two-phase semantics ((user, ts)
+    * is unique in the fixture, making the per-half latest well
+    * defined).
+    */
+  val qs3 = OpQuery.oracled("qs3_stream_incremental_upsert",
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS ts, event_type, value,
+      |         event_id % 2 AS half
+      |  FROM events
+      |), latest AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, half
+      |                                 ORDER BY ts DESC) AS rn
+      |    FROM e) WHERE rn = 1
+      |), pick AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id
+      |                                 ORDER BY half DESC) AS rn2
+      |    FROM latest) WHERE rn2 = 1
+      |)
+      |SELECT user_id, ts, event_type, value
+      |FROM pick ORDER BY user_id""".stripMargin,
+    doc = "incremental streaming upsert: two AvailableNow runs over a " +
+      "growing file source, one checkpoint - run 2 merges only the new " +
+      "files; oracle mirrors last-write-wins across the two batches") { (spark, dir) =>
+    val root = scratch(dir, "qs3")
+    wipe(root)
+    val ev = Sources.table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    ev.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$root/input")
+    val sch = spark.read.parquet(s"$root/input").schema
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.upsertSink(
+        spark.readStream.schema(sch).parquet(s"$root/input").drop("event_id"),
+        s"$root/table", s"$root/ckpt", key = "user_id", orderCol = "ts"))
+    run()
+    // batch 2 lands as NEW files in the same source dir; the shared
+    // checkpoint makes run 2 incremental (only these files process)
+    ev.filter(col("event_id") % 2 === 1)
+      .write.mode("append").parquet(s"$root/input")
+    run()
+    spark.read.parquet(s"$root/table")
+      .select("user_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  /** qs4: incremental aggregate-view maintenance under the hard
+    * signal — the same growing-source/shared-checkpoint drive as qs3
+    * through [[graft.stream.Pipelines.aggViewSink]] (per-batch
+    * broadcast dim join → decimal partials → additive fold, batch-id
+    * high-water mark). Additive decimal merges are batching-invariant,
+    * so the oracle is the plain whole-table aggregate — equality
+    * proves the two-batch fold lost and double-counted nothing. A
+    * third run with no new data re-reads the view through an empty
+    * commit: totals must be unchanged.
+    */
+  val qs4 = OpQuery.oracled("qs4_stream_aggview_fold",
+    """SELECT substr(event_type, 1, 1) AS etype_class,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
+      |FROM events
+      |GROUP BY 1 ORDER BY etype_class""".stripMargin,
+    doc = "incremental streaming aggregate-view fold: two data runs + " +
+      "one empty run over a shared checkpoint; oracle is the flat " +
+      "whole-table aggregate (additive decimal merge is " +
+      "batching-invariant)") { (spark, dir) =>
+    val root = scratch(dir, "qs4")
+    wipe(root)
+    val ev = Sources.table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("etype_class", substring(col("event_type"), 1, 1))
+    ev.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$root/input")
+    val sch = spark.read.parquet(s"$root/input").schema
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.aggViewSink(
+        spark.readStream.schema(sch).parquet(s"$root/input").drop("event_id"),
+        dim, s"$root/table", s"$root/ckpt",
+        joinKey = "event_type", viewKey = "etype_class",
+        valueCol = "value"))
+    run()
+    ev.filter(col("event_id") % 2 === 1)
+      .write.mode("append").parquet(s"$root/input")
+    run()
+    run() // no new files: the fold must be a no-op
+    spark.read.parquet(s"$root/table")
+      .select("etype_class", "n_rows", "s")
+      .orderBy("etype_class")
+  }
+
   val all: Seq[OpQuery] = Seq(
     qs1,
-    qs2.copy(prepare = (s, d) => { ensureEnvelopeInput(s, d); () }))
+    qs2.copy(prepare = (s, d) => { ensureEnvelopeInput(s, d); () }),
+    qs3,
+    qs4)
 }
