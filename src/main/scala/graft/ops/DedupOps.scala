@@ -462,13 +462,18 @@ object DedupOps {
     */
   private val maxTokenDf = 0.9
 
-  /** Token-set jaccard near-dup against a probe subset (doc_id % 50 = 0)
-    * — the n-gram jaccard axis at unigram granularity, threshold 0.95,
-    * with the fractional document-frequency cap active so the token
-    * join has no hot keys. The probe side is NOT force-broadcast: a
-    * fixed 1/50 of a 100 TB corpus is TB-sized, past Spark's broadcast
-    * limit — AQE broadcasts it when (and only when) it is actually
-    * small at runtime.
+  /** Token-set jaccard near-dup against a probe subset (doc_id % 50 =
+    * 0, bounded below [[graft.ops.TextOps.probeIdBound]]) — the n-gram
+    * jaccard axis at unigram granularity, threshold 0.95, with the
+    * fractional document-frequency cap active so the token join has no
+    * hot keys. The bounded probe batch is the ingest-batch workload
+    * shape (a batch screened against the corpus has a fixed size; it
+    * does not grow with the corpus — the d09 contract), covers every
+    * driver fixture whole, and keeps the probe⋈corpus scored-pair
+    * count linear in corpus size at the builder scale rungs. The
+    * probe side is NOT force-broadcast: a production ingest batch can
+    * exceed Spark's broadcast limit — AQE broadcasts it when (and
+    * only when) it is actually small at runtime.
     */
   val d06 = OpQuery.oracled("d06_token_jaccard_near_dup",
     s"""WITH tok0 AS (
@@ -484,7 +489,7 @@ object DedupOps {
       |), common AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
       |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
-      |  WHERE a.doc_id % 50 = 0
+      |  WHERE a.doc_id % 50 = 0 AND a.doc_id < ${TextOps.probeIdBound}
       |  GROUP BY 1, 2
       |)
       |SELECT doc_a, doc_b,
@@ -497,7 +502,9 @@ object DedupOps {
     doc = "token-set jaccard near-dup (probe subset vs corpus), " +
       "fractional-df-capped, AQE-sized probe join") { (spark, dir) =>
     graft.api.Dedup.tokenJaccardPairs(Sources.table(spark, dir, "documents"),
-      probe = col("doc_id") % 50 === 0, threshold = 0.95,
+      probe = col("doc_id") % 50 === 0
+        && col("doc_id") < TextOps.probeIdBound,
+      threshold = 0.95,
       maxTokenDfFraction = Some(maxTokenDf))
       .orderBy("doc_a", "doc_b")
   }

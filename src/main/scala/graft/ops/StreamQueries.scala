@@ -271,9 +271,65 @@ object StreamQueries {
       .orderBy("etype_class")
   }
 
+  /** qs5: the streaming CDC sink under the hard signal — qs3's
+    * incremental two-run drive through
+    * [[graft.stream.Pipelines.cdcSink]], with the DELETE branch live:
+    * `error` events are 'D' changes (tombstones), everything else 'U'
+    * upserts, keyed by user and ordered by event time. The final
+    * table is last-CHANGE-wins per user across the two batches with
+    * deleted users ABSENT — the oracle re-derives that, including the
+    * op filter on the winning change.
+    */
+  val qs5 = OpQuery.oracled("qs5_stream_cdc_apply",
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS ts, event_type, value,
+      |         event_id % 2 AS half,
+      |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      |  FROM events
+      |), latest AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, half
+      |                                 ORDER BY ts DESC) AS rn
+      |    FROM e) WHERE rn = 1
+      |), pick AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id
+      |                                 ORDER BY half DESC) AS rn2
+      |    FROM latest) WHERE rn2 = 1
+      |)
+      |SELECT user_id, event_type, value
+      |FROM pick WHERE op = 'U' ORDER BY user_id""".stripMargin,
+    doc = "incremental streaming CDC apply: two AvailableNow runs, " +
+      "upserts + tombstone deletes; oracle mirrors last-change-wins " +
+      "with deleted keys absent") { (spark, dir) =>
+    val root = scratch(dir, "qs5")
+    wipe(root)
+    val ev = Sources.table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+          .as("op"))
+    ev.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$root/input")
+    val sch = spark.read.parquet(s"$root/input").schema
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.cdcSink(
+        spark.readStream.schema(sch).parquet(s"$root/input").drop("event_id"),
+        s"$root/table", s"$root/ckpt",
+        key = "user_id", orderCol = "ts", opCol = "op"))
+    run()
+    ev.filter(col("event_id") % 2 === 1)
+      .write.mode("append").parquet(s"$root/input")
+    run()
+    spark.read.parquet(s"$root/table")
+      .select("user_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
   val all: Seq[OpQuery] = Seq(
     qs1,
     qs2.copy(prepare = (s, d) => { ensureEnvelopeInput(s, d); () }),
     qs3,
-    qs4)
+    qs4,
+    qs5)
 }

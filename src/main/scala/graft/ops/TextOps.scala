@@ -38,9 +38,10 @@ object TextOps {
   private[ops] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
   private[ops] val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
-  /** Upper doc-id bound of every retrieval probe batch (t36/t37 and
-    * p07's planted probes): probes are drawn from `doc_id % k == 0`
-    * RESTRICTED to ids below this bound, so the probe batch has a
+  /** Upper doc-id bound of every probe batch (t36/t37 retrieval, p07's
+    * planted probes, d06's dedup screen): probes are drawn from
+    * `doc_id % k == 0` RESTRICTED to ids below this bound, so the
+    * probe batch has a
     * fixed maximum size regardless of corpus scale — the deployment
     * workload shape (a bounded query batch against a growing corpus).
     * The bound covers every driver fixture whole (all have ≤ 5000
