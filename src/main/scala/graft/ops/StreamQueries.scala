@@ -326,10 +326,115 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
+  /** qs6: SLIDING windows through an actual streaming run — 1 h
+    * windows sliding every 30 min (each event fans into exactly two
+    * windows), watermarked, flushed append-mode through a checkpointed
+    * sink. The oracle is e06's covering-window formulation restricted
+    * by the same final-watermark flush rule qs1 pinned (window end ≤
+    * ms-truncated max event time − delay).
+    */
+  val qs6 = OpQuery.oracled("qs6_stream_sliding_counts",
+    """WITH wm AS (
+      |  SELECT (epoch_us(max(ts)) // 1000) * 1000 - 3600000000 AS w
+      |  FROM events
+      |), slid AS (
+      |  SELECT event_type,
+      |         (epoch_us(ts) // 1800000000) * 1800 - offs AS win_start
+      |  FROM events, (SELECT unnest([0, 1800]) AS offs)
+      |)
+      |SELECT win_start, event_type, count(*) AS cnt
+      |FROM slid
+      |WHERE (win_start + 3600) * 1000000 <= (SELECT w FROM wm)
+      |GROUP BY 1, 2
+      |ORDER BY win_start, event_type""".stripMargin,
+    doc = "streaming sliding windows (1h/30min) run to completion " +
+      "through a checkpointed sink; oracle = covering-window batch twin " +
+      "under the final-watermark flush") { (spark, dir) =>
+    val root = scratch(dir, "qs6")
+    wipe(root)
+    val windowed = eventStream(spark, dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour", "30 minutes"),
+        col("event_type"))
+      .count()
+      .select(col("window.start").cast("long").as("win_start"),
+        col("event_type"), col("count").as("cnt"))
+    Pipelines.runToCompletion(
+      Pipelines.sink(windowed, s"$root/sink", s"$root/ckpt"))
+    spark.read.parquet(s"$root/sink")
+      .orderBy("win_start", "event_type")
+  }
+
+  /** qs7: SESSION windows (the merging stateful operator — the one
+    * window kind whose extent is data-dependent) through an actual
+    * streaming run: per-user sessions with a 30 min inactivity gap,
+    * watermarked, flushed through a checkpointed sink. Two boundary
+    * conventions the oracle must mirror exactly: Spark merges two
+    * events iff their gap is STRICTLY less than the inactivity gap
+    * (point windows [t, t+gap) merge on overlap), and a session is
+    * emitted when the watermark reaches its end (= last event + gap).
+    * The oracle is e03's gaps-and-islands with `>= gap` as the session
+    * break and the qs1 flush rule on `last_ts + gap`.
+    */
+  val qs7 = OpQuery.oracled("qs7_stream_session_windows",
+    """WITH wm AS (
+      |  SELECT (epoch_us(max(ts)) // 1000) * 1000 - 3600000000 AS w
+      |  FROM events
+      |), ordered AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                                 ORDER BY epoch_us(ts), event_id)
+      |           AS prev_us
+      |  FROM events
+      |), flagged AS (
+      |  SELECT user_id, event_id, ts_us,
+      |         CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM ordered
+      |), numbered AS (
+      |  SELECT user_id, ts_us,
+      |         sum(new_session) OVER (PARTITION BY user_id
+      |                                ORDER BY ts_us, event_id)
+      |           AS session_id
+      |  FROM flagged
+      |), sess AS (
+      |  SELECT user_id,
+      |         min(ts_us) AS session_start_us,
+      |         max(ts_us) + 1800000000 AS session_end_us,
+      |         CAST(count(*) AS BIGINT) AS n_events
+      |  FROM numbered GROUP BY user_id, session_id
+      |)
+      |SELECT user_id, session_start_us, session_end_us, n_events
+      |FROM sess
+      |WHERE session_end_us <= (SELECT w FROM wm)
+      |ORDER BY user_id, session_start_us""".stripMargin,
+    doc = "streaming session windows (30min gap) run to completion " +
+      "through a checkpointed sink; oracle = gaps-and-islands with " +
+      "Spark's strict-merge boundary under the final-watermark flush") { (spark, dir) =>
+    val root = scratch(dir, "qs7")
+    wipe(root)
+    val sessions = Pipelines.sessionCounts(
+      eventStream(spark, dir)
+        .withColumn("event_ts", timestamp_micros(expr("ts div 1000"))),
+      eventTime = "event_ts", gap = "30 minutes", watermark = "1 hour")
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("n_events"))
+    Pipelines.runToCompletion(
+      Pipelines.sink(sessions, s"$root/sink", s"$root/ckpt"))
+    spark.read.parquet(s"$root/sink")
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .orderBy("user_id", "session_start_us")
+  }
+
   val all: Seq[OpQuery] = Seq(
     qs1,
     qs2.copy(prepare = (s, d) => { ensureEnvelopeInput(s, d); () }),
     qs3,
     qs4,
-    qs5)
+    qs5,
+    qs6,
+    qs7)
 }
