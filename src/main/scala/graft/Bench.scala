@@ -228,6 +228,15 @@ object Bench {
     val curveBig = {
       val cand = new java.io.File(
         sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1"))
+      // With the default path, (re)generate the scaled rung when it is
+      // absent (target/ wiped between rounds) or STALE (the primary
+      // fixture was regenerated — scaling the OLD data would corrupt
+      // every ratio). Outside the timed sections; a one-time cost like
+      // the prepare() index builds.
+      if (!sys.env.contains("SPARK_GRAFT_SF1_DIR") &&
+          sys.env.getOrElse("SPARK_GRAFT_CURVE", "1") != "0" &&
+          GenScale.ensure(spark, sfDir, cand.getPath))
+        System.err.println(s"[bench] regenerated ${cand.getPath} from $sfDir")
       if (sys.env.getOrElse("SPARK_GRAFT_CURVE", "1") == "0" ||
           !cand.isDirectory) ""
       else {

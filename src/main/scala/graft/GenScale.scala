@@ -51,6 +51,35 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, out)
+    spark.stop()
+  }
+
+  private val tables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Build `out` from `src` iff absent or STALE (source fingerprint
+    * mismatch — a driver-side fixture regeneration must invalidate the
+    * scaled twin, or the bench's big rung silently compares fresh
+    * sf0.1 timings against data scaled from the OLD fixture). Returns
+    * true when a (re)build ran. Requires a UTC session (the NTZ
+    * event-time cast).
+    */
+  def ensure(spark: SparkSession, src: String, out: String): Boolean =
+    synchronized {
+      val fp = graft.io.DerivedCache.fingerprint(src, tables)
+      if (graft.io.DerivedCache.isFresh(out, s"$out/_GRAFT_READY", fp)) false
+      else {
+        run(spark, src, out)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, "_GRAFT_READY"),
+          "ok".getBytes("UTF-8"))
+        graft.io.DerivedCache.stamp(out, fp)
+        true
+      }
+    }
+
+  def run(spark: SparkSession, src: String, out: String): Unit = {
 
     // (table, key columns to offset, ts column to jitter or null)
     val plan: Seq[(String, Seq[String], Option[String])] = Seq(
@@ -162,6 +191,5 @@ object GenScale {
         .write.mode("overwrite").parquet(s"$out/$table.parquet")
       println(s"[genscale] $table -> $out (${if (keys.isEmpty) "1" else Replicas.toString}x)")
     }
-    spark.stop()
   }
 }
