@@ -41,16 +41,21 @@ object TextOps {
   /** Upper doc-id bound of every probe batch (t36/t37 retrieval, p07's
     * planted probes, d06's dedup screen): probes are drawn from
     * `doc_id % k == 0` RESTRICTED to ids below this bound, so the
-    * probe batch has a
-    * fixed maximum size regardless of corpus scale — the deployment
-    * workload shape (a bounded query batch against a growing corpus).
-    * The bound covers every driver fixture whole (all have ≤ 5000
-    * docs, so driver-SF results are unchanged by it) and binds only on
-    * builder-side scale rungs, where an unbounded corpus-fraction
-    * probe set would make the scored-pair count grow quadratically by
-    * workload construction rather than operator design.
+    * probe batch has a FIXED size at every scale — the deployment
+    * workload shape (a bounded query/ingest batch against a growing
+    * corpus). Without the bound the probe set is a corpus fraction and
+    * the scored-pair count grows quadratically with data by workload
+    * construction rather than operator design — which is exactly what
+    * the bench's cross-SF ratio then reports, at every rung whose
+    * probe count still grows (the first bound of 5000 cleaned the
+    * sf0.1→sf1 rung but left sf0.01→sf0.1 probe growth, and p07's
+    * ratio there scattered across the flag line on its sub-second
+    * denominator). 500 = the correctness fixture's whole doc-id space,
+    * so the driver-gate results at sf0.01 (and sf0.001) are provably
+    * unchanged by the bound, and every larger rung runs the IDENTICAL
+    * probe batch the oracle certifies.
     */
-  private[graft] val probeIdBound = 5000L
+  private[graft] val probeIdBound = 500L
 
   /** Heuristic quality score: stopword ratio + length saturation —
     * the shape of C4/RefinedWeb-style quality filters.
