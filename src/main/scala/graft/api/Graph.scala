@@ -634,6 +634,19 @@ object Graph {
     // distinct shuffle runs twice
     val ui = incidence.select(col("u"), col("p")).distinct().persist()
     val np = ui.groupBy("p").agg(count(lit(1)).as("n"))
+    // Scale note — a-priori support prune, left OFF here because it is
+    // data-shape-dependent: co(a,b) ≤ min(n_a, n_b), so items with
+    // fewer than minShared customers can be dropped from the baskets
+    // BEFORE the pair expansion with provably identical output (any
+    // pair they form dies at the `co >= minShared` cut). On a
+    // power-law catalog the sub-support tail is most of the item
+    // dimension and the prune (one broadcast semi-join of the
+    // incidence against `np.filter(n >= minShared)`, with the
+    // maxBasket cap kept on the UNPRUNED basket size) is the
+    // difference between never forming the tail's pairs and shuffling
+    // them; on this fixture every item clears the support floor, so
+    // the semi-join is measured pure overhead (5.0 s → 6.8 s) and the
+    // direct expansion wins.
     val baskets = ui.groupBy("u").agg(sort_array(collect_set(col("p"))).as("ps"))
     val co = maxBasket.fold(baskets)(cap =>
         baskets.filter(size(col("ps")) <= cap))
