@@ -195,9 +195,15 @@ object Bench {
       val superlinear = ratios.collect {
         case (k, r) if r > SuperlinearRatio && bigMap.getOrElse(k, 0.0) > MinFlagSeconds => k
       }
+      // A rung failure is a first-class signal, not a -1.0 ratio: a
+      // query that errors at one SF but not another is a scale bug the
+      // curve exists to catch (round 10's qs1/qs6/qs7 failed silently
+      // at the big rung and the evidence claimed zero flags).
+      val rungErrors = small.filter(_.failed).map(_.name).sorted
       s""","curve":{"dir":"$dir","overhead":$overhead,"queries":${jsonMap(small.map(t => t.name -> t.sec))},""" +
         s""""ratio":${jsonMap(ratios)},""" +
-        s""""superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+        s""""superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""errors":${rungErrors.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     }.getOrElse("")
 
     // Third curve rung: a 10x-bigger local dir (GenScale's target/sf1)
@@ -265,10 +271,14 @@ object Bench {
           case (k, r) if r > SuperlinearRatio &&
             big.find(_.name == k).exists(_.sec > MinFlagSeconds) => k
         }
+        // Same contract as the small rung: big-rung failures surface
+        // by name, never as an unexplained -1.0 ratio.
+        val rungErrors = big.filter(_.failed).map(_.name).sorted
         s""","curve_big":{"dir":"${cand.getPath}","queries":${jsonMap(big.map(t => t.name -> t.sec))},""" +
           s""""ratio":${jsonMap(ratios)},""" +
           s""""superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-          s""""skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+          s""""skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""errors":${rungErrors.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
       }
     }
 

@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   */
 object FixtureTables {
 
-  val dir = "/root/repo/target/fixtures"
+  val dir = graft.io.Scratch.targetRoot + "/fixtures"
 
   def pinPath: String = s"$dir/pin_raw.parquet"
   def geoPath: String = s"$dir/geo_raw.parquet"

@@ -115,7 +115,7 @@ object DedupOps {
       spark: org.apache.spark.sql.SparkSession, dir: String): String =
     synchronized {
       val sf = new java.io.File(dir).getName.replace(".", "_")
-      val loc = s"/root/repo/target/neardup/$sf/pairs"
+      val loc = s"${graft.io.Scratch.targetRoot}/neardup/$sf/pairs"
       val fp = graft.io.DerivedCache.fingerprint(dir, Seq("documents"))
       if (!graft.io.DerivedCache.isFresh(loc, s"$loc/_SUCCESS", fp)) {
         graft.api.Dedup.nearDupPairs(Sources.table(spark, dir, "documents"),
@@ -529,7 +529,7 @@ object DedupOps {
       spark: org.apache.spark.sql.SparkSession, dir: String): String =
     synchronized {
       val sf = new java.io.File(dir).getName.replace(".", "_")
-      val loc = s"/root/repo/target/incdedup/$sf"
+      val loc = s"${graft.io.Scratch.targetRoot}/incdedup/$sf"
       val fp = graft.io.DerivedCache.fingerprint(dir, Seq("documents"))
       if (!graft.io.DerivedCache.isFresh(loc, s"$loc/sig/_SUCCESS", fp)) {
         val docs = Sources.table(spark, dir, "documents")

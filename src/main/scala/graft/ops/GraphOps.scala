@@ -70,7 +70,7 @@ object GraphOps {
   private[graft] def ensureEdges(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = synchronized {
     val sf = new java.io.File(dir).getName.replace(".", "_")
-    val loc = s"/root/repo/target/edges/$sf/copurchase"
+    val loc = s"${graft.io.Scratch.targetRoot}/edges/$sf/copurchase"
     val fp = graft.io.DerivedCache.fingerprint(dir, Seq("lineitem"))
     if (!graft.io.DerivedCache.isFresh(loc, s"$loc/_SUCCESS", fp)) {
       deriveEdges(spark, dir).write.mode("overwrite").parquet(loc)
@@ -456,7 +456,7 @@ object GraphOps {
       spark: org.apache.spark.sql.SparkSession, dir: String): String =
     synchronized {
       val sf = new java.io.File(dir).getName.replace(".", "_")
-      val loc = s"/root/repo/target/linkpred/$sf/candidates"
+      val loc = s"${graft.io.Scratch.targetRoot}/linkpred/$sf/candidates"
       val fp = graft.io.DerivedCache.fingerprint(dir, Seq("lineitem"))
       if (!graft.io.DerivedCache.isFresh(loc, s"$loc/_SUCCESS", fp)) {
         graft.api.Graph.linkCandidates(edges(spark, dir),
@@ -706,7 +706,7 @@ object GraphOps {
       spark: org.apache.spark.sql.SparkSession, dir: String): String =
     synchronized {
       val sf = new java.io.File(dir).getName.replace(".", "_")
-      val loc = s"/root/repo/target/edges/$sf/copurchase_weighted"
+      val loc = s"${graft.io.Scratch.targetRoot}/edges/$sf/copurchase_weighted"
       val fp = graft.io.DerivedCache.fingerprint(dir, Seq("lineitem"))
       if (!graft.io.DerivedCache.isFresh(loc, s"$loc/_SUCCESS", fp)) {
         Sources.table(spark, dir, "lineitem")

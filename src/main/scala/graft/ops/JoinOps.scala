@@ -112,7 +112,7 @@ object JoinOps {
     val sf = new java.io.File(dir).getName.replace(".", "_")
     val names = Seq(("orders", "o_orderkey"), ("lineitem", "l_orderkey")).map { case (t, k) =>
       val name = s"graft_${t}_bucketed_$sf"
-      val loc = s"/root/repo/target/bucketed/$sf/$t"
+      val loc = s"${graft.io.Scratch.targetRoot}/bucketed/$sf/$t"
       val fp = graft.io.DerivedCache.fingerprint(dir, Seq(t))
       if (!graft.io.DerivedCache.isFresh(loc, s"$loc/_SUCCESS", fp)) {
         // stale (or first build): rewrite files AND refresh the catalog
@@ -261,7 +261,7 @@ object JoinOps {
   def ensurePartitioned(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = synchronized {
     val sf = new java.io.File(dir).getName.replace(".", "_")
-    val loc = s"/root/repo/target/partitioned/$sf/events_by_day"
+    val loc = s"${graft.io.Scratch.targetRoot}/partitioned/$sf/events_by_day"
     val fp = graft.io.DerivedCache.fingerprint(dir, Seq("events"))
     if (!graft.io.DerivedCache.isFresh(loc, s"$loc/_SUCCESS", fp)) {
       Sources.table(spark, dir, "events")
@@ -759,8 +759,8 @@ object JoinOps {
   def ensureZoneMapped(spark: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) = synchronized {
     val sf = new java.io.File(dir).getName.replace(".", "_")
-    val loc = s"/root/repo/target/zonemap/$sf/events_by_time"
-    val statsLoc = s"/root/repo/target/zonemap/$sf/stats"
+    val loc = s"${graft.io.Scratch.targetRoot}/zonemap/$sf/events_by_time"
+    val statsLoc = s"${graft.io.Scratch.targetRoot}/zonemap/$sf/stats"
     val fp = graft.io.DerivedCache.fingerprint(dir, Seq("events"))
     if (!graft.io.DerivedCache.isFresh(statsLoc, s"$statsLoc/_SUCCESS", fp)) {
       Sources.table(spark, dir, "events")
@@ -819,9 +819,9 @@ object JoinOps {
   def ensureCompacted(spark: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) = synchronized {
     val sf = new java.io.File(dir).getName.replace(".", "_")
-    val frag = s"/root/repo/target/compact/$sf/events_fragmented"
-    val loc = s"/root/repo/target/compact/$sf/events_compacted"
-    val statsLoc = s"/root/repo/target/compact/$sf/stats"
+    val frag = s"${graft.io.Scratch.targetRoot}/compact/$sf/events_fragmented"
+    val loc = s"${graft.io.Scratch.targetRoot}/compact/$sf/events_compacted"
+    val statsLoc = s"${graft.io.Scratch.targetRoot}/compact/$sf/stats"
     val fp = graft.io.DerivedCache.fingerprint(dir, Seq("events"))
     if (!graft.io.DerivedCache.isFresh(statsLoc, s"$statsLoc/_SUCCESS", fp)) {
       Sources.table(spark, dir, "events")
@@ -871,8 +871,8 @@ object JoinOps {
   def ensureBloomIndexed(spark: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) = synchronized {
     val sf = new java.io.File(dir).getName.replace(".", "_")
-    val loc = s"/root/repo/target/bloomidx/$sf/lineitem_by_shipdate"
-    val statsLoc = s"/root/repo/target/bloomidx/$sf/stats"
+    val loc = s"${graft.io.Scratch.targetRoot}/bloomidx/$sf/lineitem_by_shipdate"
+    val statsLoc = s"${graft.io.Scratch.targetRoot}/bloomidx/$sf/stats"
     val fp = graft.io.DerivedCache.fingerprint(dir, Seq("lineitem"))
     if (!graft.io.DerivedCache.isFresh(statsLoc, s"$statsLoc/_SUCCESS", fp)) {
       Sources.table(spark, dir, "lineitem")
@@ -994,7 +994,7 @@ object JoinOps {
   def ensureDayDim(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = synchronized {
     val sf = new java.io.File(dir).getName.replace(".", "_")
-    val loc = s"/root/repo/target/partitioned/$sf/day_dim"
+    val loc = s"${graft.io.Scratch.targetRoot}/partitioned/$sf/day_dim"
     val fp = graft.io.DerivedCache.fingerprint(dir, Seq("events"))
     if (!graft.io.DerivedCache.isFresh(loc, s"$loc/_SUCCESS", fp)) {
       val days = Sources.table(spark, dir, "events")
@@ -1064,7 +1064,7 @@ object JoinOps {
   def ensureEvolved(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = synchronized {
     val sf = new java.io.File(dir).getName.replace(".", "_")
-    val loc = s"/root/repo/target/evolved/$sf/orders_channel"
+    val loc = s"${graft.io.Scratch.targetRoot}/evolved/$sf/orders_channel"
     val fp = graft.io.DerivedCache.fingerprint(dir, Seq("orders"))
     if (!graft.io.DerivedCache.isFresh(loc, s"$loc/v2/_SUCCESS", fp)) {
       val o = Sources.table(spark, dir, "orders")

@@ -57,7 +57,7 @@ object Multimodal {
     * file per sampled document — the on-disk shape a real media corpus
     * has in an object store).
     */
-  private val mediaFixtureRoot = "/root/repo/target/fixtures"
+  private val mediaFixtureRoot = graft.io.Scratch.targetRoot + "/fixtures"
 
   /** Ensure the media fixture directory for `dir` exists: every 10th
     * document's text bytes become `media_<doc_id>.bin`. The files are

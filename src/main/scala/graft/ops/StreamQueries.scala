@@ -37,11 +37,16 @@ import graft.stream.Pipelines
   */
 object StreamQueries {
 
-  /** Per-SF scratch root for a streaming query's sink + checkpoint. */
-  private def scratch(dir: String, qname: String): String = {
-    val sf = new java.io.File(dir).getName.replace(".", "_")
-    s"/root/repo/target/stream/$sf/$qname"
-  }
+  /** Per-RUN scratch root for a streaming query's sink + checkpoint.
+    * Hermetic by construction ([[graft.io.Scratch.runRoot]]: the path
+    * is keyed by this JVM's pid + start time), so no concurrent
+    * Verify/Bench process can ever touch a running query's state —
+    * the collision mechanism behind round 10's one-off qs4 hash miss.
+    * The `wipe` at each query's start still matters WITHIN a process:
+    * Bench with REPS>1 re-executes `fn` in the same JVM.
+    */
+  private def scratch(dir: String, qname: String): String =
+    graft.io.Scratch.runRoot("stream", dir, qname)
 
   private def wipe(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
@@ -53,16 +58,23 @@ object StreamQueries {
   /** Streaming file source over the events table with the canonical
     * epoch-ns `ts` (same normalization as the batch
     * [[graft.io.Sources.table]], applied to the streaming frame).
-    * The fixture ships events as a single parquet FILE and the file
-    * streaming source requires a directory, so the stream lists the
-    * SF dir with a glob filter pinned to that file.
+    * The driver fixture ships events as a single parquet FILE while
+    * scaled rungs (GenScale's target/sf1) write a DIRECTORY of part
+    * files — and the two need different source paths: the file
+    * streaming source lists directories, so a single file is reached
+    * by listing its PARENT with a glob pinned to the file name, but
+    * that same glob against a directory-shaped table matches nothing
+    * (the part files live one level down) and the stream silently
+    * processes zero rows — exactly how qs1/qs6/qs7 vanished from the
+    * round-10 big-rung curve. Branch on the on-disk shape.
     */
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    val sch = spark.read.parquet(s"$dir/events.parquet").schema
+    val path = s"$dir/events.parquet"
+    val sch = spark.read.parquet(path).schema
+    val reader = spark.readStream.schema(sch)
     Sources.canonicalEventTime(
-      spark.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+      if (new java.io.File(path).isDirectory) reader.parquet(path)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   /** qs1: an actual streaming run of the watermarked tumbling-window
@@ -109,19 +121,38 @@ object StreamQueries {
     * round-trip exactly (Jackson emits the shortest string that
     * parses back to the same IEEE value), so the decoded stream is
     * value-identical to the source table.
+    *
+    * Concurrency contract: the cache is CONTENT-ADDRESSED (the source
+    * fingerprint is in the path) and immutable once published. A
+    * build stages into this run's private scratch and atomically
+    * renames into place; losing the publish race to another process
+    * just means reading that process's identical artifact. Nothing
+    * ever rewrites a published path — the shared-scratch overwrite
+    * hazard the round-10 postmortem flagged cannot occur.
     */
   private[graft] def ensureEnvelopeInput(spark: SparkSession,
       dir: String): String = synchronized {
-    val sf = new java.io.File(dir).getName.replace(".", "_")
-    val loc = s"/root/repo/target/stream/$sf/envelope_input"
     val fp = graft.io.DerivedCache.fingerprint(dir, Seq("events"))
-    if (!graft.io.DerivedCache.isFresh(loc, s"$loc/_SUCCESS", fp)) {
+    val loc = graft.io.Scratch.cache("stream_envelope", dir, s"v_${fp.take(8)}")
+    val locFile = new java.io.File(loc)
+    if (!new java.io.File(locFile, "_SUCCESS").exists()) {
+      val staging = new java.io.File(
+        graft.io.Scratch.runRoot("staging", dir, s"envelope_${fp.take(8)}"))
       Sources.table(spark, dir, "events")
         .select(to_json(struct(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))).as("data"))
-        .coalesce(4)
-        .write.mode("overwrite").json(loc)
-      graft.io.DerivedCache.stamp(loc, fp)
+        .coalesce(8)
+        .write.mode("overwrite").json(staging.getPath)
+      locFile.getParentFile.mkdirs()
+      try {
+        java.nio.file.Files.move(staging.toPath, locFile.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      } catch {
+        case _: java.nio.file.FileSystemException
+            if new java.io.File(locFile, "_SUCCESS").exists() =>
+          () // a concurrent builder published the same content first
+      }
     }
     loc
   }
@@ -429,6 +460,113 @@ object StreamQueries {
       .orderBy("user_id", "session_start_us")
   }
 
+  /** qs8: STREAM-STREAM interval join under the hard signal — the
+    * attribution shape (click joined to the same user's purchases
+    * within the following 30 minutes), both sides watermarked so the
+    * engine can bound the buffered state
+    * ([[graft.stream.Pipelines.streamIntervalJoin]]: a row is dropped
+    * once the other side's watermark passes its match window — the
+    * property that keeps the join finite on an unbounded stream).
+    * Inner-join matches emit as soon as both rows are present, so a
+    * run over the full backlog emits exactly the batch interval-join
+    * result — the oracle — with no watermark-flush subtlety. The
+    * range compares at MICROsecond precision on both sides (Spark
+    * event-time is the ns `ts` truncated to micros; the oracle uses
+    * `epoch_us`), so a sub-microsecond boundary can never split them.
+    */
+  val qs8 = OpQuery.oracled("qs8_stream_interval_join",
+    """SELECT l.event_id AS click_id, epoch_ns(l.ts) AS click_ts,
+      |       r.event_id AS purchase_id, epoch_ns(r.ts) AS purchase_ts,
+      |       l.user_id AS user_id
+      |FROM events l JOIN events r
+      |  ON l.user_id = r.user_id
+      | AND l.event_type = 'click' AND r.event_type = 'purchase'
+      | AND epoch_us(r.ts) >= epoch_us(l.ts)
+      | AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000
+      |ORDER BY click_id, purchase_id""".stripMargin,
+    doc = "stream-stream interval join (clicks x same-user purchases " +
+      "within 30 min), both sides watermarked for state cleanup, run " +
+      "to completion through a checkpointed sink; oracle = batch " +
+      "interval join") { (spark, dir) =>
+    val root = scratch(dir, "qs8")
+    wipe(root)
+    def side(etype: String, idAs: String, tsAs: String,
+        evtAs: String): DataFrame =
+      eventStream(spark, dir)
+        .filter(col("event_type") === etype)
+        .select(col("event_id").as(idAs), col("user_id"),
+          col("ts").as(tsAs),
+          timestamp_micros(expr("ts div 1000")).as(evtAs))
+    val joined = Pipelines.streamIntervalJoin(
+      side("click", "click_id", "click_ts", "click_evt"),
+      side("purchase", "purchase_id", "purchase_ts", "purchase_evt"),
+      key = "user_id", leftTs = "click_evt", rightTs = "purchase_evt",
+      lower = "0 minutes", upper = "30 minutes", watermark = "1 hour")
+      .select(col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("user_id"))
+    Pipelines.runToCompletion(
+      Pipelines.sink(joined, s"$root/sink", s"$root/ckpt"))
+    spark.read.parquet(s"$root/sink")
+      .select("click_id", "click_ts", "purchase_id", "purchase_ts",
+        "user_id")
+      .orderBy("click_id", "purchase_id")
+  }
+
+  /** qs9: CUSTOM KEYED STATE (`flatMapGroupsWithState`) under the hard
+    * signal — the streaming RFM feature store
+    * ([[graft.stream.Pipelines.rfmFeatures]]: per-user recency /
+    * frequency / monetary maintained as O(1) state) driven by the
+    * qs3 incremental two-run pattern: run 1 folds the even-event_id
+    * purchases, run 2 restores the state store from the shared
+    * checkpoint and folds only the odd batch on top — so equality
+    * with the flat whole-table oracle proves the state SURVIVED the
+    * restart and double-counted nothing. All state fields are Longs
+    * (event-time micros, counts, exact value-micros through
+    * DECIMAL(18,6)), so the fold is batching-invariant by
+    * construction. Update-mode output lands through
+    * [[graft.stream.Pipelines.stateUpsertSink]] (latest cumulative
+    * row per user wins — frequency is strictly monotone per key).
+    */
+  val qs9 = OpQuery.oracled("qs9_stream_rfm_state",
+    """SELECT user_id, max(epoch_us(ts)) AS last_seen_us,
+      |       CAST(count(*) AS BIGINT) AS frequency,
+      |       CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+      |                     AS BIGINT)) AS BIGINT) AS monetary_cents
+      |FROM events
+      |WHERE event_type = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    doc = "flatMapGroupsWithState RFM features across two incremental " +
+      "runs sharing a checkpoint (state restored from the state store " +
+      "between runs); oracle = flat per-user aggregate") { (spark, dir) =>
+    import spark.implicits._
+    val root = scratch(dir, "qs9")
+    wipe(root)
+    val ev = Sources.table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("us"),
+        expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+          .as("cents"))
+    ev.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$root/input")
+    val sch = spark.read.parquet(s"$root/input").schema
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.stateUpsertSink(
+        Pipelines.rfmFeatures(
+          spark.readStream.schema(sch).parquet(s"$root/input")
+            .drop("event_id").as[Pipelines.PurchaseEvent]).toDF(),
+        s"$root/table", s"$root/ckpt",
+        key = "user_id", orderCol = "frequency"))
+    run()
+    ev.filter(col("event_id") % 2 === 1)
+      .write.mode("append").parquet(s"$root/input")
+    run()
+    spark.read.parquet(s"$root/table")
+      .select(col("user_id"), col("last_seen_us"), col("frequency"),
+        col("monetary_cents"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[OpQuery] = Seq(
     qs1,
     qs2.copy(prepare = (s, d) => { ensureEnvelopeInput(s, d); () }),
@@ -436,5 +574,7 @@ object StreamQueries {
     qs4,
     qs5,
     qs6,
-    qs7)
+    qs7,
+    qs8,
+    qs9)
 }

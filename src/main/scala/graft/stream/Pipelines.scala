@@ -368,33 +368,56 @@ object Pipelines {
     * nothing upstream changes.
     */
   def upsertSink(updates: DataFrame, tablePath: String, checkpoint: String,
-      key: String, orderCol: String): DataStreamWriter[Row] = {
+      key: String, orderCol: String): DataStreamWriter[Row] =
     updates.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val spark = batch.sparkSession
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(key).orderBy(col(orderCol).desc)
-        val latest = batch
-          .withColumn("_graft_rn", row_number().over(w))
-          .filter(col("_graft_rn") === 1).drop("_graft_rn")
-        recoverPublished(tablePath, "upsertSink")
-        val table = new java.io.File(tablePath)
-        // an existing-but-empty dir (fresh temp dir, wiped table) is a
-        // first write, not a merge target
-        val hasData = table.isDirectory && Option(table.listFiles())
-          .exists(_.exists(_.getName.startsWith("part-")))
-        val merged =
-          if (hasData)
-            graft.api.Tables.upsert(spark.read.parquet(tablePath), latest, key)
-          else latest
-        merged.write.mode("overwrite").parquet(tablePath + ".staged")
-        publishStaged(tablePath, "upsertSink")
-        ()
-      }
-  }
+      .foreachBatch(upsertBatch(tablePath, key, orderCol))
+
+  /** [[upsertSink]] for UPDATE-mode upstreams — the sink for custom
+    * keyed state (`flatMapGroupsWithState` emits one cumulative row
+    * per touched key per micro-batch, which is update-mode output by
+    * definition and rejected by an append-mode writer). The merge
+    * body is identical: collapse the batch to the latest row per key
+    * by `orderCol`, MERGE into the parquet table, publish by the
+    * crash-safe two-rename swap. For a state op whose per-key output
+    * is monotone in `orderCol` (counts, cumulative sums), replay
+    * redelivery is absorbed exactly as in [[upsertSink]]: the stored
+    * row already carries an equal-or-later `orderCol`.
+    */
+  def stateUpsertSink(updates: DataFrame, tablePath: String,
+      checkpoint: String, key: String, orderCol: String)
+      : DataStreamWriter[Row] =
+    updates.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(upsertBatch(tablePath, key, orderCol))
+
+  private def upsertBatch(tablePath: String, key: String, orderCol: String)
+      : (org.apache.spark.sql.Dataset[Row], Long) => Unit =
+    (batch: org.apache.spark.sql.Dataset[Row], _: Long) => {
+      val spark = batch.sparkSession
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(key).orderBy(col(orderCol).desc)
+      val latest = batch
+        .withColumn("_graft_rn", row_number().over(w))
+        .filter(col("_graft_rn") === 1).drop("_graft_rn")
+      recoverPublished(tablePath, "upsertSink")
+      val table = new java.io.File(tablePath)
+      // an existing-but-empty dir (fresh temp dir, wiped table) is a
+      // first write, not a merge target
+      val hasData = table.isDirectory && Option(table.listFiles())
+        .exists(_.exists(_.getName.startsWith("part-")))
+      val merged =
+        if (hasData)
+          graft.api.Tables.upsert(spark.read.parquet(tablePath), latest, key)
+        else latest
+      merged.write.mode("overwrite").parquet(tablePath + ".staged")
+      publishStaged(tablePath, "upsertSink")
+      ()
+    }
 
   /** Streaming content-addressed chunk store — the WRITE path of m11's
     * chunk-level dedup: each micro-batch of binary payloads is split
