@@ -398,23 +398,29 @@ object Dedup {
     *
     * Distributed shape: the pair list is materialized ONCE up front
     * (its producing pipeline — LSH, token-jaccard — is typically the
-    * expensive part, and both union directions plus every round must
-    * read it). Each round combines two label sources, shuffling on
-    * uniform doc ids:
+    * expensive part), and the SYMMETRIC edge list is persisted
+    * pre-partitioned on the probe key so the big side of the per-round
+    * join never re-shuffles. Each round combines three label sources
+    * in a SINGLE union → min-aggregate (one shuffle on uniform doc
+    * ids — not the agg + three-way-join cascade a naive formulation
+    * pays):
     *
+    *  - self: the node's current label (labels only ever decrease);
     *  - neighbor min: the smallest label among a node's direct
     *    neighbors (moves labels one hop per round);
     *  - pointer jump: `label(label(u))` — a label is itself a doc id
     *    with its own current label, so one self-join of the label table
     *    shortcuts chains (halves the remaining distance per round).
     *
-    * With both, rounds needed = O(log diameter) rather than diameter;
-    * near-dup graphs are shallow anyway, so this converges in a
-    * handful. The fixpoint check rides on the previous label carried
-    * through the round's frame — a filter-count over the freshly
-    * checkpointed blocks, no extra join. Lineage is cut with
-    * localCheckpoint each round (a production job on a cluster would
-    * use reliable checkpointing, same algorithm).
+    * With hook + jump, rounds needed = O(log diameter) rather than
+    * diameter; near-dup graphs are shallow anyway, so this converges
+    * in a handful. The fixpoint check exploits monotonicity: every
+    * node's label is non-increasing (min over a set containing self),
+    * so the label-sum strictly decreases until the fixpoint — one
+    * overflow-safe decimal aggregate over the freshly checkpointed
+    * blocks replaces a previous-vs-next comparison join. Lineage is
+    * cut with localCheckpoint each round (a production job on a
+    * cluster would use reliable checkpointing, same algorithm).
     *
     * If `maxRounds` is hit before the fixpoint, the labels are NOT yet
     * connected components — this throws rather than silently returning
@@ -428,33 +434,71 @@ object Dedup {
     // a lazy persist would race its two union branches in one job
     val fwd = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .localCheckpoint(true)
-    val edges = fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // the symmetric edge list is read by EVERY round's neighbor join:
+    // persist it already partitioned on the probe key v, so the
+    // E-sized side shuffles once total instead of once per round (the
+    // label side is the small one — node count, not edge count)
+    val edges = fwd
+      .unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("v"))
+      .persist()
+    // seed with the 1-hop minimum directly: the same single shuffle a
+    // plain `distinct` node-list would cost already yields round 1's
+    // labels (label0(u) = min(u, N(u))) — one full round saved
+    var labels = edges.groupBy(col("u"))
+      .agg(least(min(col("v")), col("u")).as("label"))
+      .select(col("u").as("doc_id"), col("label"))
       .localCheckpoint(true)
-    var changed = 1L
+    // labels are doc ids: the per-node label is non-increasing, so the
+    // decimal label-sum is strictly decreasing until the fixpoint (a
+    // 128-bit-safe scalar — ids up to 2^63 times trillions of nodes
+    // cannot overflow DECIMAL(38,0))
+    def labelSum(): java.math.BigDecimal = {
+      val v = labels.agg(sum(col("label").cast("decimal(38,0)"))).head().get(0)
+      if (v == null) java.math.BigDecimal.ZERO
+      else v.asInstanceOf[java.math.BigDecimal]
+    }
+    var prevSum = labelSum()
+    var changed = true
     var round = 0
-    while (changed > 0 && round < maxRounds) {
-      val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
-        .groupBy(edges("u").as("nb_id")).agg(min("label").as("nl"))
-      val jump = labels.as("a")
+    while (changed && round < maxRounds) {
+      // Two hook hops + a double pointer jump per round. Rounds are
+      // the cost unit here — each one pays a checkpoint job and a
+      // convergence job regardless of data size — so packing two
+      // units of label progress into one round's (pipelined) DAG
+      // halves the round count for a few extra stages per job.
+      val n1 = edges
+        .join(labels.select(col("doc_id").as("v"), col("label")), "v")
+        .select(col("u").as("doc_id"), col("label"))
+      val n1m = n1.groupBy("doc_id").agg(min("label").as("label"))
+      val n2 = edges
+        .join(n1m.select(col("doc_id").as("v"), col("label")), "v")
+        .select(col("u").as("doc_id"), col("label"))
+      // L(L(L(u))): labels shrink along pointer chains, so the double
+      // jump subsumes the single one
+      val j2 = labels.as("a")
         .join(labels.as("b"), col("a.label") === col("b.doc_id"))
         .select(col("a.doc_id").as("j_id"), col("b.label").as("jl"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("nb_id"), "left")
-        .join(jump, labels("doc_id") === col("j_id"), "left")
-        .select(col("doc_id"), col("label").as("prev"),
-          least(col("label"),
-            coalesce(col("nl"), col("label")),
-            coalesce(col("jl"), col("label"))).as("label"))
+        .join(labels.as("c"), col("jl") === col("c.doc_id"))
+        .select(col("j_id").as("doc_id"), col("c.label").as("label"))
+      val next = labels.select("doc_id", "label")
+        .unionByName(n1m).unionByName(n2).unionByName(j2)
+        .groupBy("doc_id").agg(min("label").as("label"))
         .localCheckpoint(true)
-      changed = next.filter(col("label") =!= col("prev")).count()
-      labels = next.select("doc_id", "label")
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(labels)
+      labels = next
+      val s = labelSum()
+      changed = s.compareTo(prevSum) != 0
+      prevSum = s
       round += 1
     }
-    if (changed > 0)
+    edges.unpersist(blocking = false)
+    if (changed)
       throw new IllegalStateException(
         s"nearDupClusters did not converge in $maxRounds rounds " +
-          s"($changed labels still moving); raise maxRounds")
+          "(labels still moving); raise maxRounds")
+    if (sys.env.contains("SPARK_GRAFT_CC_LOG"))
+      System.err.println(s"[cc] converged in $round rounds")
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("doc_id"), col("label").as("cluster_id"))
