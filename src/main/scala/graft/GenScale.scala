@@ -35,6 +35,20 @@ import org.apache.spark.sql.functions._
   * more entities", which is the dominant real growth axis, not "10×
   * denser entities". The sf0.01→sf0.1 rung (driver-generated, both
   * axes grow) keeps covering the density axis.
+  *
+  * Second known bias, TEXT ONLY: because sf1 text is resynthesized
+  * from the 50k Zipf vocabulary while the primary rung keeps the
+  * fixture's 31-token vocabulary, cross-rung ratios for the
+  * text/dedup family (t27, t36, t37, p07, d06, t38 and friends)
+  * measure the DESIGNED 50k-vocab workload at 10× scale, not
+  * same-distribution scaling: term-join keys that are viral at
+  * sf0.1 are rare at sf1, so a text operator's ratio can move in
+  * either direction without a scale bug (and conversely, the
+  * superlinear flag for this family certifies the realistic-vocab
+  * workload, which is the deployment-relevant one — the 31-token
+  * rung is the degenerate case). Non-text columns are replicated
+  * unchanged, so every other family's ratios remain
+  * same-distribution.
   */
 object GenScale {
 

@@ -439,9 +439,62 @@ object GraphOps {
       |JOIN deg db ON db.node = c.b
       |ORDER BY jaccard DESC, a, b LIMIT 100""".stripMargin
   },
-    doc = "top-100 link-prediction pairs: degree-capped wedge expansion + anti join on existing edges + neighborhood Jaccard (exact-integer IEEE score)") { (spark, dir) =>
+    doc = "INDEX-SERVING timing: top-100 link-prediction ranking over " +
+      "the prepare-materialized candidate table (the offline build is " +
+      "timed separately as g16)") { (spark, dir) =>
     graft.api.Graph.scoreLinkCandidates(
       spark.read.parquet(ensureLinkCandidates(spark, dir)), topK = 100)
+  }
+
+  /** The OFFLINE half of the link-prediction pipeline as its own
+    * timed, oracled entry: the full candidate build (degree-capped
+    * wedge expansion, existing-edge anti join, degree joins) that g08
+    * consumes from its `prepare`-materialized table. g08 alone would
+    * let the expensive stage hide outside every timed section — this
+    * query IS that stage, reduced to a per-common-count histogram so
+    * the output stays bounded while the aggregate still forces every
+    * candidate row through the anti join and both degree joins.
+    */
+  val g16 = OpQuery.oracled("g16_link_candidate_build", {
+    s"""WITH pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), e0 AS (
+      |  SELECT DISTINCT pa, pb FROM pairs WHERE $edgeKeep
+      |), sym AS (
+      |  SELECT pa AS u, pb AS v FROM e0
+      |  UNION ALL
+      |  SELECT pb AS u, pa AS v FROM e0
+      |), deg AS (
+      |  SELECT u AS node, count(*) AS deg FROM sym GROUP BY 1
+      |), wedge AS (
+      |  SELECT e1.v AS a, e2.v AS b, count(*) AS common
+      |  FROM sym e1 JOIN sym e2 ON e1.u = e2.u AND e1.v < e2.v
+      |  WHERE e1.u IN (SELECT node FROM deg WHERE deg <= 64)
+      |  GROUP BY 1, 2
+      |), cand AS (
+      |  SELECT w.a, w.b, w.common FROM wedge w
+      |  WHERE NOT EXISTS (SELECT 1 FROM e0
+      |                    WHERE e0.pa = w.a AND e0.pb = w.b)
+      |)
+      |SELECT CAST(c.common AS BIGINT) AS common_neighbors,
+      |       count(*) AS n_pairs,
+      |       CAST(sum(da.deg + db.deg) AS BIGINT) AS deg_mass
+      |FROM cand c
+      |JOIN deg da ON da.node = c.a
+      |JOIN deg db ON db.node = c.b
+      |GROUP BY 1 ORDER BY common_neighbors""".stripMargin
+  },
+    doc = "offline link-prediction candidate build timed end-to-end " +
+      "(wedge expansion + anti join + degree joins), folded to a " +
+      "per-common-count histogram") { (spark, dir) =>
+    graft.api.Graph.linkCandidates(edges(spark, dir),
+      maxConnectorDegree = Some(64L))
+      .groupBy(col("common").cast("bigint").as("common_neighbors"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("deg_a") + col("deg_b")).cast("bigint").as("deg_mass"))
+      .orderBy("common_neighbors")
   }
 
   /** Build-and-cache g08's distance-2 candidate table per SF
@@ -976,7 +1029,7 @@ object GraphOps {
     * per-query numbers measure the kernel, not an 12×-repaid derivation.
     */
   val all: Seq[OpQuery] = Seq(g01, g02, g03, g04, g05, g06, g07, g09,
-    g10, g11, g12, g15).map(_.copy(prepare = (s, d) => { ensureEdges(s, d); () })) ++
+    g10, g11, g12, g15, g16).map(_.copy(prepare = (s, d) => { ensureEdges(s, d); () })) ++
     Seq(g08.copy(prepare = (s, d) => { ensureLinkCandidates(s, d); () })) ++
     Seq(g13, r62).map(_.copy(prepare = (s, d) => { ensureWeightedEdges(s, d); () })) ++
     Seq(g14)
