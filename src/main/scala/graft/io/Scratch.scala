@@ -63,7 +63,22 @@ object Scratch {
   private lazy val runBase: String = {
     val p = s"$targetRoot/run/$runId"
     // Reclaim on clean exit; a killed JVM leaves the dir behind, which
-    // is harmless (next run uses a different id) and debuggable.
+    // is harmless (next run uses a different id). Those orphans are
+    // swept here instead: a sibling run dir whose pid is no longer
+    // alive belongs to a dead process and can never be read again —
+    // unparseable names are left alone rather than guessed at.
+    val runParent = new java.io.File(s"$targetRoot/run")
+    Option(runParent.listFiles()).foreach(_.foreach { d =>
+      d.getName match {
+        case s"run_${pid}_$t0" if t0.nonEmpty && pid.nonEmpty &&
+            pid.length < 18 && pid.forall(_.isDigit) &&
+            d.getName != runId &&
+            !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive)
+              .orElse(false) =>
+          rmTree(d)
+        case _ => ()
+      }
+    })
     Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(new java.io.File(p))))
     p
   }

@@ -504,8 +504,18 @@ object StreamQueries {
       lower = "0 minutes", upper = "30 minutes", watermark = "1 hour")
       .select(col("click_id"), col("click_ts"),
         col("purchase_id"), col("purchase_ts"), col("user_id"))
-    Pipelines.runToCompletion(
+    // A stream-stream join opens FOUR state stores per shuffle
+    // partition; at local[32] that fixed setup (128 store dirs for a
+    // few thousand buffered rows) dwarfs the data. Pin the stateful
+    // width to 8 for this query — state volume scales with buffered
+    // KEYS, not partitions, and a checkpoint pins its width for the
+    // query's lifetime anyway (a real deployment sizes this to state
+    // volume / executor count before first start, same knob).
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try Pipelines.runToCompletion(
       Pipelines.sink(joined, s"$root/sink", s"$root/ckpt"))
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.read.parquet(s"$root/sink")
       .select("click_id", "click_ts", "purchase_id", "purchase_ts",
         "user_id")
@@ -567,6 +577,69 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
+  /** qs10: streaming ADMISSION CONTROL under the hard signal — the
+    * per-source token-budget gate every training-data mixture applies
+    * at ingest ([[graft.stream.Pipelines.tokenBudget]]: one running
+    * Long of state per source; a document is admitted iff the total
+    * it lands on stays within budget, and REJECTED documents still
+    * advance the total, which is what makes the decision identical to
+    * the batch prefix-sum filter). Driven by the qs3 two-run pattern
+    * (even doc_ids, then odd, one checkpoint), so the oracle's
+    * `(half, doc_id)` window order IS the stream's arrival order —
+    * within a batch the operator pins processing order by doc_id, so
+    * every decision row is a pure function of the input across the
+    * restart. Decisions land through the update-mode sink keyed by
+    * doc_id (each document decides exactly once).
+    */
+  val qs10 = OpQuery.oracled("qs10_stream_token_budget",
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         doc_id % 2 AS half
+      |  FROM documents
+      |), r AS (
+      |  SELECT source, doc_id, n_tokens,
+      |         sum(n_tokens) OVER (PARTITION BY source
+      |                             ORDER BY half, doc_id
+      |                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM d
+      |)
+      |SELECT doc_id, source, n_tokens,
+      |       CAST(CASE WHEN cum_tokens <= 1000 THEN 1 ELSE 0 END
+      |            AS INT) AS admitted,
+      |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM r ORDER BY doc_id""".stripMargin,
+    doc = "streaming per-source token-budget admission across two " +
+      "incremental runs sharing a checkpoint; oracle = the batch " +
+      "prefix-sum filter in (arrival-half, doc_id) order") { (spark, dir) =>
+    import spark.implicits._
+    val root = scratch(dir, "qs10")
+    wipe(root)
+    val docs = Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$root/input")
+    val sch = spark.read.parquet(s"$root/input").schema
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.stateUpsertSink(
+        Pipelines.tokenBudget(
+          spark.readStream.schema(sch).parquet(s"$root/input")
+            .as[Pipelines.BudgetDoc], budget = 1000L)
+          .toDF()
+          .withColumn("admitted", col("admitted").cast("int")),
+        s"$root/table", s"$root/ckpt",
+        key = "doc_id", orderCol = "cum_tokens"))
+    run()
+    docs.filter(col("doc_id") % 2 === 1)
+      .write.mode("append").parquet(s"$root/input")
+    run()
+    spark.read.parquet(s"$root/table")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("admitted"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OpQuery] = Seq(
     qs1,
     qs2.copy(prepare = (s, d) => { ensureEnvelopeInput(s, d); () }),
@@ -576,5 +649,6 @@ object StreamQueries {
     qs6,
     qs7,
     qs8,
-    qs9)
+    qs9,
+    qs10)
 }
