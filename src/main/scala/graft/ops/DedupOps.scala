@@ -500,7 +500,8 @@ object DedupOps {
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.95
       |ORDER BY doc_a, doc_b""".stripMargin,
     doc = "token-set jaccard near-dup (probe subset vs corpus), " +
-      "fractional-df-capped, AQE-sized probe join") { (spark, dir) =>
+      "fractional-df-cap via broadcast vocabulary allow-list, " +
+      "AQE-sized probe join") { (spark, dir) =>
     graft.api.Dedup.tokenJaccardPairs(Sources.table(spark, dir, "documents"),
       probe = col("doc_id") % 50 === 0
         && col("doc_id") < TextOps.probeIdBound,

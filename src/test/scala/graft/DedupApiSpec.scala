@@ -95,6 +95,22 @@ class DedupApiSpec extends AnyFunSuite {
     assert(capped1 == full)
   }
 
+  test("tokenJaccardPairs prefix filter is lossless (matches direct join)") {
+    // the AllPairs prefix candidates must reproduce the direct join's
+    // pairs EXACTLY at every threshold, including ones low enough that
+    // the prefix covers most of each document and high enough that it
+    // is a couple of tokens — and with the df cap interacting
+    for (t <- Seq(0.2, 0.5, 0.95); cap <- Seq(None, Some(0.5))) {
+      val direct = Dedup.tokenJaccardPairs(corpus, probe = lit(true),
+        threshold = t, maxTokenDfFraction = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val prefixed = Dedup.tokenJaccardPairs(corpus, probe = lit(true),
+        threshold = t, maxTokenDfFraction = cap, prefixFilter = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(prefixed == direct, s"t=$t cap=$cap: $prefixed != $direct")
+    }
+  }
+
   test("nearDupClusters resolves transitive chains to one component") {
     // a long chain (10..18) needs several propagation rounds; a
     // triangle with an extra edge (1-2, 2-3, 1-3) and an isolated pair
