@@ -1225,16 +1225,29 @@ object TextOps {
     val uni = toks
       .select(explode(col("toks")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c1"))
-    val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    big.join(bc, Seq("w1", "w2"))
-      .join(uni, col("w1") === col("t"))
+    // Skew shape: every per-occurrence statistic here is a function of
+    // (doc, bigram, within-doc count), so the raw occurrence table is
+    // reduced to that grain FIRST — on the uniform (doc, w1, w2) key —
+    // and never shuffles on a vocabulary key. The corpus bigram counts
+    // re-aggregate the reduced table (map-side partials collapse a
+    // viral bigram to one row per task before the exchange), and the
+    // one unavoidable vocabulary-keyed join carries the reduced rows
+    // under AQE's skew-split. The unigram table is vocabulary-grain —
+    // broadcast material at any corpus size (the d06 allow-list
+    // argument) — so the prefix-count join is map-side.
+    val docBig = big.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val bc = docBig.groupBy("w1", "w2").agg(sum("n").as("c2"))
+    docBig.join(bc, Seq("w1", "w2"))
+      .join(broadcast(uni), col("w1") === col("t"))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        sum(col("c2")).cast("bigint").as("sum_bigram_freq"),
-        sum(col("c1")).cast("bigint").as("sum_prefix_freq"),
-        (sum(col("c2")).cast("double") / sum(col("c1")))
-          .as("continuation_ratio"))
+        sum(col("n")).as("n_bigrams"),
+        sum(col("n") * col("c2")).cast("bigint").as("sum_bigram_freq"),
+        sum(col("n") * col("c1")).cast("bigint").as("sum_prefix_freq"),
+        (sum(col("n") * col("c2")).cast("double")
+          / sum(col("n") * col("c1"))).as("continuation_ratio"))
       .orderBy("doc_id")
   }
 
