@@ -522,6 +522,86 @@ object StreamQueries {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** qs11: stream-stream LEFT OUTER interval join under the hard
+    * signal — the state-EVICTION semantics qs8's inner join never
+    * exercises: an unmatched click emits its null-extended row only
+    * when the watermark proves no future purchase can match (the
+    * engine removes the buffered left row once the right-side
+    * watermark passes `click_ts + upper`), so the sink contents are a
+    * direct observation of the join-state cleanup policy. The oracle
+    * mirrors it: all matched pairs (inner part, emitted
+    * batch-synchronously) plus the no-match clicks whose entire match
+    * window closed under the FINAL watermark — `min` of the two
+    * sides' (ms-truncated max event time − delay), Spark's
+    * multiple-watermark `min` policy — while no-match clicks whose
+    * window was still open when input ended stay buffered in the
+    * checkpoint and never reach the sink. The eviction comparison is
+    * strict (`window end < watermark`, Spark's remove-below-watermark
+    * predicate); fixture event times are microsecond-spread, so the
+    * boundary convention is also hash-validated at every SF.
+    */
+  val qs11 = OpQuery.oracled("qs11_stream_outer_interval_join",
+    """WITH wm AS (
+      |  SELECT least(
+      |    (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+      |      WHERE event_type = 'click'),
+      |    (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+      |      WHERE event_type = 'purchase')) - 3600000000 AS w
+      |)
+      |SELECT l.event_id AS click_id, epoch_ns(l.ts) AS click_ts,
+      |       r.event_id AS purchase_id, epoch_ns(r.ts) AS purchase_ts,
+      |       l.user_id AS user_id
+      |FROM events l JOIN events r
+      |  ON l.user_id = r.user_id
+      | AND l.event_type = 'click' AND r.event_type = 'purchase'
+      | AND epoch_us(r.ts) >= epoch_us(l.ts)
+      | AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000
+      |UNION ALL
+      |SELECT l.event_id, epoch_ns(l.ts),
+      |       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), l.user_id
+      |FROM events l
+      |WHERE l.event_type = 'click'
+      |  AND epoch_us(l.ts) + 1800000000 < (SELECT w FROM wm)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM events r
+      |    WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+      |      AND epoch_us(r.ts) >= epoch_us(l.ts)
+      |      AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000)
+      |ORDER BY click_id, purchase_id""".stripMargin,
+    doc = "stream-stream LEFT OUTER interval join: matches emit " +
+      "inner-style, unmatched clicks null-extend only when the final " +
+      "watermark closes their window (state-eviction semantics); " +
+      "oracle = batch join + watermark-gated NOT EXISTS") { (spark, dir) =>
+    val root = scratch(dir, "qs11")
+    wipe(root)
+    def side(etype: String, idAs: String, tsAs: String,
+        evtAs: String): DataFrame =
+      eventStream(spark, dir)
+        .filter(col("event_type") === etype)
+        .select(col("event_id").as(idAs), col("user_id"),
+          col("ts").as(tsAs),
+          timestamp_micros(expr("ts div 1000")).as(evtAs))
+    val joined = Pipelines.streamIntervalJoin(
+      side("click", "click_id", "click_ts", "click_evt"),
+      side("purchase", "purchase_id", "purchase_ts", "purchase_evt"),
+      key = "user_id", leftTs = "click_evt", rightTs = "purchase_evt",
+      lower = "0 minutes", upper = "30 minutes", watermark = "1 hour",
+      joinType = "left_outer")
+      .select(col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("user_id"))
+    // same stateful-width right-sizing as qs8: state volume scales
+    // with buffered keys, not partitions
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try Pipelines.runToCompletion(
+      Pipelines.sink(joined, s"$root/sink", s"$root/ckpt"))
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.read.parquet(s"$root/sink")
+      .select("click_id", "click_ts", "purchase_id", "purchase_ts",
+        "user_id")
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** qs9: CUSTOM KEYED STATE (`flatMapGroupsWithState`) under the hard
     * signal — the streaming RFM feature store
     * ([[graft.stream.Pipelines.rfmFeatures]]: per-user recency /
@@ -650,5 +730,6 @@ object StreamQueries {
     qs7,
     qs8,
     qs9,
-    qs10)
+    qs10,
+    qs11)
 }

@@ -598,13 +598,15 @@ object Pipelines {
   def streamIntervalJoin(left: DataFrame, right: DataFrame,
       key: String, leftTs: String, rightTs: String,
       lower: String, upper: String,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark).as("l")
     val r = right.withWatermark(rightTs, watermark).as("r")
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
         col(s"r.$rightTs") >= expr(s"l.$leftTs + INTERVAL $lower") &&
-        col(s"r.$rightTs") <= expr(s"l.$leftTs + INTERVAL $upper"))
+        col(s"r.$rightTs") <= expr(s"l.$leftTs + INTERVAL $upper"),
+      joinType)
       .drop(col(s"r.$key"))
   }
 
