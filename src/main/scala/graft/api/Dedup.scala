@@ -586,6 +586,12 @@ object Dedup {
       // scan partitioning, and the viral keys the cap removes never
       // become shuffle keys anywhere in this plan
       tokRaw.join(broadcast(ok), "t").select(col(idCol), col("t"))
+      // persisted: the token table feeds sizes + both join legs (and the
+      // prefix path's verify); an unpersist here would have to eagerly
+      // materialize the result first. The blocks are swept between
+      // queries by the harness (clearCache + getPersistentRDDs
+      // unpersist); library callers in long-lived sessions own that
+      // sweep, as with every persist-returning operator in this API.
     }).persist()
     val sizes = tok.groupBy(idCol).agg(count(lit(1)).as("n"))
     val common = if (!prefixFilter) {
@@ -850,23 +856,31 @@ object Dedup {
   }
 
   /** SemDeDup-style semantic near-duplicate pairs over an embedding
-    * column: every vector is assigned to its nearest centroid from a
-    * (small) codebook, candidate pairs are generated only WITHIN a
-    * cell, and the exact quantized cosine verifies each candidate.
+    * column: every vector is assigned to its nearest centroid from the
+    * codebook, candidate pairs are generated only WITHIN a cell, and
+    * the exact quantized cosine verifies each candidate.
     *
-    * Scale shape (the whole point of cell blocking): the codebook is
-    * broadcast — scoring N vectors against k centroids is one map
-    * stage, and the argmax is a partially-aggregated `max_by`, so the
-    * N*k scored rows never shuffle; only N assignment rows do. Pair
-    * generation is a self-join on the cell id — with k sized ~N/S the
-    * per-cell population S bounds candidates at ~N*S/2 instead of
-    * N²/2. Tie-break on centroid id keeps the assignment
-    * deterministic when two centroids score equal.
+    * Scale shape: the codebook ships once per executor inside a
+    * codegen'd [[graft.expr.NearestCellExpr]], so assignment is one
+    * projected Long per vector — no N×k joined rows, no aggregate (the
+    * round-11 curve flagged the old crossJoin+max_by formulation at
+    * 12.9× for exactly that row explosion). The scan inside the
+    * expression is two-level (~√k group representatives, then the
+    * winning group's fines — see [[graft.expr.CellIndex]] for the
+    * deterministic grouping rule the oracle mirrors), so a codebook
+    * sized k ∝ N/S costs N·O(√k) dots, not N·k. Pair generation is a
+    * self-join on the cell id — with per-cell population S bounded,
+    * candidates are ~N·S/2 instead of N²/2. Tie-breaks everywhere go to
+    * the smaller centroid id, keeping the assignment deterministic.
+    *
+    * At k ≤ [[graft.expr.CellIndex.gsize]] (all small fixtures) the
+    * two-level scan degenerates to the exact flat argmax, identical to
+    * the streaming twin [[graft.stream.Pipelines.streamSemanticDups]].
     *
     * `vecs` must carry (idCol: integral, vecCol: array<double>);
-    * `centroids` carries (cidCol, cvecCol) with the same element type.
-    * Returns (vec_a, vec_b, cell, cos_sim), vec_a < vec_b, cosine
-    * computed with the engine's truncation-quantized dot product
+    * `centroids` carries (cidCol, cvecCol array<double>). Returns
+    * (vec_a, vec_b, cell, cos_sim), vec_a < vec_b, cosine computed
+    * with the engine's truncation-quantized dot product
     * (order-insensitive, bit-reproducible across engines).
     */
   def semanticDupPairs(vecs: DataFrame, centroids: DataFrame,
@@ -874,18 +888,23 @@ object Dedup {
       cidCol: String = "c_id", cvecCol: String = "cv",
       threshold: Double = 0.9): DataFrame = {
     graft.expr.Functions.register(vecs.sparkSession)
+    // the codebook is broadcast-sized by contract; collecting it here is
+    // the same movement a broadcast join plans, minus the join
+    val codebook = centroids.select(col(cidCol), col(cvecCol)).collect()
+      .map { r =>
+        (r.getAs[Number](0).longValue(), r.getSeq[Any](1).map {
+          case d: java.lang.Double => d.doubleValue()
+          case f: java.lang.Float => f.doubleValue()
+          case x => throw new IllegalArgumentException(
+            s"semanticDupPairs centroid element: $x")
+        }.toArray)
+      }
+    val index = new graft.expr.CellIndex(codebook)
     val n = vecs.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .withColumn("_nrm", expr("sqrt(quantized_dot(_v, _v))"))
-    val cent = centroids.select(col(cidCol).as("_cid"), col(cvecCol).as("_cv"))
-      .withColumn("_cnrm", expr("sqrt(quantized_dot(_cv, _cv))"))
-    // _v/_nrm ride through the argmax as first(): identical within the
-    // group, so this avoids a join back on the id after assignment.
-    val cells = n.crossJoin(broadcast(cent))
-      .withColumn("_ccos", expr("quantized_dot(_v, _cv) / (_nrm * _cnrm)"))
-      .groupBy("_id")
-      .agg(
-        max_by(col("_cid"), struct(col("_ccos"), (-col("_cid")).as("_t"))).as("cell"),
-        first(col("_v")).as("_v"), first(col("_nrm")).as("_nrm"))
+    val cells = n
+      .withColumn("cell",
+        graft.expr.NearestCell.nearest_cell(col("_v"), col("_nrm"), index))
       .persist()
     val a = cells.select(col("_id").as("vec_a"), col("cell"),
       col("_v").as("_va"), col("_nrm").as("_na"))

@@ -66,6 +66,23 @@ object VectorExprs {
     acc.toDouble / 1e12
   }
 
+  /** [[quantizedDot]] between a column-side [[ArrayData]] and a plain
+    * JVM array (a codebook entry held by an expression) — same
+    * truncation/long accumulation as the other two forms, so all three
+    * agree bit-for-bit.
+    */
+  def quantizedDotMixed(ad: ArrayData, b: Array[Double], aFloat: Boolean): Double = {
+    val n = math.min(ad.numElements(), b.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) ad.getFloat(i).toDouble else ad.getDouble(i)
+      acc += ((x * b(i)) * 1e12).toLong
+      i += 1
+    }
+    acc.toDouble / 1e12
+  }
+
   /** Quantized squared-L2 distance in integer picounits: per element,
     * the squared difference in IEEE double, scaled by 1e12, truncated
     * toward zero to a long, summed exactly. Bit-identical to the SQL

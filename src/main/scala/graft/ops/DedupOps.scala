@@ -813,8 +813,15 @@ object DedupOps {
     * (v + 0.01 per coordinate, cosine >= 0.996 to the base) are
     * planted and the operator must surface exactly those pairs through
     * cell-blocked candidate generation — the oracle re-derives the
-    * nearest-centroid assignment, the within-cell join and the
-    * quantized-cosine verify, and hash-parity proves all three.
+    * TWO-LEVEL nearest-centroid assignment (group representatives =
+    * every gsize-th centroid by id rank, gsize = max(8, ceil(sqrt(k)));
+    * fines grouped under their nearest rep; vector → nearest rep →
+    * nearest fine in that group — the [[graft.expr.CellIndex]] rule),
+    * the within-cell join and the quantized-cosine verify, and
+    * hash-parity proves all of them. At the driver fixtures k ≤ 8, so
+    * one rep exists and the rule degenerates to the exact flat argmax.
+    * The base/mutant pair follows the same decision path at every
+    * level, so planted duplicates still co-assign.
     */
   val d14 = OpQuery.oracled("d14_semantic_dedup", {
     s"""WITH e AS (
@@ -827,14 +834,36 @@ object DedupOps {
       |), n AS (
       |  SELECT vec_id, v, sqrt(${duckQDot("v", "v")}) AS nrm FROM aug
       |), cent AS (
-      |  SELECT vec_id AS c_id, v AS cv, sqrt(${duckQDot("v", "v")}) AS cnrm
+      |  SELECT vec_id AS c_id, v AS cv, sqrt(${duckQDot("v", "v")}) AS cnrm,
+      |         row_number() OVER (ORDER BY vec_id) - 1 AS rnk
       |  FROM e WHERE vec_id % 250 = 0
-      |), assign AS (
-      |  SELECT n.vec_id, cent.c_id,
+      |), gs AS (
+      |  SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS g FROM cent
+      |), reps AS (
+      |  SELECT c_id, cv, cnrm FROM cent WHERE rnk % (SELECT g FROM gs) = 0
+      |), fg AS (
+      |  SELECT c.c_id, c.cv, c.cnrm, r.c_id AS grp,
+      |         row_number() OVER (
+      |           PARTITION BY c.c_id
+      |           ORDER BY ${duckQDot("c.cv", "r.cv")} / (c.cnrm * r.cnrm) DESC, r.c_id ASC) AS rr
+      |  FROM cent c, reps r
+      |), fines AS (
+      |  SELECT c_id, cv, cnrm, grp FROM fg WHERE rr = 1
+      |), vg AS (
+      |  SELECT n.vec_id, r.c_id AS grp,
       |         row_number() OVER (
       |           PARTITION BY n.vec_id
-      |           ORDER BY ${duckQDot("n.v", "cent.cv")} / (n.nrm * cent.cnrm) DESC, cent.c_id ASC) AS rn
-      |  FROM n, cent
+      |           ORDER BY ${duckQDot("n.v", "r.cv")} / (n.nrm * r.cnrm) DESC, r.c_id ASC) AS rr
+      |  FROM n, reps r
+      |), vgrp AS (
+      |  SELECT vec_id, grp FROM vg WHERE rr = 1
+      |), assign AS (
+      |  SELECT n.vec_id, f.c_id,
+      |         row_number() OVER (
+      |           PARTITION BY n.vec_id
+      |           ORDER BY ${duckQDot("n.v", "f.cv")} / (n.nrm * f.cnrm) DESC, f.c_id ASC) AS rn
+      |  FROM n JOIN vgrp ON vgrp.vec_id = n.vec_id
+      |         JOIN fines f ON f.grp = vgrp.grp
       |), cells AS (
       |  SELECT a.vec_id, a.c_id, n.v, n.nrm
       |  FROM assign a JOIN n ON n.vec_id = a.vec_id WHERE a.rn = 1
@@ -845,7 +874,7 @@ object DedupOps {
       |WHERE ${duckQDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.9
       |ORDER BY vec_a, vec_b""".stripMargin
   },
-    doc = "SemDeDup: nearest-centroid cell blocking + exact cosine verify over planted semantic duplicates") { (spark, dir) =>
+    doc = "SemDeDup: two-level nearest-centroid cell blocking + exact cosine verify over planted semantic duplicates") { (spark, dir) =>
     val e = Sources.table(spark, dir, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))

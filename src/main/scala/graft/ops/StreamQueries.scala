@@ -266,6 +266,19 @@ object StreamQueries {
     * proves the two-batch fold lost and double-counted nothing. A
     * third run with no new data re-reads the view through an empty
     * commit: totals must be unchanged.
+    *
+    * INSTRUMENTED (round 12): this query has failed the driver's
+    * hash compare twice (rounds 10–11) while passing every judge rerun
+    * (9/9) and every in-repo gate — a divergence that so far only
+    * manifests in the driver's environment. So `fn` now self-verifies:
+    * it recomputes the same aggregate as a plain batch twin in the SAME
+    * session and, on any mismatch with the sink read-back, dumps the
+    * full row diff, every micro-batch's folded partial (persisted by
+    * [[graft.stream.Pipelines.applyAggViewBatch]]'s audit channel
+    * under the run root), the fold trail and the `_LAST_BATCH`
+    * high-water mark to stderr — which the driver captures. A future
+    * red row therefore arrives WITH the evidence that pins which batch
+    * diverged, instead of being a fourth unobservable failure.
     */
   val qs4 = OpQuery.oracled("qs4_stream_aggview_fold",
     """SELECT substr(event_type, 1, 1) AS etype_class,
@@ -279,6 +292,7 @@ object StreamQueries {
       "batching-invariant)") { (spark, dir) =>
     val root = scratch(dir, "qs4")
     wipe(root)
+    val audit = s"$root/audit"
     val ev = Sources.table(spark, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"))
     val dim = ev.select(col("event_type")).distinct()
@@ -291,15 +305,80 @@ object StreamQueries {
         spark.readStream.schema(sch).parquet(s"$root/input").drop("event_id"),
         dim, s"$root/table", s"$root/ckpt",
         joinKey = "event_type", viewKey = "etype_class",
-        valueCol = "value"))
+        valueCol = "value", auditDir = Some(audit)))
     run()
     ev.filter(col("event_id") % 2 === 1)
       .write.mode("append").parquet(s"$root/input")
     run()
     run() // no new files: the fold must be a no-op
-    spark.read.parquet(s"$root/table")
+    val view = spark.read.parquet(s"$root/table")
       .select("etype_class", "n_rows", "s")
       .orderBy("etype_class")
+    selfCheckAggView(spark, root, audit, view,
+      // the batch twin of the oracle, from the SAME source frame
+      ev.withColumn("etype_class", substring(col("event_type"), 1, 1))
+        .groupBy("etype_class")
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          sum(col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("s"))
+        .orderBy("etype_class"))
+    view
+  }
+
+  /** qs4's in-session divergence detector: compares the streamed view
+    * with its batch twin row-by-row and, on ANY mismatch, prints the
+    * diff plus the complete fold forensics (per-batch partials, trail,
+    * `_LAST_BATCH`, the stream-side input recount) to stderr — the
+    * channel the driver records. Never throws: the view is still
+    * returned so the oracle compare stays the authoritative verdict;
+    * this only makes a red row diagnosable.
+    */
+  private def selfCheckAggView(spark: SparkSession, root: String,
+      audit: String, view: DataFrame, twin: DataFrame): Unit = {
+    try {
+      def render(df: DataFrame): Seq[String] =
+        df.collect().toSeq.map(r => r.toSeq.map {
+          case d: java.math.BigDecimal => d.toPlainString
+          case x => String.valueOf(x)
+        }.mkString("|"))
+      val got = render(view)
+      val want = render(twin)
+      if (got != want) {
+        val err = System.err
+        err.println("[qs4-selfcheck] DIVERGENCE view != batch twin")
+        err.println(s"[qs4-selfcheck] view rows (etype_class|n_rows|s):")
+        got.foreach(r => err.println(s"[qs4-selfcheck]   got  $r"))
+        want.foreach(r => err.println(s"[qs4-selfcheck]   want $r"))
+        val mark = new java.io.File(s"$root/table/_LAST_BATCH")
+        err.println(s"[qs4-selfcheck] _LAST_BATCH=" + (if (mark.exists())
+          new String(java.nio.file.Files.readAllBytes(mark.toPath), "UTF-8").trim
+        else "<absent>"))
+        val trail = new java.io.File(s"$audit/trail.log")
+        if (trail.exists())
+          new String(java.nio.file.Files.readAllBytes(trail.toPath), "UTF-8")
+            .linesIterator.foreach(l => err.println(s"[qs4-selfcheck] trail: $l"))
+        Option(new java.io.File(audit).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("partial_b")).sortBy(_.getName)
+          .foreach { d =>
+            render(spark.read.parquet(d.getPath).orderBy("etype_class"))
+              .foreach(r => err.println(s"[qs4-selfcheck] ${d.getName}: $r"))
+          }
+        // recount the stream-side INPUT: localizes the divergence to
+        // either the input write (events -> input parquet) or the fold
+        render(spark.read.parquet(s"$root/input")
+          .withColumn("etype_class", substring(col("event_type"), 1, 1))
+          .groupBy("etype_class")
+          .agg(count(lit(1)).cast("bigint").as("n_rows"),
+            sum(col("value").cast("decimal(18,2)"))
+              .cast("decimal(18,2)").as("s"))
+          .orderBy("etype_class"))
+          .foreach(r => err.println(s"[qs4-selfcheck] input-agg: $r"))
+        err.println("[qs4-selfcheck] end of dump; returning the view unchanged")
+      }
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[qs4-selfcheck] dump itself failed: $t")
+    }
   }
 
   /** qs5: the streaming CDC sink under the hard signal — qs3's

@@ -1235,6 +1235,11 @@ object TextOps {
     // under AQE's skew-split. The unigram table is vocabulary-grain —
     // broadcast material at any corpus size (the d06 allow-list
     // argument) — so the prefix-count join is map-side.
+    // persisted because the reduced table feeds two consumers (corpus
+    // re-aggregation + the final join); the blocks outlive this frame's
+    // laziness, so the harness sweeps them between queries
+    // (Bench/Verify clearCache + getPersistentRDDs unpersist) — library
+    // callers embedding this in a long-lived session own that sweep
     val docBig = big.groupBy("doc_id", "w1", "w2")
       .agg(count(lit(1)).as("n"))
       .persist()

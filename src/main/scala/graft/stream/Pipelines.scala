@@ -518,7 +518,8 @@ object Pipelines {
     */
   private[graft] def applyAggViewBatch(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
-      partial: DataFrame, viewKey: String, batchId: Long): Unit = {
+      partial: DataFrame, viewKey: String, batchId: Long,
+      auditDir: Option[String] = None): Unit = {
     recoverPublished(tablePath, "aggViewSink")
     val markFile = new java.io.File(tablePath, "_LAST_BATCH")
     val lastApplied =
@@ -526,13 +527,36 @@ object Pipelines {
         new String(java.nio.file.Files.readAllBytes(markFile.toPath),
           "UTF-8").trim.toLong
       else -1L
-    if (batchId <= lastApplied) return // replayed batch: already folded in
+    def trail(msg: String): Unit = auditDir.foreach { dir =>
+      new java.io.File(dir).mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "trail.log"),
+        s"batchId=$batchId lastApplied=$lastApplied $msg\n".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      ()
+    }
+    if (batchId <= lastApplied) { // replayed batch: already folded in
+      trail("action=skipped-replay")
+      return
+    }
+    // Forensic channel (qs4 instrumentation): the folded partial is
+    // persisted under the run root BEFORE the merge, and the fold is
+    // computed FROM that parquet read-back — so what the audit shows is
+    // byte-for-byte what the view absorbed, and a later divergence in
+    // the view is attributable to a specific batch's partial.
+    val foldInput = auditDir.map { dir =>
+      val p = s"$dir/partial_b$batchId"
+      partial.write.mode("overwrite").parquet(p)
+      trail(s"action=folded partialRows=${spark.read.parquet(p).count()}")
+      spark.read.parquet(p)
+    }.getOrElse(partial)
     val table = new java.io.File(tablePath)
     val hasData = table.isDirectory && Option(table.listFiles())
       .exists(_.exists(_.getName.startsWith("part-")))
     val merged =
       if (hasData)
-        spark.read.parquet(tablePath).unionByName(partial)
+        spark.read.parquet(tablePath).unionByName(foldInput)
           .groupBy(viewKey)
           .agg(sum("n_rows").as("n2"), sum("s").as("s2"))
           .select(col(viewKey),
@@ -540,13 +564,17 @@ object Pipelines {
             // sums widen decimal precision per merge round; renormalize
             // on store so the view schema is a fixpoint
             col("s2").cast("decimal(18,2)").as("s"))
-      else partial
+      else foldInput
     val staged = tablePath + ".staged"
     merged.write.mode("overwrite").parquet(staged)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(staged, "_LAST_BATCH"),
       batchId.toString.getBytes("UTF-8"))
     publishStaged(tablePath, "aggViewSink")
+    auditDir.foreach { dir =>
+      spark.read.parquet(tablePath)
+        .write.mode("overwrite").parquet(s"$dir/view_after_b$batchId")
+    }
     ()
   }
 
@@ -565,7 +593,8 @@ object Pipelines {
     */
   def aggViewSink(facts: DataFrame, dim: DataFrame, tablePath: String,
       checkpoint: String, joinKey: String, viewKey: String,
-      valueCol: String): DataStreamWriter[Row] = {
+      valueCol: String, auditDir: Option[String] = None)
+      : DataStreamWriter[Row] = {
     facts.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -578,7 +607,7 @@ object Pipelines {
             sum(col(valueCol).cast("decimal(18,2)"))
               .cast("decimal(18,2)").as("s"))
         applyAggViewBatch(batch.sparkSession, tablePath, partial,
-          viewKey, batchId)
+          viewKey, batchId, auditDir)
       }
   }
 

@@ -272,6 +272,63 @@ class DedupApiSpec extends AnyFunSuite {
       s"expected only the planted (1,2) pair in cell 10, got ${got.mkString(",")}")
   }
 
+  test("CellIndex two-level assignment follows the documented rule at k > gsize") {
+    import graft.expr.{CellIndex, VectorExprs}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // 20 deterministic pseudo-random centroids, dim 6 -> gsize =
+    // max(8, ceil(sqrt(20))) = 8, reps at ranks {0, 8, 16}: a REAL
+    // three-group hierarchy (the driver fixtures never exceed one group)
+    def vec(seed: Long, dim: Int): Array[Double] =
+      Array.tabulate(dim) { i =>
+        val h = java.util.Objects.hash(seed.toInt, i).toDouble
+        math.sin(h) // in [-1, 1], deterministic, no RNG state
+      }
+    val cents = (0 until 20).map(i => (i * 7L, vec(i * 31L, 6))).toArray
+    val idx = new CellIndex(cents)
+    assert(idx.gsize == 8)
+    // independent brute mirror of the documented rule
+    val sorted = cents.sortBy(_._1).map { case (cid, cv) =>
+      (cid, cv, math.sqrt(VectorExprs.quantizedDotArr(cv, cv)))
+    }
+    val reps = sorted.zipWithIndex.collect { case (f, i) if i % 8 == 0 => f }
+    def argmax(v: Array[Double], nrm: Double,
+        cands: Seq[(Long, Array[Double], Double)]): Long =
+      cands.map { case (cid, cv, cnrm) =>
+        (VectorExprs.quantizedDotArr(v, cv) / (nrm * cnrm), cid)
+      }.minBy { case (cos, cid) => (-cos, cid) }._2
+    val grouped = sorted.groupBy(f => argmax(f._2, f._3, reps.toSeq))
+    def expected(v: Array[Double]): Long = {
+      val nrm = math.sqrt(VectorExprs.quantizedDotArr(v, v))
+      argmax(v, nrm, grouped(argmax(v, nrm, reps.toSeq)).toSeq)
+    }
+    (0 until 40).foreach { s =>
+      val v = vec(1000L + s, 6)
+      val nrm = math.sqrt(VectorExprs.quantizedDotArr(v, v))
+      assert(idx.cell(new GenericArrayData(v), nrm) == expected(v),
+        s"two-level assignment diverged from the documented rule at seed $s")
+    }
+  }
+
+  test("CellIndex degenerates to the exact flat argmax at k <= gsize") {
+    import graft.expr.{CellIndex, VectorExprs}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def vec(seed: Long, dim: Int): Array[Double] =
+      Array.tabulate(dim)(i => math.sin(java.util.Objects.hash(seed.toInt, i).toDouble))
+    val cents = (0 until 7).map(i => (i * 3L, vec(i * 13L, 5))).toArray
+    val idx = new CellIndex(cents)
+    val sorted = cents.sortBy(_._1).map { case (cid, cv) =>
+      (cid, cv, math.sqrt(VectorExprs.quantizedDotArr(cv, cv)))
+    }
+    (0 until 20).foreach { s =>
+      val v = vec(500L + s, 5)
+      val nrm = math.sqrt(VectorExprs.quantizedDotArr(v, v))
+      val flat = sorted.map { case (cid, cv, cnrm) =>
+        (VectorExprs.quantizedDotArr(v, cv) / (nrm * cnrm), cid)
+      }.minBy { case (cos, cid) => (-cos, cid) }._2
+      assert(idx.cell(new GenericArrayData(v), nrm) == flat)
+    }
+  }
+
   test("semanticDupPairs tie-breaks equal centroid scores on min c_id") {
     // duplicate centroids: every vector scores both equally; the
     // deterministic assignment must pick c_id 10, never 20
