@@ -396,31 +396,40 @@ object Dedup {
     * cluster" decisions (A~B and B~C must dedup to ONE survivor even
     * when A~C was never tested).
     *
-    * Distributed shape: the pair list is materialized ONCE up front
-    * (its producing pipeline — LSH, token-jaccard — is typically the
-    * expensive part), and the SYMMETRIC edge list is persisted
-    * pre-partitioned on the probe key so the big side of the per-round
-    * join never re-shuffles. Each round combines three label sources
-    * in a SINGLE union → min-aggregate (one shuffle on uniform doc
-    * ids — not the agg + three-way-join cascade a naive formulation
-    * pays):
+    * Distributed shape — seed, CONTRACT, then iterate on the contracted
+    * graph (the two-phase components algorithm of production systems):
     *
-    *  - self: the node's current label (labels only ever decrease);
-    *  - neighbor min: the smallest label among a node's direct
-    *    neighbors (moves labels one hop per round);
-    *  - pointer jump: `label(label(u))` — a label is itself a doc id
-    *    with its own current label, so one self-join of the label table
-    *    shortcuts chains (halves the remaining distance per round).
+    *  1. seed: label0(u) = min(u, N(u)) — one aggregation over the
+    *     symmetric edge list (the same single shuffle a plain distinct
+    *     node-list would cost already buys one full round of progress);
+    *  2. contract: rewrite each ORIGINAL edge to its endpoints' seed
+    *     labels, drop self-loops, dedupe — two E-joins and a distinct,
+    *     all on uniform keys. The label graph has one node per
+    *     surviving seed label, and for real dedup graphs (dense local
+    *     clusters) it is orders of magnitude smaller than the input:
+    *     every subsequent round now costs proportional to the
+    *     CONTRACTED size, not E;
+    *  3. solve the label graph: when it has collapsed below
+    *     [[SmallLabelGraphEdges]] (every measured dedup graph does),
+    *     driver-side union-find — per-round job scheduling costs more
+    *     than the entire remaining problem. Otherwise iterate min-label
+    *     propagation (two hook hops + a pointer jump per round, unioned
+    *     into a single min-aggregate) until the label sum stops moving
+    *     — labels are doc ids and non-increasing, so the overflow-safe
+    *     DECIMAL(38,0) sum strictly decreases until the fixpoint,
+    *     replacing a prev-vs-next comparison join; lineage is cut with
+    *     localCheckpoint per round;
+    *  4. relabel: components of the label graph key a broadcast-sized
+    *     (usually) map from seed label to component minimum; one join
+    *     carries it back to the nodes.
     *
-    * With hook + jump, rounds needed = O(log diameter) rather than
-    * diameter; near-dup graphs are shallow anyway, so this converges
-    * in a handful. The fixpoint check exploits monotonicity: every
-    * node's label is non-increasing (min over a set containing self),
-    * so the label-sum strictly decreases until the fixpoint — one
-    * overflow-safe decimal aggregate over the freshly checkpointed
-    * blocks replaces a previous-vs-next comparison join. Lineage is
-    * cut with localCheckpoint each round (a production job on a
-    * cluster would use reliable checkpointing, same algorithm).
+    * Correctness of the contraction: seed labels are node ids; two seed
+    * labels are connected in the label graph iff some original edge
+    * connects differently-labeled nodes, so label-graph components
+    * partition exactly like node components, and the component's
+    * minimum node id m always survives as a label (m is smaller than
+    * all its neighbors, so label0(m) = m) — cluster ids are unchanged
+    * by the rewrite.
     *
     * If `maxRounds` is hit before the fixpoint, the labels are NOT yet
     * connected components — this throws rather than silently returning
@@ -428,31 +437,112 @@ object Dedup {
     *
     * Returns (doc_id, cluster_id, cluster_size).
     */
+  /** Label-graph size (in edges) below which [[nearDupClusters]]
+    * finishes on the driver with union-find instead of distributed
+    * rounds: ~16 MB collected, vs ~0.7 s of per-round scheduling for a
+    * graph this small. Above it, the distributed fixpoint runs.
+    */
+  private val SmallLabelGraphEdges = 1000000L
+
   def nearDupClusters(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxRounds: Int = 32): DataFrame = {
+    val ccLog = sys.env.contains("SPARK_GRAFT_CC_LOG")
+    def logStage(name: String, t0: Long): Unit = if (ccLog)
+      System.err.println(f"[cc] $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
     // eager: evaluate the (often expensive) pair pipeline exactly once —
     // a lazy persist would race its two union branches in one job
+    val tF = System.nanoTime()
     val fwd = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .localCheckpoint(true)
-    // the symmetric edge list is read by EVERY round's neighbor join:
-    // persist it already partitioned on the probe key v, so the
-    // E-sized side shuffles once total instead of once per round (the
-    // label side is the small one — node count, not edge count)
+    logStage("pairs-ckpt", tF)
+    // seed labels from the symmetric neighborhood minimum
+    val tS = System.nanoTime()
+    val labels0 = fwd
+      .unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
+      .groupBy(col("u"))
+      .agg(least(min(col("v")), col("u")).as("label"))
+      .select(col("u").as("doc_id"), col("label"))
+      .localCheckpoint(true)
+    logStage("seed-labels", tS)
+    // contract: original edges -> seed-label edges (directed half is
+    // enough; the fixpoint resymmetrizes), self-loops out, deduped
+    val tC = System.nanoTime()
+    val byId = labels0.select(col("doc_id"), col("label"))
+    val eC = fwd
+      .join(byId.select(col("doc_id").as("u"), col("label").as("lu")), "u")
+      .join(byId.select(col("doc_id").as("v"), col("label").as("lv")), "v")
+      .filter(col("lu") =!= col("lv"))
+      .select(col("lu").as("u"), col("lv").as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    logStage("contract", tC)
+    val nC = eC.count()
+    val labels =
+      if (nC == 0) labels0 // every component collapsed at the seed
+      else if (nC <= SmallLabelGraphEdges) {
+        // the contracted label graph fits the driver: finish with
+        // union-find instead of paying per-round job scheduling on a
+        // near-empty cluster — the bail-out every production CC takes
+        // once contraction has done its job. Bounded by construction:
+        // nC edges of two longs, <= ~16 MB at the cutoff.
+        val tU = System.nanoTime()
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        eC.collect().foreach { e =>
+          val (ra, rb) = (find(e.getAs[Number](0).longValue()),
+            find(e.getAs[Number](1).longValue()))
+          if (ra != rb) { // min root keeps cluster_id = component min id
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val comp = parent.keys.toSeq.map(k => (k, find(k)))
+        val sess = labels0.sparkSession
+        import sess.implicits._
+        val compDf = comp.toDF("label", "_c")
+        logStage(s"union-find(${comp.size} labels)", tU)
+        labels0.join(broadcast(compDf), Seq("label"), "left")
+          .select(col("doc_id"),
+            coalesce(col("_c"), col("label")).as("label"))
+      } else {
+        val comp = minLabelFixpoint(eC, maxRounds, ccLog, logStage)
+        labels0
+          .join(comp.select(col("doc_id").as("label"), col("label").as("_c")),
+            Seq("label"), "left")
+          .select(col("doc_id"),
+            coalesce(col("_c"), col("label")).as("label"))
+      }
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select("doc_id", "cluster_id", "cluster_size")
+  }
+
+  /** Min-label propagation to the fixpoint over a directed edge half
+    * (resymmetrized and persisted pre-partitioned on the probe key here)
+    * — the iterative core of [[nearDupClusters]], run on the CONTRACTED
+    * label graph. Each round unions self + two hook hops + a pointer
+    * jump into one min-aggregate; the decimal label-sum (labels
+    * non-increasing) is the fixpoint test. Returns (doc_id, label).
+    */
+  private def minLabelFixpoint(fwd: DataFrame, maxRounds: Int,
+      ccLog: Boolean, logStage: (String, Long) => Unit): DataFrame = {
     val edges = fwd
       .unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
       .repartition(col("v"))
       .persist()
-    // seed with the 1-hop minimum directly: the same single shuffle a
-    // plain `distinct` node-list would cost already yields round 1's
-    // labels (label0(u) = min(u, N(u))) — one full round saved
     var labels = edges.groupBy(col("u"))
       .agg(least(min(col("v")), col("u")).as("label"))
       .select(col("u").as("doc_id"), col("label"))
       .localCheckpoint(true)
-    // labels are doc ids: the per-node label is non-increasing, so the
-    // decimal label-sum is strictly decreasing until the fixpoint (a
-    // 128-bit-safe scalar — ids up to 2^63 times trillions of nodes
-    // cannot overflow DECIMAL(38,0))
     def labelSum(): java.math.BigDecimal = {
       val v = labels.agg(sum(col("label").cast("decimal(38,0)"))).head().get(0)
       if (v == null) java.math.BigDecimal.ZERO
@@ -462,11 +552,7 @@ object Dedup {
     var changed = true
     var round = 0
     while (changed && round < maxRounds) {
-      // Two hook hops + a double pointer jump per round. Rounds are
-      // the cost unit here — each one pays a checkpoint job and a
-      // convergence job regardless of data size — so packing two
-      // units of label progress into one round's (pipelined) DAG
-      // halves the round count for a few extra stages per job.
+      val tRound = System.nanoTime()
       val n1 = edges
         .join(labels.select(col("doc_id").as("v"), col("label")), "v")
         .select(col("u").as("doc_id"), col("label"))
@@ -474,13 +560,9 @@ object Dedup {
       val n2 = edges
         .join(n1m.select(col("doc_id").as("v"), col("label")), "v")
         .select(col("u").as("doc_id"), col("label"))
-      // L(L(L(u))): labels shrink along pointer chains, so the double
-      // jump subsumes the single one
       val j2 = labels.as("a")
         .join(labels.as("b"), col("a.label") === col("b.doc_id"))
-        .select(col("a.doc_id").as("j_id"), col("b.label").as("jl"))
-        .join(labels.as("c"), col("jl") === col("c.doc_id"))
-        .select(col("j_id").as("doc_id"), col("c.label").as("label"))
+        .select(col("a.doc_id").as("doc_id"), col("b.label").as("label"))
       val next = labels.select("doc_id", "label")
         .unionByName(n1m).unionByName(n2).unionByName(j2)
         .groupBy("doc_id").agg(min("label").as("label"))
@@ -491,19 +573,15 @@ object Dedup {
       changed = s.compareTo(prevSum) != 0
       prevSum = s
       round += 1
+      logStage(s"round$round(changed=$changed)", tRound)
     }
     edges.unpersist(blocking = false)
     if (changed)
       throw new IllegalStateException(
         s"nearDupClusters did not converge in $maxRounds rounds " +
           "(labels still moving); raise maxRounds")
-    if (sys.env.contains("SPARK_GRAFT_CC_LOG"))
-      System.err.println(s"[cc] converged in $round rounds")
-    val sizes = labels.groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
-      .join(sizes, "cluster_id")
-      .select("doc_id", "cluster_id", "cluster_size")
+    if (ccLog) System.err.println(s"[cc] converged in $round rounds")
+    labels
   }
 
   /** Token-set jaccard pairs of probe docs vs the corpus:
