@@ -50,14 +50,30 @@ object Scratch {
     if (leaf.isEmpty) base else s"$base/$leaf"
   }
 
+  /** Host discriminator for run ids: pid liveness (the orphan-sweep
+    * test below) is only answerable for THIS host's pid namespace. If
+    * two containers ever shared one SPARK_GRAFT_TARGET volume, a
+    * foreign live process would look dead here and its streaming
+    * checkpoints would be swept mid-run (ADVICE r11) — so the hostname
+    * is part of the id and the sweep only touches entries stamped with
+    * it. Sanitized to [-A-Za-z0-9] so the name stays parseable.
+    */
+  private lazy val hostTag: String = {
+    val raw = try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Throwable => "unknown" }
+    val s = raw.map(c => if (c.isLetterOrDigit) c else '-')
+    if (s.isEmpty) "unknown" else s.take(32)
+  }
+
   /** Unique id for this JVM: no two processes — even racing ones
     * started the same millisecond — can collide, because the pid is in
-    * the key; restarts of the same pid slot differ by start time.
+    * the key; restarts of the same pid slot differ by start time; pids
+    * from another host's namespace differ by [[hostTag]].
     */
   private lazy val runId: String = {
     val pid = ProcessHandle.current().pid()
     val t0 = java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
-    s"run_${pid}_$t0"
+    s"run_${hostTag}_${pid}_$t0"
   }
 
   private lazy val runBase: String = {
@@ -65,12 +81,16 @@ object Scratch {
     // Reclaim on clean exit; a killed JVM leaves the dir behind, which
     // is harmless (next run uses a different id). Those orphans are
     // swept here instead: a sibling run dir whose pid is no longer
-    // alive belongs to a dead process and can never be read again —
-    // unparseable names are left alone rather than guessed at.
+    // alive belongs to a dead process and can never be read again.
+    // Only entries carrying THIS host's tag are candidates — a pid
+    // from another namespace cannot be liveness-tested here; pre-tag
+    // (`run_<pid>_<t0>`) and otherwise unparseable names are left
+    // alone rather than guessed at.
     val runParent = new java.io.File(s"$targetRoot/run")
     Option(runParent.listFiles()).foreach(_.foreach { d =>
       d.getName match {
-        case s"run_${pid}_$t0" if t0.nonEmpty && pid.nonEmpty &&
+        case s"run_${host}_${pid}_$t0" if host == hostTag &&
+            t0.nonEmpty && pid.nonEmpty &&
             pid.length < 18 && pid.forall(_.isDigit) &&
             d.getName != runId &&
             !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive)

@@ -55,6 +55,24 @@ object StreamQueries {
     rm(new java.io.File(path))
   }
 
+  /** An isolated session whose shuffle width sizes the STATEFUL
+    * operator's state-store count. A streaming stateful op opens one or
+    * more state stores per shuffle partition; at local[32] that fixed
+    * setup (up to 4 stores × 32 partitions for a stream-stream join)
+    * dwarfs the few thousand buffered rows — state volume scales with
+    * buffered KEYS, not partitions, and a checkpoint pins its width for
+    * the query's lifetime anyway (a real deployment sizes this to
+    * state volume / executor count before first start, same knob).
+    * `newSession` scopes the override to the plans built FROM it:
+    * the shared session's conf is never mutated, so nothing that plans
+    * concurrently can observe the narrow width (ADVICE r11).
+    */
+  private def stateSession(spark: SparkSession, parts: Int): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    s
+  }
+
   /** Streaming file source over the events table with the canonical
     * epoch-ns `ts` (same normalization as the batch
     * [[graft.io.Sources.table]], applied to the streaming frame).
@@ -524,8 +542,10 @@ object StreamQueries {
       "Spark's strict-merge boundary under the final-watermark flush") { (spark, dir) =>
     val root = scratch(dir, "qs7")
     wipe(root)
+    // the session-window agg is a stateful op: pin its state width
+    // (see stateSession — merging-window state is keys, not partitions)
     val sessions = Pipelines.sessionCounts(
-      eventStream(spark, dir)
+      eventStream(stateSession(spark, 8), dir)
         .withColumn("event_ts", timestamp_micros(expr("ts div 1000"))),
       eventTime = "event_ts", gap = "30 minutes", watermark = "1 hour")
       .select(col("user_id"),
@@ -569,9 +589,13 @@ object StreamQueries {
       "interval join") { (spark, dir) =>
     val root = scratch(dir, "qs8")
     wipe(root)
+    // a stream-stream join opens FOUR state stores per shuffle
+    // partition (128 dirs at local[32] for a few thousand buffered
+    // rows): build the whole plan from a width-8 scoped session
+    val s8 = stateSession(spark, 8)
     def side(etype: String, idAs: String, tsAs: String,
         evtAs: String): DataFrame =
-      eventStream(spark, dir)
+      eventStream(s8, dir)
         .filter(col("event_type") === etype)
         .select(col("event_id").as(idAs), col("user_id"),
           col("ts").as(tsAs),
@@ -583,18 +607,8 @@ object StreamQueries {
       lower = "0 minutes", upper = "30 minutes", watermark = "1 hour")
       .select(col("click_id"), col("click_ts"),
         col("purchase_id"), col("purchase_ts"), col("user_id"))
-    // A stream-stream join opens FOUR state stores per shuffle
-    // partition; at local[32] that fixed setup (128 store dirs for a
-    // few thousand buffered rows) dwarfs the data. Pin the stateful
-    // width to 8 for this query — state volume scales with buffered
-    // KEYS, not partitions, and a checkpoint pins its width for the
-    // query's lifetime anyway (a real deployment sizes this to state
-    // volume / executor count before first start, same knob).
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try Pipelines.runToCompletion(
+    Pipelines.runToCompletion(
       Pipelines.sink(joined, s"$root/sink", s"$root/ckpt"))
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.read.parquet(s"$root/sink")
       .select("click_id", "click_ts", "purchase_id", "purchase_ts",
         "user_id")
@@ -653,9 +667,11 @@ object StreamQueries {
       "oracle = batch join + watermark-gated NOT EXISTS") { (spark, dir) =>
     val root = scratch(dir, "qs11")
     wipe(root)
+    // same stateful-width right-sizing as qs8, scoped via stateSession
+    val s8 = stateSession(spark, 8)
     def side(etype: String, idAs: String, tsAs: String,
         evtAs: String): DataFrame =
-      eventStream(spark, dir)
+      eventStream(s8, dir)
         .filter(col("event_type") === etype)
         .select(col("event_id").as(idAs), col("user_id"),
           col("ts").as(tsAs),
@@ -668,13 +684,8 @@ object StreamQueries {
       joinType = "left_outer")
       .select(col("click_id"), col("click_ts"),
         col("purchase_id"), col("purchase_ts"), col("user_id"))
-    // same stateful-width right-sizing as qs8: state volume scales
-    // with buffered keys, not partitions
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try Pipelines.runToCompletion(
+    Pipelines.runToCompletion(
       Pipelines.sink(joined, s"$root/sink", s"$root/ckpt"))
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.read.parquet(s"$root/sink")
       .select("click_id", "click_ts", "purchase_id", "purchase_ts",
         "user_id")
@@ -789,10 +800,26 @@ object StreamQueries {
           .withColumn("admitted", col("admitted").cast("int")),
         s"$root/table", s"$root/ckpt",
         key = "doc_id", orderCol = "cum_tokens"))
+    // The oracle's (half, doc_id) admission order relies on EACH
+    // incremental run landing as ONE micro-batch: tokenBudget pins
+    // processing order by doc_id only WITHIN a batch, so a source rate
+    // limit (maxFilesPerTrigger) would silently reorder admissions
+    // across batches. The file source above sets no limit, so
+    // AvailableNow takes the whole backlog in one batch — asserted
+    // here via the checkpoint's commit log (ADVICE r11).
+    def commits(): Int =
+      Option(new java.io.File(s"$root/ckpt/commits").listFiles())
+        .map(_.count(_.getName.forall(_.isDigit))).getOrElse(0)
     run()
+    require(commits() == 1,
+      s"qs10 run 1 split into ${commits()} micro-batches; the oracle's " +
+        "in-batch doc_id order no longer matches arrival order")
     docs.filter(col("doc_id") % 2 === 1)
       .write.mode("append").parquet(s"$root/input")
     run()
+    require(commits() == 2,
+      s"qs10 run 2 ended at ${commits()} total commits (want 2); " +
+        "incremental batch split would reorder admissions")
     spark.read.parquet(s"$root/table")
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("admitted"), col("cum_tokens"))
