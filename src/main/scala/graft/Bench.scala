@@ -240,6 +240,25 @@ object Bench {
       "s17_rerank_recall_at_3",
       "m08_shared_clip_pairs", "m10_clip_alignment")
 
+    // Text-family annotation (carried into curve_big as
+    // "cross_distribution"): sf1 documents.text is RESYNTHESIZED from
+    // GenScale's 50k-token Zipf vocabulary while the sf0.1 primary
+    // keeps the driver fixture's 31-token vocabulary, so these
+    // queries' big-rung ratios measure the designed realistic-vocab
+    // workload at 10× scale, not same-distribution scaling — a ratio
+    // moving in either direction is not by itself a scale bug (and a
+    // flag still certifies the deployment-relevant distribution).
+    // Everything else replicates content unchanged (embeddings by
+    // dimension rotation — an isometry), so those ratios remain
+    // same-distribution. See GenScale's scaladoc for the full argument.
+    def crossDistributionText(name: String): Boolean =
+      name.startsWith("t") ||
+        (name.startsWith("d") && name != "d14_semantic_dedup" &&
+          name != "d15_entity_resolution") ||
+        Set("p01_corpus_assembly", "p03_contamination_halo_gate",
+          "p04_incremental_ingest", "p07_bm25_planted_recall",
+          "qs10_stream_token_budget").contains(name)
+
     val curveBig = {
       val cand = new java.io.File(
         sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1"))
@@ -274,9 +293,11 @@ object Bench {
         // Same contract as the small rung: big-rung failures surface
         // by name, never as an unexplained -1.0 ratio.
         val rungErrors = big.filter(_.failed).map(_.name).sorted
+        val crossDist = big.map(_.name).filter(crossDistributionText).sorted
         s""","curve_big":{"dir":"${cand.getPath}","queries":${jsonMap(big.map(t => t.name -> t.sec))},""" +
           s""""ratio":${jsonMap(ratios)},""" +
           s""""superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""cross_distribution":${crossDist.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""errors":${rungErrors.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
       }
