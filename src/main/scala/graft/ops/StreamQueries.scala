@@ -120,7 +120,9 @@ object StreamQueries {
       "watermark's append-mode flush)") { (spark, dir) =>
     val root = scratch(dir, "qs1")
     wipe(root)
-    val windowed = eventStream(spark, dir)
+    // windowed aggregation state: one store per shuffle partition —
+    // right-size via the scoped session (see stateSession)
+    val windowed = eventStream(stateSession(spark, 8), dir)
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_ts", "1 hour")
       .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
@@ -205,8 +207,10 @@ object StreamQueries {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value",
         org.apache.spark.sql.types.DoubleType)))
+    // the keyed dedup is a stateful op: pin its state width
     val cleaned = Sources
-      .decodeEnvelope(Sources.streamEnvelope(spark, input), inner)
+      .decodeEnvelope(Sources.streamEnvelope(stateSession(spark, 8), input),
+        inner)
       .filter(col("event_id").isNotNull && col("event_type") =!= "error")
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_ts", "1 hour")
@@ -480,7 +484,7 @@ object StreamQueries {
       "under the final-watermark flush") { (spark, dir) =>
     val root = scratch(dir, "qs6")
     wipe(root)
-    val windowed = eventStream(spark, dir)
+    val windowed = eventStream(stateSession(spark, 8), dir)
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_ts", "1 hour")
       .groupBy(window(col("event_ts"), "1 hour", "30 minutes"),
@@ -730,10 +734,13 @@ object StreamQueries {
     ev.filter(col("event_id") % 2 === 0)
       .write.mode("overwrite").parquet(s"$root/input")
     val sch = spark.read.parquet(s"$root/input").schema
+    // flatMapGroupsWithState opens one state store per shuffle
+    // partition: pin the width (see stateSession)
+    val s8 = stateSession(spark, 8)
     def run(): Unit = Pipelines.runToCompletion(
       Pipelines.stateUpsertSink(
         Pipelines.rfmFeatures(
-          spark.readStream.schema(sch).parquet(s"$root/input")
+          s8.readStream.schema(sch).parquet(s"$root/input")
             .drop("event_id").as[Pipelines.PurchaseEvent]).toDF(),
         s"$root/table", s"$root/ckpt",
         key = "user_id", orderCol = "frequency"))
@@ -791,10 +798,12 @@ object StreamQueries {
     docs.filter(col("doc_id") % 2 === 0)
       .write.mode("overwrite").parquet(s"$root/input")
     val sch = spark.read.parquet(s"$root/input").schema
+    // same fMGWS state-width right-sizing as qs9
+    val s8 = stateSession(spark, 8)
     def run(): Unit = Pipelines.runToCompletion(
       Pipelines.stateUpsertSink(
         Pipelines.tokenBudget(
-          spark.readStream.schema(sch).parquet(s"$root/input")
+          s8.readStream.schema(sch).parquet(s"$root/input")
             .as[Pipelines.BudgetDoc], budget = 1000L)
           .toDF()
           .withColumn("admitted", col("admitted").cast("int")),

@@ -548,7 +548,7 @@ object Pipelines {
     val foldInput = auditDir.map { dir =>
       val p = s"$dir/partial_b$batchId"
       partial.write.mode("overwrite").parquet(p)
-      trail(s"action=folded partialRows=${spark.read.parquet(p).count()}")
+      trail("action=folded")
       spark.read.parquet(p)
     }.getOrElse(partial)
     val table = new java.io.File(tablePath)
@@ -571,10 +571,9 @@ object Pipelines {
       java.nio.file.Paths.get(staged, "_LAST_BATCH"),
       batchId.toString.getBytes("UTF-8"))
     publishStaged(tablePath, "aggViewSink")
-    auditDir.foreach { dir =>
-      spark.read.parquet(tablePath)
-        .write.mode("overwrite").parquet(s"$dir/view_after_b$batchId")
-    }
+    // (no per-batch view snapshot: the fold is a pure function of the
+    // audited partials + the prior view, so partials + trail +
+    // _LAST_BATCH reconstruct every intermediate state)
     ()
   }
 

@@ -322,18 +322,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("d14: the codebook is broadcast and the cell argmax is a partial aggregate") {
+  test("d14: cell assignment is one projected expression, no join or aggregate") {
     val p = plan(graft.ops.DedupOps.d14.fn(spark, TestSpark.sf0001))
-    // assignment scores ride a broadcast nested-loop (tiny codebook x
-    // corpus), never a shuffled join
-    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
-    // the argmax is a two-phase hash aggregate (partial_max_by before
-    // the exchange), so N*k scored rows never shuffle
-    assert(p.contains("partial_max_by") || p.contains("partial_maxby")
-      || p.contains("partial max_by") || p.contains("max_by"), p.take(3000))
-    assert(!p.contains("SortMergeJoin") ||
-      p.indexOf("SortMergeJoin") > p.indexOf("HashAggregate"),
-      "assignment must not sort-merge join before aggregation")
+    // the codebook lives inside the codegen'd nearest_cell expression:
+    // assignment is a bare projection — no N×k joined rows, no argmax
+    // aggregate (the round-11 curve flagged that formulation at 12.9×)
+    assert(p.contains("nearest_cell"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "assignment must not cross-join the codebook: " + p.take(3000))
+    assert(!p.contains("max_by"),
+      "assignment must not aggregate scored rows: " + p.take(3000))
+    // the cosine verify threshold is evaluated INSIDE the pair join
+    // (condition, not a post-join filter), so failing pairs never
+    // materialize downstream
+    assert(p.contains("quantized_dot"), p.take(3000))
   }
 
   test("r41: the brand part-set is broadcast into the fact scan") {
