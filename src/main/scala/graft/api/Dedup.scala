@@ -445,7 +445,10 @@ object Dedup {
   private val SmallLabelGraphEdges = 1000000L
 
   def nearDupClusters(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxRounds: Int = 32): DataFrame = {
+      bCol: String = "doc_b", maxRounds: Int = 32,
+      // injectable so specs can force the distributed fixpoint path
+      // (the production cutoff leaves it unreachable at fixture sizes)
+      smallCutoff: Long = SmallLabelGraphEdges): DataFrame = {
     val ccLog = sys.env.contains("SPARK_GRAFT_CC_LOG")
     def logStage(name: String, t0: Long): Unit = if (ccLog)
       System.err.println(f"[cc] $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
@@ -479,7 +482,7 @@ object Dedup {
     val nC = eC.count()
     val labels =
       if (nC == 0) labels0 // every component collapsed at the seed
-      else if (nC <= SmallLabelGraphEdges) {
+      else if (nC <= smallCutoff) {
         // the contracted label graph fits the driver: finish with
         // union-find instead of paying per-round job scheduling on a
         // near-empty cluster — the bail-out every production CC takes
@@ -965,24 +968,7 @@ object Dedup {
       idCol: String = "vec_id", vecCol: String = "v",
       cidCol: String = "c_id", cvecCol: String = "cv",
       threshold: Double = 0.9): DataFrame = {
-    graft.expr.Functions.register(vecs.sparkSession)
-    // the codebook is broadcast-sized by contract; collecting it here is
-    // the same movement a broadcast join plans, minus the join
-    val codebook = centroids.select(col(cidCol), col(cvecCol)).collect()
-      .map { r =>
-        (r.getAs[Number](0).longValue(), r.getSeq[Any](1).map {
-          case d: java.lang.Double => d.doubleValue()
-          case f: java.lang.Float => f.doubleValue()
-          case x => throw new IllegalArgumentException(
-            s"semanticDupPairs centroid element: $x")
-        }.toArray)
-      }
-    val index = new graft.expr.CellIndex(codebook)
-    val n = vecs.select(col(idCol).as("_id"), col(vecCol).as("_v"))
-      .withColumn("_nrm", expr("sqrt(quantized_dot(_v, _v))"))
-    val cells = n
-      .withColumn("cell",
-        graft.expr.NearestCell.nearest_cell(col("_v"), col("_nrm"), index))
+    val cells = assignedCells(vecs, centroids, idCol, vecCol, cidCol, cvecCol)
       .persist()
     val a = cells.select(col("_id").as("vec_a"), col("cell"),
       col("_v").as("_va"), col("_nrm").as("_na"))
@@ -993,5 +979,42 @@ object Dedup {
       .withColumn("cos_sim", expr("quantized_dot(_va, _vb) / (_na * _nb)"))
       .filter(col("cos_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cell"), col("cos_sim"))
+  }
+
+  /** Nearest-cell assignment over a broadcast-sized codebook — the
+    * shared first stage of [[semanticDupPairs]] and the
+    * cluster-balanced sampler (p08): one projected cell id per vector
+    * through the codegen'd two-level [[graft.expr.NearestCellExpr]]
+    * (see [[graft.expr.CellIndex]] for the deterministic rule the
+    * oracles mirror). Returns (`idCol`, "cell") — join back on `idCol`
+    * for anything per-vector.
+    */
+  def cellAssignments(vecs: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "v",
+      cidCol: String = "c_id", cvecCol: String = "cv"): DataFrame =
+    assignedCells(vecs, centroids, idCol, vecCol, cidCol, cvecCol)
+      .select(col("_id").as(idCol), col("cell"))
+
+  /** (_id, _v, _nrm, cell) for every vector — internal shared stage. */
+  private def assignedCells(vecs: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String,
+      cidCol: String, cvecCol: String): DataFrame = {
+    graft.expr.Functions.register(vecs.sparkSession)
+    // the codebook is broadcast-sized by contract; collecting it here is
+    // the same movement a broadcast join plans, minus the join
+    val codebook = centroids.select(col(cidCol), col(cvecCol)).collect()
+      .map { r =>
+        (r.getAs[Number](0).longValue(), r.getSeq[Any](1).map {
+          case d: java.lang.Double => d.doubleValue()
+          case f: java.lang.Float => f.doubleValue()
+          case x => throw new IllegalArgumentException(
+            s"cell assignment centroid element: $x")
+        }.toArray)
+      }
+    val index = new graft.expr.CellIndex(codebook)
+    vecs.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .withColumn("_nrm", expr("sqrt(quantized_dot(_v, _v))"))
+      .withColumn("cell",
+        graft.expr.NearestCell.nearest_cell(col("_v"), col("_nrm"), index))
   }
 }

@@ -803,7 +803,7 @@ object DedupOps {
     * engine's `quantized_dot` exactly (trunc at 1e-12, exact long sum)
     * so cosines are bit-equal across engines.
     */
-  private def duckQDot(a: String, b: String): String =
+  private[ops] def duckQDot(a: String, b: String): String =
     s"""(CAST(list_sum(list_transform(generate_series(1, len($a)),
        |     i -> CAST(trunc(($a[i] * $b[i]) * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)""".stripMargin
 

@@ -686,11 +686,124 @@ object PipelineOps {
         (col("top10_hits").cast("double") / col("n_planted")).as("recall_at10"))
   }
 
+  /** Cluster-balanced subsampling — the diversity-preserving draw a
+    * curation pipeline runs AFTER semantic dedup (SemDeDup §4 keeps
+    * one representative per cluster; density-based pruning keeps a
+    * budget per region): assign every embedding to its nearest-
+    * centroid cell (the d14 machinery via
+    * [[graft.api.Dedup.cellAssignments]]), rank members within a cell
+    * by quantized cosine to their OWN centroid (most-representative
+    * first, vec_id tie-break), keep the top 16 per cell, and report
+    * the per-cell manifest (population, kept, and the kept
+    * representativeness mass in exact integer micros — per-member
+    * truncation-quantized so the sum is order-free, the t37 pattern).
+    *
+    * Scale shape: assignment is one projected Long per row (no N×k
+    * rows); ranking shuffles on the cell key whose population is
+    * bounded by codebook sizing (k ∝ N/S), and the row_number-≤-K
+    * idiom auto-rewrites to the bounded-heap GroupTopK operator, so a
+    * cell is never fully sorted. The oracle re-derives the TWO-LEVEL
+    * assignment CTE-for-CTE (d14's rule; one rep group at driver SFs,
+    * where it equals the flat argmax) plus the rank/cap/fold.
+    */
+  val p08 = OpQuery.oracled("p08_cluster_balanced_sample", {
+    import DedupOps.duckQDot
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v
+      |  FROM read_parquet('{SFDIR}/embeddings.parquet')
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(${duckQDot("v", "v")}) AS nrm FROM e
+      |), cent AS (
+      |  SELECT vec_id AS c_id, v AS cv, sqrt(${duckQDot("v", "v")}) AS cnrm,
+      |         row_number() OVER (ORDER BY vec_id) - 1 AS rnk
+      |  FROM e WHERE vec_id % 250 = 0
+      |), gs AS (
+      |  SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS g FROM cent
+      |), reps AS (
+      |  SELECT c_id, cv, cnrm FROM cent WHERE rnk % (SELECT g FROM gs) = 0
+      |), fg AS (
+      |  SELECT c.c_id, c.cv, c.cnrm, r.c_id AS grp,
+      |         row_number() OVER (
+      |           PARTITION BY c.c_id
+      |           ORDER BY ${duckQDot("c.cv", "r.cv")} / (c.cnrm * r.cnrm) DESC, r.c_id ASC) AS rr
+      |  FROM cent c, reps r
+      |), fines AS (
+      |  SELECT c_id, cv, cnrm, grp FROM fg WHERE rr = 1
+      |), vg AS (
+      |  SELECT n.vec_id, r.c_id AS grp,
+      |         row_number() OVER (
+      |           PARTITION BY n.vec_id
+      |           ORDER BY ${duckQDot("n.v", "r.cv")} / (n.nrm * r.cnrm) DESC, r.c_id ASC) AS rr
+      |  FROM n, reps r
+      |), vgrp AS (
+      |  SELECT vec_id, grp FROM vg WHERE rr = 1
+      |), assign AS (
+      |  SELECT n.vec_id, f.c_id,
+      |         CAST(trunc((${duckQDot("n.v", "f.cv")} / (n.nrm * f.cnrm)) * 1000000) AS BIGINT) AS cm,
+      |         row_number() OVER (
+      |           PARTITION BY n.vec_id
+      |           ORDER BY ${duckQDot("n.v", "f.cv")} / (n.nrm * f.cnrm) DESC, f.c_id ASC) AS rn
+      |  FROM n JOIN vgrp ON vgrp.vec_id = n.vec_id
+      |         JOIN fines f ON f.grp = vgrp.grp
+      |), cells AS (
+      |  SELECT vec_id, c_id AS cell, cm AS cos_micros
+      |  FROM assign WHERE rn = 1
+      |), ranked AS (
+      |  SELECT vec_id, cell, cos_micros,
+      |         row_number() OVER (PARTITION BY cell
+      |                            ORDER BY cos_micros DESC, vec_id ASC) AS kr
+      |  FROM cells
+      |)
+      |SELECT cell,
+      |       CAST(count(*) AS BIGINT) AS n_total,
+      |       CAST(count(CASE WHEN kr <= 16 THEN 1 END) AS BIGINT) AS n_kept,
+      |       CAST(sum(CASE WHEN kr <= 16 THEN cos_micros ELSE 0 END) AS BIGINT)
+      |         AS kept_cos_micros
+      |FROM ranked
+      |GROUP BY cell ORDER BY cell""".stripMargin
+  },
+    doc = "cluster-balanced subsample: nearest-cell assignment + top-16 most-representative per cell (quantized cosine to own centroid), per-cell manifest") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.expr.Functions.register(spark)
+    val e = Sources.table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val cent = e.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val cells = graft.api.Dedup.cellAssignments(e, cent)
+    // cosine to the OWN centroid: one broadcast join against the
+    // codebook, quantized to integer micros BEFORE ranking so the
+    // order and the kept-mass sum are bit-identical across engines
+    val scored = cells
+      .join(e, "vec_id")
+      .join(broadcast(cent), col("cell") === col("c_id"))
+      .withColumn("cos_micros", expr(
+        """CAST((quantized_dot(v, cv)
+          |  / (sqrt(quantized_dot(v, v)) * sqrt(quantized_dot(cv, cv))))
+          |  * 1000000 AS BIGINT)""".stripMargin))
+      .select(col("vec_id"), col("cell"), col("cos_micros"))
+    // the rank-filter idiom rewrites to the bounded-heap GroupTopK
+    // operator (no full per-cell sort); population counted separately
+    val kept = scored
+      .withColumn("kr",
+        row_number().over(Window.partitionBy("cell")
+          .orderBy(col("cos_micros").desc, col("vec_id"))))
+      .filter(col("kr") <= 16)
+      .groupBy("cell")
+      .agg(count(lit(1)).cast("bigint").as("n_kept"),
+        sum(col("cos_micros")).cast("bigint").as("kept_cos_micros"))
+    scored.groupBy("cell")
+      .agg(count(lit(1)).cast("bigint").as("n_total"))
+      .join(kept, "cell")
+      .select("cell", "n_total", "n_kept", "kept_cos_micros")
+      .orderBy("cell")
+  }
+
   /** p01/p03 consume d04's verified-pairs stage, which reads the
     * per-SF materialized pairs table — carry its build as prepare so
     * their timings never absorb it, independent of run order.
     */
-  val all: Seq[OpQuery] = Seq(p01, p02, p03, p04, p05, p06, p07).map { q =>
+  val all: Seq[OpQuery] = Seq(p01, p02, p03, p04, p05, p06, p07, p08).map { q =>
     if (Set(p01.name, p03.name).contains(q.name))
       q.copy(prepare = (s, d) => { DedupOps.ensureNearDupPairs(s, d); () })
     else q

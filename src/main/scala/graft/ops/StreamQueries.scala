@@ -365,6 +365,10 @@ object StreamQueries {
         }.mkString("|"))
       val got = render(view)
       val want = render(twin)
+      // unconditional: if a driver-side red row is oracle-side (the
+      // view self-consistent but hash-mismatched vs DuckDB), the
+      // captured stderr still carries the exact values Spark returned
+      got.foreach(r => System.err.println(s"[qs4-view] $r"))
       if (got != want) {
         val err = System.err
         err.println("[qs4-selfcheck] DIVERGENCE view != batch twin")

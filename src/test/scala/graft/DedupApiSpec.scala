@@ -128,6 +128,28 @@ class DedupApiSpec extends AnyFunSuite {
     assert(got == want, s"got $got")
   }
 
+  test("nearDupClusters: distributed fixpoint path agrees with the union-find bail-out") {
+    // the production cutoff (1M label-graph edges) makes the
+    // distributed rounds unreachable at fixture sizes — force them
+    // with smallCutoff = 0 and pin equality against the default path.
+    // Descending long chain: seed labels only collapse one hop, so the
+    // contracted label graph is itself a long path and the fixpoint
+    // must genuinely iterate (hooks + jumps over multiple rounds).
+    val pairs = (
+      (30L to 58L).map(id => (id + 1, id)) ++ // descending-ish chain
+        Seq((1L, 2L), (2L, 3L), (1L, 3L), (5L, 6L))
+      ).toDF("doc_a", "doc_b")
+    def run(cutoff: Long) = Dedup.nearDupClusters(pairs, smallCutoff = cutoff)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaFixpoint = run(0L)
+    val viaUnionFind = run(Long.MaxValue)
+    assert(viaFixpoint == viaUnionFind,
+      s"paths disagree:\n fixpoint $viaFixpoint\n unionfind $viaUnionFind")
+    val chain = (30L to 59L).map(id => (id, 30L, 30L)).toSet
+    assert(viaFixpoint == chain ++ Set((1L, 1L, 3L), (2L, 1L, 3L),
+      (3L, 1L, 3L), (5L, 5L, 2L), (6L, 5L, 2L)), viaFixpoint.toString)
+  }
+
   test("incrementalNearDups matches new-batch docs against the corpus only") {
     // corpus: docs 1 and 4; incoming: an exact dup of 1, a near dup of
     // 1, a novel doc, and a near-dup PAIR WITHIN the batch (6,7) that
