@@ -51,7 +51,7 @@ object Bench {
   private val MinSmallSeconds = 0.30
 
   private final case class Timing(name: String, sec: Double, failed: Boolean,
-      shuffleMB: Double)
+      shuffleMB: Double, err: Option[String] = None)
 
   /** Accumulates shuffle-write bytes across completed stages; read and
     * reset between queries so each timing carries its shuffle volume —
@@ -101,9 +101,18 @@ object Bench {
       meter.drain(spark) // discard prepare's (and predecessors') shuffles
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        val failed =
-          try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
-          catch { case _: Throwable => true }
+        // On failure, keep the exception class + first message line: the
+        // r12 round-final run lost its last 16 big-rung queries to a
+        // point-in-time environment collapse (every query after r57
+        // failed, g14 ran 4x its norm), and 16 bare names gave no way to
+        // tell a poisoned SparkContext from 16 real scale bugs.
+        val err: Option[String] =
+          try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          catch { case e: Throwable =>
+            val m = Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200)
+            Some(s"${e.getClass.getSimpleName}: $m")
+          }
+        val failed = err.isDefined
         val dt = (System.nanoTime() - t0) / 1e9
         val shuffleMB = meter.drain(spark)
         // drop blocks persisted inside the query so they don't squeeze
@@ -115,10 +124,11 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.valuesIterator
           .foreach(_.unpersist(blocking = false))
-        (dt, failed, shuffleMB)
+        (dt, failed, shuffleMB, err)
       }
       val good = runs.filterNot(_._2)
-      if (good.isEmpty) Timing(q.name, -1.0, failed = true, runs.head._3)
+      if (good.isEmpty)
+        Timing(q.name, -1.0, failed = true, runs.head._3, runs.head._4)
       else {
         val best = good.minBy(_._1)
         Timing(q.name, best._1, failed = false, best._3)
@@ -139,6 +149,25 @@ object Bench {
 
   private def jsonMap(xs: Seq[(String, Double)]): String =
     xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** `"error_detail":{name:"Class: msg",…},` for a rung's failures;
+    * empty string when the rung had none (keeps clean runs byte-stable).
+    */
+  private def errDetailJson(ts: Seq[Timing]): String = {
+    val failed = ts.filter(_.failed).sortBy(_.name)
+    if (failed.isEmpty) ""
+    else failed.map(t => jsonStr(t.name) + ":" +
+        jsonStr(t.err.getOrElse("unknown")))
+      .mkString("\"error_detail\":{", ",", "},")
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -203,6 +232,7 @@ object Bench {
       s""","curve":{"dir":"$dir","overhead":$overhead,"queries":${jsonMap(small.map(t => t.name -> t.sec))},""" +
         s""""ratio":${jsonMap(ratios)},""" +
         s""""superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        errDetailJson(small) +
         s""""errors":${rungErrors.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     }.getOrElse("")
 
@@ -299,6 +329,7 @@ object Bench {
           s""""superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""cross_distribution":${crossDist.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          errDetailJson(big) +
           s""""errors":${rungErrors.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
       }
     }
@@ -306,7 +337,7 @@ object Bench {
     val shuffleJson = jsonMap(results.map(t =>
       t.name -> math.round(t.shuffleMB * 1000.0) / 1000.0))
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map(t => t.name -> t.sec))},"shuffle_mb":$shuffleJson,"errors":$errJson,"sf":"$sfDir"$curve$curveBig}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map(t => t.name -> t.sec))},"shuffle_mb":$shuffleJson,${errDetailJson(results)}"errors":$errJson,"sf":"$sfDir"$curve$curveBig}"""
     // Full diagnostics: printed early and persisted to a file, because
     // the driver records only the LAST ~2000 chars of stdout and parses
     // the JSON line inside that window. A 10 KB line starts outside the

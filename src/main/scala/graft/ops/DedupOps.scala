@@ -57,7 +57,7 @@ object DedupOps {
       .orderBy("text_hash")
   }
 
-  private val nSeeds = 8
+  private[ops] val nSeeds = 8
 
   // Kirsch-Mitzenmacher double hashing: one md5 per shingle, split into
   // two 60-bit halves h1/h2 (15 hex chars each), seeded hash i =
@@ -66,7 +66,7 @@ object DedupOps {
   // hashing "<seed>:<shingle>" per seed.
   private val mod60 = 1152921504606846976L // 2^60
 
-  private def duckMins = {
+  private[ops] def duckMins = {
     val h1 = "CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)"
     val h2 = "CAST('0x' || substr(md5(sh), 17, 15) AS BIGINT)"
     (0 until nSeeds).map(i => s"min(($h1 + $i * $h2) % $mod60) AS mh$i")

@@ -839,6 +839,147 @@ object StreamQueries {
       .orderBy("doc_id")
   }
 
+  /** qs12: streaming NEAR-DUP ADMISSION GATE under the hard signal —
+    * the composition every keep-the-corpus-fresh pipeline runs at
+    * ingest: each micro-batch of new documents is screened against the
+    * write-once corpus MinHash index (d09's
+    * [[graft.ops.DedupOps.ensureIncrementalIndex]] artifact, read as
+    * immutable base ∪ a run-root admissions DELTA), per-doc
+    * admission decisions land in an append sink, and the admitted
+    * docs' signatures append to the delta
+    * ([[graft.stream.Pipelines.dedupGateSink]]) — so run 2's
+    * decisions depend on run 1's admissions THROUGH the index files,
+    * which is what the two-run shared-checkpoint drive proves
+    * survived the restart. The oracle re-derives both phases
+    * CTE-for-CTE: phase-1 docs (even ids of the ingest split) screen
+    * against the corpus alone; phase-2 docs (odd ids) against corpus ∪
+    * phase-1 admissions. Decisions are per-doc independent WITHIN a
+    * run (the index is frozen for the run's single batch — asserted
+    * via the checkpoint commit log like qs10), so the only
+    * cross-batch coupling is the index append the oracle's two-layer
+    * structure mirrors. `dup_of` carries the −1 sentinel instead of
+    * NULL (nullable columns sort differently across engines).
+    */
+  val qs12 = OpQuery.oracled("qs12_stream_dedup_gate", {
+    val bands = (0 until DedupOps.nSeeds / 2)
+      .map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || ':' || mh${2 * b + 1} AS bk FROM sig")
+      .mkString("\n      |  UNION ALL\n      |  ")
+    s"""WITH shs AS (
+      |  SELECT doc_id, unnest(shingles) AS sh FROM (${DedupOps.duckShingles})
+      |), sig AS (
+      |  SELECT doc_id, ${DedupOps.duckMins.mkString(", ")} FROM shs GROUP BY doc_id
+      |), bands AS (
+      |  $bands
+      |), phases AS (
+      |  SELECT doc_id,
+      |         CASE WHEN ${DedupOps.duckBucket} < 205 THEN 0
+      |              WHEN doc_id % 2 = 0 THEN 1
+      |              ELSE 2 END AS phase
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM shs GROUP BY 1
+      |), cand1 AS (
+      |  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+      |  FROM bands a
+      |  JOIN phases pa ON pa.doc_id = a.doc_id AND pa.phase = 1
+      |  JOIN bands b ON b.bk = a.bk
+      |  JOIN phases pb ON pb.doc_id = b.doc_id AND pb.phase = 0
+      |), dup1 AS (
+      |  SELECT c.doc_new, c.doc_old
+      |  FROM cand1 c
+      |  JOIN shs s1 ON s1.doc_id = c.doc_new
+      |  JOIN shs s2 ON s2.doc_id = c.doc_old AND s2.sh = s1.sh
+      |  JOIN sizes sa ON sa.doc_id = c.doc_new
+      |  JOIN sizes sb ON sb.doc_id = c.doc_old
+      |  GROUP BY c.doc_new, c.doc_old, sa.n, sb.n
+      |  HAVING CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) >= 0.5
+      |), dec1 AS (
+      |  SELECT p.doc_id,
+      |         CAST(CASE WHEN min(d.doc_old) IS NULL THEN 1 ELSE 0 END AS INT) AS admitted,
+      |         coalesce(min(d.doc_old), -1) AS dup_of
+      |  FROM phases p
+      |  LEFT JOIN dup1 d ON d.doc_new = p.doc_id
+      |  WHERE p.phase = 1
+      |  GROUP BY p.doc_id
+      |), ref2 AS (
+      |  SELECT doc_id FROM phases WHERE phase = 0
+      |  UNION ALL
+      |  SELECT doc_id FROM dec1 WHERE admitted = 1
+      |), cand2 AS (
+      |  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+      |  FROM bands a
+      |  JOIN phases pa ON pa.doc_id = a.doc_id AND pa.phase = 2
+      |  JOIN bands b ON b.bk = a.bk
+      |  JOIN ref2 pb ON pb.doc_id = b.doc_id
+      |), dup2 AS (
+      |  SELECT c.doc_new, c.doc_old
+      |  FROM cand2 c
+      |  JOIN shs s1 ON s1.doc_id = c.doc_new
+      |  JOIN shs s2 ON s2.doc_id = c.doc_old AND s2.sh = s1.sh
+      |  JOIN sizes sa ON sa.doc_id = c.doc_new
+      |  JOIN sizes sb ON sb.doc_id = c.doc_old
+      |  GROUP BY c.doc_new, c.doc_old, sa.n, sb.n
+      |  HAVING CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) >= 0.5
+      |), dec2 AS (
+      |  SELECT p.doc_id,
+      |         CAST(CASE WHEN min(d.doc_old) IS NULL THEN 1 ELSE 0 END AS INT) AS admitted,
+      |         coalesce(min(d.doc_old), -1) AS dup_of
+      |  FROM phases p
+      |  LEFT JOIN dup2 d ON d.doc_new = p.doc_id
+      |  WHERE p.phase = 2
+      |  GROUP BY p.doc_id
+      |)
+      |SELECT doc_id, admitted, dup_of FROM dec1
+      |UNION ALL
+      |SELECT doc_id, admitted, dup_of FROM dec2
+      |ORDER BY doc_id""".stripMargin
+  },
+    doc = "streaming near-dup admission gate: micro-batches screened " +
+      "against the write-once corpus MinHash index, admitted docs' " +
+      "signatures appended between runs (keep-first across batches); " +
+      "oracle = two-phase batch screen") { (spark, dir) =>
+    val root = scratch(dir, "qs12")
+    wipe(root)
+    val docs = Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val bucket = graft.api.Sampling.hashBucket(col("doc_id"))
+    val incoming = docs.filter(bucket >= 205)
+    // immutable shared corpus index; this run's admissions land in a
+    // run-root DELTA the gate unions in (nothing is ever copied)
+    val idx = DedupOps.ensureIncrementalIndex(spark, dir)
+    incoming.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$root/input")
+    val sch = spark.read.parquet(s"$root/input").schema
+    // no stateful op here (foreachBatch is stateless), but the gate's
+    // per-batch joins are tiny: same width-8 scoped session
+    val s8 = stateSession(spark, 8)
+    def commits(): Int =
+      Option(new java.io.File(s"$root/ckpt/commits").listFiles())
+        .map(_.count(_.getName.forall(_.isDigit))).getOrElse(0)
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.dedupGateSink(
+        s8.readStream.schema(sch).parquet(s"$root/input"),
+        corpusIndexPath = idx, deltaIndexPath = s"$root/delta",
+        decisionsPath = s"$root/decisions",
+        checkpoint = s"$root/ckpt", threshold = 0.5))
+    run()
+    // the oracle's two-phase structure relies on each run landing as
+    // ONE micro-batch (the index refreshes at batch boundaries); a
+    // source rate limit would split phases — fail loudly, like qs10
+    require(commits() == 1,
+      s"qs12 run 1 split into ${commits()} micro-batches; the index " +
+        "refresh cadence no longer matches the oracle's two phases")
+    incoming.filter(col("doc_id") % 2 === 1)
+      .write.mode("append").parquet(s"$root/input")
+    run()
+    require(commits() == 2,
+      s"qs12 run 2 ended at ${commits()} total commits (want 2); " +
+        "batch split would move docs between screening phases")
+    spark.read.parquet(s"$root/decisions")
+      .select(col("doc_id"), col("admitted"), col("dup_of"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OpQuery] = Seq(
     qs1,
     qs2.copy(prepare = (s, d) => { ensureEnvelopeInput(s, d); () }),
@@ -850,5 +991,7 @@ object StreamQueries {
     qs8,
     qs9,
     qs10,
-    qs11)
+    qs11,
+    qs12.copy(prepare =
+      (s, d) => { DedupOps.ensureIncrementalIndex(s, d); () }))
 }

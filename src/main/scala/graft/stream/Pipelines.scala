@@ -459,6 +459,86 @@ object Pipelines {
       }
   }
 
+  /** Streaming near-dup ADMISSION GATE — the keep-the-corpus-fresh
+    * composition of the d09 incremental-dedup contract with the
+    * streaming ingest path: each micro-batch of documents is screened
+    * against an on-disk MinHash signature index
+    * ([[graft.api.Dedup.incrementalNearDupsIndexed]] over the
+    * [[graft.api.Dedup.incrementalCorpusIndex]] layout, read as
+    * immutable base (`corpusIndexPath`) ∪ append-only delta
+    * (`deltaIndexPath`) — the base is a shared artifact the gate never
+    * copies or rewrites); one decision row per document (`admitted` =
+    * 1 iff no indexed near-dup at `threshold`, `dup_of` = smallest
+    * indexed dup id, −1 sentinel when admitted) appends to
+    * `decisionsPath`, and the ADMITTED documents' shingles +
+    * signatures append to the DELTA — so each batch screens against
+    * "corpus plus everything admitted before this batch", the
+    * keep-first policy an ingest dedup wants.
+    *
+    * The index refresh cadence IS the batch boundary: two near-dups
+    * arriving within one micro-batch are both admitted (both screened
+    * against the same frozen index) — the async-refresh trade every
+    * production gate makes; tighten it by shrinking the trigger
+    * interval, not by serializing documents through per-key state (a
+    * near-dup check has no key to shard state by — the candidate set
+    * comes from band collisions, not equality).
+    *
+    * Scale: a batch pays its own shingling plus a band-key probe and a
+    * candidate-pruned shingle join against the index (the corpus is
+    * never re-shingled — d09's write-once contract), decisions and
+    * index growth are append-only parquet, and replayed batches are
+    * idempotent on the INDEX (their admitted docs' signatures append
+    * twice, which changes no future decision — band collisions and
+    * jaccard are set-semantics) though decisions would re-append; a
+    * Delta MERGE on doc_id makes that leg exactly-once, same swap
+    * point as [[upsertSink]].
+    */
+  def dedupGateSink(docs: DataFrame, corpusIndexPath: String,
+      deltaIndexPath: String, decisionsPath: String, checkpoint: String,
+      threshold: Double = 0.5): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        // base ∪ delta, reading the delta leg only once it has data —
+        // the base stays an immutable shared artifact (never copied,
+        // never rewritten); only this gate's own admissions live in
+        // the per-run delta
+        def indexSide(sub: String): DataFrame = {
+          val base = spark.read.parquet(s"$corpusIndexPath/$sub")
+          val d = new java.io.File(s"$deltaIndexPath/$sub")
+          val hasDelta = d.isDirectory && Option(d.listFiles())
+            .exists(_.exists(_.getName.startsWith("part-")))
+          if (hasDelta)
+            base.unionByName(spark.read.parquet(s"$deltaIndexPath/$sub"))
+          else base
+        }
+        // smallest indexed near-dup per incoming doc; persisted because
+        // both the decision write and the admitted anti-join consume it
+        val dups = graft.api.Dedup.incrementalNearDupsIndexed(
+            batch.toDF(), indexSide("shingles"), indexSide("sig"),
+            threshold = threshold)
+          .groupBy("doc_new").agg(min("doc_dup").as("dup_of"))
+          .persist()
+        batch.toDF().select(col("doc_id"))
+          .join(dups, col("doc_id") === col("doc_new"), "left_outer")
+          .select(col("doc_id"),
+            when(col("dup_of").isNull, 1).otherwise(0).cast("int")
+              .as("admitted"),
+            coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+          .write.mode("append").parquet(decisionsPath)
+        val admitted = batch.toDF().join(
+          dups.select(col("doc_new").as("doc_id")), Seq("doc_id"),
+          "left_anti")
+        val (ashs, asig) = graft.api.Dedup.incrementalCorpusIndex(admitted)
+        ashs.write.mode("append").parquet(s"$deltaIndexPath/shingles")
+        asig.write.mode("append").parquet(s"$deltaIndexPath/sig")
+        dups.unpersist()
+        ()
+      }
+
   /** Streaming CDC apply sink — [[upsertSink]] completed with the
     * DELETE branch: the stream carries Debezium-shaped row images
     * (`opCol` = 'U' upsert / 'D' delete), each micro-batch collapses

@@ -582,6 +582,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == 4L)
   }
 
+  test("streaming dedup gate keeps first across batches via index append") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = tmp("graft_dedup_gate")
+    val base = s"$root/base"
+    val delta = s"$root/delta"
+    val decisions = s"$root/decisions"
+    val cp = s"$root/ckpt"
+    // corpus of one document, indexed the d09 way
+    val corpus = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val (cshs, csig) = graft.api.Dedup.incrementalCorpusIndex(corpus)
+    cshs.write.parquet(s"$base/shingles")
+    csig.write.parquet(s"$base/sig")
+
+    val mem = MemoryStream[(Long, String)]
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.dedupGateSink(mem.toDF().toDF("doc_id", "text"),
+        base, delta, decisions, cp, threshold = 0.5))
+    def decided(): Map[Long, (Int, Long)] =
+      spark.read.parquet(decisions)
+        .as[(Long, Int, Long)].collect()
+        .map { case (id, a, d) => id -> (a, d) }.toMap
+
+    // batch 1: doc 1 duplicates the corpus (rejected, dup_of=100);
+    // doc 2 is novel (admitted, and its signatures join the index)
+    mem.addData(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words describing another topic entirely"))
+    run()
+    assert(decided() == Map(1L -> ((0, 100L)), 2L -> ((1, -1L))))
+
+    // batch 2: doc 3 duplicates doc 2 — which is NOT in the corpus, so
+    // a rejection proves run 1's admission reached the index; doc 4
+    // still rejects against the original corpus; doc 5 is novel
+    mem.addData(
+      (3L, "completely different words describing another topic entirely"),
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "unrelated third subject matter with fresh vocabulary inside"))
+    run()
+    assert(decided() == Map(
+      1L -> ((0, 100L)), 2L -> ((1, -1L)),
+      3L -> ((0, 2L)), 4L -> ((0, 100L)), 5L -> ((1, -1L))))
+  }
+
   test("publish-by-rename survives a crash between the two renames") {
     val live = tmp("graft_pub") + "/table"
     def writeStaged(tag: String): Unit =
