@@ -104,6 +104,55 @@ object Features {
           .as("was_missing"))
   }
 
+  /** Per-group one-sided CUSUM drift detector over an ordered count
+    * series — the change-point screen an ingest monitor runs on event
+    * rates. All state is EXACT scaled integers: with group stats
+    * n (points), s1 = Σx, s2 = Σx², the mean-centered deviation is
+    * y_t = n·x_t − s1 (integer — the whole series is scaled by n so
+    * the mean never becomes a float), and the recursive fold
+    * S_t = max(0, S_{t−1} + y_t) is computed CLOSED-FORM via the
+    * prefix-sum identity S_t = P_t − min(0, min_{j≤t} P_j) — two
+    * plain window functions over one shuffle on the group key, no
+    * recursion, no UDF. The standard k·σ allowance is subtracted
+    * from each deviation before the fold (so only persistent
+    * super-k·σ excursions accumulate — without it a mildly trending
+    * series flags most of its points); it re-enters integer land as
+    * ceil(k·sqrt(n·s2 − s1²)), exact in both engines. Floats appear
+    * only there and in the final mirrored flag expression
+    * S_t > h·(n·σ), where n·σ = sqrt(n·s2 − s1²) (population σ
+    * under the same scale); sqrt is IEEE correctly-rounded in both
+    * engines (the e26 contract). At
+    * trillion-row scale the scaled integers outgrow int64 and lift
+    * to DECIMAL(38,0) — same plan, wider type. Group-stat frame is
+    * group-grain, so it broadcasts.
+    */
+  def cusumDrift(df: DataFrame, group: String, time: String,
+      value: String, h: Double = 4.0, k: Double = 0.5): DataFrame = {
+    val st = df.groupBy(group).agg(
+      count(lit(1)).as("n"),
+      sum(col(value)).as("s1"),
+      sum(col(value) * col(value)).as("s2"))
+    val w = Window.partitionBy(group).orderBy(time)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the k·σ allowance (scaled by n like everything else) re-enters
+    // integer land through a mirrored ceil: ceil of the same IEEE
+    // double is the same integer in both engines, and every op after
+    // it is exact again
+    val allowance =
+      ceil(lit(k) * sqrt((col("n") * col("s2") - col("s1") * col("s1"))
+        .cast("double"))).cast("long")
+    df.join(broadcast(st), Seq(group))
+      .withColumn("y", col("n") * col(value) - col("s1") - allowance)
+      .withColumn("p", sum(col("y")).over(w))
+      .withColumn("s_scaled",
+        col("p") - least(lit(0L), min(col("p")).over(w)))
+      .withColumn("drift",
+        (col("s_scaled").cast("double") >
+          lit(h) * sqrt((col("n") * col("s2") - col("s1") * col("s1"))
+            .cast("double"))).cast("int"))
+      .drop("y", "p", "n", "s1", "s2")
+  }
+
   /** Per-key consecutive-unit streaks via gaps-and-islands (e22):
     * `unit - row_number` is constant within a run, so runs become
     * group-by keys — no self-join, no iteration. Input must be

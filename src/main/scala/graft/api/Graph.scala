@@ -297,6 +297,48 @@ object Graph {
     lab
   }
 
+  /** Newman modularity of a community assignment, reported per
+    * community: Q = Σ_c (e_c/m − (d_c/2m)²) where e_c = intra-community
+    * edges, d_c = degree mass of c, m = |E| (undirected, distinct).
+    * Returns (label, n_nodes, intra_edges, degree_sum, q_contrib) —
+    * the global Q is the sum of `q_contrib`, left to the caller so the
+    * per-community diagnostics (which community is under-knit) stay
+    * first-class.
+    *
+    * Shape at scale: two node-keyed label joins onto the edge list,
+    * then label-grain aggregations — all shuffles are on node/label
+    * keys, nothing is quadratic, and the single global scalar m rides
+    * in as a broadcast 1-row frame (no driver collect). Every count is
+    * an exact integer; q_contrib is the one mirrored float expression
+    * (two IEEE divisions, one multiply, one subtract on identical
+    * inputs — cross-engine deterministic, same contract as e26).
+    *
+    * `labels` must assign EVERY node that appears in `edgeList`
+    * (partition semantics — Q is undefined on partial covers).
+    */
+  def modularity(edgeList: DataFrame, labels: DataFrame): DataFrame = {
+    val la = labels.select(col("node").as("pa"), col("label").as("la"))
+    val lb = labels.select(col("node").as("pb"), col("label").as("lb"))
+    val lab = edgeList.join(la, "pa").join(lb, "pb")
+    val mTot = edgeList.agg(count(lit(1)).as("m"))
+    val intra = lab.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("intra_edges"))
+    val degs = lab.select(col("la").as("label"))
+      .unionAll(lab.select(col("lb").as("label")))
+      .groupBy("label").agg(count(lit(1)).as("degree_sum"))
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+    val d = coalesce(col("degree_sum"), lit(0L)).cast("double") /
+      (lit(2.0) * col("m"))
+    sizes.join(degs, Seq("label"), "left").join(intra, Seq("label"), "left")
+      .crossJoin(broadcast(mTot))
+      .select(col("label"),
+        col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"),
+        (coalesce(col("intra_edges"), lit(0L)).cast("double") / col("m")
+          - d * d).as("q_contrib"))
+  }
+
   /** Link-prediction features for the non-adjacent node pairs at
     * distance 2: common-neighbor count and neighborhood Jaccard
     * (`cn / (deg(a) + deg(b) - cn)`). One wedge expansion, one anti

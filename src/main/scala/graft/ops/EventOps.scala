@@ -1253,7 +1253,67 @@ object EventOps {
       .orderBy("prev")
   }
 
+  /** Hourly event-rate change-point detection per type — one-sided
+    * CUSUM over the hourly count series
+    * ([[graft.api.Features.cusumDrift]]): the monitor a continuously
+    * ingesting pipeline runs to catch a source going hot (scraper
+    * loop, bot flood) or the upstream rate shifting. The recursive
+    * CUSUM fold S_t = max(0, S_{t−1} + y_t) is computed closed-form
+    * from a prefix sum and a running min (two window functions — the
+    * oracle carries the identical identity), every intermediate is an
+    * exact integer scaled by the per-type hour count, and floats
+    * appear only in two mirrored expressions: the k·σ allowance
+    * (k = 0.5, re-entering integer land through ceil) and the final
+    * threshold compare against h·sqrt(n·s2 − s1²) (h = 4).
+    */
+  val e33 = OpQuery.oracled("e33_rate_change_points",
+    """WITH hc AS (
+      |  SELECT event_type,
+      |         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+      |         CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), st AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(n_events) AS BIGINT) AS s1,
+      |         CAST(sum(n_events * n_events) AS BIGINT) AS s2,
+      |         CAST(ceil(0.5 * sqrt(CAST(count(*) * sum(n_events * n_events)
+      |                                   - sum(n_events) * sum(n_events)
+      |                                   AS DOUBLE))) AS BIGINT) AS allow
+      |  FROM hc GROUP BY 1
+      |), ser AS (
+      |  SELECT hc.event_type, hc.hour, hc.n_events, st.n, st.s1, st.s2,
+      |         sum(st.n * hc.n_events - st.s1 - st.allow)
+      |           OVER (PARTITION BY hc.event_type ORDER BY hc.hour
+      |                 ROWS UNBOUNDED PRECEDING) AS p
+      |  FROM hc JOIN st USING (event_type)
+      |), cs AS (
+      |  SELECT event_type, hour, n_events, n, s1, s2,
+      |         p - least(0, min(p) OVER (PARTITION BY event_type
+      |                                   ORDER BY hour
+      |                                   ROWS UNBOUNDED PRECEDING))
+      |           AS s_scaled
+      |  FROM ser
+      |)
+      |SELECT event_type, hour, n_events,
+      |       CAST(s_scaled AS BIGINT) AS s_scaled,
+      |       CAST(CASE WHEN CAST(s_scaled AS DOUBLE) >
+      |                      4.0 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+      |                 THEN 1 ELSE 0 END AS INT) AS drift
+      |FROM cs ORDER BY event_type, hour""".stripMargin,
+    doc = "per-type hourly-rate CUSUM change points (closed-form " +
+      "prefix-sum/running-min fold in exact scaled integers; float " +
+      "only in the mirrored threshold compare)") { (spark, dir) =>
+    val hourly = Sources.table(spark, dir, "events")
+      .groupBy(col("event_type"), expr("ts DIV 3600000000000").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    graft.api.Features.cusumDrift(hourly, group = "event_type",
+        time = "hour", value = "n_events", h = 4.0)
+      .select(col("event_type"), col("hour"), col("n_events"),
+        col("s_scaled"), col("drift"))
+      .orderBy("event_type", "hour")
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
     e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
-    e25, e26, e27, e28, e29, e30, e31, e32)
+    e25, e26, e27, e28, e29, e30, e31, e32, e33)
 }

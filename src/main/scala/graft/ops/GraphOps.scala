@@ -1024,12 +1024,111 @@ object GraphOps {
       .orderBy("seed", "step")
   }
 
+  /** Community modularity report over the g07 label-spread partition:
+    * every node gets a community (its 2-round min-spread label where
+    * the spread reached it, its own id as a singleton otherwise — a
+    * full partition, which modularity requires), then Newman's
+    * per-community decomposition Q_c = e_c/m − (d_c/2m)² via
+    * [[graft.api.Graph.modularity]] — the quality gate a community
+    * pipeline runs before trusting its clusters downstream. The
+    * oracle carries g07's label CTEs verbatim, completes the
+    * partition with the same coalesce, and mirrors the two-division
+    * float expression token-for-token (exact integer counts
+    * underneath, the e26 contract).
+    */
+  val g17 = OpQuery.oracled("g17_community_modularity", {
+    s"""WITH pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), e0 AS (
+      |  SELECT DISTINCT pa, pb FROM pairs WHERE $edgeKeep
+      |), sym AS (
+      |  SELECT pa AS u, pb AS v FROM e0
+      |  UNION ALL
+      |  SELECT pb AS u, pa AS v FROM e0
+      |), seeds AS (
+      |  SELECT node, node AS label FROM (
+      |    SELECT u AS node, count(*) AS deg FROM sym GROUP BY 1
+      |    ORDER BY deg DESC, node LIMIT 5)
+      |), m1 AS (
+      |  SELECT node, min(label) AS label FROM (
+      |    SELECT node, label FROM seeds
+      |    UNION ALL
+      |    SELECT e.v AS node, l.label FROM sym e JOIN seeds l ON l.node = e.u)
+      |  GROUP BY 1
+      |), l1 AS (
+      |  SELECT m.node, coalesce(s.label, m.label) AS label
+      |  FROM m1 m LEFT JOIN seeds s ON s.node = m.node
+      |), m2 AS (
+      |  SELECT node, min(label) AS label FROM (
+      |    SELECT node, label FROM l1
+      |    UNION ALL
+      |    SELECT e.v AS node, l.label FROM sym e JOIN l1 l ON l.node = e.u)
+      |  GROUP BY 1
+      |), l2 AS (
+      |  SELECT m.node, coalesce(s.label, m.label) AS label
+      |  FROM m2 m LEFT JOIN seeds s ON s.node = m.node
+      |), allnodes AS (
+      |  SELECT DISTINCT u AS node FROM sym
+      |), lab AS (
+      |  SELECT a.node, coalesce(l.label, a.node) AS label
+      |  FROM allnodes a LEFT JOIN l2 l ON l.node = a.node
+      |), mt AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS m FROM e0
+      |), el AS (
+      |  SELECT x.label AS la, y.label AS lb
+      |  FROM e0 e
+      |  JOIN lab x ON x.node = e.pa
+      |  JOIN lab y ON y.node = e.pb
+      |), intra AS (
+      |  SELECT la AS label, count(*) AS intra_edges FROM el
+      |  WHERE la = lb GROUP BY 1
+      |), degs AS (
+      |  SELECT label, count(*) AS degree_sum FROM (
+      |    SELECT la AS label FROM el UNION ALL SELECT lb AS label FROM el)
+      |  GROUP BY 1
+      |), sizes AS (
+      |  SELECT label, count(*) AS n_nodes FROM lab GROUP BY 1
+      |)
+      |SELECT s.label, CAST(s.n_nodes AS BIGINT) AS n_nodes,
+      |       CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+      |       CAST(coalesce(d.degree_sum, 0) AS BIGINT) AS degree_sum,
+      |       CAST(coalesce(i.intra_edges, 0) AS DOUBLE) / m
+      |         - (CAST(coalesce(d.degree_sum, 0) AS DOUBLE) / (2.0 * m))
+      |           * (CAST(coalesce(d.degree_sum, 0) AS DOUBLE) / (2.0 * m))
+      |         AS q_contrib
+      |FROM sizes s
+      |LEFT JOIN degs d USING (label)
+      |LEFT JOIN intra i USING (label)
+      |CROSS JOIN mt
+      |ORDER BY label""".stripMargin
+  },
+    doc = "per-community Newman modularity over the g07 label-spread " +
+      "partition completed with singletons (exact integer counts; " +
+      "mirrored two-division float expression)") { (spark, dir) =>
+    val e = edges(spark, dir)
+    val sym = e.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(e.select(col("pb").as("u"), col("pa").as("v")))
+    val seeds = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("node")).limit(5)
+      .select(col("node"), col("node").as("label"))
+    val spread = graft.api.Graph.labelSpread(e, seeds, rounds = 2)
+    val labels = sym.select(col("u").as("node")).distinct()
+      .join(spread, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    graft.api.Graph.modularity(e, labels)
+      .select(col("label"), col("n_nodes"), col("intra_edges"),
+        col("degree_sum"), col("q_contrib"))
+      .orderBy("label")
+  }
+
   /** Every g-query carries the shared edge build as its `prepare` step:
     * Verify/Bench run it once per SF outside the timed section, so the
     * per-query numbers measure the kernel, not an 12×-repaid derivation.
     */
   val all: Seq[OpQuery] = Seq(g01, g02, g03, g04, g05, g06, g07, g09,
-    g10, g11, g12, g15, g16).map(_.copy(prepare = (s, d) => { ensureEdges(s, d); () })) ++
+    g10, g11, g12, g15, g16, g17).map(_.copy(prepare = (s, d) => { ensureEdges(s, d); () })) ++
     Seq(g08.copy(prepare = (s, d) => { ensureLinkCandidates(s, d); () })) ++
     Seq(g13, r62).map(_.copy(prepare = (s, d) => { ensureWeightedEdges(s, d); () })) ++
     Seq(g14)

@@ -25,6 +25,38 @@ class FeaturesSpec extends AnyFunSuite {
     assert(got("b") == ((1L, 1L, 1L)), got.toString)
   }
 
+  test("cusumDrift: closed-form prefix-sum/min fold equals the direct recursion") {
+    import spark.implicits._
+    // a burst against a flat baseline: full-series stats (the detector
+    // normalizes against everything it has seen) still leave the
+    // 4-point excursion far outside h·σ
+    val xs = Seq.fill(10)(10L) ++ Seq(100L, 100L, 100L, 100L) ++
+      Seq.fill(10)(10L)
+    val df = xs.zipWithIndex
+      .map { case (x, t) => ("g", t.toLong, x) }
+      .toDF("grp", "t", "x")
+    val got = Features.cusumDrift(df, "grp", "t", "x", h = 4.0, k = 0.5)
+      .orderBy("t")
+      .select("s_scaled", "drift")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+
+    // reference: the literal recursion S_t = max(0, S_{t-1} + y_t) on
+    // the same scaled integers (y = n*x - s1 - ceil(k * sqrt(n*s2 - s1^2)))
+    val n = xs.size.toLong
+    val s1 = xs.sum
+    val s2 = xs.map(x => x * x).sum
+    val scaledSigma = math.sqrt((n * s2 - s1 * s1).toDouble)
+    val allow = math.ceil(0.5 * scaledSigma).toLong
+    var s = 0L
+    val want = xs.map { x =>
+      s = math.max(0L, s + (n * x - s1 - allow))
+      (s, if (s.toDouble > 4.0 * scaledSigma) 1 else 0)
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    // the step at t=4 must actually fire the detector at least once
+    assert(want.exists(_._2 == 1), "fixture never crosses the threshold")
+  }
+
   test("denseGrid: silent units appear zero-filled and flagged") {
     import spark.implicits._
     val df = Seq(("x", 2L), ("x", 2L), ("x", 5L)).toDF("k", "u")

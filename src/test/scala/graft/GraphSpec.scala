@@ -272,4 +272,27 @@ class GraphSpec extends AnyFunSuite {
     assert(loose.map(_._1).toSeq == Seq(2L, 3L), loose.mkString(","))
     assert(loose(1)._2 == 1.0 / (math.sqrt(3.0) * math.sqrt(2.0)))
   }
+
+  test("modularity on a hand-built two-community graph (g17 kernel)") {
+    // triangle {1,2,3} + edge {4,5}: m = 4, both communities contribute
+    // e_c/m - (d_c/2m)^2 = 3/4 - (6/8)^2 = 1/4 - (2/8)^2 = 0.1875
+    val edges = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L))).toDF("pa", "pb")
+    val labels = spark.createDataFrame(Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))).toDF("node", "label")
+    val got = graft.api.Graph.modularity(edges, labels)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val q1 = 3.0 / 4 - (6.0 / 8) * (6.0 / 8)
+    val q4 = 1.0 / 4 - (2.0 / 8) * (2.0 / 8)
+    assert(got(1L) == ((3L, 3L, 6L, q1)), got.toString)
+    assert(got(4L) == ((2L, 1L, 2L, q4)), got.toString)
+    // a split that cuts the triangle must score strictly worse
+    val worse = spark.createDataFrame(Seq(
+      (1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 4L))).toDF("node", "label")
+    val qSum = graft.api.Graph.modularity(edges, worse)
+      .collect().map(_.getDouble(4)).sum
+    assert(qSum < q1 + q4, s"cut triangle scored $qSum >= ${q1 + q4}")
+  }
 }
