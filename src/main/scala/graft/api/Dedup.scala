@@ -92,6 +92,62 @@ object Dedup {
     withHashHalves(shs, idCol).groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** LSH banding CALIBRATION report — the empirical S-curve a dedup
+    * owner reads before picking (seeds, bandSize, threshold): for the
+    * overlapping pairs of a bounded probe batch (pairs sharing at
+    * least one shingle — zero-overlap pairs carry no calibration
+    * signal and only collide by hash accident), the exact shingle
+    * jaccard is computed, pairs are bucketed by jaccard decile
+    * (`floor(j·10)`, decile 10 = exact-duplicate), and each bucket
+    * reports how many of its pairs the banded MinHash index would
+    * have surfaced (≥1 shared band key). Low-decile buckets with high
+    * collision rates mean wasted candidate verification; high-decile
+    * buckets below 100% mean missed near-dups — the two failure
+    * modes the (b, r) choice trades off.
+    *
+    * Scale shape: the probe side is a bounded batch (the d06/d09
+    * contract), the overlap join is shingle-keyed (d11's shape), the
+    * band join is band-keyed, and everything aggregates to ≤11 decile
+    * rows. The jaccard is one IEEE division of exact integer counts
+    * and the decile is `floor` of it — bit-stable cross-engine.
+    * Returns (bucket, n_pairs, n_collided, collision_rate).
+    */
+  def lshCalibration(docs: DataFrame, probe: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, seeds: Int = 8, bandSize: Int = 2): DataFrame = {
+    val shs = shingles(docs, idCol, textCol, n).persist()
+    val probeIds = docs.filter(probe).select(idCol)
+    val common = shs.join(probeIds, idCol).as("a")
+      .join(shs.as("b"),
+        col("b.sh") === col("a.sh") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val sizes = shs.groupBy(idCol).agg(count(lit(1)).as("n"))
+    val sig = minhashSignatures(docs, idCol, textCol, n, seeds)
+    def bandsOf(s: DataFrame): DataFrame =
+      s.select(col(idCol), explode(bandKeyArray(seeds, bandSize)).as("bk"))
+    val coll = bandsOf(sig.join(probeIds, idCol)).as("a")
+      .join(bandsOf(sig).as("b"),
+        col("b.bk") === col("a.bk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    val j = col("c").cast("double") /
+      (col("sa.n") + col("sb.n") - col("c"))
+    common
+      .join(sizes.as("sa"), col(s"sa.$idCol") === col("doc_a"))
+      .join(sizes.as("sb"), col(s"sb.$idCol") === col("doc_b"))
+      .join(coll.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+      .select(floor(j * 10).cast("int").as("bucket"),
+        coalesce(col("hit"), lit(0)).as("hit"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("hit")).cast("bigint").as("n_collided"),
+        (sum(col("hit")).cast("double") / count(lit(1)))
+          .as("collision_rate"))
+  }
+
   /** The `seeds/bandSize` banded keys of a signature frame (mh0..mhN),
     * as one array column to explode — shared by every banded-LSH path
     * in this file (and the streaming twin in

@@ -940,12 +940,72 @@ object DedupOps {
       .orderBy("rec_a", "rec_b")
   }
 
+  /** LSH banding calibration — the empirical collision S-curve
+    * ([[graft.api.Dedup.lshCalibration]]): overlapping probe pairs
+    * bucketed by exact shingle-jaccard decile, each bucket reporting
+    * the fraction the 4×2 banded MinHash index would surface. This is
+    * the report that justifies (or indicts) the (seeds, bandSize)
+    * choice every LSH query in this file shares — low deciles
+    * colliding = wasted verification, high deciles missing = lost
+    * near-dups. The oracle re-derives overlap, jaccard, banding and
+    * the decile fold CTE-for-CTE; pairs with zero shingle overlap are
+    * excluded on both sides (no calibration signal; only hash-accident
+    * collisions).
+    */
+  val d17 = OpQuery.oracled("d17_lsh_calibration", {
+    val bands = (0 until nSeeds / 2)
+      .map(b => s"SELECT doc_id, '$b:' || mh${2 * b} || ':' || mh${2 * b + 1} AS bk FROM sig")
+      .mkString("\n      |  UNION ALL\n      |  ")
+    s"""WITH shs AS (
+      |  SELECT doc_id, unnest(shingles) AS sh FROM ($duckShingles)
+      |), sig AS (
+      |  SELECT doc_id, ${duckMins.mkString(", ")} FROM shs GROUP BY doc_id
+      |), bands AS (
+      |  $bands
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM shs GROUP BY 1
+      |), common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |  FROM shs a JOIN shs b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  WHERE a.doc_id % 10 = 0 AND a.doc_id < ${TextOps.probeIdBound}
+      |  GROUP BY 1, 2
+      |), coll AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON b.bk = a.bk AND a.doc_id < b.doc_id
+      |  WHERE a.doc_id % 10 = 0 AND a.doc_id < ${TextOps.probeIdBound}
+      |), pj AS (
+      |  SELECT m.doc_a, m.doc_b,
+      |         CAST(m.c AS DOUBLE) / (sa.n + sb.n - m.c) AS j,
+      |         CASE WHEN x.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+      |  FROM common m
+      |  JOIN sizes sa ON sa.doc_id = m.doc_a
+      |  JOIN sizes sb ON sb.doc_id = m.doc_b
+      |  LEFT JOIN coll x ON x.doc_a = m.doc_a AND x.doc_b = m.doc_b
+      |)
+      |SELECT CAST(floor(j * 10) AS INT) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(sum(hit) AS BIGINT) AS n_collided,
+      |       CAST(sum(hit) AS DOUBLE) / count(*) AS collision_rate
+      |FROM pj GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+  },
+    doc = "LSH banding calibration: probe-pair collision rate per " +
+      "exact-jaccard decile (the empirical S-curve behind the " +
+      "4x2-band choice; exact integer counts, one mirrored division)") {
+    (spark, dir) =>
+    graft.api.Dedup.lshCalibration(
+        Sources.table(spark, dir, "documents"),
+        probe = col("doc_id") % 10 === 0
+          && col("doc_id") < TextOps.probeIdBound)
+      .orderBy("bucket")
+  }
+
   /** The three consumers of the shared verified-pairs table carry its
     * build as their `prepare` step (Bench times the consumer, not the
     * 3×-repaid pipeline); every other d-query is standalone.
     */
   val all: Seq[OpQuery] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    d10, d11, d12, d13, d14, d15, d16).map { q =>
+    d10, d11, d12, d13, d14, d15, d16, d17).map { q =>
     if (Set(d04.name, d07.name, d08.name).contains(q.name))
       q.copy(prepare = (s, d) => { ensureNearDupPairs(s, d); () })
     else if (q.name == d09.name)

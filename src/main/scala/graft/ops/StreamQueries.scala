@@ -980,6 +980,58 @@ object StreamQueries {
       .orderBy("doc_id")
   }
 
+  /** qs13: streaming content-addressed CHUNK STORE under the hard
+    * signal — promotes [[graft.stream.Pipelines.chunkStoreSink]] (the
+    * storage-layer dedup below whole-file identity, previously
+    * spec-verified only) to an oracled streaming run: media payloads
+    * arrive across two incremental runs sharing a checkpoint, each
+    * micro-batch splits into 64-byte md5-addressed chunks, and only
+    * never-seen addresses are admitted to the cumulative store
+    * (published by the crash-safe two-rename swap each batch). The
+    * oracle — the distinct chunk set of the WHOLE corpus — is
+    * order-independent, which is exactly the sink's correctness
+    * contract: a chunk re-stored by run 2 (cross-batch novelty
+    * failure) would surface as a duplicate address row and fail the
+    * rows/hash compare; a dropped chunk fails it from the other side.
+    * Payloads are the documents' UTF-8 bytes (the m11 ASCII
+    * equivalence, documented there), so the oracle chunks TEXT.
+    */
+  val qs13 = OpQuery.oracled("qs13_stream_chunk_store",
+    """WITH m AS (
+      |  SELECT doc_id, text FROM read_parquet('{SFDIR}/documents.parquet')
+      |), ch AS (
+      |  SELECT md5(substring(m.text, u.s, 64)) AS h,
+      |         length(substring(m.text, u.s, 64)) AS len
+      |  FROM m, unnest(range(1, length(m.text)::BIGINT + 1, 64)) u(s)
+      |)
+      |SELECT h, CAST(min(len) AS BIGINT) AS len
+      |FROM ch GROUP BY h
+      |ORDER BY h""".stripMargin,
+    doc = "streaming content-addressed chunk store across two " +
+      "incremental runs (64-byte md5 chunks, only novel addresses " +
+      "stored); oracle = the corpus's distinct chunk set, which any " +
+      "re-store or drop would fail") { (spark, dir) =>
+    val root = scratch(dir, "qs13")
+    wipe(root)
+    val media = Multimodal.mediaFromDocuments(spark, dir).toDF()
+      .select(col("media_id"), col("payload"))
+    media.filter(col("media_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$root/input")
+    val sch = spark.read.parquet(s"$root/input").schema
+    val s8 = stateSession(spark, 8)
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.chunkStoreSink(
+        s8.readStream.schema(sch).parquet(s"$root/input"),
+        s"$root/store", s"$root/ckpt", chunkBytes = 64))
+    run()
+    media.filter(col("media_id") % 2 === 1)
+      .write.mode("append").parquet(s"$root/input")
+    run()
+    spark.read.parquet(s"$root/store")
+      .select(col("h"), col("len").cast("bigint").as("len"))
+      .orderBy("h")
+  }
+
   val all: Seq[OpQuery] = Seq(
     qs1,
     qs2.copy(prepare = (s, d) => { ensureEnvelopeInput(s, d); () }),
@@ -993,5 +1045,6 @@ object StreamQueries {
     qs10,
     qs11,
     qs12.copy(prepare =
-      (s, d) => { DedupOps.ensureIncrementalIndex(s, d); () }))
+      (s, d) => { DedupOps.ensureIncrementalIndex(s, d); () }),
+    qs13)
 }
