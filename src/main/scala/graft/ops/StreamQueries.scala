@@ -1032,6 +1032,89 @@ object StreamQueries {
       .orderBy("h")
   }
 
+  /** qs14: streaming QUALITY TRIAGE under the hard signal — the
+    * first-match router every ingest gate ends in
+    * ([[graft.stream.Pipelines.routedSink]]): documents stream in
+    * across two incremental runs, quality features are computed ON the
+    * stream (stateless projection — the t02 score formula), and each
+    * row lands in exactly one of three route tables: `short`
+    * (n_tokens < 25, checked FIRST — a 3-token doc's score is
+    * meaningless), `low_score` (score < 0.15), `accept`. The result
+    * re-assembles all route tables with their route name, so the
+    * oracle's CASE expression checks three things at once: the score
+    * arithmetic (mirrored float, exact integer inputs), the
+    * first-match precedence (a short low-score doc must be in `short`
+    * only), and that no row was dropped or duplicated across the
+    * fan-out (the dead-letter route must stay empty — asserted).
+    */
+  val qs14 = OpQuery.oracled("qs14_stream_quality_triage", {
+    s"""WITH f AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |         len(list_filter(string_split(text, ' '),
+      |                         t -> t IN (${TextOps.stopList}))) AS n_stop
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), q AS (
+      |  SELECT doc_id, n_tokens,
+      |         (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5
+      |           + (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0) * 0.5
+      |           AS quality_score
+      |  FROM f
+      |)
+      |SELECT doc_id, n_tokens, quality_score,
+      |       CASE WHEN n_tokens < 25 THEN 'short'
+      |            WHEN quality_score < 0.15 THEN 'low_score'
+      |            ELSE 'accept' END AS route
+      |FROM q ORDER BY doc_id""".stripMargin
+  },
+    doc = "streaming quality triage through the first-match router " +
+      "sink (short / low_score / accept + dead-letter audit); oracle " +
+      "= the batch CASE routing over the mirrored score") { (spark, dir) =>
+    val root = scratch(dir, "qs14")
+    wipe(root)
+    val docs = Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$root/input")
+    val sch = spark.read.parquet(s"$root/input").schema
+    val s8 = stateSession(spark, 8)
+    def scored(stream: DataFrame): DataFrame = stream
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, t -> t IN (${TextOps.stopList})))"))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("n_stop").cast("double") / col("n_tokens")) * 0.5
+          + (least(col("n_tokens"), lit(200)).cast("double") / 200.0) * 0.5)
+          .as("quality_score"))
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.routedSink(
+        scored(s8.readStream.schema(sch).parquet(s"$root/input")),
+        routes = Seq(
+          "short" -> (col("n_tokens") < 25),
+          "low_score" -> (col("quality_score") < 0.15),
+          "accept" -> lit(true)),
+        basePath = s"$root/routes", checkpoint = s"$root/ckpt"))
+    run()
+    docs.filter(col("doc_id") % 2 === 1)
+      .write.mode("append").parquet(s"$root/input")
+    run()
+    require(!new java.io.File(s"$root/routes/dead_letter").exists(),
+      "qs14: rows fell through an exhaustive route list into the " +
+        "dead letter — the router dropped or mis-guarded a predicate")
+    val byRoute = Seq("short", "low_score", "accept").flatMap { name =>
+      val d = new java.io.File(s"$root/routes/$name")
+      if (d.isDirectory && Option(d.listFiles())
+          .exists(_.exists(_.getName.startsWith("part-"))))
+        Some(spark.read.parquet(d.getPath).withColumn("route", lit(name)))
+      else None
+    }
+    byRoute.reduce(_.unionByName(_))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+        col("route"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OpQuery] = Seq(
     qs1,
     qs2.copy(prepare = (s, d) => { ensureEnvelopeInput(s, d); () }),
@@ -1046,5 +1129,6 @@ object StreamQueries {
     qs11,
     qs12.copy(prepare =
       (s, d) => { DedupOps.ensureIncrementalIndex(s, d); () }),
-    qs13)
+    qs13,
+    qs14)
 }

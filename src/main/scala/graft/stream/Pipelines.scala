@@ -539,6 +539,46 @@ object Pipelines {
         ()
       }
 
+  /** Streaming FIRST-MATCH ROUTER sink — the triage shape every ingest
+    * gate ends in: one pass over each micro-batch fans rows out to one
+    * parquet table per route (`basePath/<name>`), each row landing in
+    * the FIRST route whose predicate it satisfies (later predicates
+    * are automatically guarded with the negation of all earlier ones,
+    * so overlapping conditions can never duplicate a row). Rows
+    * matching no route land in `basePath/dead_letter` — the
+    * dead-letter queue that turns "filter dropped it silently" into an
+    * auditable table.
+    *
+    * Scale: the batch is persisted once and each route is a filtered
+    * append — no shuffle at all (routing is a per-row projection);
+    * route tables partition downstream work (re-scoring only the
+    * quarantine, re-ingesting only the dead letters) without
+    * re-scanning the accepted corpus. On Delta this becomes one
+    * multi-table transaction; the per-route append is the swap point.
+    */
+  def routedSink(df: DataFrame, routes: Seq[(String, Column)],
+      basePath: String, checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val b = batch.toDF().persist()
+        val guarded = routes.zipWithIndex.map { case ((name, pred), i) =>
+          name -> routes.take(i).map(_._2)
+            .foldLeft(pred)((p, earlier) => p && !earlier)
+        }
+        val dead = routes.map(_._2)
+          .foldLeft(lit(true))((p, r) => p && !r)
+        (guarded :+ ("dead_letter" -> dead)).foreach { case (name, pred) =>
+          val rows = b.filter(pred)
+          if (!rows.isEmpty)
+            rows.write.mode("append").parquet(s"$basePath/$name")
+        }
+        b.unpersist()
+        ()
+      }
+
   /** Streaming CDC apply sink — [[upsertSink]] completed with the
     * DELETE branch: the stream carries Debezium-shaped row images
     * (`opCol` = 'U' upsert / 'D' delete), each micro-batch collapses

@@ -383,4 +383,28 @@ class DedupApiSpec extends AnyFunSuite {
       assert(h == scalarHamming(a, b), s"$a vs $b: got $h")
     }
   }
+
+  test("lshCalibration buckets exact dups at decile 10 with certain collision") {
+    // doc 0 and its exact copy 1 (jaccard 1.0 -> bucket 10, identical
+    // signatures -> every band collides); doc 2 shares one shingle of
+    // 0's four via a common 3-token prefix (low decile); doc 3 is
+    // disjoint from everything (no overlap pair at all)
+    val base = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (0L, base), (1L, base),
+      (2L, "alpha beta gamma unrelated trailing words here"),
+      (3L, "completely different vocabulary nothing shared")
+    ).toDF("doc_id", "text")
+    val got = graft.api.Dedup.lshCalibration(docs, probe = lit(true))
+      .orderBy("bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // pair (0,1): jaccard 1.0 -> bucket 10, collided; pairs (0,2) and
+    // (1,2): 1 shared of 4+5-1 shingles -> j=0.125 -> bucket 1,
+    // almost surely no band collision (identical minhashes would need
+    // all 8 seeded mins to coincide on the shared shingle)
+    assert(got.last == ((10, 1L, 1L)), got.mkString(","))
+    assert(got.head._1 == 1 && got.head._2 == 2L, got.mkString(","))
+    // doc 3 never appears: zero-overlap pairs carry no signal
+    assert(got.map(_._2).sum == 3L, got.mkString(","))
+  }
 }

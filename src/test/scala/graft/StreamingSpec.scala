@@ -627,6 +627,34 @@ class StreamingSpec extends AnyFunSuite {
       3L -> ((0, 2L)), 4L -> ((0, 100L)), 5L -> ((1, -1L))))
   }
 
+  test("routedSink: first-match precedence, overlap never duplicates, dead letter catches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = tmp("graft_router")
+    val mem = MemoryStream[(Long, Long)]
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.routedSink(mem.toDF().toDF("id", "v"),
+        routes = Seq(
+          "neg" -> (col("v") < 0),
+          "small" -> (col("v") < 10)), // overlaps neg: -5 must NOT land here too
+        basePath = s"$root/routes", checkpoint = s"$root/ckpt"))
+    def ids(route: String): Set[Long] = {
+      val d = new java.io.File(s"$root/routes/$route")
+      if (!d.isDirectory) Set.empty
+      else spark.read.parquet(d.getPath).select("id").as[Long].collect().toSet
+    }
+    mem.addData((1L, -5L), (2L, 3L), (3L, 50L))
+    run()
+    assert(ids("neg") == Set(1L), ids("neg").toString)
+    assert(ids("small") == Set(2L), ids("small").toString)
+    assert(ids("dead_letter") == Set(3L), ids("dead_letter").toString)
+    // second batch through the same checkpoint appends, never re-routes
+    mem.addData((4L, -1L))
+    run()
+    assert(ids("neg") == Set(1L, 4L))
+    assert(ids("small") == Set(2L) && ids("dead_letter") == Set(3L))
+  }
+
   test("publish-by-rename survives a crash between the two renames") {
     val live = tmp("graft_pub") + "/table"
     def writeStaged(tag: String): Unit =
