@@ -714,4 +714,43 @@ object Graph {
         Seq(("cosine", true), ("neighbor", false)), k)
       .select("item", "neighbor", "shared_users", "cosine")
   }
+
+  /** Bounded-hop weighted single-source (multi-seed) shortest paths —
+    * `rounds` synchronous Bellman-Ford relaxations over an undirected
+    * weighted edge frame (pa, pb, c) with integer cost `c`. Returns
+    * (node, dist): the minimum path cost from ANY seed using at most
+    * `rounds` edges, for every node so reachable. Seeds are (node)
+    * rows at distance 0.
+    *
+    * Scale shape: each round is exactly one co-partitioned
+    * frontier-edge join + one min-aggregate on the node key — the
+    * same per-round cost as a BFS hop ([[multiSourceBfs]]); distances
+    * move as exact BIGINTs so partial-aggregation order can never
+    * change a result. Per-round eager `localCheckpoint` (not persist)
+    * keeps the doubled-lineage planning blowup cut, with superseded
+    * generations freed through the bridge — the g06/g04 lesson.
+    * Bounded rounds is the production form (an influence radius /
+    * cheapest-reach gate, not all-pairs); an exact fixpoint variant
+    * would loop until the relaxation count hits zero, same body.
+    */
+  def weightedSssp(weighted: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"bad rounds $rounds")
+    val sym = weighted.select(col("pa").as("u"), col("pb").as("v"), col("c"))
+      .unionAll(weighted.select(col("pb").as("u"), col("pa").as("v"), col("c")))
+      .persist()
+    var dist = seeds.select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.unionAll(
+        sym.join(dist.select(col("node").as("u"), col("dist")), "u")
+          .select(col("v").as("node"), (col("dist") + col("c")).as("dist")))
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(dist)
+      dist = relaxed
+    }
+    sym.unpersist()
+    dist
+  }
 }

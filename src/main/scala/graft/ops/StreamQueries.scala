@@ -1115,6 +1115,65 @@ object StreamQueries {
       .orderBy("doc_id")
   }
 
+  /** qs15: stream-static broadcast enrichment BEFORE the stateful
+    * aggregation — the dimension-lookup shape every production ingest
+    * has (events arrive keyed by a surrogate id; the business rollup
+    * wants a dimension attribute). The event stream joins the static
+    * `customer` dimension (broadcast — the dim is small relative to
+    * the stream by definition, and a shuffle here would re-key the
+    * whole stream every micro-batch) on a modulo-derived customer
+    * key, then runs the watermarked hourly window aggregation per
+    * market segment with the money routed through DECIMAL(18,6) so
+    * partial-aggregation order cannot move a bit. Covers the one
+    * Structured Streaming join family qs2–qs14 don't: stream-static
+    * equi-join upstream of stateful state (Spark plans the static
+    * side fresh per micro-batch — at scale that re-reads a live dim
+    * table, which is exactly the semantics a slowly-refreshing
+    * dimension wants). Oracle = the batch join + qs1's append-mode
+    * watermark-flush CTE.
+    */
+  val qs15 = OpQuery.oracled("qs15_stream_static_enrich",
+    """WITH wm AS (
+      |  SELECT (epoch_us(max(ts)) // 1000) * 1000 - 3600000000 AS w
+      |  FROM events
+      |), c AS (SELECT count(*) AS n FROM customer)
+      |SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+      |       cu.c_mktsegment AS segment,
+      |       count(*) AS cnt,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events e
+      |JOIN customer cu ON cu.c_custkey = e.user_id % (SELECT n FROM c) + 1
+      |WHERE (CAST(epoch(date_trunc('hour', ts)) AS BIGINT) + 3600) * 1000000
+      |      <= (SELECT w FROM wm)
+      |GROUP BY 1, 2
+      |ORDER BY hour_start, segment""".stripMargin,
+    doc = "stream-static broadcast dim enrichment feeding a watermarked " +
+      "hourly window aggregation per segment (decimal-routed money; " +
+      "oracle mirrors the batch join + final watermark flush)") { (spark, dir) =>
+    val root = scratch(dir, "qs15")
+    wipe(root)
+    val ss = stateSession(spark, 8)
+    val dim = Sources.table(ss, dir, "customer")
+      .select(col("c_custkey").as("cust_key"),
+        col("c_mktsegment").as("segment"))
+    val nCust = dim.count()
+    val enriched = eventStream(ss, dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("cust_key", col("user_id") % nCust + 1)
+      .withWatermark("event_ts", "1 hour")
+      .join(broadcast(dim), "cust_key")
+      .groupBy(window(col("event_ts"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,6)")).as("val_dec"))
+      .select(col("window.start").cast("long").as("hour_start"),
+        col("segment"), col("cnt"),
+        col("val_dec").cast("double").as("total_value"))
+    Pipelines.runToCompletion(
+      Pipelines.sink(enriched, s"$root/sink", s"$root/ckpt"))
+    spark.read.parquet(s"$root/sink")
+      .orderBy("hour_start", "segment")
+  }
+
   val all: Seq[OpQuery] = Seq(
     qs1,
     qs2.copy(prepare = (s, d) => { ensureEnvelopeInput(s, d); () }),
@@ -1130,5 +1189,6 @@ object StreamQueries {
     qs12.copy(prepare =
       (s, d) => { DedupOps.ensureIncrementalIndex(s, d); () }),
     qs13,
-    qs14)
+    qs14,
+    qs15)
 }

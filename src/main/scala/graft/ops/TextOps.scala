@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.io.Sources
@@ -2112,8 +2113,127 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Per-source power-law corpus diagnostics — the two statistics a
+    * curation run reports to judge whether a source looks like natural
+    * language or like templated/boilerplate output: the Zipf
+    * rank-frequency slope (natural text ≈ −1; templated text is much
+    * flatter) and the Heaps vocabulary-growth exponent (how fast new
+    * types appear as tokens accumulate; near 0 for a closed
+    * vocabulary). Every aggregate is an exact integer; each exponent
+    * is ONE mirrored float expression over those integers (the
+    * two-point log-log fit: rank 1 vs rank `least(V,16)` for Zipf,
+    * the doc_id-parity half-corpus vs the full corpus for Heaps), so
+    * partial-aggregation order can never move a bit.
+    *
+    * Scale shape: one shuffle on (source, token) for the counts; the
+    * rank picks go through the bounded-heap [[graft.api.Windows
+    * .topKPerGroup]] (top-16 per source), NOT a full per-source sort —
+    * at 100 TB a source's vocabulary is millions of rows and a
+    * row_number window over it would sort a skewed partition per
+    * source; the heap keeps 16. The oracle ranks the full vocabulary
+    * (same result by construction).
+    */
+  val t40 = OpQuery.oracled("t40_power_law_profile",
+    """WITH tok AS (
+      |  SELECT source, doc_id % 2 = 0 AS in_half,
+      |         unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |), counts AS (
+      |  SELECT source, tok, count(*) AS cnt,
+      |         sum(CASE WHEN in_half THEN 1 ELSE 0 END) AS cnt_a
+      |  FROM tok GROUP BY 1, 2
+      |), by_src AS (
+      |  SELECT source, sum(cnt) AS n_tokens, count(*) AS n_types,
+      |         sum(cnt_a) AS half_tokens,
+      |         sum(CASE WHEN cnt_a > 0 THEN 1 ELSE 0 END) AS half_types
+      |  FROM counts GROUP BY 1
+      |), ranked AS (
+      |  SELECT source, tok, cnt,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY cnt DESC, tok) AS rk
+      |  FROM counts
+      |), top1 AS (
+      |  SELECT source, cnt AS top_freq FROM ranked WHERE rk = 1
+      |), kth AS (
+      |  SELECT r.source, CAST(r.rk AS BIGINT) AS k, r.cnt AS k_freq
+      |  FROM ranked r JOIN by_src b ON b.source = r.source
+      |  WHERE r.rk = least(b.n_types, 16)
+      |)
+      |SELECT b.source,
+      |       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(b.n_types AS BIGINT) AS n_types,
+      |       CAST(t.top_freq AS BIGINT) AS top_freq,
+      |       k.k AS k,
+      |       CAST(k.k_freq AS BIGINT) AS k_freq,
+      |       CASE WHEN k.k > 1
+      |         THEN ln(CAST(k.k_freq AS DOUBLE) / t.top_freq)
+      |              / ln(CAST(k.k AS DOUBLE))
+      |         ELSE 0.0 END AS zipf_slope,
+      |       CAST(b.half_tokens AS BIGINT) AS half_tokens,
+      |       CAST(b.half_types AS BIGINT) AS half_types,
+      |       CASE WHEN b.half_tokens > 0 AND b.n_tokens > b.half_tokens
+      |         THEN ln(CAST(b.n_types AS DOUBLE) / b.half_types)
+      |              / ln(CAST(b.n_tokens AS DOUBLE) / b.half_tokens)
+      |         ELSE 0.0 END AS heaps_beta
+      |FROM by_src b
+      |JOIN top1 t ON t.source = b.source
+      |JOIN kth k ON k.source = b.source
+      |ORDER BY b.source""".stripMargin,
+    doc = "per-source Zipf slope + Heaps exponent (exact integer counts, two mirrored log-log point fits; heap-bounded rank picks)") { (spark, dir) =>
+    powerLawProfile(Sources.table(spark, dir, "documents"))
+  }
+
+  /** t40's kernel over any documents-shaped frame (doc_id, source,
+    * text) — split out so the spec can pin the statistics on a
+    * hand-counted fixture. See [[t40]] for the contract.
+    */
+  private[graft] def powerLawProfile(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"),
+        (col("doc_id") % 2 === 0).cast("long").as("in_half"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("cnt"), sum(col("in_half")).as("cnt_a"))
+    val bySrc = counts.groupBy("source").agg(
+      sum("cnt").as("n_tokens"), count(lit(1)).as("n_types"),
+      sum("cnt_a").as("half_tokens"),
+      sum(when(col("cnt_a") > 0, 1L).otherwise(0L)).as("half_types"))
+    // bounded-heap top-16 per source, then rank within the <=16 rows
+    val top16 = graft.api.Windows.topKPerGroup(
+      counts.select("source", "tok", "cnt"),
+      Seq("source"), Seq(("cnt", true), ("tok", false)), 16)
+    val ranked = top16.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(col("cnt").desc, col("tok").asc)))
+    val top1 = ranked.filter(col("rk") === 1)
+      .select(col("source"), col("cnt").as("top_freq"))
+    val kth = ranked
+      .join(bySrc.select(col("source"), col("n_types").as("v")), "source")
+      .filter(col("rk").cast("bigint") === least(col("v"), lit(16L)))
+      .select(col("source"), col("rk").cast("bigint").as("k"),
+        col("cnt").as("k_freq"))
+    bySrc.join(top1, "source").join(kth, "source")
+      .select(col("source"),
+        col("n_tokens").cast("bigint").as("n_tokens"),
+        col("n_types").cast("bigint").as("n_types"),
+        col("top_freq").cast("bigint").as("top_freq"),
+        col("k"),
+        col("k_freq").cast("bigint").as("k_freq"),
+        when(col("k") > 1,
+          log(col("k_freq").cast("double") / col("top_freq"))
+            / log(col("k").cast("double")))
+          .otherwise(lit(0.0)).as("zipf_slope"),
+        col("half_tokens").cast("bigint").as("half_tokens"),
+        col("half_types").cast("bigint").as("half_types"),
+        when(col("half_tokens") > 0 && col("n_tokens") > col("half_tokens"),
+          log(col("n_types").cast("double") / col("half_types"))
+            / log(col("n_tokens").cast("double") / col("half_tokens")))
+          .otherwise(lit(0.0)).as("heaps_beta"))
+      .orderBy("source")
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
-      t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39)
+      t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40)
 }

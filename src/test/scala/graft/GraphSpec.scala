@@ -295,4 +295,26 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(_.getDouble(4)).sum
     assert(qSum < q1 + q4, s"cut triangle scored $qSum >= ${q1 + q4}")
   }
+
+  test("weighted SSSP: cheaper multi-hop path beats the direct edge; rounds bound the hops") {
+    // 1-2 costs 10 but 1-3-2 costs 5; node 5 is 4 cheap hops away, so
+    // within 3 rounds only the expensive 1-2-4-5 route (12) can reach it
+    val e = spark.createDataFrame(Seq(
+      (1L, 2L, 10L), (1L, 3L, 2L), (2L, 3L, 3L), (2L, 4L, 1L),
+      (4L, 5L, 1L))).toDF("pa", "pb", "c")
+    val seeds = spark.createDataFrame(Seq(Tuple1(1L))).toDF("node")
+    val got = graft.api.Graph.weightedSssp(e, seeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 2L, 4L -> 6L, 5L -> 12L),
+      got.toString)
+  }
+
+  test("weighted SSSP: multi-seed distances take the minimum over seeds") {
+    val e = spark.createDataFrame(Seq(
+      (1L, 2L, 4L), (2L, 3L, 4L), (3L, 4L, 4L))).toDF("pa", "pb", "c")
+    val seeds = spark.createDataFrame(Seq(Tuple1(1L), Tuple1(4L))).toDF("node")
+    val got = graft.api.Graph.weightedSssp(e, seeds, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 4L, 3L -> 4L, 4L -> 0L), got.toString)
+  }
 }

@@ -1377,4 +1377,43 @@ class StreamingSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSet
     assert(c2 == Set(2L, 4L), c2.toString)
   }
+
+  test("stream-static broadcast enrichment equals the batch join per closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val base = java.sql.Timestamp.valueOf("2024-03-01 08:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+
+    val dim = spark.createDataFrame(Seq(
+      (1L, "BUILDING"), (2L, "MACHINERY"))).toDF("cust_key", "segment")
+    val enriched = mem.toDF().toDF("ts", "user_id", "value")
+      .withColumn("cust_key", col("user_id") % 2 + 1)
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), "cust_key")
+      .groupBy(window(col("ts"), "10 minutes"), col("segment"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+      .select(col("window.start").as("ws"), col("segment"), col("cnt"),
+        col("total"))
+
+    val sink = tmp("graft_enrich_sink")
+    val cp = tmp("graft_enrich_cp")
+    val q = enriched.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", sink).option("checkpointLocation", cp)
+      .start()
+    // users 0 and 2 -> key 1 BUILDING; user 1 -> key 2 MACHINERY
+    mem.addData((at(0), 0L, 1.5), (at(4), 1L, 2.0), (at(8), 2L, 0.25))
+    q.processAllAvailable()
+    mem.addData((at(45), 1L, 9.0)) // advances watermark past the first window
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.read.parquet(sink)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(rows == Set(
+      (at(0), "BUILDING", 2L, 1.75),
+      (at(0), "MACHINERY", 1L, 2.0)), rows.toString)
+  }
 }
