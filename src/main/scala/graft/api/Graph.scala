@@ -715,6 +715,30 @@ object Graph {
       .select("item", "neighbor", "shared_users", "cosine")
   }
 
+  /** Per-edge triangle support — for each undirected edge (pa < pb),
+    * how many triangles contain it (= common neighbors of its
+    * endpoints). Support 0 marks a LOCAL BRIDGE: the only local route
+    * between its endpoints, the edge k-truss peeling starts from and
+    * the classic weak-tie signal in community detection. Reuses the
+    * degree-oriented [[triangleFrames]] census — each triangle row
+    * fans out to its three normalized edges, one uniform-key
+    * aggregate counts them, and a left join pins the zero-support
+    * edges — so the cost profile is the g01 census plus one
+    * explode-aggregate, with the same O(sqrt(E)) wedge bound.
+    */
+  def edgeSupport(edgeList: DataFrame): DataFrame = {
+    val (e, _, triangles) = triangleFrames(edgeList)
+    def edge(x: String, y: String) = struct(
+      least(col(x), col(y)).as("pa"), greatest(col(x), col(y)).as("pb"))
+    val perEdge = triangles
+      .select(explode(array(edge("ta", "tb"), edge("ta", "tc"),
+        edge("tb", "tc"))).as("ed"))
+      .groupBy(col("ed.pa").as("pa"), col("ed.pb").as("pb"))
+      .agg(count(lit(1)).as("sup"))
+    e.join(perEdge, Seq("pa", "pb"), "left")
+      .select(col("pa"), col("pb"), coalesce(col("sup"), lit(0L)).as("sup"))
+  }
+
   /** Bounded-hop weighted single-source (multi-seed) shortest paths —
     * `rounds` synchronous Bellman-Ford relaxations over an undirected
     * weighted edge frame (pa, pb, c) with integer cost `c`. Returns

@@ -1313,7 +1313,96 @@ object EventOps {
       .orderBy("event_type", "hour")
   }
 
+  /** Seasonality strength as a forecast-error contest — the
+    * model-selection diagnostic behind capacity planning: per event
+    * type, the seasonal-naive forecast (this hour yesterday, lag 24 on
+    * the dense hourly grid) versus the persistence forecast (the
+    * previous hour, lag 1), scored by summed absolute error over the
+    * same eligible hours. A ratio < 1 means daily seasonal structure
+    * out-predicts short-term momentum — complements e31's shape
+    * profile with an out-of-model accuracy statement (the same
+    * relative-MAE construction as MASE, with persistence as the
+    * scaling method so every quantity stays an exact integer).
+    *
+    * Scale shape: the hourly grid is types × hours — metadata-sized at
+    * any corpus scale (10 years ≈ 88k hours) — so the gap-fill
+    * cross-join, the per-type lag windows, and the final aggregate all
+    * run on a frame dwarfed by the one shuffle that builds the hourly
+    * counts from the raw events.
+    */
+  val e34 = OpQuery.oracled("e34_seasonal_strength",
+    """WITH b AS (
+      |  SELECT CAST(epoch_us(min(ts)) // 3600000000 AS BIGINT) AS h0,
+      |         CAST(epoch_us(max(ts)) // 3600000000 AS BIGINT) AS h1
+      |  FROM events
+      |), ty AS (SELECT DISTINCT event_type FROM events
+      |), grid AS (
+      |  SELECT ty.event_type, unnest(generate_series(b.h0, b.h1)) AS hr
+      |  FROM ty, b
+      |), cnt AS (
+      |  SELECT event_type,
+      |         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+      |         count(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |), g AS (
+      |  SELECT grid.event_type, grid.hr, coalesce(cnt.c, 0) AS c
+      |  FROM grid LEFT JOIN cnt
+      |    ON cnt.event_type = grid.event_type AND cnt.hr = grid.hr
+      |), lagd AS (
+      |  SELECT event_type, hr, c,
+      |         lag(c, 1)  OVER w AS c1,
+      |         lag(c, 24) OVER w AS c24
+      |  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+      |)
+      |SELECT event_type,
+      |       count(*) AS n_hours,
+      |       CAST(sum(abs(c - c24)) AS BIGINT) AS sae_seasonal,
+      |       CAST(sum(abs(c - c1)) AS BIGINT) AS sae_persistence,
+      |       CASE WHEN sum(abs(c - c1)) > 0
+      |         THEN CAST(sum(abs(c - c24)) AS DOUBLE) / sum(abs(c - c1))
+      |         ELSE 0.0 END AS seasonal_strength
+      |FROM lagd
+      |WHERE hr >= (SELECT h0 FROM b) + 24
+      |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    doc = "seasonal-naive vs persistence forecast error per type over the gap-filled hourly grid (exact integer SAEs, one mirrored ratio)") { (spark, dir) =>
+    seasonalStrength(Sources.table(spark, dir, "events")
+      .select(col("event_type"), expr("ts div 3600000000000").as("hr")))
+  }
+
+  /** e34's kernel over any (event_type, hr) frame — split out so the
+    * spec can pin it on a hand-built series. See [[e34]].
+    */
+  private[graft] def seasonalStrength(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bounds = ev.agg(min("hr").as("h0"), max("hr").as("h1"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val cnt = ev.groupBy("event_type", "hr").agg(count(lit(1)).as("c"))
+    val g = grid.join(cnt, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hr")
+    g.select(col("event_type"), col("hr"), col("c"),
+        lag(col("c"), 1).over(w).as("c1"),
+        lag(col("c"), 24).over(w).as("c24"))
+      .crossJoin(broadcast(bounds.select((col("h0") + 24).as("hmin"))))
+      .filter(col("hr") >= col("hmin"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(abs(col("c") - col("c24"))).as("sae_seasonal"),
+        sum(abs(col("c") - col("c1"))).as("sae_persistence"))
+      .select(col("event_type"), col("n_hours"),
+        col("sae_seasonal").cast("bigint").as("sae_seasonal"),
+        col("sae_persistence").cast("bigint").as("sae_persistence"),
+        when(col("sae_persistence") > 0,
+          col("sae_seasonal").cast("double") / col("sae_persistence"))
+          .otherwise(lit(0.0)).as("seasonal_strength"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
     e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
-    e25, e26, e27, e28, e29, e30, e31, e32, e33)
+    e25, e26, e27, e28, e29, e30, e31, e32, e33, e34)
 }

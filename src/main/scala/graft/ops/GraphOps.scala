@@ -1180,12 +1180,52 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** Edge-support histogram of the co-purchase graph — for every
+    * edge, the number of triangles containing it (common neighbors of
+    * its endpoints), aggregated to (support, n_edges). The support-0
+    * row counts the LOCAL BRIDGES (weak ties with no alternative
+    * local route); the rest is the k-truss peeling spectrum. Runs
+    * through [[graft.api.Graph.edgeSupport]] (degree-oriented
+    * triangle census + per-edge fan-out); the oracle counts common
+    * neighbors naively per edge.
+    */
+  val g19 = OpQuery.oracled("g19_edge_support_histogram", {
+    s"""WITH pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), e AS (
+      |  SELECT DISTINCT pa, pb FROM pairs WHERE $edgeKeep
+      |), sym AS (
+      |  SELECT pa AS u, pb AS v FROM e
+      |  UNION ALL
+      |  SELECT pb AS u, pa AS v FROM e
+      |), cn AS (
+      |  SELECT e.pa, e.pb, count(*) AS sup
+      |  FROM e
+      |  JOIN sym a ON a.u = e.pa
+      |  JOIN sym b ON b.u = e.pb AND b.v = a.v
+      |  GROUP BY 1, 2
+      |), supported AS (
+      |  SELECT e.pa, e.pb, coalesce(cn.sup, 0) AS sup
+      |  FROM e LEFT JOIN cn ON cn.pa = e.pa AND cn.pb = e.pb
+      |)
+      |SELECT CAST(sup AS BIGINT) AS sup, count(*) AS n_edges
+      |FROM supported
+      |GROUP BY 1 ORDER BY sup""".stripMargin
+  },
+    doc = "per-edge triangle support histogram (support 0 = local bridges; oracle = naive common-neighbor count per edge)") { (spark, dir) =>
+    graft.api.Graph.edgeSupport(edges(spark, dir))
+      .groupBy("sup").agg(count(lit(1)).as("n_edges"))
+      .orderBy("sup")
+  }
+
   /** Every g-query carries the shared edge build as its `prepare` step:
     * Verify/Bench run it once per SF outside the timed section, so the
     * per-query numbers measure the kernel, not an 12×-repaid derivation.
     */
   val all: Seq[OpQuery] = Seq(g01, g02, g03, g04, g05, g06, g07, g09,
-    g10, g11, g12, g15, g16, g17).map(_.copy(prepare = (s, d) => { ensureEdges(s, d); () })) ++
+    g10, g11, g12, g15, g16, g17, g19).map(_.copy(prepare = (s, d) => { ensureEdges(s, d); () })) ++
     Seq(g08.copy(prepare = (s, d) => { ensureLinkCandidates(s, d); () })) ++
     Seq(g13, g18, r62).map(_.copy(prepare = (s, d) => { ensureWeightedEdges(s, d); () })) ++
     Seq(g14)

@@ -148,4 +148,18 @@ class FeaturesSpec extends AnyFunSuite {
     assert(tied.size == 1, s"tied rows split across bins: $tied")
     assert(got.filter(_._1.startsWith("h")).values.forall(_ > tied.head))
   }
+
+  test("seasonalStrength: a periodic series scores 0; a trend scores the lag gap") {
+    // periodic: count(h) = (h % 24) % 3 + 1 repeats daily -> seasonal SAE 0
+    // trend: count(h) = h -> |c - c24| = 24, |c - c1| = 1 per hour
+    val rows = (0 to 71).flatMap(h =>
+      Seq.fill((h % 24) % 3 + 1)(("periodic", h.toLong))) ++
+      (1 to 71).flatMap(h => Seq.fill(h)(("trend", h.toLong)))
+    val got = graft.ops.EventOps.seasonalStrength(
+        spark.createDataFrame(rows).toDF("event_type", "hr"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("periodic") == ((48L, 0L, 64L, 0.0)), got.toString)
+    assert(got("trend") == ((48L, 1152L, 48L, 24.0)), got.toString)
+  }
 }

@@ -317,4 +317,22 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 0L, 2L -> 4L, 3L -> 4L, 4L -> 0L), got.toString)
   }
+
+  test("edge support: K4 edges carry 2 triangles each; the pendant is a bridge") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val df = spark.createDataFrame(k4 :+ (4L, 5L)).toDF("pa", "pb")
+    val got = graft.api.Graph.edgeSupport(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expect = k4.map(e => e -> 2L).toMap + ((4L, 5L) -> 0L)
+    assert(got == expect, got.toString)
+  }
+
+  test("edge support: two triangles sharing an edge concentrate on it") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val got = graft.api.Graph.edgeSupport(
+        spark.createDataFrame(e).toDF("pa", "pb")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 2L,
+      (2L, 4L) -> 1L, (3L, 4L) -> 1L), got.toString)
+  }
 }
