@@ -194,6 +194,26 @@ object Bench {
     } catch { case _: Throwable => () }
     val overhead = fixedOverhead(spark)
 
+    // Fixed CANARY: r41 (~0.3 s scan+agg, code untouched for 6+
+    // rounds) timed once before and once after the whole draw. The
+    // r12 official draw inflated untouched queries 2–3.4× on a loaded
+    // machine and the per-query mean moved 0.87→1.18 s with no code
+    // cause — a pre/post canary pair makes co-tenancy self-identifying
+    // in the JSON instead of a forensic exercise.
+    def canaryTime(): Double =
+      SparkEntry.registry.find(_.name == "r41_small_quantity_revenue")
+        .map { q =>
+          // min-of-2 so residual warm-up (the pre point runs right
+          // after the JVM warm-up block) can't masquerade as load
+          (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => () }
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        }.getOrElse(-1.0)
+    val canaryPre = canaryTime()
+
     val results = timeAll(spark, sfDir)
     val ok = results.filterNot(_.failed)
     val total = ok.map(_.sec).sum
@@ -334,10 +354,15 @@ object Bench {
       }
     }
 
+    val canaryPost = canaryTime()
+    def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
+    val canaryJson =
+      s""","canary":{"name":"r41_small_quantity_revenue","pre":${r3(canaryPre)},"post":${r3(canaryPost)}}"""
+
     val shuffleJson = jsonMap(results.map(t =>
       t.name -> math.round(t.shuffleMB * 1000.0) / 1000.0))
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map(t => t.name -> t.sec))},"shuffle_mb":$shuffleJson,${errDetailJson(results)}"errors":$errJson,"sf":"$sfDir"$curve$curveBig}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map(t => t.name -> t.sec))},"shuffle_mb":$shuffleJson,${errDetailJson(results)}"errors":$errJson,"sf":"$sfDir"$curve$curveBig$canaryJson}"""
     // Full diagnostics: printed early and persisted to a file, because
     // the driver records only the LAST ~2000 chars of stdout and parses
     // the JSON line inside that window. A 10 KB line starts outside the

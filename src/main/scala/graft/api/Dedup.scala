@@ -117,11 +117,22 @@ object Dedup {
       n: Int = 3, seeds: Int = 8, bandSize: Int = 2): DataFrame = {
     val shs = shingles(docs, idCol, textCol, n).persist()
     val probeIds = docs.filter(probe).select(idCol)
+    // pairs are normalized with least/greatest, NOT by requiring the
+    // probe side to carry the smaller id: calibrating a new ingest
+    // batch means the probe ids are typically the HIGHEST in the
+    // corpus, and an a.id < b.id restriction would silently exclude
+    // nearly every probe-vs-corpus pair, biasing the S-curve sample.
+    // The distinct collapses the double-counted both-probes case so
+    // every overlapping probe pair contributes exactly once.
     val common = shs.join(probeIds, idCol).as("a")
       .join(shs.as("b"),
         col("b.sh") === col("a.sh") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_b"),
+        col("a.sh").as("sh"))
+      .distinct()
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("c"))
     val sizes = shs.groupBy(idCol).agg(count(lit(1)).as("n"))
     val sig = minhashSignatures(docs, idCol, textCol, n, seeds)
@@ -130,8 +141,9 @@ object Dedup {
     val coll = bandsOf(sig.join(probeIds, idCol)).as("a")
       .join(bandsOf(sig).as("b"),
         col("b.bk") === col("a.bk") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_b"))
       .distinct()
     val j = col("c").cast("double") /
       (col("sa.n") + col("sb.n") - col("c"))
@@ -382,8 +394,17 @@ object Dedup {
     val coSig = corpusSig
     def bandsOf(sig: DataFrame): DataFrame =
       sig.select(col(idCol), explode(bandKeyArray(seeds, bandSize)).as("bk"))
+    // the self-pair guard makes a REPLAYED ingest batch idempotent:
+    // a crash between the gate's index append and its checkpoint
+    // commit re-probes docs whose own signatures are already indexed —
+    // without the guard each would match ITSELF at jaccard 1.0 and
+    // flip from admitted to rejected-as-its-own-dup. Identical ids
+    // mean "the same document redelivered", never a duplicate pair.
+    // For disjoint incoming/corpus id spaces (d09) this is a no-op.
     val cand = bandsOf(inSig).as("a")
-      .join(bandsOf(coSig).as("b"), col("a.bk") === col("b.bk"))
+      .join(bandsOf(coSig).as("b"),
+        col("a.bk") === col("b.bk") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_new"), col(s"b.$idCol").as("doc_old"))
       .distinct()
     val common = cand
@@ -1051,13 +1072,12 @@ object Dedup {
     assignedCells(vecs, centroids, idCol, vecCol, cidCol, cvecCol)
       .select(col("_id").as(idCol), col("cell"))
 
-  /** (_id, _v, _nrm, cell) for every vector — internal shared stage. */
-  private def assignedCells(vecs: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String,
-      cidCol: String, cvecCol: String): DataFrame = {
-    graft.expr.Functions.register(vecs.sparkSession)
-    // the codebook is broadcast-sized by contract; collecting it here is
-    // the same movement a broadcast join plans, minus the join
+  /** Collect a broadcast-sized codebook into the [[graft.expr.CellIndex]]
+    * the assignment expression references — the same movement a
+    * broadcast join plans, minus the join.
+    */
+  private def collectCellIndex(centroids: DataFrame,
+      cidCol: String, cvecCol: String): graft.expr.CellIndex = {
     val codebook = centroids.select(col(cidCol), col(cvecCol)).collect()
       .map { r =>
         (r.getAs[Number](0).longValue(), r.getSeq[Any](1).map {
@@ -1067,7 +1087,29 @@ object Dedup {
             s"cell assignment centroid element: $x")
         }.toArray)
       }
-    val index = new graft.expr.CellIndex(codebook)
+    new graft.expr.CellIndex(codebook)
+  }
+
+  /** The nearest-cell assignment as a plain COLUMN over `vec` — the
+    * [[cellAssignments]] projection without the frame plumbing, so it
+    * composes anywhere a stateless projection is legal, including on a
+    * STREAMING frame (the codebook rides the expression reference to
+    * every executor; no join, no state). Same determinism contract as
+    * [[graft.expr.CellIndex]].
+    */
+  def cellColumn(centroids: DataFrame, vec: Column,
+      cidCol: String = "c_id", cvecCol: String = "cv"): Column = {
+    val index = collectCellIndex(centroids, cidCol, cvecCol)
+    graft.expr.NearestCell.nearest_cell(vec,
+      sqrt(graft.expr.VectorExprs.quantized_dot(vec, vec)), index)
+  }
+
+  /** (_id, _v, _nrm, cell) for every vector — internal shared stage. */
+  private def assignedCells(vecs: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String,
+      cidCol: String, cvecCol: String): DataFrame = {
+    graft.expr.Functions.register(vecs.sparkSession)
+    val index = collectCellIndex(centroids, cidCol, cvecCol)
     vecs.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .withColumn("_nrm", expr("sqrt(quantized_dot(_v, _v))"))
       .withColumn("cell",

@@ -739,6 +739,38 @@ object Graph {
       .select(col("pa"), col("pb"), coalesce(col("sup"), lit(0L)).as("sup"))
   }
 
+  /** Bounded k-truss peel — `rounds` synchronous rounds of "drop every
+    * edge in fewer than k−2 triangles, recompute support", then the
+    * final support census of the surviving core. The k-truss is the
+    * classic community-core / spam-edge filter one notch stronger than
+    * k-core (it requires TRIANGLES through every edge, not just
+    * degree); bounded rounds is the production form — each peel is a
+    * full [[edgeSupport]] census (the degree-oriented wedge bound, so
+    * per-round cost is O(E^1.5) work sharded by the census's uniform
+    * keys, never an all-pairs), and real graphs shed the vast majority
+    * of sub-truss edges in the first two peels. An exact fixpoint
+    * variant loops until no edge is dropped, same body. Returns
+    * (pa, pb, sup): the surviving edges with their support AFTER the
+    * last peel — rows with `sup < k-2` are the not-yet-converged
+    * frontier a further round would remove (empty iff the bounded peel
+    * already reached the fixpoint).
+    */
+  def ktrussPeel(edgeList: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"bad k $k")
+    require(rounds >= 1, s"bad rounds $rounds")
+    var cur = edgeSupport(edgeList).filter(col("sup") >= k - 2)
+      .select("pa", "pb").localCheckpoint(true)
+    for (_ <- 2 to rounds) {
+      val next = edgeSupport(cur).filter(col("sup") >= k - 2)
+        .select("pa", "pb").localCheckpoint(true)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(cur)
+      cur = next
+    }
+    // the final census stays lazy over the last checkpointed
+    // generation — the caller (or the harness sweep) frees it
+    edgeSupport(cur)
+  }
+
   /** Bounded-hop weighted single-source (multi-seed) shortest paths —
     * `rounds` synchronous Bellman-Ford relaxations over an undirected
     * weighted edge frame (pa, pb, c) with integer cost `c`. Returns
@@ -746,16 +778,25 @@ object Graph {
     * `rounds` edges, for every node so reachable. Seeds are (node)
     * rows at distance 0.
     *
-    * Scale shape: each round is exactly one co-partitioned
-    * frontier-edge join + one min-aggregate on the node key — the
-    * same per-round cost as a BFS hop ([[multiSourceBfs]]); distances
-    * move as exact BIGINTs so partial-aggregation order can never
-    * change a result. Per-round eager `localCheckpoint` (not persist)
-    * keeps the doubled-lineage planning blowup cut, with superseded
-    * generations freed through the bridge — the g06/g04 lesson.
-    * Bounded rounds is the production form (an influence radius /
-    * cheapest-reach gate, not all-pairs); an exact fixpoint variant
-    * would loop until the relaxation count hits zero, same body.
+    * Scale shape — DELTA-FRONTIER relaxation (the round-12 lesson:
+    * joining the FULL reached set against every edge each round went
+    * superlinear, 13.69× at 10× data, once the hub frontier saturated
+    * the graph by round 2). Each round joins the edges against only
+    * the rows whose dist strictly IMPROVED in the previous round, so
+    * per-round join input collapses after saturation instead of
+    * growing with |reached|. Same bounded-round values by induction:
+    * dist is monotone non-increasing, and any offer `dist(u) + c` a
+    * full relaxation would make at round k was already made at round
+    * j+1 ≤ k where j is the round u last improved — with the same or
+    * a smaller value — so the folded minimum per node is identical
+    * round-for-round (spec-pinned against the full variant). An empty
+    * frontier is the fixpoint; remaining rounds are provably no-ops
+    * and the loop exits early. Distances move as exact BIGINTs so
+    * partial-aggregation order can never change a result; per-round
+    * eager `localCheckpoint` (not persist) keeps the doubled-lineage
+    * planning blowup cut, superseded generations freed through the
+    * bridge — the g06/g04 lesson. Bounded rounds is the production
+    * form (an influence radius / cheapest-reach gate, not all-pairs).
     */
   def weightedSssp(weighted: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
@@ -765,15 +806,37 @@ object Graph {
       .persist()
     var dist = seeds.select(col("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val relaxed = dist.unionAll(
-        sym.join(dist.select(col("node").as("u"), col("dist")), "u")
-          .select(col("v").as("node"), (col("dist") + col("c")).as("dist")))
-        .groupBy("node").agg(min(col("dist")).as("dist"))
+    var frontier = dist // round 1 relaxes the seeds
+    var r = 0
+    var saturated = false
+    while (r < rounds && !saturated) {
+      // min per target FIRST (map-side combine shrinks the offer set),
+      // then one left join against dist keeps only strict improvements
+      val offers = sym
+        .join(frontier.select(col("node").as("u"), col("dist").as("du")), "u")
+        .groupBy(col("v").as("node"))
+        .agg(min(col("du") + col("c")).as("cand"))
+      val improved = offers.join(dist, Seq("node"), "left")
+        .filter(col("dist").isNull || col("cand") < col("dist"))
+        .select(col("node"), col("cand").as("dist"))
         .localCheckpoint(true)
-      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(dist)
-      dist = relaxed
+      if (improved.isEmpty) {
+        org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(improved)
+        saturated = true
+      } else {
+        val merged = dist.unionAll(improved)
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+        org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(dist)
+        if (frontier ne dist)
+          org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(frontier)
+        dist = merged
+        frontier = improved
+      }
+      r += 1
     }
+    if (frontier ne dist)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(frontier)
     sym.unpersist()
     dist
   }

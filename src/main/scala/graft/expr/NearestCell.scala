@@ -79,11 +79,20 @@ final class CellIndex(centroids: Array[(Long, Array[Double])])
     bi
   }
 
-  // group members, ordered by c_id ascending within each group
+  // group members, ordered by c_id ascending within each group. Each
+  // representative is FORCED into its own group (not argmax-assigned):
+  // two near-identical centroids within ~1 ulp of quantized cosine
+  // could otherwise send a rep to an earlier rep's group, leaving its
+  // own group empty — and a query strictly preferring that rep would
+  // then index into an empty array. The "a rep is its own nearest rep"
+  // invariant holds by construction, so every group is non-empty.
   private val groups: Array[Array[(Long, Array[Double], Double)]] = {
     val bs = Array.fill(reps.length)(
       scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)])
-    fines.foreach(f => bs(nearestRepArr(f._2, f._3)) += f)
+    fines.zipWithIndex.foreach { case (f, i) =>
+      val b = if (i % gsize == 0) i / gsize else nearestRepArr(f._2, f._3)
+      bs(b) += f
+    }
     bs.map(_.toArray)
   }
 

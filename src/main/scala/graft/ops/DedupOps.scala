@@ -965,13 +965,16 @@ object DedupOps {
       |), sizes AS (
       |  SELECT doc_id, count(*) AS n FROM shs GROUP BY 1
       |), common AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      |  FROM shs a JOIN shs b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+      |         greatest(a.doc_id, b.doc_id) AS doc_b,
+      |         count(DISTINCT a.sh) AS c
+      |  FROM shs a JOIN shs b ON a.sh = b.sh AND a.doc_id <> b.doc_id
       |  WHERE a.doc_id % 10 = 0 AND a.doc_id < ${TextOps.probeIdBound}
       |  GROUP BY 1, 2
       |), coll AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b ON b.bk = a.bk AND a.doc_id < b.doc_id
+      |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+      |                  greatest(a.doc_id, b.doc_id) AS doc_b
+      |  FROM bands a JOIN bands b ON b.bk = a.bk AND a.doc_id <> b.doc_id
       |  WHERE a.doc_id % 10 = 0 AND a.doc_id < ${TextOps.probeIdBound}
       |), pj AS (
       |  SELECT m.doc_a, m.doc_b,

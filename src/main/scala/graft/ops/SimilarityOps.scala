@@ -1737,6 +1737,100 @@ object SimilarityOps {
       .orderBy("q_id")
   }
 
+  /** Embedding-distribution DRIFT monitor — the check a training-data
+    * pipeline runs before trusting a new ingest wave: assign every
+    * vector to its nearest codebook cell (the d14 two-level broadcast
+    * codebook, [[graft.api.Dedup.cellAssignments]] — one codegen'd
+    * projection, no row explosion), split the corpus into the
+    * reference half vs the current half (vec_id parity — the stand-in
+    * for "last month's snapshot vs this month's ingest"), and report
+    * per-cell occupancy with each cell's total-variation contribution
+    * `|n_ref/N_ref − n_cur/N_cur|`. A cell whose share moved is where
+    * the embedding distribution drifted (new topic, new language,
+    * collapsed encoder); the sum of `drift` over cells is 2×TV
+    * distance. Exact integer counts; the only floats are two mirrored
+    * divisions and one subtraction. Scale: assignment is a projection,
+    * the census one groupBy over ≤k cells, totals a broadcast 1-row
+    * cross join (the g17 `m` pattern).
+    */
+  /** The drift-report oracle, shared verbatim with its streaming twin
+    * qs16 (same output contract: the batch s22 computes both halves in
+    * one pass; qs16 folds the current half incrementally through the
+    * agg-view sink — equality of the two against ONE oracle pins that
+    * the incremental fold loses nothing).
+    */
+  private[ops] val centroidDriftSql: String = {
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM read_parquet('{SFDIR}/embeddings.parquet')
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(${DedupOps.duckQDot("v", "v")}) AS nrm FROM e
+      |), cent AS (
+      |  SELECT vec_id AS c_id, v AS cv, sqrt(${DedupOps.duckQDot("v", "v")}) AS cnrm,
+      |         row_number() OVER (ORDER BY vec_id) - 1 AS rnk
+      |  FROM e WHERE vec_id % 250 = 0
+      |), gs AS (
+      |  SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS g FROM cent
+      |), reps AS (
+      |  SELECT c_id, cv, cnrm FROM cent WHERE rnk % (SELECT g FROM gs) = 0
+      |), vg AS (
+      |  SELECT n.vec_id, r.c_id AS grp,
+      |         row_number() OVER (
+      |           PARTITION BY n.vec_id
+      |           ORDER BY ${DedupOps.duckQDot("n.v", "r.cv")} / (n.nrm * r.cnrm) DESC, r.c_id ASC) AS rr
+      |  FROM n, reps r
+      |), vgrp AS (
+      |  SELECT vec_id, grp FROM vg WHERE rr = 1
+      |), fg AS (
+      |  SELECT c.c_id, c.cv, c.cnrm, r.c_id AS grp,
+      |         row_number() OVER (
+      |           PARTITION BY c.c_id
+      |           ORDER BY ${DedupOps.duckQDot("c.cv", "r.cv")} / (c.cnrm * r.cnrm) DESC, r.c_id ASC) AS rr
+      |  FROM cent c, reps r
+      |), fines AS (
+      |  SELECT c_id, cv, cnrm, grp FROM fg WHERE rr = 1
+      |), assign AS (
+      |  SELECT n.vec_id, f.c_id,
+      |         row_number() OVER (
+      |           PARTITION BY n.vec_id
+      |           ORDER BY ${DedupOps.duckQDot("n.v", "f.cv")} / (n.nrm * f.cnrm) DESC, f.c_id ASC) AS rn
+      |  FROM n JOIN vgrp ON vgrp.vec_id = n.vec_id
+      |         JOIN fines f ON f.grp = vgrp.grp
+      |), cells AS (
+      |  SELECT vec_id, c_id FROM assign WHERE rn = 1
+      |), sides AS (
+      |  SELECT c_id AS cell,
+      |         sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_ref,
+      |         sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n_cur
+      |  FROM cells GROUP BY 1
+      |), tot AS (
+      |  SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM sides
+      |)
+      |SELECT cell, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+      |       abs(CAST(n_ref AS DOUBLE) / tr - CAST(n_cur AS DOUBLE) / tc) AS drift
+      |FROM sides CROSS JOIN tot
+      |ORDER BY cell""".stripMargin
+  }
+
+  val s22 = OpQuery.oracled("s22_centroid_drift", centroidDriftSql,
+    doc = "embedding drift monitor: per-cell occupancy of the reference " +
+      "vs current corpus halves under the d14 broadcast codebook, with " +
+      "each cell's total-variation contribution (exact counts, " +
+      "mirrored divisions)") { (spark, dir) =>
+    val e = embedded(spark, dir).select("vec_id", "v")
+    val cent = e.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val cells = graft.api.Dedup.cellAssignments(e, cent)
+    val sides = cells.groupBy(col("cell"))
+      .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_cur"))
+    val tot = sides.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
+    sides.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_ref"), col("n_cur"),
+        abs(col("n_ref").cast("double") / col("tr")
+          - col("n_cur").cast("double") / col("tc")).as("drift"))
+      .orderBy("cell")
+  }
+
   val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21)
+    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22)
 }

@@ -487,11 +487,15 @@ object Pipelines {
     * candidate-pruned shingle join against the index (the corpus is
     * never re-shingled — d09's write-once contract), decisions and
     * index growth are append-only parquet, and replayed batches are
-    * idempotent on the INDEX (their admitted docs' signatures append
-    * twice, which changes no future decision — band collisions and
-    * jaccard are set-semantics) though decisions would re-append; a
-    * Delta MERGE on doc_id makes that leg exactly-once, same swap
-    * point as [[upsertSink]].
+    * DECISION-idempotent: the probe's self-pair guard
+    * ([[graft.api.Dedup.incrementalNearDupsIndexed]]) keeps a
+    * redelivered doc from matching its own already-indexed signatures,
+    * so the replay reproduces identical decision values (the row may
+    * append twice — at-least-once on that leg) and the re-appended
+    * signatures change no future decision (band collisions and jaccard
+    * are set-semantics). A Delta MERGE on doc_id makes the decision
+    * leg exactly-once, same swap point as [[upsertSink]]; crash-replay
+    * is spec-driven in StreamingSpec.
     */
   def dedupGateSink(docs: DataFrame, corpusIndexPath: String,
       deltaIndexPath: String, decisionsPath: String, checkpoint: String,
@@ -502,6 +506,12 @@ object Pipelines {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val spark = batch.sparkSession
+        // the probe path persists intermediates of its own (the batch
+        // shingle frame inside incrementalNearDupsIndexed) — snapshot
+        // the persisted-RDD ids now and sweep every NEW one after the
+        // delta writes, or a long-running gate leaks one cached RDD
+        // per micro-batch
+        val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
         // base ∪ delta, reading the delta leg only once it has data —
         // the base stays an immutable shared artifact (never copied,
         // never rewritten); only this gate's own admissions live in
@@ -536,6 +546,13 @@ object Pipelines {
         ashs.write.mode("append").parquet(s"$deltaIndexPath/shingles")
         asig.write.mode("append").parquet(s"$deltaIndexPath/sig")
         dups.unpersist()
+        // sweep everything this batch persisted (incl. the probe's
+        // internal shingle cache) — the sink owns all persists made
+        // between the snapshot and here
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) =>
+            if (!persistedBefore.contains(id)) rdd.unpersist(blocking = false)
+          }
         ()
       }
 
@@ -550,11 +567,21 @@ object Pipelines {
     * auditable table.
     *
     * Scale: the batch is persisted once and each route is a filtered
-    * append — no shuffle at all (routing is a per-row projection);
+    * write — no shuffle at all (routing is a per-row projection);
     * route tables partition downstream work (re-scoring only the
     * quarantine, re-ingesting only the dead letters) without
-    * re-scanning the accepted corpus. On Delta this becomes one
-    * multi-table transaction; the per-route append is the swap point.
+    * re-scanning the accepted corpus.
+    *
+    * Replay-idempotent (exactly-once effective): each batch's rows
+    * land in `basePath/<route>/batch=<id>/` with OVERWRITE, not a
+    * blind append to the route root — a crash after some routes wrote
+    * but before the checkpoint commit replays the batch, and the
+    * rerun overwrites the same per-batch directories with the same
+    * deterministic rows instead of duplicating them (routing is a
+    * pure function of the batch). Readers see one partitioned table
+    * per route (`batch` becomes a discovered partition column). On
+    * Delta this becomes one multi-table transaction; the per-batch
+    * directory is the swap point.
     */
   def routedSink(df: DataFrame, routes: Seq[(String, Column)],
       basePath: String, checkpoint: String): DataStreamWriter[Row] =
@@ -562,18 +589,26 @@ object Pipelines {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val b = batch.toDF().persist()
-        val guarded = routes.zipWithIndex.map { case ((name, pred), i) =>
-          name -> routes.take(i).map(_._2)
+        // a NULL predicate must mean "did not match", not "vanish":
+        // un-coalesced, filter(pred) drops the row from its own route
+        // AND the !pred guards stay NULL for every later route and the
+        // dead-letter fold — the row would land nowhere, breaking the
+        // unmatched-rows-always-reach-dead_letter contract (e.g. a
+        // nullable score column). Coalesce each predicate to false.
+        val preds = routes.map { case (n, p) => n -> coalesce(p, lit(false)) }
+        val guarded = preds.zipWithIndex.map { case ((name, pred), i) =>
+          name -> preds.take(i).map(_._2)
             .foldLeft(pred)((p, earlier) => p && !earlier)
         }
-        val dead = routes.map(_._2)
+        val dead = preds.map(_._2)
           .foldLeft(lit(true))((p, r) => p && !r)
         (guarded :+ ("dead_letter" -> dead)).foreach { case (name, pred) =>
           val rows = b.filter(pred)
           if (!rows.isEmpty)
-            rows.write.mode("append").parquet(s"$basePath/$name")
+            rows.write.mode("overwrite")
+              .parquet(s"$basePath/$name/batch=$batchId")
         }
         b.unpersist()
         ()

@@ -407,4 +407,20 @@ class DedupApiSpec extends AnyFunSuite {
     // doc 3 never appears: zero-overlap pairs carry no signal
     assert(got.map(_._2).sum == 3L, got.mkString(","))
   }
+
+  test("lshCalibration counts probe pairs regardless of id order") {
+    // the production shape: a NEW ingest batch carries the HIGHEST
+    // ids — an a.id < b.id pair restriction would exclude every
+    // probe-vs-corpus pair here; least/greatest normalization keeps
+    // each exactly once (and the both-probes case is not doubled)
+    val base = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq((0L, base), (99L, base)).toDF("doc_id", "text")
+    val high = graft.api.Dedup.lshCalibration(docs,
+        probe = col("doc_id") === 99L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(high.toSeq == Seq((10, 1L, 1L)), high.mkString(","))
+    val both = graft.api.Dedup.lshCalibration(docs, probe = lit(true))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(both.toSeq == Seq((10, 1L, 1L)), both.mkString(","))
+  }
 }

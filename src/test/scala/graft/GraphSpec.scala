@@ -318,6 +318,37 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 4L, 3L -> 4L, 4L -> 0L), got.toString)
   }
 
+  test("weighted SSSP delta frontier matches the full relaxation round-for-round") {
+    import org.apache.spark.sql.functions.{col, lit, min}
+    // A graph where a node's dist improves in a LATE round (2's direct
+    // cost 10 beaten by 1-3-2 at round 2, then 4 re-improves via 2 at
+    // round 3) so the delta frontier must keep re-offering exactly the
+    // re-improved rows; plus rounds > diameter to exercise early exit.
+    val e = spark.createDataFrame(Seq(
+      (1L, 2L, 10L), (1L, 3L, 2L), (2L, 3L, 3L), (2L, 4L, 1L),
+      (4L, 5L, 1L), (5L, 6L, 1L))).toDF("pa", "pb", "c")
+    val seeds = spark.createDataFrame(Seq(Tuple1(1L))).toDF("node")
+    // inline full-relaxation reference: union the WHOLE dist set with
+    // every edge offer each round (the pre-round-13 body)
+    def full(rounds: Int): Map[Long, Long] = {
+      val sym = e.select(col("pa").as("u"), col("pb").as("v"), col("c"))
+        .unionAll(e.select(col("pb").as("u"), col("pa").as("v"), col("c")))
+      var dist = seeds.select(col("node"), lit(0L).as("dist"))
+      for (_ <- 1 to rounds)
+        dist = dist.unionAll(
+          sym.join(dist.select(col("node").as("u"), col("dist")), "u")
+            .select(col("v").as("node"), (col("dist") + col("c")).as("dist")))
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+      dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    for (rounds <- 1 to 8) { // 8 > diameter: the delta loop saturates
+      val delta = graft.api.Graph.weightedSssp(e, seeds, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(delta == full(rounds), s"rounds=$rounds: $delta")
+    }
+  }
+
   test("edge support: K4 edges carry 2 triangles each; the pendant is a bridge") {
     val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
     val df = spark.createDataFrame(k4 :+ (4L, 5L)).toDF("pa", "pb")
@@ -325,6 +356,27 @@ class GraphSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val expect = k4.map(e => e -> 2L).toMap + ((4L, 5L) -> 0L)
     assert(got == expect, got.toString)
+  }
+
+  test("ktruss peel: the K4 core survives, wedge-riding triangles peel away") {
+    // K4 on {1..4} (every edge in 2 triangles) + a triangle {4,5,6}
+    // hanging off one vertex (its edges sit in exactly 1 triangle) + a
+    // pendant edge (support 0). 4-truss (sup >= 2): round 1 drops the
+    // hanging triangle and the pendant; round 2 confirms the K4 is
+    // already the fixpoint — all 6 surviving edges still at support 2.
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val extra = Seq((4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L))
+    val e = spark.createDataFrame(k4 ++ extra).toDF("pa", "pb")
+    val got = graft.api.Graph.ktrussPeel(e, k = 4, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == k4.map(_ -> 2L).toMap, got.toString)
+    // one round on this graph already reaches the fixpoint: the
+    // hanging triangle's edges lose their support TOGETHER
+    val one = graft.api.Graph.ktrussPeel(e, k = 4, rounds = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(one == got, one.toString)
+    // a 5-truss (sup >= 3) peels even the K4
+    assert(graft.api.Graph.ktrussPeel(e, k = 5, rounds = 1).count() == 0L)
   }
 
   test("edge support: two triangles sharing an edge concentrate on it") {

@@ -16,20 +16,55 @@ class PlanSpec extends AnyFunSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
-  test("registry sweep: no query plans a CartesianProduct") {
-    // the one smell with no legitimate use in this engine — every
-    // deliberate all-pairs baseline goes through a broadcast nested
-    // loop (bounded small side), never a shuffled cartesian. Planning
-    // all queries is cheap next to QueriesSpec's execution sweep and
-    // catches a regression the day it lands, not at the next audit.
+  test("registry sweep: no CartesianProduct; no DECIMAL on any output surface") {
+    // CartesianProduct: the one smell with no legitimate use in this
+    // engine — every deliberate all-pairs baseline goes through a
+    // broadcast nested loop (bounded small side), never a shuffled
+    // cartesian. Planning all queries is cheap next to QueriesSpec's
+    // execution sweep and catches a regression the day it lands.
+    //
+    // DecimalType: the round-10..12 qs4 lesson made mechanical — the
+    // driver's hash compare distinguishes decimal PHYSICAL layouts
+    // that are value-equal, so a decimal column on a final projection
+    // can go red on correct values. Decimals are fine internally
+    // (additive exactness); final surfaces project to BIGINT cents or
+    // DOUBLE. Checked here in the same sweep so it costs nothing extra.
     val offenders = SparkEntry.registry.flatMap { q =>
-      val p = try plan(q.fn(spark, TestSpark.sf0001))
-        catch { case e: Throwable => s"PLANNING FAILED: ${e.getMessage}" }
-      if (p.contains("CartesianProduct") || p.startsWith("PLANNING FAILED"))
-        Some(q.name -> p.take(200))
-      else None
+      try {
+        val df = q.fn(spark, TestSpark.sf0001)
+        val p = plan(df)
+        val decimals = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+            f.name
+        }
+        if (p.contains("CartesianProduct"))
+          Some(q.name -> ("CartesianProduct: " + p.take(200)))
+        else if (decimals.nonEmpty)
+          Some(q.name -> s"decimal output surface: ${decimals.mkString(",")}")
+        else None
+      } catch {
+        case e: Throwable => Some(q.name -> s"PLANNING FAILED: ${e.getMessage}")
+      }
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("plan golden covers every registry query (no silent coverage gap)") {
+    // round-12 lesson: two operators landed in a snapshot commit with
+    // no golden entries, so cart=0 was only proven for 247/249. The
+    // golden must always be regenerated when the registry grows —
+    // this pins line count == registry size so the gap class cannot
+    // recur (content drift is PlanAudit check's job; size is this
+    // spec's).
+    val golden = scala.io.Source.fromFile("tools/plan_golden.txt")
+      .getLines().filter(_.startsWith("AUDIT ")).map(_.split("\\s+")(1)).toSet
+    val registry = SparkEntry.registry.map(_.name).toSet
+    val missing = registry -- golden
+    val stale = golden -- registry
+    assert(missing.isEmpty && stale.isEmpty,
+      s"golden out of sync: missing=${missing.toSeq.sorted} " +
+        s"stale=${stale.toSeq.sorted} — regenerate with " +
+        "`runMain graft.PlanAudit golden` and commit it")
   }
 
   test("r10: shipdate filter is pushed to the parquet scan") {

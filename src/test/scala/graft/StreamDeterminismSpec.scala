@@ -40,7 +40,8 @@ class StreamDeterminismSpec extends AnyFunSuite {
     val flat = graft.io.Sources.table(spark, TestSpark.sf0001, "events")
       .groupBy(substring(col("event_type"), 1, 1).as("etype_class"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("s"))
+        (sum(col("value").cast("decimal(18,2)")) * lit(100))
+          .cast("bigint").as("s_cents"))
       .orderBy("etype_class")
     assert(streamed.collect().toSeq == flat.collect().toSeq)
   }

@@ -655,6 +655,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids("small") == Set(2L) && ids("dead_letter") == Set(3L))
   }
 
+  test("routedSink: NULL route predicates fall through to dead_letter, never vanish") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = tmp("graft_router_null")
+    val mem = MemoryStream[(Long, Option[Long])]
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.routedSink(mem.toDF().toDF("id", "v"),
+        routes = Seq(
+          "neg" -> (col("v") < 0),
+          "small" -> (col("v") < 10)),
+        basePath = s"$root/routes", checkpoint = s"$root/ckpt"))
+    def ids(route: String): Set[Long] = {
+      val d = new java.io.File(s"$root/routes/$route")
+      if (!d.isDirectory) Set.empty
+      else spark.read.parquet(d.getPath).select("id").as[Long].collect().toSet
+    }
+    // v = NULL makes every comparison predicate NULL: un-coalesced the
+    // row would match no route AND no dead-letter guard — it would
+    // silently vanish, the exact contract violation dead_letter exists
+    // to prevent (e.g. a nullable score column in a production caller)
+    mem.addData((1L, Some(-5L)), (2L, None), (3L, Some(50L)))
+    run()
+    assert(ids("neg") == Set(1L))
+    assert(ids("small") == Set.empty[Long])
+    assert(ids("dead_letter") == Set(2L, 3L), ids("dead_letter").toString)
+  }
+
   test("publish-by-rename survives a crash between the two renames") {
     val live = tmp("graft_pub") + "/table"
     def writeStaged(tag: String): Unit =
@@ -1415,5 +1442,120 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set(
       (at(0), "BUILDING", 2L, 1.75),
       (at(0), "MACHINERY", 1L, 2.0)), rows.toString)
+  }
+
+  // ---- crash-replay coverage for the round-12 sinks (qs12/qs13/qs14):
+  // a kill between the sink's data writes and the checkpoint commit
+  // replays the batch on restart. Simulated faithfully by deleting the
+  // checkpoint's newest commit marker — Structured Streaming then
+  // re-executes that epoch with the same offsets and batch id.
+  private def forceReplay(checkpoint: String): Unit = {
+    val commits = new java.io.File(checkpoint, "commits")
+    val latest = Option(commits.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    assert(latest.delete(), s"could not delete commit marker $latest")
+  }
+
+  test("chunk store restart: a replayed half-applied batch converges, no duplicate chunks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val store = tmp("graft_chunk_replay") + "/store"
+    val cp = tmp("graft_chunk_replay_cp")
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.chunkStoreSink(mem.toDF().toDF("media_id", "payload"),
+        store, cp, chunkBytes = 4))
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    mem.addData((1L, "AAAABBBB".getBytes("UTF-8")))
+    run()
+    mem.addData((2L, "BBBBCCCC".getBytes("UTF-8")))
+    run()
+    // crash AFTER batch 1's store publish but BEFORE its checkpoint
+    // commit — and mid-publish on top (live renamed aside, the exact
+    // between-renames window): restart must first recover the store,
+    // then replay batch 1 idempotently (its chunks are all known)
+    forceReplay(cp)
+    assert(new java.io.File(store)
+      .renameTo(new java.io.File(store + ".old")))
+    run()
+    val hs = spark.read.parquet(store).select("h").as[String].collect()
+    assert(hs.toSet == Set(md5("AAAA"), md5("BBBB"), md5("CCCC")),
+      hs.mkString(","))
+    assert(hs.length == 3, s"replay duplicated chunks: ${hs.length}")
+  }
+
+  test("dedup gate restart: replayed batch re-appends the same decisions; index stays decision-stable") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = tmp("graft_gate_replay")
+    val corpus = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val (cshs, csig) = graft.api.Dedup.incrementalCorpusIndex(corpus)
+    cshs.write.parquet(s"$root/base/shingles")
+    csig.write.parquet(s"$root/base/sig")
+    val mem = MemoryStream[(Long, String)]
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.dedupGateSink(mem.toDF().toDF("doc_id", "text"),
+        s"$root/base", s"$root/delta", s"$root/decisions", s"$root/ckpt",
+        threshold = 0.5))
+    def decisions(): Seq[(Long, Int, Long)] =
+      spark.read.parquet(s"$root/decisions")
+        .as[(Long, Int, Long)].collect().toSeq
+    mem.addData((1L, "completely different words describing another topic entirely"))
+    run()
+    mem.addData((2L, "unrelated second subject matter with fresh vocabulary inside"))
+    run()
+    // kill between batch 1's appends and its commit; restart replays it
+    forceReplay(s"$root/ckpt")
+    run()
+    // decisions leg is at-least-once: doc 2's row may appear twice but
+    // with IDENTICAL values — the distinct set is the contract
+    val d = decisions()
+    assert(d.distinct.toSet == Set((1L, 1, -1L), (2L, 1, -1L)),
+      d.mkString(","))
+    assert(d.count(_._1 == 2L) == 2, "replay should re-append doc 2's row")
+    // the index's duplicated signatures change no future decision:
+    // a dup of the replay-admitted doc 2 still rejects with dup_of=2
+    mem.addData((3L, "unrelated second subject matter with fresh vocabulary inside"))
+    run()
+    assert(decisions().distinct.count(_._1 == 3L) == 1)
+    assert(decisions().find(_._1 == 3L).contains((3L, 0, 2L)),
+      decisions().mkString(","))
+  }
+
+  test("router restart: replayed batch overwrites its own partition, exactly-once effective") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = tmp("graft_router_replay")
+    val mem = MemoryStream[(Long, Long)]
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.routedSink(mem.toDF().toDF("id", "v"),
+        routes = Seq(
+          "neg" -> (col("v") < 0),
+          "small" -> (col("v") < 10)),
+        basePath = s"$root/routes", checkpoint = s"$root/ckpt"))
+    def rows(route: String): Seq[Long] = {
+      val d = new java.io.File(s"$root/routes/$route")
+      if (!d.isDirectory) Seq.empty
+      else spark.read.parquet(d.getPath).select("id").as[Long]
+        .collect().toSeq.sorted
+    }
+    mem.addData((1L, -5L), (2L, 3L))
+    run()
+    mem.addData((3L, -1L), (4L, 50L))
+    run()
+    assert(rows("neg") == Seq(1L, 3L) && rows("dead_letter") == Seq(4L))
+    // kill after batch 1's route writes but before its commit: the
+    // replay must OVERWRITE batch=1's directories, not append — the
+    // per-batch partition layout is what makes the fan-out
+    // exactly-once effective without a multi-table transaction
+    forceReplay(s"$root/ckpt")
+    run()
+    assert(rows("neg") == Seq(1L, 3L), rows("neg").mkString(","))
+    assert(rows("small") == Seq(2L), rows("small").mkString(","))
+    assert(rows("dead_letter") == Seq(4L), rows("dead_letter").mkString(","))
   }
 }
