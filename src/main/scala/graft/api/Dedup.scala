@@ -407,11 +407,24 @@ object Dedup {
           col(s"a.$idCol") =!= col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_new"), col(s"b.$idCol").as("doc_old"))
       .distinct()
+    // SET semantics end-to-end, so the probe is exact even when the
+    // index carries duplicate rows for a doc (an at-least-once gate
+    // replay re-appends an admitted doc's shingles + signature):
+    // count(*) would double n_common per extra copy and push the
+    // jaccard denominator `na + nb - c` to 0 — and long division by
+    // zero is NULL in non-ANSI Spark, so the one TRUE duplicate would
+    // silently pass the gate. countDistinct over the shared shingles
+    // is immune to copies on either side; the final dropDuplicates
+    // collapses the identical rows the duplicated signature join
+    // emits (signature rows for one doc are identical by
+    // construction, so this is exact, and it runs on the bounded
+    // candidate output, never the index).
     val common = cand
       .join(inShs.as("s1"), col(s"s1.$idCol") === col("doc_new"))
       .join(coShs.as("s2"),
         col(s"s2.$idCol") === col("doc_old") && col("s2.sh") === col("s1.sh"))
-      .groupBy("doc_new", "doc_old").agg(count(lit(1)).as("n_common"))
+      .groupBy("doc_new", "doc_old")
+      .agg(countDistinct(col("s1.sh")).as("n_common"))
     val j = col("n_common").cast("double") /
       (col("sa.n") + col("sb.n") - col("n_common"))
     common
@@ -421,6 +434,7 @@ object Dedup {
         col(s"sb.$idCol") === col("doc_old"))
       .select(col("doc_new"), col("doc_old").as("doc_dup"), j.as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .dropDuplicates("doc_new", "doc_dup")
   }
 
   /** SimHash: 64-bit fingerprint (16 hex chars) by bitwise majority

@@ -729,6 +729,63 @@ object Multimodal {
         col("dedup_ratio"))
   }
 
+  /** Mark-and-sweep GARBAGE COLLECTION report for the content-addressed
+    * chunk store — the operational completion of m11/qs13: once a
+    * retention purge deletes payloads (here `media_id % 7 = 0`, the
+    * stand-in for an expired-consent sweep), chunks referenced by NO
+    * surviving payload are reclaimable. MARK is one distinct over the
+    * surviving payloads' chunk refs (a shuffle on the content hash);
+    * SWEEP is one anti-join of the store against the live set — no
+    * pairwise work anywhere, so the pass scales with chunk count, not
+    * payload pairs. Reports store/live/garbage chunk counts, exact
+    * reclaimable bytes, and the garbage ratio. On a real lake this is
+    * the compaction planner's input; the anti-join output IS the
+    * delete manifest.
+    */
+  val m12 = OpQuery.oracled("m12_chunk_store_gc",
+    """WITH m AS (
+      |  SELECT doc_id, text FROM read_parquet('{SFDIR}/documents.parquet')
+      |), ch AS (
+      |  SELECT m.doc_id,
+      |         md5(substring(m.text, u.s, 64)) AS h,
+      |         length(substring(m.text, u.s, 64)) AS len
+      |  FROM m, unnest(range(1, length(m.text)::BIGINT + 1, 64)) u(s)
+      |), store AS (
+      |  SELECT h, max(len) AS len FROM ch GROUP BY 1
+      |), live AS (
+      |  SELECT DISTINCT h FROM ch WHERE doc_id % 7 <> 0
+      |), garbage AS (
+      |  SELECT s.h, s.len FROM store s
+      |  LEFT JOIN live l ON l.h = s.h WHERE l.h IS NULL
+      |)
+      |SELECT CAST((SELECT count(*) FROM store) AS BIGINT) AS n_store,
+      |       CAST((SELECT count(*) FROM live) AS BIGINT) AS n_live,
+      |       CAST(count(*) AS BIGINT) AS n_garbage,
+      |       CAST(coalesce(sum(len), 0) AS BIGINT) AS bytes_reclaimable,
+      |       CAST(count(*) AS DOUBLE)
+      |         / (SELECT count(*) FROM store) AS garbage_ratio
+      |FROM garbage""".stripMargin,
+    doc = "chunk-store mark-and-sweep GC: distinct live refs of the " +
+      "surviving payloads anti-joined against the store (exact " +
+      "reclaimable bytes; one mirrored division)") { (spark, dir) =>
+    val chunks = payloadChunks(
+      mediaFromDocuments(spark, dir).toDF()
+        .select(col("media_id").as("doc_id"), col("payload")), 64)
+    val store = chunks.groupBy("h").agg(max("len").as("len"))
+    val live = chunks.filter(col("doc_id") % 7 =!= 0)
+      .select("h").distinct()
+    val garbage = store.join(live, Seq("h"), "left_anti")
+    val g = garbage.agg(count(lit(1)).as("n_garbage"),
+      coalesce(sum("len"), lit(0L)).cast("bigint").as("bytes_reclaimable"))
+    val s = store.agg(count(lit(1)).as("n_store"))
+    val l = live.agg(count(lit(1)).as("n_live"))
+    s.crossJoin(broadcast(l)).crossJoin(broadcast(g))
+      .select(col("n_store"), col("n_live"), col("n_garbage"),
+        col("bytes_reclaimable"),
+        (col("n_garbage").cast("double") / col("n_store"))
+          .as("garbage_ratio"))
+  }
+
   val all: Seq[OpQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
-    m10, m11)
+    m10, m11, m12)
 }

@@ -408,6 +408,29 @@ class DedupApiSpec extends AnyFunSuite {
     assert(got.map(_._2).sum == 3L, got.mkString(","))
   }
 
+  test("indexed probe is exact against duplicate index rows (replay tolerance)") {
+    // an at-least-once gate replay re-appends an admitted doc's
+    // shingles + signature; with multiset counting the doubled
+    // n_common pushes the jaccard denominator na+nb-c to 0, and long
+    // division by zero is NULL in non-ANSI Spark — the one TRUE
+    // duplicate would silently pass the gate. Set-semantics counting
+    // must make the duplicated index behave exactly like the clean one.
+    val d2 = Seq((2L, "unrelated second subject matter with fresh vocabulary inside"))
+      .toDF("doc_id", "text")
+    val (shs, sig) = graft.api.Dedup.incrementalCorpusIndex(d2)
+    val probe = Seq((3L, "unrelated second subject matter with fresh vocabulary inside"))
+      .toDF("doc_id", "text")
+    def rows(cs: org.apache.spark.sql.DataFrame,
+        cg: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      graft.api.Dedup.incrementalNearDupsIndexed(probe, cs, cg,
+          threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val clean = rows(shs, sig)
+    val doubled = rows(shs.unionByName(shs), sig.unionByName(sig))
+    assert(clean == Seq((3L, 2L, 1.0)), clean.mkString(","))
+    assert(doubled == clean, s"duplicated index diverged: $doubled")
+  }
+
   test("lshCalibration counts probe pairs regardless of id order") {
     // the production shape: a NEW ingest batch carries the HIGHEST
     // ids — an a.id < b.id pair restriction would exclude every

@@ -1455,6 +1455,13 @@ class StreamingSpec extends AnyFunSuite {
       .filter(_.getName.forall(_.isDigit))
       .maxBy(_.getName.toLong)
     assert(latest.delete(), s"could not delete commit marker $latest")
+    // the local checkpoint FS is a ChecksumFileSystem: a stale
+    // .N.crc sidecar makes the replay's rename-into-place throw
+    // FileAlreadyExistsException (surfaced as "multiple streaming
+    // queries concurrently using"), so the kill simulation must drop
+    // the sidecar with the marker
+    val crc = new java.io.File(commits, s".${latest.getName}.crc")
+    if (crc.exists()) assert(crc.delete(), s"could not delete $crc")
   }
 
   test("chunk store restart: a replayed half-applied batch converges, no duplicate chunks") {
