@@ -2232,8 +2232,97 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Vocabulary GROWTH CURVE — the Heaps-law curve t40's single
+    * exponent summarizes, materialized at four ingest-prefix rungs:
+    * how many distinct token types the corpus has after each quarter
+    * of the id space (doc_id is the ingest sequence), and how many
+    * are NEW in that quarter. This is the tokenizer-sizing /
+    * dedup-health read: a healthy corpus adds types sublinearly
+    * (Heaps); a rung whose `new_tokens` jumps marks an ingest wave
+    * with novel vocabulary (new language, new domain — route it past
+    * the language-ID gate), one that flatlines marks near-duplicate
+    * re-ingestion.
+    *
+    * Scale shape: first occurrence is ONE min-aggregate per token
+    * type (map-side combined — never a sort), rung thresholds are
+    * id-SPACE quartiles from a single min/max aggregate (no global
+    * row-ranking: an order-statistic rank would need a total sort of
+    * the corpus, the id-space split is a broadcast 1-row compare),
+    * bucketing is a ≤4-row broadcast join, and the running total
+    * runs over exactly 4 rows. Integer thresholds use floor division
+    * mirrored as `div`/`//`.
+    */
+  val t41 = OpQuery.oracled("t41_vocab_growth_curve",
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |), b AS (
+      |  SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM d
+      |), th AS (
+      |  SELECT v.r, b.lo + ((b.hi - b.lo + 1) * v.r) // 4 AS t
+      |  FROM b, (VALUES (1), (2), (3), (4)) v(r)
+      |), tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM d
+      |), ft AS (
+      |  SELECT tk, min(doc_id) AS fd FROM tok WHERE tk <> '' GROUP BY 1
+      |), bucket AS (
+      |  SELECT f.tk, min(th.r) AS r FROM ft f JOIN th ON f.fd < th.t
+      |  GROUP BY 1
+      |), hist AS (
+      |  SELECT r, count(*) AS new_tokens FROM bucket GROUP BY 1
+      |), nd AS (
+      |  SELECT th.r, count(*) AS n_docs
+      |  FROM th JOIN d ON d.doc_id < th.t GROUP BY 1
+      |)
+      |SELECT CAST(th.r AS INT) AS rung,
+      |       CAST(th.t AS BIGINT) AS id_bound,
+      |       CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs,
+      |       CAST(coalesce(h.new_tokens, 0) AS BIGINT) AS new_tokens,
+      |       CAST(sum(coalesce(h.new_tokens, 0))
+      |              OVER (ORDER BY th.r) AS BIGINT) AS vocab_size
+      |FROM th
+      |LEFT JOIN hist h ON h.r = th.r
+      |LEFT JOIN nd ON nd.r = th.r
+      |ORDER BY rung""".stripMargin,
+    doc = "Heaps vocabulary growth curve at four ingest-prefix rungs: " +
+      "first-occurrence min-agg per token type, id-space quartile " +
+      "thresholds (exact integer counts)") { (spark, dir) =>
+    vocabGrowthCurve(Sources.table(spark, dir, "documents"))
+  }
+
+  /** t41's kernel over any (doc_id, text) frame — split out so the
+    * spec can pin the curve on a hand-counted fixture. See [[t41]]
+    * for the contract.
+    */
+  private[graft] def vocabGrowthCurve(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val d = docs.select(col("doc_id"), col("text"))
+    val b = d.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val th = spark.range(1, 5).select(col("id").cast("int").as("r"))
+      .crossJoin(broadcast(b))
+      .select(col("r"),
+        (col("lo") + expr("((hi - lo + 1) * r) div 4")).as("t"))
+    val ft = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .filter(col("tk") =!= "")
+      .groupBy("tk").agg(min("doc_id").as("fd"))
+    val bucket = ft.join(broadcast(th), col("fd") < col("t"))
+      .groupBy("tk").agg(min("r").as("r"))
+    val hist = bucket.groupBy("r").agg(count(lit(1)).as("new_tokens"))
+    val nd = d.crossJoin(broadcast(th)).filter(col("doc_id") < col("t"))
+      .groupBy("r").agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("rung")
+    th.join(hist, Seq("r"), "left").join(nd, Seq("r"), "left")
+      .select(col("r").as("rung"),
+        col("t").cast("bigint").as("id_bound"),
+        coalesce(col("n_docs"), lit(0L)).cast("bigint").as("n_docs"),
+        coalesce(col("new_tokens"), lit(0L)).cast("bigint")
+          .as("new_tokens"))
+      .withColumn("vocab_size",
+        sum("new_tokens").over(w).cast("bigint"))
+      .orderBy("rung")
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
-      t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40)
+      t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41)
 }

@@ -59,4 +59,24 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got.getLong(2) == 20L && got.getLong(3) == 24L)
     assert(got.getLong(4) == 16L && got.getLong(5) == 9L, got.toString)
   }
+
+  test("vocab growth curve: hand-counted rungs, first occurrences bucket once") {
+    import spark.implicits._
+    // ids 0..7 -> id-space quartile bounds 2/4/6/8; token 'a' recurs
+    // in three rungs but counts only at its FIRST occurrence (rung 1)
+    val docs = Seq(
+      (0L, "a b"), (1L, "a c"),   // rung 1: a, b, c
+      (2L, "c d"), (3L, "d"),     // rung 2: +d
+      (4L, "a"), (5L, "e"),       // rung 3: +e
+      (6L, "f g"), (7L, "a f")    // rung 4: +f, g
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.vocabGrowthCurve(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, 2L, 2L, 3L, 3L),
+      (2, 4L, 4L, 1L, 4L),
+      (3, 6L, 6L, 1L, 5L),
+      (4, 8L, 8L, 2L, 7L)), got.mkString(","))
+  }
 }
