@@ -93,8 +93,9 @@ object Bench {
       .filter(q => only.forall(_.exists(q.name.startsWith)))
 
   private def timeAll(spark: SparkSession, sfDir: String,
-      queries: Seq[graft.ops.OpQuery] = selected): Seq[Timing] =
-    queries.map { q =>
+      queries: Seq[graft.ops.OpQuery] = selected,
+      afterEach: Int => Unit = _ => ()): Seq[Timing] =
+    queries.zipWithIndex.map { case (q, qi) =>
       // one-time builds (bucketed tables, media staging) are amortized
       // costs, not per-query throughput — keep them outside the clock
       try q.prepare(spark, sfDir) catch { case _: Throwable => () }
@@ -127,6 +128,7 @@ object Bench {
         (dt, failed, shuffleMB, err)
       }
       val good = runs.filterNot(_._2)
+      afterEach(qi + 1)
       if (good.isEmpty)
         Timing(q.name, -1.0, failed = true, runs.head._3, runs.head._4)
       else {
@@ -200,21 +202,37 @@ object Bench {
     // machine and the per-query mean moved 0.87→1.18 s with no code
     // cause — a pre/post canary pair makes co-tenancy self-identifying
     // in the JSON instead of a forensic exercise.
-    def canaryTime(): Double =
+    // A failed canary run contributes NO time: swallowing the error
+    // but keeping the elapsed time made a plan-time crash read as a
+    // near-zero "unloaded machine" pair, silently defeating the
+    // co-tenancy signal. -1.0 = every rep failed, distinguishable
+    // from fast. (The pre point does warm r41's lineitem input, but
+    // the warm-up block above already read lineitem — no head start.)
+    def canaryTime(canaryReps: Int = 2): Double =
       SparkEntry.registry.find(_.name == "r41_small_quantity_revenue")
         .map { q =>
-          // min-of-2 so residual warm-up (the pre point runs right
+          // min-of-N so residual warm-up (the pre point runs right
           // after the JVM warm-up block) can't masquerade as load
-          (1 to 2).map { _ =>
+          val times = (1 to canaryReps).flatMap { _ =>
             val t0 = System.nanoTime()
-            try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            catch { case _: Throwable => () }
-            (System.nanoTime() - t0) / 1e9
-          }.min
+            try {
+              q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch { case _: Throwable => None }
+          }
+          if (times.isEmpty) -1.0 else times.min
         }.getOrElse(-1.0)
     val canaryPre = canaryTime()
 
-    val results = timeAll(spark, sfDir)
+    // Mid-draw samples (every ~50 queries, single-shot — r41 is warm
+    // by then): a co-tenancy burst DURING the draw shows up in the
+    // JSON instead of needing a round of forensics (r12's g14/g15/g16
+    // inflation was only inferred after the fact from untouched-code
+    // deltas). meter noise is irrelevant here — the next query's
+    // prepare-drain discards the canary's shuffle.
+    val canarySamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val results = timeAll(spark, sfDir, selected,
+      afterEach = i => if (i % 50 == 0) canarySamples += i -> canaryTime(1))
     val ok = results.filterNot(_.failed)
     val total = ok.map(_.sec).sum
     val errors = results.filter(_.failed).map(_.name)
@@ -356,8 +374,11 @@ object Bench {
 
     val canaryPost = canaryTime()
     def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
+    val samplesJson = canarySamples
+      .map { case (i, s) => s"""{"after":$i,"sec":${r3(s)}}""" }
+      .mkString("[", ",", "]")
     val canaryJson =
-      s""","canary":{"name":"r41_small_quantity_revenue","pre":${r3(canaryPre)},"post":${r3(canaryPost)}}"""
+      s""","canary":{"name":"r41_small_quantity_revenue","pre":${r3(canaryPre)},"post":${r3(canaryPost)},"samples":$samplesJson}"""
 
     val shuffleJson = jsonMap(results.map(t =>
       t.name -> math.round(t.shuffleMB * 1000.0) / 1000.0))

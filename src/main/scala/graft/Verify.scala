@@ -6,18 +6,6 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    // argument-order guard: outDir is DELETED below, so refuse anything
-    // that looks like a fixture directory (the args were once passed
-    // reversed and Verify emptied /root/testdata/sf0.001). Canonicalize
-    // first so relative paths / symlinks can't sidestep the check, and
-    // refuse anything containing a parquet fixture regardless of name.
-    val outCanon = Paths.get(outDir).toAbsolutePath.normalize.toString
-    require(!outCanon.contains("/testdata"),
-      s"refusing to use fixture dir $outCanon as the output dir (arg order is <sfDir> <outDir>)")
-    require(!Files.exists(Paths.get(outCanon, "lineitem.parquet")),
-      s"$outCanon contains lineitem.parquet — it looks like a fixture dir, refusing to wipe it")
-    require(Files.exists(Paths.get(s"$sfDir/lineitem.parquet")),
-      s"$sfDir does not look like a scale-factor dir (no lineitem.parquet) — arg order is <sfDir> <outDir>")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,6 +21,34 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.io.Sources.schemaManifest(spark, sfDir).foreach(println)
+    // dev knob (same as Bench): SPARK_GRAFT_ONLY=d11,r2 verifies only
+    // matching prefixes — the driver never sets it, so driver runs
+    // always dump the full registry
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    dump(spark, sfDir, outDir, only)
+    spark.stop()
+  }
+
+  /** The dump body, callable from a test session too (the flag-gated
+    * sf0.1 oracle probe drives it without spawning a second JVM):
+    * each selected registry query → `outDir/<name>/` parquet, plus
+    * the oracle SQL map as `outDir/oracle_sql.json`.
+    */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+      only: Option[Set[String]]): Unit = {
+    // argument-order guard: outDir is DELETED below, so refuse anything
+    // that looks like a fixture directory (the args were once passed
+    // reversed and Verify emptied /root/testdata/sf0.001). Canonicalize
+    // first so relative paths / symlinks can't sidestep the check, and
+    // refuse anything containing a parquet fixture regardless of name.
+    val outCanon = Paths.get(outDir).toAbsolutePath.normalize.toString
+    require(!outCanon.contains("/testdata"),
+      s"refusing to use fixture dir $outCanon as the output dir (arg order is <sfDir> <outDir>)")
+    require(!Files.exists(Paths.get(outCanon, "lineitem.parquet")),
+      s"$outCanon contains lineitem.parquet — it looks like a fixture dir, refusing to wipe it")
+    require(Files.exists(Paths.get(s"$sfDir/lineitem.parquet")),
+      s"$sfDir does not look like a scale-factor dir (no lineitem.parquet) — arg order is <sfDir> <outDir>")
     // start from an EMPTY output dir: results of queries that no longer
     // exist (renames, removals) — or of a run that died before this one
     // compiled — must not leak into the compare as phantom passes
@@ -44,11 +60,6 @@ object Verify {
       rm(out)
     }
     out.mkdirs()
-    // dev knob (same as Bench): SPARK_GRAFT_ONLY=d11,r2 verifies only
-    // matching prefixes — the driver never sets it, so driver runs
-    // always dump the full registry
-    val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     SparkEntry.registry.sortBy(_.name)
       .filter(q => only.forall(_.exists(q.name.startsWith)))
       .foreach { q =>
@@ -97,6 +108,6 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SFDIR}", sfDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    ()
   }
 }

@@ -46,6 +46,12 @@ object Dedup {
   // (h1 + i*h2) mod 2^60 — i*h2 stays under 2^63 for i <= 7.
   private val mod60 = 1152921504606846976L // 2^60
 
+  /** Input cap for [[allPairsCosine]], the labeled exact baseline —
+    * far above every fixture rung (sf1 ≈ 600k docs) but a hard stop
+    * before an accidental quadratic join at deployment scale.
+    */
+  private val ExactBaselineMaxDocs = 2000000L
+
   /** Projects the two md5 halves ONCE per shingle row before the
     * signature aggregation: each of the `seeds` min-aggregates below
     * consumes the halves, and aggregate input expressions are not
@@ -385,7 +391,22 @@ object Dedup {
       corpusShingles: DataFrame, corpusSig: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3, seeds: Int = 8, bandSize: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    incrementalNearDupsTracked(incoming, corpusShingles, corpusSig,
+      idCol, textCol, n, seeds, bandSize, threshold)._1
+
+  /** [[incrementalNearDupsIndexed]] plus the list of frames the probe
+    * persisted internally (the batch shingle cache), so a long-running
+    * caller (the streaming dedup gate) can unpersist EXACTLY its own
+    * caches after consuming the result. The previous gate swept the
+    * global persisted-RDD diff, which could evict a concurrent query's
+    * freshly persisted frames on the shared SparkSession.
+    */
+  private[graft] def incrementalNearDupsTracked(incoming: DataFrame,
+      corpusShingles: DataFrame, corpusSig: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, seeds: Int = 8, bandSize: Int = 2,
+      threshold: Double = 0.5): (DataFrame, Seq[DataFrame]) = {
     val inShs = shingles(incoming, idCol, textCol, n).persist()
     val aggs = minAggs(seeds) :+ count(lit(1)).as("n")
     val inSig = withHashHalves(inShs, idCol)
@@ -427,14 +448,22 @@ object Dedup {
       .agg(countDistinct(col("s1.sh")).as("n_common"))
     val j = col("n_common").cast("double") /
       (col("sa.n") + col("sb.n") - col("n_common"))
-    common
+    // max() per pair, not dropDuplicates: identical replayed index
+    // rows make every fanned-out jaccard equal (so either collapses
+    // them exactly), but a doc_id RE-INDEXED with CHANGED text gives
+    // the sa.n/sb.n fan-out DIFFERING jaccards per pair — max keeps
+    // the most-duplicate reading deterministically (the conservative
+    // choice for an admission gate) where dropDuplicates kept an
+    // arbitrary-per-run row. Runs on the bounded candidate output.
+    val result = common
       .join(inSig.select(col(idCol), col("n")).as("sa"),
         col(s"sa.$idCol") === col("doc_new"))
       .join(coSig.select(col(idCol), col("n")).as("sb"),
         col(s"sb.$idCol") === col("doc_old"))
       .select(col("doc_new"), col("doc_old").as("doc_dup"), j.as("jaccard"))
+      .groupBy("doc_new", "doc_dup").agg(max("jaccard").as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .dropDuplicates("doc_new", "doc_dup")
+    (result, Seq(inShs))
   }
 
   /** SimHash: 64-bit fingerprint (16 hex chars) by bitwise majority
@@ -978,8 +1007,21 @@ object Dedup {
   def allPairsCosine(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3,
       tNum: Int = 4, tDen: Int = 5,
-      maxShingleFreq: Option[Long] = None): DataFrame = {
+      maxShingleFreq: Option[Long] = None,
+      maxInputRows: Long = ExactBaselineMaxDocs): DataFrame = {
     require(tNum > 0 && tDen >= tNum, s"threshold $tNum/$tDen must be in (0, 1]")
+    // SCALE GUARDRAIL — this is the labeled EXACT baseline: prefix
+    // filtering is lossless but worst-case quadratic in near-duplicate
+    // density, so a 100×-scale caller must not reach it by accident.
+    // The cap sits far above every fixture rung (sf1 is ~600k docs);
+    // one narrow linear count enforces it in the code path, where the
+    // label used to live only in docs.
+    val nDocs = docs.select(col(idCol)).count()
+    require(nDocs <= maxInputRows,
+      s"allPairsCosine is the labeled EXACT quadratic baseline: $nDocs " +
+        s"input docs exceed the $maxInputRows cap. At scale use the " +
+        "banded/blocked siblings (nearDupPairs/d04, simhash/d05, " +
+        "semantic cells/d14), or pass a higher maxInputRows deliberately.")
     val num2 = tNum.toLong * tNum
     val den2 = tDen.toLong * tDen
     val shsRaw = shingles(docs, idCol, textCol, n)

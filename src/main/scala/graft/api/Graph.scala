@@ -77,9 +77,36 @@ object Graph {
     (e, deg, triangles)
   }
 
+  /** Edge cap for the EXACT census baselines ([[triangleStats]],
+    * [[clusteringCoefficients]]): far above every fixture rung (sf1 is
+    * ~1M edges) but a hard stop before the wedge count of a 100×-scale
+    * graph is materialized by accident. The labels "exact baseline —
+    * use [[hyperBall]]/g08 at scale" used to live only in docs; the
+    * guard puts them in the code path. Raise deliberately per call.
+    */
+  private val ExactCensusMaxEdges = 50000000L
+
+  /** One linear pass enforcing the cap; persists the edge list so the
+    * guard's count doubles as the census's cache warm (triangleFrames
+    * re-persisting the same frame is a no-op).
+    */
+  private def guardExactCensus(edgeList: DataFrame, maxEdges: Long,
+      op: String): DataFrame = {
+    val e0 = edgeList.persist()
+    val n = e0.count()
+    require(n <= maxEdges,
+      s"$op is the labeled EXACT census baseline: $n edges exceed the " +
+        s"$maxEdges cap. At scale use the constant-work-per-node " +
+        "siblings (hyperBall g10/g11, capped wedge expansion g08), or " +
+        "pass a higher maxEdges deliberately.")
+    e0
+  }
+
   /** (n_nodes, n_edges, n_triangles) of an undirected simple graph. */
-  def triangleStats(edgeList: DataFrame): DataFrame = {
-    val (e, deg, triangles) = triangleFrames(edgeList)
+  def triangleStats(edgeList: DataFrame,
+      maxEdges: Long = ExactCensusMaxEdges): DataFrame = {
+    val (e, deg, triangles) =
+      triangleFrames(guardExactCensus(edgeList, maxEdges, "triangleStats"))
     // three scalar aggregates cross-joined into the one-row report —
     // no driver-side action, so the whole job is one materialization
     val nTri = triangles.agg(count(lit(1)).as("n_triangles"))
@@ -94,8 +121,10 @@ object Graph {
     * both counts come from uniform-key aggregates, so the cost profile
     * is [[triangleFrames]] plus one explode-aggregate.
     */
-  def clusteringCoefficients(edgeList: DataFrame): DataFrame = {
-    val (_, deg, triangles) = triangleFrames(edgeList)
+  def clusteringCoefficients(edgeList: DataFrame,
+      maxEdges: Long = ExactCensusMaxEdges): DataFrame = {
+    val (_, deg, triangles) = triangleFrames(
+      guardExactCensus(edgeList, maxEdges, "clusteringCoefficients"))
     val perNode = triangles
       .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
@@ -669,29 +698,88 @@ object Graph {
     out
   }
 
+  /** Auto-prune threshold for [[itemCfSimilarity]]: enable the
+    * a-priori support prune when sub-support items carry at least
+    * this share of incidence ROWS. Row share is the right dial — the
+    * pair volume the prune avoids scales as `1-(1-share)²` (each
+    * pruned basket entry would have paired with every co-basket
+    * item), while the prune's own cost (one extra item-dimension
+    * aggregate + a semi-join over the incidence) is linear. Measured
+    * on a log-uniform (Zipf-1) catalog where the tail was 94% of
+    * ITEMS but only 21% of ROWS, the prune LOST (2.9 → 4.7 s) — an
+    * item-fraction rule would have fired exactly there; at ≥50% row
+    * share the ≥75% pair cut safely repays the linear overhead
+    * (`tools/bench_g14_prune_r14.json` carries both regimes).
+    */
+  private val AutoPruneTailRowShare = 0.5
+
+  /** Survivor-count bound under which the prune's semi-join side is
+    * force-broadcast. Above it (an enormous surviving head) the
+    * semi-join falls back to shuffle — still strictly cheaper than
+    * expanding the tail's pairs.
+    */
+  private val PruneBroadcastCap = 5000000L
+
   def itemCfSimilarity(incidence: DataFrame, minShared: Int, k: Int,
-      maxBasket: Option[Long] = None): DataFrame = {
+      maxBasket: Option[Long] = None,
+      supportPrune: Option[Boolean] = None): DataFrame = {
     // the deduped incidence feeds BOTH the popularity counts and the
     // basket expansion — materialize it once or the upstream join +
     // distinct shuffle runs twice
     val ui = incidence.select(col("u"), col("p")).distinct().persist()
     val np = ui.groupBy("p").agg(count(lit(1)).as("n"))
-    // Scale note — a-priori support prune, left OFF here because it is
-    // data-shape-dependent: co(a,b) ≤ min(n_a, n_b), so items with
+    // A-priori support prune — co(a,b) ≤ min(n_a, n_b), so items with
     // fewer than minShared customers can be dropped from the baskets
     // BEFORE the pair expansion with provably identical output (any
-    // pair they form dies at the `co >= minShared` cut). On a
+    // pair they form dies at the `co >= minShared` cut; the maxBasket
+    // cap stays on the UNPRUNED basket size, see below). On a
     // power-law catalog the sub-support tail is most of the item
-    // dimension and the prune (one broadcast semi-join of the
-    // incidence against `np.filter(n >= minShared)`, with the
-    // maxBasket cap kept on the UNPRUNED basket size) is the
-    // difference between never forming the tail's pairs and shuffling
-    // them; on this fixture every item clears the support floor, so
-    // the semi-join is measured pure overhead (5.0 s → 6.8 s) and the
-    // direct expansion wins.
-    val baskets = ui.groupBy("u").agg(sort_array(collect_set(col("p"))).as("ps"))
-    val co = maxBasket.fold(baskets)(cap =>
-        baskets.filter(size(col("ps")) <= cap))
+    // dimension and the prune is the difference between never forming
+    // the tail's pairs and shuffling them; on a flat catalog (every
+    // item clears the floor — the driver fixture's shape) the
+    // semi-join is pure overhead (measured 5.0 s → 6.8 s in r10).
+    // Data-shape-dependent rewrites need the shape, so the default is
+    // AUTO: one cheap aggregate over the item-dimension-sized `np`
+    // (ui is persisted; the union-find bail-out precedent for a tiny
+    // eager plan-choice job) reads the tail ROW share and survivor
+    // count, and enables the prune only when it will pay.
+    // stats = (totalRows, tailRows, survivorItems)
+    val stats: Option[(Long, Long, Long)] =
+      if (minShared > 1 && !supportPrune.contains(false)) {
+        val r = np.agg(
+          coalesce(sum(col("n")), lit(0L)).as("rows_total"),
+          coalesce(sum(when(col("n") < minShared, col("n"))
+            .otherwise(lit(0L))), lit(0L)).as("rows_tail"),
+          count(when(col("n") >= minShared, 1)).as("survivors")).head()
+        Some((r.getLong(0), r.getLong(1), r.getLong(2)))
+      } else None
+    val prune = minShared > 1 && supportPrune.getOrElse(
+      stats.exists { case (total, tail, _) =>
+        total > 0 && tail.toDouble / total >= AutoPruneTailRowShare })
+    val basketSrc =
+      if (!prune) ui
+      else {
+        val survivors = np.filter(col("n") >= minShared).select("p")
+        val side =
+          if (stats.exists(_._3 <= PruneBroadcastCap)) broadcast(survivors)
+          else survivors
+        ui.join(side, Seq("p"), "left_semi")
+      }
+    val baskets = basketSrc.groupBy("u")
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+    // the cap must bind on the UNPRUNED basket size or pruning changes
+    // the output: a basket over the cap whose pruned size slips under
+    // it would re-enter the expansion. Both aggregates are
+    // hash-partitioned on u, so the join adds no exchange.
+    val capped = maxBasket.fold(baskets) { cap =>
+      if (!prune) baskets.filter(size(col("ps")) <= cap)
+      else {
+        val fullSize = ui.groupBy("u").agg(count(lit(1)).as("full_n"))
+        baskets.join(fullSize, "u")
+          .filter(col("full_n") <= cap).drop("full_n")
+      }
+    }
+    val co = capped
       .select(explode(expr(
         """flatten(transform(ps,
           |  (x, i) -> transform(slice(ps, i + 2, size(ps)),

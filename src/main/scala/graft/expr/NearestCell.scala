@@ -28,9 +28,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   *  - `gsize = max(8, ceil(sqrt(k)))`; representatives are the fines
   *    with `rn % gsize = 0` (so k ≤ 8 degenerates to a single group =
   *    exact flat argmax — the shape at the small fixtures);
-  *  - every fine belongs to its nearest representative's group
-  *    (quantized cosine, ties to the smaller rep id); a rep is its own
-  *    nearest rep, so no group is empty;
+  *  - every NON-REP fine belongs to its nearest representative's group
+  *    (quantized cosine, ties to the smaller rep id); a rep is FORCED
+  *    into its own group rather than argmax-assigned — under a
+  *    quantized-cosine near-tie the argmax could send a rep to an
+  *    earlier rep's group and leave its own empty — so no group is
+  *    empty by construction (the oracles' fg CTE mirrors the CASE);
   *  - a vector goes to its nearest representative (same rule), then to
   *    the nearest fine WITHIN that group (same rule). All cosines are
   *    `quantized_dot(a,b) / (nrm_a * nrm_b)` with the engine's

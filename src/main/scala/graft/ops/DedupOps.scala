@@ -842,7 +842,14 @@ object DedupOps {
       |), reps AS (
       |  SELECT c_id, cv, cnrm FROM cent WHERE rnk % (SELECT g FROM gs) = 0
       |), fg AS (
-      |  SELECT c.c_id, c.cv, c.cnrm, r.c_id AS grp,
+      |  -- a representative is FORCED into its own group, mirroring
+      |  -- CellIndex: argmax-assigning reps could, under a quantized
+      |  -- cosine near-tie, send a rep to an earlier rep's group and
+      |  -- leave its own empty (vectors preferring it would then be
+      |  -- dropped by the inner join below)
+      |  SELECT c.c_id, c.cv, c.cnrm,
+      |         CASE WHEN c.rnk % (SELECT g FROM gs) = 0 THEN c.c_id
+      |              ELSE r.c_id END AS grp,
       |         row_number() OVER (
       |           PARTITION BY c.c_id
       |           ORDER BY ${duckQDot("c.cv", "r.cv")} / (c.cnrm * r.cnrm) DESC, r.c_id ASC) AS rr

@@ -956,7 +956,7 @@ object GraphOps {
       |FROM ranked WHERE rn <= 3
       |ORDER BY item, cosine DESC, neighbor""".stripMargin
   },
-    doc = "item-item CF: customer-history bipartite projection, enforced per-user basket cap, popularity-normalized cosine, >=2 shared-customer cut, bounded-heap top-3 per item") { (spark, dir) =>
+    doc = "item-item CF: customer-history bipartite projection, enforced per-user basket cap, popularity-normalized cosine, >=2 shared-customer cut, bounded-heap top-3 per item; auto a-priori support prune (off on this flat fixture, on for power-law tails)") { (spark, dir) =>
     val ui = Sources.table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey").as("p"))
       .join(Sources.table(spark, dir, "orders")

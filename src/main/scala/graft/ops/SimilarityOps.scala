@@ -1781,7 +1781,11 @@ object SimilarityOps {
       |), vgrp AS (
       |  SELECT vec_id, grp FROM vg WHERE rr = 1
       |), fg AS (
-      |  SELECT c.c_id, c.cv, c.cnrm, r.c_id AS grp,
+      |  -- reps forced into their own group (mirrors CellIndex; see
+      |  -- the d14 oracle's fg note)
+      |  SELECT c.c_id, c.cv, c.cnrm,
+      |         CASE WHEN c.rnk % (SELECT g FROM gs) = 0 THEN c.c_id
+      |              ELSE r.c_id END AS grp,
       |         row_number() OVER (
       |           PARTITION BY c.c_id
       |           ORDER BY ${DedupOps.duckQDot("c.cv", "r.cv")} / (c.cnrm * r.cnrm) DESC, r.c_id ASC) AS rr

@@ -372,10 +372,9 @@ object StreamQueries {
         }.mkString("|"))
       val got = render(view)
       val want = render(twin)
-      // unconditional: if a driver-side red row is oracle-side (the
-      // view self-consistent but hash-mismatched vs DuckDB), the
-      // captured stderr still carries the exact values Spark returned
-      got.foreach(r => System.err.println(s"[qs4-view] $r"))
+      // (the unconditional [qs4-view] value render was retired after
+      // two consecutive driver-green rounds — r13/r14 policy; only
+      // the divergence dump below remains)
       if (got != want) {
         val err = System.err
         err.println("[qs4-selfcheck] DIVERGENCE view != batch twin")

@@ -506,12 +506,6 @@ object Pipelines {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val spark = batch.sparkSession
-        // the probe path persists intermediates of its own (the batch
-        // shingle frame inside incrementalNearDupsIndexed) — snapshot
-        // the persisted-RDD ids now and sweep every NEW one after the
-        // delta writes, or a long-running gate leaks one cached RDD
-        // per micro-batch
-        val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
         // base ∪ delta, reading the delta leg only once it has data —
         // the base stays an immutable shared artifact (never copied,
         // never rewritten); only this gate's own admissions live in
@@ -526,10 +520,16 @@ object Pipelines {
           else base
         }
         // smallest indexed near-dup per incoming doc; persisted because
-        // both the decision write and the admitted anti-join consume it
-        val dups = graft.api.Dedup.incrementalNearDupsIndexed(
-            batch.toDF(), indexSide("shingles"), indexSide("sig"),
-            threshold = threshold)
+        // both the decision write and the admitted anti-join consume it.
+        // The tracked variant returns the probe's own internal caches
+        // (the batch shingle frame) so the sink can unpersist EXACTLY
+        // what this batch persisted — diffing the session-global
+        // persisted-RDD set here could evict a concurrently running
+        // query's fresh caches on the shared SparkSession.
+        val (probe, probeCaches) = graft.api.Dedup.incrementalNearDupsTracked(
+          batch.toDF(), indexSide("shingles"), indexSide("sig"),
+          threshold = threshold)
+        val dups = probe
           .groupBy("doc_new").agg(min("doc_dup").as("dup_of"))
           .persist()
         batch.toDF().select(col("doc_id"))
@@ -546,13 +546,7 @@ object Pipelines {
         ashs.write.mode("append").parquet(s"$deltaIndexPath/shingles")
         asig.write.mode("append").parquet(s"$deltaIndexPath/sig")
         dups.unpersist()
-        // sweep everything this batch persisted (incl. the probe's
-        // internal shingle cache) — the sink owns all persists made
-        // between the snapshot and here
-        spark.sparkContext.getPersistentRDDs
-          .foreach { case (id, rdd) =>
-            if (!persistedBefore.contains(id)) rdd.unpersist(blocking = false)
-          }
+        probeCaches.foreach(_.unpersist(blocking = false))
         ()
       }
 

@@ -446,4 +446,15 @@ class DedupApiSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     assert(both.toSeq == Seq((10, 1L, 1L)), both.mkString(","))
   }
+
+  test("allPairsCosine refuses an over-cap corpus (d13 scale guardrail)") {
+    val docs = corpus.toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.allPairsCosine(docs, maxInputRows = 2L)
+    }
+    assert(e.getMessage.contains("EXACT quadratic baseline"), e.getMessage)
+    // under the cap the guard is invisible: same pairs as ever
+    assert(Dedup.allPairsCosine(docs, maxInputRows = 5L).count() ==
+      Dedup.allPairsCosine(docs).count())
+  }
 }

@@ -273,6 +273,68 @@ class GraphSpec extends AnyFunSuite {
     assert(loose(1)._2 == 1.0 / (math.sqrt(3.0) * math.sqrt(2.0)))
   }
 
+  test("g14 support prune: output-identical, cap binds on unpruned size, auto-enables on a tailed catalog") {
+    // Head items 1..4 shared across users; tail items 201..215 bought
+    // by exactly ONE user each (below minShared=2). Tail rows = 15 of
+    // 28 (share 0.54 ≥ 0.5), so AUTO must enable the prune. Full
+    // basket sizes: u1/u3/u5 = 6 (3 head + 3 tail), u2/u4 = 5.
+    val ui = spark.createDataFrame(Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (1L, 201L), (1L, 202L), (1L, 203L),
+      (2L, 1L), (2L, 2L), (2L, 204L), (2L, 205L), (2L, 206L),
+      (3L, 1L), (3L, 2L), (3L, 4L), (3L, 207L), (3L, 208L), (3L, 209L),
+      (4L, 3L), (4L, 4L), (4L, 210L), (4L, 211L), (4L, 212L),
+      (5L, 1L), (5L, 3L), (5L, 4L), (5L, 213L), (5L, 214L), (5L, 215L)))
+      .toDF("u", "p")
+    def run(prune: Option[Boolean], cap: Option[Long]): Seq[(Long, Long, Long, Double)] =
+      graft.api.Graph.itemCfSimilarity(ui, minShared = 2, k = 3,
+          maxBasket = cap, supportPrune = prune)
+        .orderBy("item", "neighbor").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    // pruned == unpruned, uncapped: the a-priori identity
+    val unpruned = run(Some(false), None)
+    assert(unpruned.nonEmpty)
+    assert(run(Some(true), None) == unpruned)
+
+    // the cap must bind on the UNPRUNED basket size: with cap=5 only
+    // u2/u4 survive (full size 5) and no pair reaches co >= 2, so the
+    // result is EMPTY — a cap read on the pruned size would readmit
+    // u1/u3/u5 (pruned size 3) and emit pairs
+    assert(run(Some(false), Some(5L)).isEmpty)
+    assert(run(Some(true), Some(5L)).isEmpty)
+
+    // AUTO: tailed catalog enables the prune (semi-join in the plan)
+    // and matches the explicit runs; a flat catalog (tail = 0) keeps
+    // the direct expansion
+    val auto = graft.api.Graph.itemCfSimilarity(ui, minShared = 2, k = 3)
+    assert(auto.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "auto should prune a tailed catalog")
+    assert(auto.orderBy("item", "neighbor").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      == unpruned)
+    val flat = spark.createDataFrame(Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))).toDF("u", "p")
+    val flatDf = graft.api.Graph.itemCfSimilarity(flat, minShared = 2, k = 3)
+    assert(!flatDf.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "auto must keep the direct expansion on a flat catalog")
+  }
+
+  test("exact census baselines refuse over-cap edge lists (g01/g02 scale guardrail)") {
+    val edges = spark.createDataFrame(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+      .toDF("pa", "pb")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.api.Graph.triangleStats(edges, maxEdges = 1L)
+    }
+    assert(e1.getMessage.contains("EXACT census baseline"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.api.Graph.clusteringCoefficients(edges, maxEdges = 1L)
+    }
+    assert(e2.getMessage.contains("EXACT census baseline"), e2.getMessage)
+    // under the cap the guard is invisible: triangle {1,2,3} counted
+    val row = graft.api.Graph.triangleStats(edges).collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((3L, 3L, 1L)))
+  }
+
   test("modularity on a hand-built two-community graph (g17 kernel)") {
     // triangle {1,2,3} + edge {4,5}: m = 4, both communities contribute
     // e_c/m - (d_c/2m)^2 = 3/4 - (6/8)^2 = 1/4 - (2/8)^2 = 0.1875

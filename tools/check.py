@@ -84,8 +84,13 @@ def rows_of(table):
 
 
 def main():
-    out_dir = Path(sys.argv[1])
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    # --only-present: compare only queries Verify actually dumped —
+    # the targeted-run mode (SPARK_GRAFT_ONLY subsets, the sf0.1
+    # oracle probe) where absent results are selection, not failure.
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only_present = "--only-present" in sys.argv
+    out_dir = Path(args[0])
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     con = duckdb.connect()
     for t in TABLES:
@@ -98,6 +103,8 @@ def main():
     for name in sorted(oracle):
         res_dir = out_dir / name
         if not res_dir.exists():
+            if only_present:
+                continue
             failures.append((name, "NO SPARK RESULT"))
             n_fail += 1
             continue
