@@ -1114,6 +1114,44 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("cell"), col("cos_sim"))
   }
 
+  /** Cell-blocked exact k-NN GRAPH — every vector's top-`k` neighbors
+    * WITHIN its codebook cell, the construction step under graph ANN
+    * indexes (NN-descent / HNSW base layer) and SemDeDup's
+    * within-cluster ranking. Same blocking as [[semanticDupPairs]]
+    * (broadcast-codebook assignment via the codegen'd
+    * [[graft.expr.NearestCellExpr]] — one projection, no row
+    * explosion), but the verify keeps a per-vector TOP-K (bounded
+    * GroupTopK heap) instead of a threshold cut, so the output is a
+    * complete neighbor list even where nothing clears a similarity
+    * bar. Scale: the self-join is per-cell (never all-pairs — cell
+    * population is the knob, exactly the IVF trade), the heap bounds
+    * the rank memory, and the rank column is computed on the ≤k-row
+    * per-vector output, not the scored frame. Cosines are the
+    * bit-reproducible quantized dot, ties to the smaller neighbor id.
+    * Returns (`idCol`, rank, neighbor_id, cos_sim).
+    */
+  def knnGraphWithinCells(vecs: DataFrame, centroids: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "v",
+      cidCol: String = "c_id", cvecCol: String = "cv"): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    val cells = assignedCells(vecs, centroids, idCol, vecCol, cidCol, cvecCol)
+      .persist()
+    val a = cells.select(col("_id").as(idCol), col("cell"),
+      col("_v").as("_va"), col("_nrm").as("_na"))
+    val b = cells.select(col("_id").as("neighbor_id"), col("cell"),
+      col("_v").as("_vb"), col("_nrm").as("_nb"))
+    val scored = a.join(b, Seq("cell"))
+      .filter(col(idCol) =!= col("neighbor_id"))
+      .withColumn("cos_sim", expr("quantized_dot(_va, _vb) / (_na * _nb)"))
+      .select(col(idCol), col("neighbor_id"), col("cos_sim"))
+    val topk = graft.api.Windows.topKPerGroup(scored, Seq(idCol),
+      Seq(("cos_sim", true), ("neighbor_id", false)), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    topk.withColumn("rank", row_number().over(w).cast("int"))
+      .select(col(idCol), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
   /** Nearest-cell assignment over a broadcast-sized codebook — the
     * shared first stage of [[semanticDupPairs]] and the
     * cluster-balanced sampler (p08): one projected cell id per vector

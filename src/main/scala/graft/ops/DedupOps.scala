@@ -1010,13 +1010,59 @@ object DedupOps {
       .orderBy("bucket")
   }
 
-  /** The three consumers of the shared verified-pairs table carry its
+  /** Cross-source duplication matrix — the provenance audit over
+    * d04's verified near-dup pairs: which sources copy from which.
+    * Every pair is attributed to its (source_a ≤ source_b) cell with
+    * the pair count and the jaccard RANGE (min/max are
+    * order-insensitive aggregates — a double mean would hash-diverge
+    * on summation order, the house float rule). The diagonal is
+    * within-source boilerplate; off-diagonal mass is syndication /
+    * scraping overlap — the table a mixture designer reads before
+    * trusting per-source token budgets, and the input to "drop the
+    * copier, keep the origin" policies. Scale: two joins of the
+    * bounded pairs table against the (doc_id, source) projection,
+    * then one aggregate over ≤ |sources|² uniform keys.
+    */
+  val d18 = OpQuery.oracled("d18_cross_source_dup_matrix", {
+    s"""WITH d AS (
+      |  SELECT doc_id, source FROM read_parquet('{SFDIR}/documents.parquet')
+      |)
+      |SELECT least(da.source, db.source) AS source_a,
+      |       greatest(da.source, db.source) AS source_b,
+      |       CAST(count(*) AS BIGINT) AS n_pairs,
+      |       min(p.jaccard) AS min_jaccard,
+      |       max(p.jaccard) AS max_jaccard
+      |FROM (
+      |${d04.oracle.get}
+      |) p
+      |JOIN d da ON da.doc_id = p.doc_a
+      |JOIN d db ON db.doc_id = p.doc_b
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+  },
+    doc = "cross-source duplication matrix over d04's verified near-dup pairs: (source_a <= source_b, n_pairs, jaccard range) — the provenance audit behind per-source dedup policy") { (spark, dir) =>
+    val d = Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    nearDupPairsCached(spark, dir)
+      .join(d.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        min("jaccard").as("min_jaccard"),
+        max("jaccard").as("max_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** The consumers of the shared verified-pairs table carry its
     * build as their `prepare` step (Bench times the consumer, not the
-    * 3×-repaid pipeline); every other d-query is standalone.
+    * 4×-repaid pipeline); every other d-query is standalone.
     */
   val all: Seq[OpQuery] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    d10, d11, d12, d13, d14, d15, d16, d17).map { q =>
-    if (Set(d04.name, d07.name, d08.name).contains(q.name))
+    d10, d11, d12, d13, d14, d15, d16, d17, d18).map { q =>
+    if (Set(d04.name, d07.name, d08.name, d18.name).contains(q.name))
       q.copy(prepare = (s, d) => { ensureNearDupPairs(s, d); () })
     else if (q.name == d09.name)
       q.copy(prepare = (s, d) => { ensureIncrementalIndex(s, d); () })

@@ -799,11 +799,72 @@ object PipelineOps {
       .orderBy("cell")
   }
 
+  /** DATASET CARD — the per-source datasheet every corpus release
+    * ships (Gebru et al.'s "datasheets for datasets", reduced to the
+    * numbers a training-mixture owner actually reads): volume (docs /
+    * tokens / chars), exact-duplication exposure (docs whose full
+    * text hash appears anywhere else in the corpus — within OR across
+    * sources), the p04 integer quality gate's pass count, and
+    * language breadth. Everything is an exact integer, so the card is
+    * bit-stable across engines and releases — diffing two cards IS
+    * the ingest regression report. Scale: one hash census
+    * (uniform-key aggregate over md5), one join back on the hash
+    * (co-partitioned), one per-source aggregate; no floats, no
+    * windows, no driver state.
+    */
+  val p09 = OpQuery.oracled("p09_dataset_card", {
+    s"""WITH f AS (
+      |  SELECT doc_id, source, lang, n_chars, md5(text) AS h,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |                  t -> length(t) BETWEEN 3 AND 8)) AS BIGINT) AS n_good
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), hc AS (
+      |  SELECT h, count(*) AS k FROM f GROUP BY 1
+      |)
+      |SELECT f.source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(f.n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(sum(f.n_chars) AS BIGINT) AS n_chars,
+      |       CAST(sum(CASE WHEN hc.k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_exact_dup,
+      |       CAST(sum(CASE WHEN 20 * f.n_good >= 19 * f.n_tokens
+      |                      AND f.n_tokens >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_quality_pass,
+      |       CAST(count(DISTINCT f.lang) AS BIGINT) AS n_langs
+      |FROM f JOIN hc ON hc.h = f.h
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+  },
+    doc = "per-source dataset card: docs/tokens/chars, global exact-dup exposure, integer quality-gate pass count, language breadth — all exact integers, the diffable ingest regression report") { (spark, dir) =>
+    val f = Sources.table(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        md5(col("text")).as("h"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        expr("CAST(size(filter(toks, t -> length(t) >= 3 AND length(t) <= 8)) AS BIGINT)")
+          .as("n_good"))
+    val hc = f.groupBy("h").agg(count(lit(1)).as("k"))
+    f.join(hc, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_tokens").cast("bigint").as("n_tokens"),
+        sum("n_chars").cast("bigint").as("n_chars"),
+        sum(when(col("k") > 1, 1L).otherwise(0L)).cast("bigint")
+          .as("n_exact_dup"),
+        sum(when(col("n_good") * 20 >= col("n_tokens") * 19 &&
+          col("n_tokens") >= 20, 1L).otherwise(0L)).cast("bigint")
+          .as("n_quality_pass"),
+        countDistinct("lang").cast("bigint").as("n_langs"))
+      .orderBy("source")
+  }
+
   /** p01/p03 consume d04's verified-pairs stage, which reads the
     * per-SF materialized pairs table — carry its build as prepare so
     * their timings never absorb it, independent of run order.
     */
-  val all: Seq[OpQuery] = Seq(p01, p02, p03, p04, p05, p06, p07, p08).map { q =>
+  val all: Seq[OpQuery] = Seq(p01, p02, p03, p04, p05, p06, p07, p08,
+    p09).map { q =>
     if (Set(p01.name, p03.name).contains(q.name))
       q.copy(prepare = (s, d) => { DedupOps.ensureNearDupPairs(s, d); () })
     else q

@@ -1835,6 +1835,94 @@ object SimilarityOps {
       .orderBy("cell")
   }
 
+  /** Cell-blocked exact k-NN GRAPH ([[graft.api.Dedup
+    * .knnGraphWithinCells]]): every vector's top-3 neighbors within
+    * its codebook cell — the construction step under graph ANN
+    * indexes (NN-descent seeding, the HNSW base layer) and the
+    * ranking SemDeDup applies inside each cluster. Unlike s04 (probe
+    * subset, nprobe=2 search) this ranks EVERY vector, and unlike s05
+    * (threshold pairs) it keeps a complete top-k even where nothing
+    * clears a similarity bar. The oracle re-derives the d14 two-level
+    * nearest-centroid assignment (reps forced into their own group)
+    * and the within-cell rank with the same quantized cosine, so
+    * hash-parity pins assignment, blocking, and ranking at once.
+    * Scale: assignment is one codegen'd projection (the codebook
+    * rides the expression), the self-join is per-cell (the IVF
+    * population knob, never all-pairs), and the per-vector rank is a
+    * bounded GroupTopK heap.
+    */
+  val s23 = OpQuery.oracled("s23_knn_graph", {
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM read_parquet('{SFDIR}/embeddings.parquet')
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(${DedupOps.duckQDot("v", "v")}) AS nrm FROM e
+      |), cent AS (
+      |  SELECT vec_id AS c_id, v AS cv, sqrt(${DedupOps.duckQDot("v", "v")}) AS cnrm,
+      |         row_number() OVER (ORDER BY vec_id) - 1 AS rnk
+      |  FROM e WHERE vec_id % 250 = 0
+      |), gs AS (
+      |  SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS g FROM cent
+      |), reps AS (
+      |  SELECT c_id, cv, cnrm FROM cent WHERE rnk % (SELECT g FROM gs) = 0
+      |), vg AS (
+      |  SELECT n.vec_id, r.c_id AS grp,
+      |         row_number() OVER (
+      |           PARTITION BY n.vec_id
+      |           ORDER BY ${DedupOps.duckQDot("n.v", "r.cv")} / (n.nrm * r.cnrm) DESC, r.c_id ASC) AS rr
+      |  FROM n, reps r
+      |), vgrp AS (
+      |  SELECT vec_id, grp FROM vg WHERE rr = 1
+      |), fg AS (
+      |  -- reps forced into their own group (mirrors CellIndex; see
+      |  -- the d14 oracle's fg note)
+      |  SELECT c.c_id, c.cv, c.cnrm,
+      |         CASE WHEN c.rnk % (SELECT g FROM gs) = 0 THEN c.c_id
+      |              ELSE r.c_id END AS grp,
+      |         row_number() OVER (
+      |           PARTITION BY c.c_id
+      |           ORDER BY ${DedupOps.duckQDot("c.cv", "r.cv")} / (c.cnrm * r.cnrm) DESC, r.c_id ASC) AS rr
+      |  FROM cent c, reps r
+      |), fines AS (
+      |  SELECT c_id, cv, cnrm, grp FROM fg WHERE rr = 1
+      |), assign AS (
+      |  SELECT n.vec_id, f.c_id,
+      |         row_number() OVER (
+      |           PARTITION BY n.vec_id
+      |           ORDER BY ${DedupOps.duckQDot("n.v", "f.cv")} / (n.nrm * f.cnrm) DESC, f.c_id ASC) AS rn
+      |  FROM n JOIN vgrp ON vgrp.vec_id = n.vec_id
+      |         JOIN fines f ON f.grp = vgrp.grp
+      |), cells AS (
+      |  SELECT vec_id, c_id FROM assign WHERE rn = 1
+      |), scored AS (
+      |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+      |         ${DedupOps.duckQDot("na.v", "nb.v")} / (na.nrm * nb.nrm) AS cos_sim
+      |  FROM cells a
+      |  JOIN cells b ON b.c_id = a.c_id AND b.vec_id <> a.vec_id
+      |  JOIN n na ON na.vec_id = a.vec_id
+      |  JOIN n nb ON nb.vec_id = b.vec_id
+      |), ranked AS (
+      |  SELECT vec_id, neighbor_id, cos_sim,
+      |         CAST(row_number() OVER (PARTITION BY vec_id
+      |                                 ORDER BY cos_sim DESC, neighbor_id ASC)
+      |              AS INT) AS rank
+      |  FROM scored
+      |)
+      |SELECT vec_id, rank, neighbor_id, cos_sim
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY vec_id, rank""".stripMargin
+  },
+    doc = "cell-blocked exact k-NN graph: top-3 neighbors per vector " +
+      "within its broadcast-codebook cell (graph-ANN construction " +
+      "step; per-cell join + bounded-heap rank, never all-pairs)") { (spark, dir) =>
+    val e = Sources.table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val cent = e.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    graft.api.Dedup.knnGraphWithinCells(e, cent, k = 3)
+      .orderBy("vec_id", "rank")
+  }
+
   val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22)
+    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23)
 }

@@ -1249,6 +1249,77 @@ object StreamQueries {
       .orderBy("cell")
   }
 
+  /** qs17: incrementally-maintained TRENDING view under the hard
+    * signal — the "what's hot this hour" dashboard materialization:
+    * per-(hour, event_type) counts folded through the replay-guarded
+    * agg-view sink across two ingest waves plus an empty commit (the
+    * fold must no-op), then top-3 per hour ranked AT READ TIME over
+    * the stored view. The split is the load-bearing design point: the
+    * FOLD is additive (batching-invariant, exactly-once via the
+    * `_LAST_BATCH` mark), while the RANK — which is not incremental —
+    * runs on the ≤ |hours|·|types| view, never on raw events. The
+    * oracle is the flat whole-table hourly rank, so equality proves
+    * the incremental counts lost nothing and the read-time rank
+    * matches the batch answer. Count-only surface (the qs4 decimal
+    * lesson: no decimal column leaves the fold).
+    */
+  val qs17 = OpQuery.oracled("qs17_stream_trending_view",
+    """WITH c AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+      |         event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), r AS (
+      |  SELECT hour_start, event_type, CAST(n AS BIGINT) AS n,
+      |         CAST(row_number() OVER (PARTITION BY hour_start
+      |                                 ORDER BY n DESC, event_type ASC)
+      |              AS INT) AS rnk
+      |  FROM c
+      |)
+      |SELECT hour_start, rnk, event_type, n
+      |FROM r WHERE rnk <= 3
+      |ORDER BY hour_start, rnk""".stripMargin,
+    doc = "incrementally-maintained trending view: per-(hour, type) " +
+      "counts folded through the replay-guarded agg-view sink over " +
+      "two waves + an empty commit, top-3 per hour ranked at read " +
+      "time on the stored view; oracle = flat whole-table hourly rank") { (spark, dir) =>
+    val root = scratch(dir, "qs17")
+    wipe(root)
+    val ev = Sources.table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        (expr("ts div 3600000000000") * 3600L).as("hour_start"))
+      .withColumn("trend_key",
+        concat(col("hour_start").cast("string"), lit("|"), col("event_type")))
+    val dim = ev.select(col("event_type")).distinct()
+    ev.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$root/input")
+    val sch = spark.read.parquet(s"$root/input").schema
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.aggViewSink(
+        spark.readStream.schema(sch).parquet(s"$root/input")
+          .drop("event_id", "hour_start"),
+        dim, s"$root/table", s"$root/ckpt",
+        joinKey = "event_type", viewKey = "trend_key",
+        valueCol = "value"))
+    run()
+    ev.filter(col("event_id") % 2 === 1)
+      .write.mode("append").parquet(s"$root/input")
+    run()
+    run() // no new files: the fold must be a no-op
+    val view = spark.read.parquet(s"$root/table")
+      .select(
+        split(col("trend_key"), "\\|").getItem(0).cast("long")
+          .as("hour_start"),
+        split(col("trend_key"), "\\|").getItem(1).as("event_type"),
+        col("n_rows").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("hour_start")
+      .orderBy(col("n").desc, col("event_type").asc)
+    view.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= 3)
+      .select(col("hour_start"), col("rnk"), col("event_type"), col("n"))
+      .orderBy("hour_start", "rnk")
+  }
+
   val all: Seq[OpQuery] = Seq(
     qs1,
     qs2.copy(prepare = (s, d) => { ensureEnvelopeInput(s, d); () }),
@@ -1266,5 +1337,6 @@ object StreamQueries {
     qs13,
     qs14,
     qs15,
-    qs16)
+    qs16,
+    qs17)
 }

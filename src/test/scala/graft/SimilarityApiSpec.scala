@@ -74,6 +74,30 @@ class SimilarityApiSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= 0.9))
   }
 
+  test("knnGraphWithinCells ranks only cellmates, tie-broken by neighbor id (s23 kernel)") {
+    // two well-separated cells: {1,2,5} near the x-axis centroid,
+    // {3} alone near the z-axis centroid
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.99, 0.1, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0, 0.0)),
+      (5L, Seq(0.7, 0.7, 0.0, 0.0))
+    ).toDF("vec_id", "v")
+    val cent = Seq(
+      (100L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (200L, Seq(0.0, 0.0, 1.0, 0.0))
+    ).toDF("c_id", "cv")
+    val g = graft.api.Dedup.knnGraphWithinCells(corpus, cent, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // cell(100) = {1,2,5}: 1's nearest is 2 (cos ~0.995) then 5
+    // (~0.707); 3 is alone in cell(200) → NO rows (a complete graph
+    // needs multi-probe, which is the documented trade)
+    assert(g == Set(
+      (1L, 1, 2L), (1L, 2, 5L),
+      (2L, 1, 1L), (2L, 2, 5L),
+      (5L, 1, 2L), (5L, 2, 1L)), g.toString)
+  }
+
   test("hyperplaneBuckets is deterministic and 2^planes-bounded") {
     val b1 = Similarity.hyperplaneBuckets(vecs, planes = 4, dims = 4)
       .select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getString(1))).toMap
