@@ -743,19 +743,32 @@ object Graph {
     // (ui is persisted; the union-find bail-out precedent for a tiny
     // eager plan-choice job) reads the tail ROW share and survivor
     // count, and enables the prune only when it will pay.
-    // stats = (totalRows, tailRows, survivorItems)
-    val stats: Option[(Long, Long, Long)] =
+    // stats = (totalRows, tailRows, survivorItems, minItemId, maxItemId)
+    val stats: Option[(Long, Long, Long, Long, Long)] =
       if (minShared > 1 && !supportPrune.contains(false)) {
         val r = np.agg(
           coalesce(sum(col("n")), lit(0L)).as("rows_total"),
           coalesce(sum(when(col("n") < minShared, col("n"))
             .otherwise(lit(0L))), lit(0L)).as("rows_tail"),
-          count(when(col("n") >= minShared, 1)).as("survivors")).head()
-        Some((r.getLong(0), r.getLong(1), r.getLong(2)))
+          count(when(col("n") >= minShared, 1)).as("survivors"),
+          coalesce(min(col("p")), lit(0L)).as("min_p"),
+          coalesce(max(col("p")), lit(0L)).as("max_p")).head()
+        Some((r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
       } else None
     val prune = minShared > 1 && supportPrune.getOrElse(
-      stats.exists { case (total, tail, _) =>
+      stats.exists { case (total, tail, _, _, _) =>
         total > 0 && tail.toDouble / total >= AutoPruneTailRowShare })
+    // Pair PACKING: when every item id fits an unsigned 31-bit value
+    // (known from the same stats pass), the expansion emits one packed
+    // LONG `pa * 2^32 + pb` instead of a (long, long) struct — the
+    // co-count shuffle key drops from 16+struct-header bytes to 8, on
+    // the registry's single heaviest shuffle (g14 was 46% of total
+    // registry shuffle in r13). Unpack is two bit-ops after the
+    // aggregate. The ordering invariant (pa < pb from the sorted
+    // basket) is preserved by the monotone packing.
+    val pack = stats.exists { case (_, _, _, minP, maxP) =>
+      minP >= 0L && maxP < 2147483648L }
     val basketSrc =
       if (!prune) ui
       else {
@@ -779,14 +792,27 @@ object Graph {
           .filter(col("full_n") <= cap).drop("full_n")
       }
     }
-    val co = capped
-      .select(explode(expr(
-        """flatten(transform(ps,
-          |  (x, i) -> transform(slice(ps, i + 2, size(ps)),
-          |            y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("q"))
-      .groupBy(col("q.pa").as("pa"), col("q.pb").as("pb"))
-      .agg(count(lit(1)).as("co"))
-      .filter(col("co") >= minShared)
+    val co =
+      if (pack)
+        capped
+          .select(explode(expr(
+            """flatten(transform(ps,
+              |  (x, i) -> transform(slice(ps, i + 2, size(ps)),
+              |            y -> x * 4294967296L + y)))""".stripMargin)).as("q"))
+          .groupBy(col("q"))
+          .agg(count(lit(1)).as("co"))
+          .filter(col("co") >= minShared)
+          .select(shiftright(col("q"), 32).as("pa"),
+            col("q").bitwiseAND(lit(4294967295L)).as("pb"), col("co"))
+      else
+        capped
+          .select(explode(expr(
+            """flatten(transform(ps,
+              |  (x, i) -> transform(slice(ps, i + 2, size(ps)),
+              |            y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("q"))
+          .groupBy(col("q.pa").as("pa"), col("q.pb").as("pb"))
+          .agg(count(lit(1)).as("co"))
+          .filter(col("co") >= minShared)
     val sym = co.select(col("pa").as("item"), col("pb").as("neighbor"), col("co"))
       .unionAll(co.select(col("pb").as("item"), col("pa").as("neighbor"), col("co")))
     val scored = sym

@@ -1320,6 +1320,82 @@ object StreamQueries {
       .orderBy("hour_start", "rnk")
   }
 
+  /** qs18: streaming LATE-DATA AUDIT under the hard signal
+    * ([[graft.stream.Pipelines.lateAudit]]) — the observability twin
+    * of every watermark in this file: per event_type, how many events
+    * arrived more than 1 hour behind the key's running max event
+    * time, plus the worst skew. A watermark DROPS late rows silently
+    * (qs1/qs6/qs7 encode the flush rule); this operator COUNTS them —
+    * the number that says whether a configured delay is safe per
+    * source before the drops happen. Driven by the qs3 two-run
+    * shared-checkpoint pattern (even event_ids then odd, one
+    * micro-batch per run asserted via the commit log — in-batch order
+    * is pinned by event_id, so the stream's arrival order IS the
+    * oracle's `(half, event_id)` window order), so the flat
+    * prefix-max window re-derives every decision exactly. All state
+    * fields are exact Longs; the fold is a pure function of the
+    * input across the restart.
+    */
+  val qs18 = OpQuery.oracled("qs18_stream_late_audit",
+    """WITH e AS (
+      |  SELECT event_type, event_id, epoch_us(ts) AS us,
+      |         event_id % 2 AS half
+      |  FROM events
+      |), o AS (
+      |  SELECT event_type, us,
+      |         max(us) OVER (PARTITION BY event_type
+      |                       ORDER BY half, event_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING
+      |                            AND 1 PRECEDING) AS pm
+      |  FROM e
+      |)
+      |SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CASE WHEN pm IS NOT NULL AND us < pm - 3600000000
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |       CAST(coalesce(max(CASE WHEN pm > us THEN pm - us END), 0)
+      |            AS BIGINT) AS max_skew_us,
+      |       CAST(max(us) AS BIGINT) AS max_ts_us
+      |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+    doc = "streaming late-data audit: per-type count of events more " +
+      "than 1h behind the running max event time + worst skew, O(1) " +
+      "state per key across two incremental runs; oracle = flat " +
+      "prefix-max window in (half, event_id) order") { (spark, dir) =>
+    import spark.implicits._
+    val root = scratch(dir, "qs18")
+    wipe(root)
+    val ev = Sources.table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+    ev.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$root/input")
+    val sch = spark.read.parquet(s"$root/input").schema
+    val s8 = stateSession(spark, 8)
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.stateUpsertSink(
+        Pipelines.lateAudit(
+          s8.readStream.schema(sch).parquet(s"$root/input")
+            .as[Pipelines.TsEvent], delayUs = 3600000000L).toDF(),
+        s"$root/table", s"$root/ckpt",
+        key = "event_type", orderCol = "n_events"))
+    def commits(): Int =
+      Option(new java.io.File(s"$root/ckpt/commits").listFiles())
+        .map(_.count(_.getName.forall(_.isDigit))).getOrElse(0)
+    run()
+    require(commits() == 1,
+      s"qs18 run 1 split into ${commits()} micro-batches; the oracle's " +
+        "(half, event_id) order no longer matches arrival order")
+    ev.filter(col("event_id") % 2 === 1)
+      .write.mode("append").parquet(s"$root/input")
+    run()
+    require(commits() == 2,
+      s"qs18 run 2 ended at ${commits()} total commits (want 2)")
+    spark.read.parquet(s"$root/table")
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        col("max_skew_us"), col("max_ts_us"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[OpQuery] = Seq(
     qs1,
     qs2.copy(prepare = (s, d) => { ensureEnvelopeInput(s, d); () }),
@@ -1338,5 +1414,6 @@ object StreamQueries {
     qs14,
     qs15,
     qs16,
-    qs17)
+    qs17,
+    qs18)
 }

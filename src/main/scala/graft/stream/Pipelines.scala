@@ -399,8 +399,15 @@ object Pipelines {
       : (org.apache.spark.sql.Dataset[Row], Long) => Unit =
     (batch: org.apache.spark.sql.Dataset[Row], _: Long) => {
       val spark = batch.sparkSession
+      // tie-break beyond orderCol with a full-row hash: two updates
+      // for one key carrying the SAME orderCol but different payloads
+      // would otherwise be picked arbitrarily per run — a replay could
+      // then publish a different row than the original epoch did. The
+      // hash is a pure function of the row, so replays pick
+      // identically (identical rows tie harmlessly).
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(key).orderBy(col(orderCol).desc)
+        .partitionBy(key).orderBy(col(orderCol).desc,
+          xxhash64(batch.columns.map(col).toIndexedSeq: _*).asc)
       val latest = batch
         .withColumn("_graft_rn", row_number().over(w))
         .filter(col("_graft_rn") === 1).drop("_graft_rn")
@@ -629,8 +636,12 @@ object Pipelines {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val spark = batch.sparkSession
+        // full-row-hash tie-break past orderCol — same replay-stability
+        // argument as upsertBatch (a tied U/D pair for one key must
+        // resolve identically on the replayed epoch)
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(key).orderBy(col(orderCol).desc)
+          .partitionBy(key).orderBy(col(orderCol).desc,
+            xxhash64(batch.columns.map(col).toIndexedSeq: _*).asc)
         val latest = batch
           .withColumn("_graft_rn", row_number().over(w))
           .filter(col("_graft_rn") === 1)
@@ -1157,6 +1168,54 @@ object Pipelines {
           }
           state.update(cum)
           out.iterator
+      }
+  }
+
+  case class TsEvent(event_type: String, event_id: Long, us: Long)
+  case class LateState(max_us: Long, n: Long, n_late: Long, max_skew_us: Long)
+  case class LateAuditUpdate(event_type: String, n_events: Long,
+      n_late: Long, max_skew_us: Long, max_ts_us: Long)
+
+  /** Streaming LATE-DATA / out-of-orderness AUDIT — the observability
+    * twin of a watermark: per key, how many events arrived more than
+    * `delayUs` behind the maximum event time already seen on that key,
+    * and the worst skew observed. A watermark silently DROPS late
+    * rows; this operator COUNTS them first — the number that tells you
+    * whether the delay you configured is actually safe for each
+    * source, before the drops happen. One O(1) state row per key
+    * (running max / three counters, cheaper than [[rfmFeatures]]);
+    * emits one cumulative row per touched key per micro-batch
+    * (update-mode, lands through [[stateUpsertSink]] — n_events is
+    * strictly monotone, so replay redelivery is absorbed). Within-
+    * batch order is pinned by event_id so replays reproduce identical
+    * counts; an event is late iff a PRIOR event of its key (state or
+    * earlier in-batch) had `us_prior - delayUs > us`, the exact
+    * prefix-max rule a flat window re-derives.
+    */
+  def lateAudit(events: org.apache.spark.sql.Dataset[TsEvent],
+      delayUs: Long): org.apache.spark.sql.Dataset[LateAuditUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[LateState, LateAuditUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[TsEvent],
+            state: org.apache.spark.sql.streaming.GroupState[LateState]) =>
+          var s = state.getOption.getOrElse(
+            LateState(Long.MinValue, 0L, 0L, 0L))
+          it.toSeq.sortBy(_.event_id).foreach { e =>
+            val hasPrior = s.n > 0
+            val late = hasPrior && e.us < s.max_us - delayUs
+            val skew =
+              if (hasPrior && s.max_us > e.us) s.max_us - e.us else 0L
+            s = LateState(math.max(s.max_us, e.us), s.n + 1,
+              s.n_late + (if (late) 1L else 0L),
+              math.max(s.max_skew_us, skew))
+          }
+          state.update(s)
+          Iterator(LateAuditUpdate(key, s.n, s.n_late, s.max_skew_us,
+            s.max_us))
       }
   }
 

@@ -1596,6 +1596,29 @@ class StreamingSpec extends AnyFunSuite {
       rows.toString)
   }
 
+  test("upsert merge: equal-orderCol updates resolve deterministically (full-row-hash tie-break)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // two updates for key 1 with the SAME version but different
+    // payloads in ONE batch: without the hash tie-break the survivor
+    // is arbitrary per run — drive the identical batch into two
+    // independent tables and require the same pick
+    def drive(tag: String): Set[(Long, Long, String)] = {
+      val root = tmp(s"graft_upsert_tie_$tag")
+      val mem = MemoryStream[(Long, Long, String)]
+      mem.addData((1L, 1L, "left"), (1L, 1L, "right"), (2L, 1L, "only"))
+      Pipelines.runToCompletion(
+        Pipelines.upsertSink(mem.toDF().toDF("k", "ver", "v"),
+          s"$root/table", s"$root/ckpt", key = "k", orderCol = "ver"))
+      spark.read.parquet(s"$root/table")
+        .as[(Long, Long, String)].collect().toSet
+    }
+    val a = drive("a")
+    val b = drive("b")
+    assert(a == b, s"tie resolved differently across identical runs: $a vs $b")
+    assert(a.size == 2 && a.exists(_._1 == 2L), a.toString)
+  }
+
   test("cdc restart (qs5 family): replayed delete stays deleted, no row resurrection") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
