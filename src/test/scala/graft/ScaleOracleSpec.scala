@@ -34,10 +34,11 @@ class ScaleOracleSpec extends AnyFunSuite {
     "t11_stratified_sample", "t14_sequence_packing",
     "t21_per_domain_cap",
     "d04_lsh_near_dup_pairs", "d05_simhash",
+    "d18_cross_source_dup_matrix",
     "m01_binary_payload_meta", "m05_modality_mix",
     "e05_latest_event_per_user", "e23_pareto_concentration",
-    "s03_label_norm_stats", "s22_centroid_drift",
-    "g08_link_prediction")
+    "s03_label_norm_stats", "s22_centroid_drift", "s23_knn_graph",
+    "g08_link_prediction", "p09_dataset_card")
 
   test("sf0.1 DuckDB oracle parity on the cheap deterministic subset") {
     assume(sys.env.get("SPARK_GRAFT_SF01_ORACLE").contains("1"),
