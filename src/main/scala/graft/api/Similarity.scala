@@ -163,4 +163,58 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
   }
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein,
+    * SIGIR'98) over a per-query candidate shortlist: greedily pick `k`
+    * results trading relevance against redundancy with what is already
+    * picked — `argmax λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s)`.
+    *
+    * Inputs are score frames, not vectors, so any similarity kernel
+    * plugs in: `rel(q_id, cand_id, rel_mic)` (one row per shortlist
+    * member) and `pairSim(q_id, a_id, b_id, sim_mic)` (both
+    * directions of every shortlist pair of the same query). Scores are
+    * integer micros and λ a rational `lamNum/lamDen`, so every MMR
+    * score is exact integer arithmetic — bit-identical across engines
+    * and deterministic under ties (broken by cand_id ascending).
+    *
+    * The greedy loop is inherently sequential in `k` but each round is
+    * one bounded join + aggregate over shortlist-sized frames (≤
+    * |probes|·shortlist² rows), never corpus-sized — the corpus-scale
+    * work happened upstream in whatever produced the shortlist (e.g.
+    * the ADC retriever). Round 1's score is λ·rel alone (empty picked
+    * set). Queries with fewer than `k` candidates yield fewer picks.
+    * Output: (q_id, pick_rank, cand_id, mmr_mic).
+    */
+  def mmrSelect(rel: DataFrame, pairSim: DataFrame, k: Int,
+      lamNum: Int = 7, lamDen: Int = 10): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    require(lamNum >= 0 && lamNum <= lamDen && lamDen > 0,
+      s"bad lambda $lamNum/$lamDen")
+    val first = Windows.topKPerGroup(rel, Seq("q_id"),
+        Seq(("rel_mic", true), ("cand_id", false)), 1)
+      .select(col("q_id"), col("cand_id"),
+        (lit(lamNum.toLong) * col("rel_mic")).as("mmr_mic"),
+        lit(1).cast("int").as("pick_rank"))
+    var picked = first
+    for (r <- 2 to k) {
+      val maxSim = pairSim
+        .join(picked.select(col("q_id"), col("cand_id").as("b_id")),
+          Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id").as("cand_id"))
+        .agg(max(col("sim_mic")).as("max_sim_mic"))
+      val pick = rel
+        .join(picked.select("q_id", "cand_id"), Seq("q_id", "cand_id"),
+          "left_anti")
+        .join(maxSim, Seq("q_id", "cand_id"))
+        .withColumn("mmr_mic",
+          lit(lamNum.toLong) * col("rel_mic") -
+            lit((lamDen - lamNum).toLong) * col("max_sim_mic"))
+      picked = picked.unionByName(
+        Windows.topKPerGroup(
+            pick.select("q_id", "cand_id", "mmr_mic"), Seq("q_id"),
+            Seq(("mmr_mic", true), ("cand_id", false)), 1)
+          .withColumn("pick_rank", lit(r).cast("int")))
+    }
+    picked
+  }
 }

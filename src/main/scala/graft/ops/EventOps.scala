@@ -1402,7 +1402,106 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** A/B experiment readout with a DETERMINISTIC hash arm — the
+    * analysis leg of an online experiment, computable identically by
+    * any engine because the arm is a pure function of the user id
+    * (same portable md5-nibble uniform the sampling operators use,
+    * [[graft.api.Sampling.uniform32Sql]]) rather than a stored
+    * assignment table. Exposure = a user's first view event;
+    * conversion = any purchase in the 7 days after it (strictly
+    * after, closed on the right). Output is one row of exact BIGINT
+    * counts plus three mirrored fixed-order IEEE doubles: the two arm
+    * conversion rates and the pooled two-proportion z statistic
+    * (sqrt is correctly-rounded in both engines — the t29 Wilson-gate
+    * precedent). Scale: two aggregates shuffled on user_id (first
+    * view, then qualifying purchases); the z arithmetic runs on a
+    * 1-row frame. Comparisons at epoch-µs per the event-time
+    * discipline above.
+    */
+  private val abRateC = "(CAST(conv_control AS DOUBLE) / n_control)"
+  private val abRateT = "(CAST(conv_treatment AS DOUBLE) / n_treatment)"
+  private val abPool =
+    "(CAST(conv_control + conv_treatment AS DOUBLE) / (n_control + n_treatment))"
+  private val abZ =
+    s"(($abRateT) - ($abRateC)) / sqrt((($abPool) * (CAST(1 AS DOUBLE) - ($abPool)))" +
+      " * ((CAST(1 AS DOUBLE) / n_control) + (CAST(1 AS DOUBLE) / n_treatment)))"
+  private[ops] val abArmSql =
+    s"(${graft.api.Sampling.uniform32Sql("user_id")} % 2)"
+
+  /** The arm-conditional aggregation + mirrored rate/z tail of the A/B
+    * readout, over a per-exposed-user frame `(arm int, conv long)` —
+    * shared by the batch operator (e35) and the streaming state-fold
+    * twin (qs19), so "streamed state equals the batch answer" is
+    * pinned through literally the same readout code.
+    */
+  private[ops] def abReadout(perUser: DataFrame): DataFrame =
+    perUser
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("bigint")
+          .as("n_control"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).cast("bigint")
+          .as("conv_control"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("bigint")
+          .as("n_treatment"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).cast("bigint")
+          .as("conv_treatment"))
+      .withColumn("rate_control", expr(abRateC))
+      .withColumn("rate_treatment", expr(abRateT))
+      .withColumn("z_score", expr(abZ))
+
+  /** The full e35 oracle — also qs19's oracle VERBATIM (the streaming
+    * fold must land on the batch answer).
+    */
+  private[ops] val abOracleSql: String = {
+    // same arm expression, key qualified for the oracle's two-table FROM
+    val armSqlV = s"(${graft.api.Sampling.uniform32Sql("v.user_id")} % 2)"
+    s"""WITH v AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS v_us FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), conv AS (
+        |  SELECT DISTINCT e.user_id
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) > v.v_us
+        |    AND epoch_us(e.ts) <= v.v_us + 604800000000
+        |), per AS (
+        |  SELECT CAST($armSqlV AS INT) AS arm,
+        |         CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS conv
+        |  FROM v LEFT JOIN conv c ON c.user_id = v.user_id
+        |), agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+        |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_control,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treatment,
+        |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_treatment
+        |  FROM per
+        |)
+        |SELECT n_control, conv_control, n_treatment, conv_treatment,
+        |       $abRateC AS rate_control,
+        |       $abRateT AS rate_treatment,
+        |       $abZ AS z_score
+        |FROM agg""".stripMargin
+  }
+
+  val e35 = OpQuery.oracled("e35_ab_experiment_readout", abOracleSql,
+    doc = "A/B experiment readout: portable hash-armed split, first-view exposure, 7-day conversion window, pooled two-proportion z from exact integer counts") { (spark, dir) =>
+    val ev = Sources.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("v_us"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id")
+      .filter(col("us") > col("v_us") &&
+        col("us") <= col("v_us") + lit(604800000000L))
+      .select("user_id").distinct()
+      .withColumn("cv", lit(1L))
+    abReadout(
+      v.join(conv, Seq("user_id"), "left")
+        .select(expr(abArmSql).cast("int").as("arm"),
+          coalesce(col("cv"), lit(0L)).as("conv")))
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
     e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
-    e25, e26, e27, e28, e29, e30, e31, e32, e33, e34)
+    e25, e26, e27, e28, e29, e30, e31, e32, e33, e34, e35)
 }

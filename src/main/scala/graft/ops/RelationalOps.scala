@@ -1206,7 +1206,53 @@ object RelationalOps {
       .orderBy("c_custkey")
   }
 
+  /** TPC-H Q12 shape (public spec) — the last of the 22 TPC-H query
+    * shapes, completing the full suite (the fixture lacks Q12's
+    * l_shipmode/l_commitdate/l_receiptdate columns, so the shape is
+    * re-expressed on the columns it has: lateness = shipped more than
+    * 60 days after the order date — the same residual r56/Q4 uses —
+    * and the two-valued mode axis is l_returnflag). Dual conditional
+    * sums (urgent-or-high vs lower priorities) over ONE fact-fact join
+    * on the order key; the one-year ship-date window is pushed to the
+    * lineitem scan, the lateness predicate stays a join residual
+    * (it references both sides). At 100 TB this is a single
+    * co-partitioned orderkey shuffle — no second pass, no window.
+    */
+  val r65 = OpQuery.oracled("r65_late_shipment_priority",
+    """SELECT l.l_returnflag AS return_mode,
+      |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM orders o
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |  AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    doc = "TPC-H Q12 late-shipment priority census (completes all 22 TPC-H shapes): dual conditional sums over one fact-fact orderkey join, year window pushed to the scan, lateness as a join residual") { (spark, dir) =>
+    val o = Sources.table(spark, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Sources.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >=
+          lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") <
+          lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .select("l_orderkey", "l_shipdate", "l_returnflag")
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    o.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_returnflag").as("return_mode"))
+      .agg(
+        sum(when(isHigh, 1L).otherwise(0L)).cast("bigint")
+          .as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).cast("bigint")
+          .as("low_line_count"))
+      .orderBy("return_mode")
+  }
+
   val all: Seq[OpQuery] = Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09,
     r10, r11, r12, r30, r32, r38, r41, r42, r43, r44, r46, r47, r48, r49,
-    r50, r51, r52, r54, r55, r56, r57, r58, r64)
+    r50, r51, r52, r54, r55, r56, r57, r58, r64, r65)
 }

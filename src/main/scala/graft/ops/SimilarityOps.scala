@@ -1127,7 +1127,12 @@ object SimilarityOps {
     * vector joins; a deployment with a large probe set would let the
     * re-rank hash-join shuffle on vec_id instead — same plan, one knob.
     */
-  val s16 = OpQuery.oracled("s16_adc_rerank_topk",
+  /** Shared oracle prefix for the two-stage retrievers (s16, s24): the
+    * full ADC pipeline re-derivation (split-half PQ codes, probe LUT,
+    * code-only scoring) down to the 10-deep `shortlist` per probe,
+    * plus `en` = normed exact vectors for the re-rank stage.
+    */
+  private val duckAdcShortlist: String =
     s"""WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM read_parquet('{SFDIR}/embeddings.parquet')
       |), halves AS (
@@ -1171,7 +1176,10 @@ object SimilarityOps {
       |  WHERE rn <= 10
       |), en AS (
       |  SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS nrm FROM e
-      |), rer AS (
+      |)""".stripMargin
+
+  val s16 = OpQuery.oracled("s16_adc_rerank_topk",
+    s"""$duckAdcShortlist, rer AS (
       |  SELECT s.q_id, s.neighbor_id,
       |         ${duckDot("q.v", "n.v")} / (q.nrm * n.nrm) AS cos_sim
       |  FROM shortlist s
@@ -1923,6 +1931,125 @@ object SimilarityOps {
       .orderBy("vec_id", "rank")
   }
 
+  /** MMR-DIVERSIFIED two-stage retrieval: the s16 retriever (ADC
+    * 10-deep shortlist on codes alone, exact cosine on the shortlist)
+    * with the final cut made by maximal marginal relevance
+    * ([[graft.api.Similarity.mmrSelect]], λ = 0.7) instead of plain
+    * top-3 — the standard answer to "my top results are three copies
+    * of the same document". Relevance and the pairwise shortlist
+    * similarities are both quantized to integer micros from the same
+    * bit-portable dot, so every MMR score is exact integer arithmetic;
+    * the oracle unrolls the three greedy rounds as CTEs. Scale: the
+    * only corpus-sized work is the shared ADC scoring pass; the MMR
+    * rounds touch shortlist² rows per probe (≤ 90 here), never the
+    * corpus.
+    */
+  val s24 = OpQuery.oracled("s24_mmr_diversified_rerank",
+    s"""$duckAdcShortlist, rel AS (
+      |  SELECT s.q_id, s.neighbor_id AS cand_id,
+      |         CAST(trunc((${duckDot("q.v", "n.v")} / (q.nrm * n.nrm)) * 1000000) AS BIGINT) AS rel_mic
+      |  FROM shortlist s
+      |  JOIN en q ON q.vec_id = s.q_id
+      |  JOIN en n ON n.vec_id = s.neighbor_id
+      |), ps AS (
+      |  SELECT sa.q_id, sa.neighbor_id AS a_id, sb.neighbor_id AS b_id,
+      |         CAST(trunc((${duckDot("na.v", "nb.v")} / (na.nrm * nb.nrm)) * 1000000) AS BIGINT) AS sim_mic
+      |  FROM shortlist sa
+      |  JOIN shortlist sb ON sb.q_id = sa.q_id
+      |                   AND sb.neighbor_id <> sa.neighbor_id
+      |  JOIN en na ON na.vec_id = sa.neighbor_id
+      |  JOIN en nb ON nb.vec_id = sb.neighbor_id
+      |), s1 AS (
+      |  SELECT q_id, cand_id, 7 * rel_mic AS mmr_mic FROM (
+      |    SELECT q_id, cand_id, rel_mic,
+      |           row_number() OVER (PARTITION BY q_id
+      |                              ORDER BY rel_mic DESC, cand_id ASC) AS rn
+      |    FROM rel) WHERE rn = 1
+      |), ms2 AS (
+      |  SELECT p.q_id, p.a_id AS cand_id, max(p.sim_mic) AS max_sim
+      |  FROM ps p JOIN s1 ON s1.q_id = p.q_id AND s1.cand_id = p.b_id
+      |  GROUP BY 1, 2
+      |), s2 AS (
+      |  SELECT q_id, cand_id, mmr_mic FROM (
+      |    SELECT r.q_id, r.cand_id,
+      |           7 * r.rel_mic - 3 * m.max_sim AS mmr_mic,
+      |           row_number() OVER (PARTITION BY r.q_id
+      |                              ORDER BY 7 * r.rel_mic - 3 * m.max_sim DESC,
+      |                                       r.cand_id ASC) AS rn
+      |    FROM rel r
+      |    JOIN ms2 m ON m.q_id = r.q_id AND m.cand_id = r.cand_id
+      |    WHERE NOT EXISTS (SELECT 1 FROM s1
+      |                      WHERE s1.q_id = r.q_id AND s1.cand_id = r.cand_id)
+      |  ) WHERE rn = 1
+      |), sel12 AS (
+      |  SELECT q_id, cand_id FROM s1 UNION ALL SELECT q_id, cand_id FROM s2
+      |), ms3 AS (
+      |  SELECT p.q_id, p.a_id AS cand_id, max(p.sim_mic) AS max_sim
+      |  FROM ps p JOIN sel12 s ON s.q_id = p.q_id AND s.cand_id = p.b_id
+      |  GROUP BY 1, 2
+      |), s3 AS (
+      |  SELECT q_id, cand_id, mmr_mic FROM (
+      |    SELECT r.q_id, r.cand_id,
+      |           7 * r.rel_mic - 3 * m.max_sim AS mmr_mic,
+      |           row_number() OVER (PARTITION BY r.q_id
+      |                              ORDER BY 7 * r.rel_mic - 3 * m.max_sim DESC,
+      |                                       r.cand_id ASC) AS rn
+      |    FROM rel r
+      |    JOIN ms3 m ON m.q_id = r.q_id AND m.cand_id = r.cand_id
+      |    WHERE NOT EXISTS (SELECT 1 FROM sel12 s
+      |                      WHERE s.q_id = r.q_id AND s.cand_id = r.cand_id)
+      |  ) WHERE rn = 1
+      |)
+      |SELECT q_id, CAST(1 AS INT) AS pick_rank, cand_id, mmr_mic FROM s1
+      |UNION ALL
+      |SELECT q_id, CAST(2 AS INT) AS pick_rank, cand_id, mmr_mic FROM s2
+      |UNION ALL
+      |SELECT q_id, CAST(3 AS INT) AS pick_rank, cand_id, mmr_mic FROM s3
+      |ORDER BY q_id, pick_rank""".stripMargin,
+    doc = "MMR-diversified two-stage retrieval: ADC shortlist + exact-cosine relevance, 3 greedy maximal-marginal-relevance picks (lambda 0.7) in exact integer micros; oracle unrolls the greedy rounds") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val sw = Window.partitionBy("q_id")
+      .orderBy(col("adist_pico").asc, col("neighbor_id").asc)
+    val shortlist = adcScored(spark, dir)
+      .withColumn("rn", row_number().over(sw))
+      .filter(col("rn") <= 10)
+      .select("q_id", "neighbor_id")
+    val en = embedded(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+    val q = en.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("nrm").as("qnrm"))
+    val rel = en
+      .select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+        col("nrm").as("nnrm"))
+      .join(broadcast(q.join(broadcast(shortlist), "q_id")), "neighbor_id")
+      .withColumn("rel_mic", expr(
+        s"CAST((${dotDec("qv", "nv")} / (qnrm * nnrm)) * 1000000 AS BIGINT)"))
+      .select(col("q_id"), col("neighbor_id").as("cand_id"), col("rel_mic"))
+    val a = shortlist.select(col("q_id"), col("neighbor_id").as("a_id"))
+      .join(en.select(col("vec_id").as("a_id"), col("v").as("av"),
+        col("nrm").as("anrm")), "a_id")
+    val pairSim = shortlist.select(col("q_id"), col("neighbor_id").as("b_id"))
+      .join(en.select(col("vec_id").as("b_id"), col("v").as("bv"),
+        col("nrm").as("bnrm")), "b_id")
+      .join(broadcast(a), "q_id")
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim_mic", expr(
+        s"CAST((${dotDec("av", "bv")} / (anrm * bnrm)) * 1000000 AS BIGINT)"))
+      .select("q_id", "a_id", "b_id", "sim_mic")
+    // every greedy round re-reads both score frames; on their raw
+    // lineage each reference re-derives the whole ADC pipeline inside
+    // one physical plan (~240 exchanges). Both frames are
+    // shortlist-sized (≤ |probes|·90 rows), so cut the lineage hard
+    // with an eager localCheckpoint (the cluster-fixpoint pattern —
+    // plan-cache substitution does not reach through the GroupTopK
+    // wrapping the greedy rounds use). Blocks are dropped by the
+    // Verify/Bench per-query unpersist sweep.
+    graft.api.Similarity.mmrSelect(
+        rel.localCheckpoint(), pairSim.localCheckpoint(), k = 3)
+      .select("q_id", "pick_rank", "cand_id", "mmr_mic")
+      .orderBy("q_id", "pick_rank")
+  }
+
   val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
-    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23)
+    s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
+    s24)
 }

@@ -1396,6 +1396,60 @@ object StreamQueries {
       .orderBy("event_type")
   }
 
+  /** qs19: streaming A/B EXPOSURE/CONVERSION fold under the hard
+    * signal ([[graft.stream.Pipelines.abExposureSink]]) — the
+    * incremental twin of the batch experiment readout: per-user
+    * first-view exposure time + 7-day-window conversion flag held as
+    * two exact Longs of state, folded across two event-time-ordered
+    * AvailableNow runs over a shared checkpoint (first half-month,
+    * then the rest — the in-order ingest contract the sink documents,
+    * one micro-batch per run asserted via the commit log). The
+    * readout (hash arms, rates, pooled z) runs AT READ TIME on the
+    * bounded user-state table through literally the same code as
+    * e35 ([[EventOps.abReadout]]), and the oracle is e35's SQL
+    * VERBATIM over the full events table — the streamed fold must
+    * land on the batch answer exactly.
+    */
+  val qs19 = OpQuery.oracled("qs19_stream_ab_exposure",
+    EventOps.abOracleSql,
+    doc = "streaming A/B exposure/conversion state fold across two " +
+      "event-time-ordered incremental runs (two exact Longs per " +
+      "exposed user); readout code + oracle shared verbatim with the " +
+      "batch e35") { (spark, dir) =>
+    val root = scratch(dir, "qs19")
+    wipe(root)
+    // 2024-01-16T00:00Z — splits every rung's one-month event span
+    // roughly in half, keeping both waves non-trivial
+    val boundaryUs = 1705363200000000L
+    val ev = Sources.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+    ev.filter(col("us") < boundaryUs)
+      .write.mode("overwrite").parquet(s"$root/input")
+    val sch = spark.read.parquet(s"$root/input").schema
+    val s8 = stateSession(spark, 8)
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.abExposureSink(
+        s8.readStream.schema(sch).parquet(s"$root/input"),
+        s"$root/table", s"$root/ckpt"))
+    def commits(): Int =
+      Option(new java.io.File(s"$root/ckpt/commits").listFiles())
+        .map(_.count(_.getName.forall(_.isDigit))).getOrElse(0)
+    run()
+    require(commits() == 1,
+      s"qs19 run 1 split into ${commits()} micro-batches; the sink's " +
+        "cross-batch event-time-order contract no longer holds")
+    ev.filter(col("us") >= boundaryUs)
+      .write.mode("append").parquet(s"$root/input")
+    run()
+    require(commits() == 2,
+      s"qs19 run 2 ended at ${commits()} total commits (want 2)")
+    EventOps.abReadout(
+      spark.read.parquet(s"$root/table")
+        .select(expr(EventOps.abArmSql).cast("int").as("arm"),
+          col("conv")))
+  }
+
   val all: Seq[OpQuery] = Seq(
     qs1,
     qs2.copy(prepare = (s, d) => { ensureEnvelopeInput(s, d); () }),
@@ -1415,5 +1469,6 @@ object StreamQueries {
     qs15,
     qs16,
     qs17,
-    qs18)
+    qs18,
+    qs19)
 }

@@ -2119,11 +2119,18 @@ object TextOps {
     * rank-frequency slope (natural text ≈ −1; templated text is much
     * flatter) and the Heaps vocabulary-growth exponent (how fast new
     * types appear as tokens accumulate; near 0 for a closed
-    * vocabulary). Every aggregate is an exact integer; each exponent
-    * is ONE mirrored float expression over those integers (the
-    * two-point log-log fit: rank 1 vs rank `least(V,16)` for Zipf,
-    * the doc_id-parity half-corpus vs the full corpus for Heaps), so
-    * partial-aggregation order can never move a bit.
+    * vocabulary). Every output is an exact integer: the fit POINTS
+    * (rank 1 vs rank `least(V,16)` for Zipf; the doc_id-parity
+    * half-corpus vs the full corpus for Heaps) plus their ratios
+    * quantized to ppm by integer floor division — `decay_ppm` =
+    * 1e6·f_k/f_1, `growth_ppm` = 1e6·V/V_half, `stretch_ppm` =
+    * 1e6·N/N_half. The exponents are one `ln` ratio away
+    * (zipf ≈ ln(decay_ppm/1e6)/ln k, heaps ≈ ln(growth)/ln(stretch))
+    * but `ln` itself stays OFF the oracle-compared surface: unlike
+    * sqrt and division it is not IEEE-correctly-rounded, and the
+    * driver's regenerated sf0.001 fixtures exposed a real 1-ulp
+    * engine divergence in the previous ln-based formulation (the
+    * t31 doctrine, now applied here).
     *
     * Scale shape: one shuffle on (source, token) for the counts; the
     * rank picks go through the bounded-heap [[graft.api.Windows
@@ -2165,21 +2172,20 @@ object TextOps {
       |       CAST(t.top_freq AS BIGINT) AS top_freq,
       |       k.k AS k,
       |       CAST(k.k_freq AS BIGINT) AS k_freq,
-      |       CASE WHEN k.k > 1
-      |         THEN ln(CAST(k.k_freq AS DOUBLE) / t.top_freq)
-      |              / ln(CAST(k.k AS DOUBLE))
-      |         ELSE 0.0 END AS zipf_slope,
+      |       CAST((1000000 * k.k_freq) // t.top_freq AS BIGINT) AS decay_ppm,
       |       CAST(b.half_tokens AS BIGINT) AS half_tokens,
       |       CAST(b.half_types AS BIGINT) AS half_types,
-      |       CASE WHEN b.half_tokens > 0 AND b.n_tokens > b.half_tokens
-      |         THEN ln(CAST(b.n_types AS DOUBLE) / b.half_types)
-      |              / ln(CAST(b.n_tokens AS DOUBLE) / b.half_tokens)
-      |         ELSE 0.0 END AS heaps_beta
+      |       CAST(CASE WHEN b.half_types > 0
+      |         THEN (1000000 * b.n_types) // b.half_types
+      |         ELSE 0 END AS BIGINT) AS growth_ppm,
+      |       CAST(CASE WHEN b.half_tokens > 0
+      |         THEN (1000000 * b.n_tokens) // b.half_tokens
+      |         ELSE 0 END AS BIGINT) AS stretch_ppm
       |FROM by_src b
       |JOIN top1 t ON t.source = b.source
       |JOIN kth k ON k.source = b.source
       |ORDER BY b.source""".stripMargin,
-    doc = "per-source Zipf slope + Heaps exponent (exact integer counts, two mirrored log-log point fits; heap-bounded rank picks)") { (spark, dir) =>
+    doc = "per-source power-law profile: exact Zipf/Heaps fit points + log-free ppm decay/growth ratios (integer floor division only; heap-bounded rank picks)") { (spark, dir) =>
     powerLawProfile(Sources.table(spark, dir, "documents"))
   }
 
@@ -2219,16 +2225,16 @@ object TextOps {
         col("top_freq").cast("bigint").as("top_freq"),
         col("k"),
         col("k_freq").cast("bigint").as("k_freq"),
-        when(col("k") > 1,
-          log(col("k_freq").cast("double") / col("top_freq"))
-            / log(col("k").cast("double")))
-          .otherwise(lit(0.0)).as("zipf_slope"),
+        expr("(1000000 * k_freq) DIV top_freq").cast("bigint")
+          .as("decay_ppm"),
         col("half_tokens").cast("bigint").as("half_tokens"),
         col("half_types").cast("bigint").as("half_types"),
-        when(col("half_tokens") > 0 && col("n_tokens") > col("half_tokens"),
-          log(col("n_types").cast("double") / col("half_types"))
-            / log(col("n_tokens").cast("double") / col("half_tokens")))
-          .otherwise(lit(0.0)).as("heaps_beta"))
+        when(col("half_types") > 0,
+          expr("(1000000 * n_types) DIV half_types"))
+          .otherwise(lit(0L)).cast("bigint").as("growth_ppm"),
+        when(col("half_tokens") > 0,
+          expr("(1000000 * n_tokens) DIV half_tokens"))
+          .otherwise(lit(0L)).cast("bigint").as("stretch_ppm"))
       .orderBy("source")
   }
 

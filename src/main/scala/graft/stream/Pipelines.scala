@@ -426,6 +426,81 @@ object Pipelines {
       ()
     }
 
+  /** Streaming A/B EXPOSURE/CONVERSION state fold — the incremental
+    * twin of the batch experiment readout (e35): per user, the
+    * timestamp of the first `view` (exposure) and whether any
+    * `purchase` landed in the `windowUs` interval after it. State is
+    * two exact Longs per EXPOSED user; purchases by never-exposed
+    * users are dropped (a qualifying purchase is strictly after the
+    * first view, and with event-time-ordered micro-batches a purchase
+    * can never precede an exposure that is still in flight).
+    *
+    * Correctness contract (spec-pinned + oracle-shared-verbatim with
+    * e35): micro-batches must arrive in event-time order ACROSS
+    * batches — within a batch order is irrelevant because the fold
+    * joins the whole batch against the state. Under that contract
+    * `v_us` is fixed at first exposure (later batches only carry later
+    * timestamps) and each purchase is checked against the user's
+    * final first-view time, so the fold lands exactly on the batch
+    * answer. Replay-idempotent: re-applying a committed batch
+    * recomputes the same `min` and re-checks the same purchases
+    * against the same `v_us` (publish via the two-rename swap,
+    * recover on entry).
+    *
+    * Input columns: `user_id long, event_type string, us long`
+    * (event time in epoch-µs). State table: `user_id, v_us, conv`.
+    */
+  def abExposureSink(events: DataFrame, tablePath: String,
+      checkpoint: String, windowUs: Long = 604800000000L)
+      : DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.persist()
+        val waveV = b.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("us")).as("wv"))
+        val waveP = b.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("us").as("pus"))
+        recoverPublished(tablePath, "abExposureSink")
+        val table = new java.io.File(tablePath)
+        val hasData = table.isDirectory && Option(table.listFiles())
+          .exists(_.exists(_.getName.startsWith("part-")))
+        val old =
+          if (hasData) spark.read.parquet(tablePath)
+          else spark.createDataFrame(
+            new java.util.ArrayList[Row](),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("user_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("v_us",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("conv",
+                org.apache.spark.sql.types.LongType))))
+        // merged exposure time: min over stored and in-batch views;
+        // users with neither stay out of the state entirely
+        val exposed = old.join(waveV, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            coalesce(least(col("v_us"), col("wv")), col("v_us"), col("wv"))
+              .as("v_us"),
+            coalesce(col("conv"), lit(0L)).as("conv"))
+          .filter(col("v_us").isNotNull)
+        val qual = waveP.join(exposed.select("user_id", "v_us"), "user_id")
+          .filter(col("pus") > col("v_us") &&
+            col("pus") <= col("v_us") + lit(windowUs))
+          .select("user_id").distinct()
+          .withColumn("q", lit(1L))
+        val merged = exposed.join(qual, Seq("user_id"), "left")
+          .select(col("user_id"), col("v_us"),
+            greatest(col("conv"), coalesce(col("q"), lit(0L))).as("conv"))
+        merged.write.mode("overwrite").parquet(tablePath + ".staged")
+        b.unpersist()
+        publishStaged(tablePath, "abExposureSink")
+        ()
+      }
+
   /** Streaming content-addressed chunk store — the WRITE path of m11's
     * chunk-level dedup: each micro-batch of binary payloads is split
     * into fixed 64-byte chunks ([[graft.ops.Multimodal.payloadChunks]]),

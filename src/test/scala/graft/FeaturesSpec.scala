@@ -149,6 +149,26 @@ class FeaturesSpec extends AnyFunSuite {
     assert(got.filter(_._1.startsWith("h")).values.forall(_ > tied.head))
   }
 
+  test("e35 A/B readout: arms partition exposed users; rates and z re-derive from the counts") {
+    val row = graft.ops.EventOps.e35.fn(spark, TestSpark.sf0001).collect()
+    assert(row.length == 1)
+    val r = row.head
+    val (nc, cc, nt, ct) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // hash arms must actually split the exposed population
+    assert(nc > 0 && nt > 0, s"degenerate arm split nc=$nc nt=$nt")
+    assert(cc >= 0 && cc <= nc && ct >= 0 && ct <= nt)
+    // the doubles are the documented fixed-order IEEE expressions of
+    // the exact counts — recompute them in the same order
+    val rateC = cc.toDouble / nc
+    val rateT = ct.toDouble / nt
+    val pool = (cc + ct).toDouble / (nc + nt)
+    val z = (rateT - rateC) /
+      math.sqrt((pool * (1.0 - pool)) * ((1.0 / nc) + (1.0 / nt)))
+    assert(r.getDouble(4) == rateC && r.getDouble(5) == rateT)
+    assert(r.getDouble(6) == z, s"z mismatch: got ${r.getDouble(6)}, want $z")
+  }
+
   test("seasonalStrength: a periodic series scores 0; a trend scores the lag gap") {
     // periodic: count(h) = (h % 24) % 3 + 1 repeats daily -> seasonal SAE 0
     // trend: count(h) = h -> |c - c24| = 24, |c - c1| = 1 per hour

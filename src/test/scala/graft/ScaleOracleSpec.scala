@@ -26,7 +26,8 @@ class ScaleOracleSpec extends AnyFunSuite {
   private val subset: Set[String] = Set(
     "r01_semi_join_open_orders", "r02_anti_join_no_orders",
     "r05_explode_part_words", "r22_group_topk_parts",
-    "r59_schema_evolved_scan",
+    "r59_schema_evolved_scan", "r65_late_shipment_priority",
+    "e35_ab_experiment_readout",
     "q04_top_segment_per_balance_band",
     "qr3_top_poster_per_country", "qr6_users_joined_per_year",
     "qr7a_median_followers_per_join_year",

@@ -98,6 +98,37 @@ class SimilarityApiSpec extends AnyFunSuite {
       (5L, 1, 2L), (5L, 2, 1L)), g.toString)
   }
 
+  test("mmrSelect trades relevance for diversity and breaks ties by cand_id (s24 kernel)") {
+    // q=1: A(10) rel .99, B(11) rel .98 but a near-clone of A
+    // (sim .99), C(12) rel .60 and dissimilar to both (.10). Plain
+    // top-2 = A,B; MMR(λ=0.7) must pick C second:
+    //   B: 7·980000 − 3·990000 = 3_890_000
+    //   C: 7·600000 − 3·100000 = 3_900_000  → C wins round 2
+    // q=2: two equal-relevance, zero-similarity candidates — round-1
+    // tie breaks to the lower id; only 2 candidates, so k=3 yields
+    // just 2 picks for q=2.
+    val rel = Seq(
+      (1L, 10L, 990000L), (1L, 11L, 980000L), (1L, 12L, 600000L),
+      (2L, 20L, 500000L), (2L, 21L, 500000L)
+    ).toDF("q_id", "cand_id", "rel_mic")
+    val sims = Seq(
+      (1L, 10L, 11L, 990000L), (1L, 10L, 12L, 100000L),
+      (1L, 11L, 12L, 100000L),
+      (2L, 20L, 21L, 0L))
+    val pairSim = (sims ++ sims.map(s => (s._1, s._3, s._2, s._4)))
+      .toDF("q_id", "a_id", "b_id", "sim_mic")
+    val got = Similarity.mmrSelect(rel, pairSim, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      (1L, 1, 10L, 6930000L),
+      (1L, 2, 12L, 3900000L),
+      (1L, 3, 11L, 3890000L),
+      (2L, 1, 20L, 3500000L),
+      (2L, 2, 21L, 3500000L)), got.toString)
+  }
+
   test("hyperplaneBuckets is deterministic and 2^planes-bounded") {
     val b1 = Similarity.hyperplaneBuckets(vecs, planes = 4, dims = 4)
       .select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getString(1))).toMap

@@ -1464,6 +1464,41 @@ class StreamingSpec extends AnyFunSuite {
     if (crc.exists()) assert(crc.delete(), s"could not delete $crc")
   }
 
+  test("A/B exposure restart: replayed fold recomputes identical state; window and exposure rules hold") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = tmp("graft_ab_replay")
+    val mem = MemoryStream[(Long, String, Long)]
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.abExposureSink(
+        mem.toDF().toDF("user_id", "event_type", "us"),
+        s"$root/table", s"$root/ckpt", windowUs = 100L))
+    def state(): Set[(Long, Long, Long)] =
+      spark.read.parquet(s"$root/table").as[(Long, Long, Long)]
+        .collect().toSet
+    // wave 1: u1 exposed at 10; u2's purchase precedes any exposure —
+    // dropped (can never qualify under in-order ingest)
+    mem.addData((1L, "view", 10L), (2L, "purchase", 20L))
+    run()
+    assert(state() == Set((1L, 10L, 0L)))
+    // wave 2 (later event times): u1 converts inside the window
+    // (50 ≤ 10+100); u2 becomes exposed; u1's later view must not
+    // move its first-exposure time
+    mem.addData((1L, "purchase", 50L), (2L, "view", 60L), (1L, "view", 70L))
+    run()
+    assert(state() == Set((1L, 10L, 1L), (2L, 60L, 0L)))
+    // kill between batch 2's publish and its checkpoint commit: the
+    // restart replays the batch against the already-published state —
+    // min/greatest absorb it, nothing double-converts or regresses
+    forceReplay(s"$root/ckpt")
+    run()
+    assert(state() == Set((1L, 10L, 1L), (2L, 60L, 0L)))
+    // out-of-window purchase (200 > 60+100) never converts u2
+    mem.addData((2L, "purchase", 200L))
+    run()
+    assert(state() == Set((1L, 10L, 1L), (2L, 60L, 0L)))
+  }
+
   test("chunk store restart: a replayed half-applied batch converges, no duplicate chunks") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -19,7 +19,7 @@ class TextStatsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r)
       .toMap
 
-  test("hand-counted source: exact counts and both exponents") {
+  test("hand-counted source: exact counts and both ppm ratios") {
     // doc 0 (even id = in half): a a b ; doc 1: a b c d
     // counts: a=3 b=2 c=1 d=1 -> N=7 V=4; half: N_A=3 V_A=2 (a,b)
     val got = profile(Seq(
@@ -27,28 +27,29 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got.getLong(1) == 7L && got.getLong(2) == 4L) // n_tokens, n_types
     assert(got.getLong(3) == 3L) // top_freq = a
     assert(got.getLong(4) == 4L && got.getLong(5) == 1L) // k = V = 4, f_k = 1
-    val zipf = math.log(1.0 / 3.0) / math.log(4.0)
-    assert(math.abs(got.getDouble(6) - zipf) < 1e-12, got.getDouble(6).toString)
+    assert(got.getLong(6) == 333333L, got.getLong(6).toString) // 1e6·1/3
     assert(got.getLong(7) == 3L && got.getLong(8) == 2L) // half tokens/types
-    val heaps = math.log(4.0 / 2.0) / math.log(7.0 / 3.0)
-    assert(math.abs(got.getDouble(9) - heaps) < 1e-12, got.getDouble(9).toString)
+    assert(got.getLong(9) == 2000000L, got.getLong(9).toString) // 1e6·4/2
+    assert(got.getLong(10) == 2333333L, got.getLong(10).toString) // 1e6·7/3
   }
 
-  test("closed vocabulary: Heaps exponent is exactly zero") {
-    // both halves see the full {x,y} vocabulary -> ln(V/V_A) = ln 1 = 0
+  test("closed vocabulary: Heaps growth ratio is exactly 1e6") {
+    // both halves see the full {x,y} vocabulary -> V/V_half = 1
     val got = profile(Seq(
       (0L, "s", "x y x"), (1L, "s", "y x y")))("s")
     assert(got.getLong(2) == 2L && got.getLong(8) == 2L)
-    assert(got.getDouble(9) == 0.0, got.getDouble(9).toString)
+    assert(got.getLong(9) == 1000000L, got.getLong(9).toString)
+    assert(got.getLong(10) == 2000000L, got.getLong(10).toString) // 1e6·6/3
   }
 
-  test("single-type source and empty half hit the guard branches") {
-    // source t: one token type -> k = 1 -> zipf_slope guard = 0.0
-    // source u: only odd doc ids -> empty half -> heaps guard = 0.0
+  test("single-type source and empty half hit the degenerate branches") {
+    // source t: one token type -> k = 1, f_k = top_freq -> decay 1e6
+    // source u: only odd doc ids -> empty half -> growth/stretch 0
     val got = profile(Seq(
       (0L, "t", "z z z"), (1L, "u", "p q")))
-    assert(got("t").getLong(4) == 1L && got("t").getDouble(6) == 0.0)
-    assert(got("u").getLong(7) == 0L && got("u").getDouble(9) == 0.0)
+    assert(got("t").getLong(4) == 1L && got("t").getLong(6) == 1000000L)
+    assert(got("u").getLong(7) == 0L && got("u").getLong(9) == 0L)
+    assert(got("u").getLong(10) == 0L)
   }
 
   test("rank picks agree with a full-sort ranking (heap path parity)") {
