@@ -377,8 +377,18 @@ object Bench {
     val samplesJson = canarySamples
       .map { case (i, s) => s"""{"after":$i,"sec":${r3(s)}}""" }
       .mkString("[", ",", "]")
+    // Host 1-minute load average at draw end: the canary says whether
+    // THIS process ran slow; the load average says whether the MACHINE
+    // was busy — together a co-tenancy burst is attributable in one
+    // read (this batch's second draw: canary 1.95 s AND load 6 —
+    // vs a self-inflicted slowdown, which moves only the canary).
+    // -1.0 when /proc/loadavg is unreadable (non-Linux).
+    val loadAvg: Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     val canaryJson =
-      s""","canary":{"name":"r41_small_quantity_revenue","pre":${r3(canaryPre)},"post":${r3(canaryPost)},"samples":$samplesJson}"""
+      s""","canary":{"name":"r41_small_quantity_revenue","pre":${r3(canaryPre)},"post":${r3(canaryPost)},"load_avg":${r3(loadAvg)},"samples":$samplesJson}"""
 
     val shuffleJson = jsonMap(results.map(t =>
       t.name -> math.round(t.shuffleMB * 1000.0) / 1000.0))

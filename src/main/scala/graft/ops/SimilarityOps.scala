@@ -1931,21 +1931,12 @@ object SimilarityOps {
       .orderBy("vec_id", "rank")
   }
 
-  /** MMR-DIVERSIFIED two-stage retrieval: the s16 retriever (ADC
-    * 10-deep shortlist on codes alone, exact cosine on the shortlist)
-    * with the final cut made by maximal marginal relevance
-    * ([[graft.api.Similarity.mmrSelect]], λ = 0.7) instead of plain
-    * top-3 — the standard answer to "my top results are three copies
-    * of the same document". Relevance and the pairwise shortlist
-    * similarities are both quantized to integer micros from the same
-    * bit-portable dot, so every MMR score is exact integer arithmetic;
-    * the oracle unrolls the three greedy rounds as CTEs. Scale: the
-    * only corpus-sized work is the shared ADC scoring pass; the MMR
-    * rounds touch shortlist² rows per probe (≤ 90 here), never the
-    * corpus.
+  /** Shared oracle middle for s24/s25: relevance + pairwise-similarity
+    * micros over the ADC shortlist, then the three unrolled greedy MMR
+    * rounds (λ = 7/10, ties to the lower cand_id) as CTEs s1/s2/s3.
     */
-  val s24 = OpQuery.oracled("s24_mmr_diversified_rerank",
-    s"""$duckAdcShortlist, rel AS (
+  private val duckMmrRounds: String =
+    s""", rel AS (
       |  SELECT s.q_id, s.neighbor_id AS cand_id,
       |         CAST(trunc((${duckDot("q.v", "n.v")} / (q.nrm * n.nrm)) * 1000000) AS BIGINT) AS rel_mic
       |  FROM shortlist s
@@ -1999,7 +1990,23 @@ object SimilarityOps {
       |    WHERE NOT EXISTS (SELECT 1 FROM sel12 s
       |                      WHERE s.q_id = r.q_id AND s.cand_id = r.cand_id)
       |  ) WHERE rn = 1
-      |)
+      |)""".stripMargin
+
+  /** MMR-DIVERSIFIED two-stage retrieval: the s16 retriever (ADC
+    * 10-deep shortlist on codes alone, exact cosine on the shortlist)
+    * with the final cut made by maximal marginal relevance
+    * ([[graft.api.Similarity.mmrSelect]], λ = 0.7) instead of plain
+    * top-3 — the standard answer to "my top results are three copies
+    * of the same document". Relevance and the pairwise shortlist
+    * similarities are both quantized to integer micros from the same
+    * bit-portable dot, so every MMR score is exact integer arithmetic;
+    * the oracle unrolls the three greedy rounds as CTEs. Scale: the
+    * only corpus-sized work is the shared ADC scoring pass; the MMR
+    * rounds touch shortlist² rows per probe (≤ 90 here), never the
+    * corpus.
+    */
+  val s24 = OpQuery.oracled("s24_mmr_diversified_rerank",
+    s"""$duckAdcShortlist$duckMmrRounds
       |SELECT q_id, CAST(1 AS INT) AS pick_rank, cand_id, mmr_mic FROM s1
       |UNION ALL
       |SELECT q_id, CAST(2 AS INT) AS pick_rank, cand_id, mmr_mic FROM s2
@@ -2007,6 +2014,26 @@ object SimilarityOps {
       |SELECT q_id, CAST(3 AS INT) AS pick_rank, cand_id, mmr_mic FROM s3
       |ORDER BY q_id, pick_rank""".stripMargin,
     doc = "MMR-diversified two-stage retrieval: ADC shortlist + exact-cosine relevance, 3 greedy maximal-marginal-relevance picks (lambda 0.7) in exact integer micros; oracle unrolls the greedy rounds") { (spark, dir) =>
+    val (rel, pairSim) = mmrScoreFrames(spark, dir)
+    graft.api.Similarity.mmrSelect(rel, pairSim, k = 3)
+      .select("q_id", "pick_rank", "cand_id", "mmr_mic")
+      .orderBy("q_id", "pick_rank")
+  }
+
+  /** The s24/s25 score frames: per-probe exact-cosine relevance over
+    * the ADC 10-deep shortlist, and the pairwise shortlist
+    * similarities, both in integer micros. Every greedy MMR round
+    * re-reads both frames; on their raw lineage each reference
+    * re-derives the whole ADC pipeline inside one physical plan
+    * (~240 exchanges), so the lineage is cut hard with an eager
+    * localCheckpoint (the cluster-fixpoint pattern — plan-cache
+    * substitution does not reach through the GroupTopK wrapping the
+    * greedy rounds use). Both frames are shortlist-sized
+    * (≤ |probes|·90 rows); blocks are dropped by the Verify/Bench
+    * per-query unpersist sweep.
+    */
+  private def mmrScoreFrames(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val sw = Window.partitionBy("q_id")
       .orderBy(col("adist_pico").asc, col("neighbor_id").asc)
@@ -2035,21 +2062,91 @@ object SimilarityOps {
       .withColumn("sim_mic", expr(
         s"CAST((${dotDec("av", "bv")} / (anrm * bnrm)) * 1000000 AS BIGINT)"))
       .select("q_id", "a_id", "b_id", "sim_mic")
-    // every greedy round re-reads both score frames; on their raw
-    // lineage each reference re-derives the whole ADC pipeline inside
-    // one physical plan (~240 exchanges). Both frames are
-    // shortlist-sized (≤ |probes|·90 rows), so cut the lineage hard
-    // with an eager localCheckpoint (the cluster-fixpoint pattern —
-    // plan-cache substitution does not reach through the GroupTopK
-    // wrapping the greedy rounds use). Blocks are dropped by the
-    // Verify/Bench per-query unpersist sweep.
-    graft.api.Similarity.mmrSelect(
-        rel.localCheckpoint(), pairSim.localCheckpoint(), k = 3)
-      .select("q_id", "pick_rank", "cand_id", "mmr_mic")
-      .orderBy("q_id", "pick_rank")
+    (rel.localCheckpoint(), pairSim.localCheckpoint())
+  }
+
+  /** The s24 acceptance DIAL (the house pattern: every retrieval
+    * operator ships the number that says whether it is doing its
+    * job): per probe, the summed pairwise intra-list similarity (ILS)
+    * of the 3 MMR picks vs the plain top-3, and the summed relevance
+    * of each set — so the diversity BOUGHT (ILS drop) and the
+    * relevance PAID (rel drop) are both visible, per probe, in exact
+    * integer micros. Probes where the shortlist's head is already
+    * diverse show identical sets (both deltas 0); probes with
+    * near-clone heads show the trade. Everything runs on the same
+    * checkpointed shortlist-sized frames as s24 — no extra
+    * corpus-scale work beyond the shared ADC pass.
+    */
+  val s25 = OpQuery.oracled("s25_mmr_diversity_gain",
+    s"""$duckAdcShortlist$duckMmrRounds, mmr AS (
+      |  SELECT q_id, cand_id FROM s1
+      |  UNION ALL SELECT q_id, cand_id FROM s2
+      |  UNION ALL SELECT q_id, cand_id FROM s3
+      |), plain AS (
+      |  SELECT q_id, cand_id FROM (
+      |    SELECT q_id, cand_id,
+      |           row_number() OVER (PARTITION BY q_id
+      |                              ORDER BY rel_mic DESC, cand_id ASC) AS rn
+      |    FROM rel) WHERE rn <= 3
+      |), mrel AS (
+      |  SELECT r.q_id, CAST(sum(r.rel_mic) AS BIGINT) AS mmr_rel_sum
+      |  FROM rel r JOIN mmr m ON m.q_id = r.q_id AND m.cand_id = r.cand_id
+      |  GROUP BY 1
+      |), prel AS (
+      |  SELECT r.q_id, CAST(sum(r.rel_mic) AS BIGINT) AS top_rel_sum
+      |  FROM rel r JOIN plain t ON t.q_id = r.q_id AND t.cand_id = r.cand_id
+      |  GROUP BY 1
+      |), mils AS (
+      |  SELECT p.q_id, CAST(sum(p.sim_mic) AS BIGINT) AS mmr_ils_sum
+      |  FROM ps p
+      |  JOIN mmr a ON a.q_id = p.q_id AND a.cand_id = p.a_id
+      |  JOIN mmr b ON b.q_id = p.q_id AND b.cand_id = p.b_id
+      |  GROUP BY 1
+      |), pils AS (
+      |  SELECT p.q_id, CAST(sum(p.sim_mic) AS BIGINT) AS top_ils_sum
+      |  FROM ps p
+      |  JOIN plain a ON a.q_id = p.q_id AND a.cand_id = p.a_id
+      |  JOIN plain b ON b.q_id = p.q_id AND b.cand_id = p.b_id
+      |  GROUP BY 1
+      |)
+      |SELECT mrel.q_id, mrel.mmr_rel_sum, prel.top_rel_sum,
+      |       mils.mmr_ils_sum, pils.top_ils_sum
+      |FROM mrel
+      |JOIN prel ON prel.q_id = mrel.q_id
+      |JOIN mils ON mils.q_id = mrel.q_id
+      |JOIN pils ON pils.q_id = mrel.q_id
+      |ORDER BY mrel.q_id""".stripMargin,
+    doc = "s24's acceptance dial: per-probe intra-list similarity and summed relevance of the MMR picks vs the plain top-3 — the diversity bought and the relevance paid, in exact integer micros") { (spark, dir) =>
+    val (rel, pairSim) = mmrScoreFrames(spark, dir)
+    // both pick-sets are read three times each below (one rel-sum +
+    // two sides of the ILS self-join); checkpoint the ≤3-rows-per-
+    // probe frames so the greedy-round lineage isn't re-planned per
+    // reference (the s24 lesson, one level up)
+    val mmr = graft.api.Similarity.mmrSelect(rel, pairSim, k = 3)
+      .select("q_id", "cand_id").localCheckpoint()
+    val plain = graft.api.Windows.topKPerGroup(rel, Seq("q_id"),
+      Seq(("rel_mic", true), ("cand_id", false)), 3)
+      .select("q_id", "cand_id").localCheckpoint()
+    def relSum(set: DataFrame, name: String): DataFrame =
+      rel.join(set, Seq("q_id", "cand_id"))
+        .groupBy("q_id").agg(sum("rel_mic").cast("bigint").as(name))
+    def ilsSum(set: DataFrame, name: String): DataFrame =
+      pairSim
+        .join(set.select(col("q_id"), col("cand_id").as("a_id")),
+          Seq("q_id", "a_id"))
+        .join(set.select(col("q_id"), col("cand_id").as("b_id")),
+          Seq("q_id", "b_id"))
+        .groupBy("q_id").agg(sum("sim_mic").cast("bigint").as(name))
+    relSum(mmr, "mmr_rel_sum")
+      .join(relSum(plain, "top_rel_sum"), "q_id")
+      .join(ilsSum(mmr, "mmr_ils_sum"), "q_id")
+      .join(ilsSum(plain, "top_ils_sum"), "q_id")
+      .select("q_id", "mmr_rel_sum", "top_rel_sum",
+        "mmr_ils_sum", "top_ils_sum")
+      .orderBy("q_id")
   }
 
   val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
-    s24)
+    s24, s25)
 }
