@@ -168,4 +168,28 @@ object Corpus {
       .filter(col("rank_in_group") * keepDen <= col("_cnt") * keepNum)
       .drop("_cnt")
   }
+
+  /** k-ANONYMITY PROFILE of a quasi-identifier combination — the
+    * privacy audit a corpus release runs before shipping metadata:
+    * every row whose QI tuple is shared by fewer than k others is
+    * re-identifiable to that group size. Output is the group-size
+    * histogram (k, n_groups, n_rows): the release gate reads off how
+    * many rows sit in groups below its k threshold, and the histogram
+    * is diffable across releases like p09's card. All exact integers.
+    *
+    * Scale shape: one shuffle on the QI tuple (uniformly keyed — a QI
+    * worth auditing is high-cardinality by definition), then an
+    * aggregate over group SIZES, whose domain is tiny. Never a
+    * self-join; rows at risk are identified by group size alone.
+    */
+  def kAnonymityProfile(df: DataFrame, qiCols: Seq[String]): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).cast("bigint").as("n_groups"),
+        sum("k").cast("bigint").as("n_rows"))
+      .select(col("k").cast("bigint").as("k"), col("n_groups"),
+        col("n_rows"))
+  }
 }

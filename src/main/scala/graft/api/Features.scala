@@ -224,4 +224,57 @@ object Features {
       .agg(countDistinct(col(key)).cast("bigint")
         .as(s"active_${windowUnits}d"))
   }
+
+  /** Discrete-time survival LIFE TABLE of user churn (the actuarial /
+    * Kaplan-Meier estimator's per-interval half, kept exact): per
+    * elapsed period k since a user's first event,
+    *
+    *   n_at_risk(k)  = users whose observed lifetime spans ≥ k periods
+    *   n_churned(k)  = users whose LAST event falls in period k and is
+    *                   ≥ one period before the corpus end (a quiet tail
+    *                   shorter than that is CENSORED — "no event yet",
+    *                   not "gone");
+    *   hazard_ppm(k) = n_churned(k)·10^6 div n_at_risk(k).
+    *
+    * Kaplan-Meier's survival CURVE is a cumulative product of these
+    * per-period fractions — not expressible in exact integers — but the
+    * hazards are each ONE integer division, so the table is bit-stable
+    * in any engine and the curve is a client-side fold away. Periods
+    * with no ending user still appear (hazard 0) out to the last
+    * observed lifetime.
+    *
+    * Scale shape: one groupBy(user) pass for (first, last), a
+    * single-row max for the corpus end, a tiny per-period aggregate,
+    * and the at-risk suffix sum as a window over the ≤ max-lifetime
+    * period rows — never a user-level window or a range join.
+    */
+  def hazardLifeTable(df: DataFrame, key: String, usCol: String,
+      periodUs: Long): DataFrame = {
+    val life = df.groupBy(col(key))
+      .agg(min(col(usCol)).as("first_us"), max(col(usCol)).as("last_us"))
+    val endRow = df.agg(max(col(usCol)).as("end_us"))
+    val perUser = life.crossJoin(broadcast(endRow))
+      .select(
+        expr(s"(last_us - first_us) div $periodUs").as("k"),
+        (col("end_us") - col("last_us") < periodUs).as("censored"))
+    val perPeriod = perUser.groupBy("k")
+      .agg(count(lit(1)).as("n_ended"),
+        sum(when(col("censored"), 0L).otherwise(1L)).as("n_churned"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"))
+    // dense period axis 0..max(k) from a one-row explode (no collect)
+    val axis = perPeriod.agg(max("k").as("mk"))
+      .select(explode(expr("sequence(0, mk)")).as("k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("k").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    axis.join(perPeriod, Seq("k"), "left")
+      .na.fill(0L, Seq("n_ended", "n_churned", "n_censored"))
+      .withColumn("n_at_risk", sum("n_ended").over(w))
+      .select(col("k").cast("bigint").as("period"),
+        col("n_at_risk").cast("bigint").as("n_at_risk"),
+        col("n_churned").cast("bigint").as("n_churned"),
+        col("n_censored").cast("bigint").as("n_censored"),
+        expr("(n_churned * 1000000) div n_at_risk").cast("bigint")
+          .as("hazard_ppm"))
+  }
 }

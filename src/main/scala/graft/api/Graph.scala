@@ -954,4 +954,68 @@ object Graph {
     sym.unpersist()
     dist
   }
+
+  /** HITS hubs-and-authorities over a DIRECTED bipartite edge list
+    * (Kleinberg 1999) in the house exact fixed-point arithmetic: hub
+    * scores live on `src` nodes, authority scores on `dst` nodes, and
+    * each iteration is
+    *
+    *   a(p) = Σ_{(c,p)∈E} h(c),  then a ← (a · 10^6) div Σ a
+    *   h(c) = Σ_{(c,p)∈E} a(p),  then h ← (h · 10^6) div Σ h
+    *
+    * with h₀ ≡ 10^6. The usual L2 normalization needs a sqrt of a sum
+    * of squares — not floor-exact — so this uses L1 (sum) normalization,
+    * which preserves HITS's ranking fixpoint (both normalizations are
+    * positive scalar rescalings of the same power iteration) and keeps
+    * every operand an integer every dialect floors identically.
+    * Returns (side 'hub'|'authority', node, score_ppm).
+    *
+    * Bounds: scores are ppm of the total mass (≤ 10^6), so a raw sum is
+    * ≤ deg_max · 10^6 and the pre-division product ≤ deg_max · 10^12 —
+    * safe for any degree below ~9·10^6; the normalizing sums are ≤
+    * |E| · 10^6, safe below ~9·10^12 edges. Scale shape per iteration:
+    * one shuffle join of scores onto edges + one aggregate per side;
+    * the normalizing sum is a one-row broadcast, never a driver
+    * collect.
+    */
+  def hitsScores(edgeList: DataFrame, iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, s"bad iterations $iterations")
+    val one = 1000000L
+    val e = edgeList.select(col("src"), col("dst")).persist()
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def normalized(raw0: DataFrame, node: String, s: String): DataFrame = {
+      // materialize each half-round's raw per-node sums once: the
+      // normalizing total and the next half-round's join BOTH re-read
+      // them, and on raw lineage that reuse doubles the plan per
+      // half-round (the s24 lesson — ~270 exchanges for two rounds
+      // without the cut, 8 with it)
+      val r = raw0.localCheckpoint(true)
+      cuts += r
+      val tot = r.agg(sum(col(s)).as("tot"))
+      r.crossJoin(broadcast(tot))
+        .select(col(node), expr(s"($s * $one) div tot").as(s))
+    }
+    var hubs = e.select(col("src")).distinct()
+      .select(col("src"), lit(one).as("h"))
+    var auths: DataFrame = null
+    for (_ <- 1 to iterations) {
+      auths = normalized(
+        e.join(hubs, "src").groupBy("dst").agg(sum("h").as("a")),
+        "dst", "a")
+      hubs = normalized(
+        e.join(auths, "dst").groupBy("src").agg(sum("a").as("h")),
+        "src", "h")
+    }
+    val out = hubs
+      .select(lit("hub").as("side"), col("src").as("node"),
+        col("h").cast("bigint").as("score_ppm"))
+      .unionAll(auths.select(lit("authority").as("side"),
+        col("dst").as("node"), col("a").cast("bigint").as("score_ppm")))
+    // free every superseded round's blocks now; the final two cuts feed
+    // `out` and are dropped by the caller's per-query unpersist sweep
+    cuts.dropRight(2).foreach(
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed)
+    e.unpersist()
+    out
+  }
 }

@@ -1501,7 +1501,63 @@ object EventOps {
           coalesce(col("cv"), lit(0L)).as("conv")))
   }
 
+  /** Discrete-time churn LIFE TABLE
+    * ([[graft.api.Features.hazardLifeTable]], weekly periods): per
+    * weeks-since-first-event, the users still at risk, the users whose
+    * last event lands there (churned — unless within a week of the
+    * corpus end, which is CENSORING: "quiet so far", not "gone"), and
+    * the per-week hazard in exact ppm. The survival curve itself is a
+    * cumulative product — not integer-exact — so the engine ships the
+    * life table (each hazard is ONE division) and the curve is a
+    * client-side fold; the same split as t40's log-free power-law
+    * profile. Complements e09's cohort retention: retention asks "who
+    * came back in week k", the hazard asks "given you survived to week
+    * k, what's the chance week k is your last".
+    */
+  val e36 = OpQuery.oracled("e36_churn_hazard_table",
+    """WITH life AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS first_us,
+      |         max(epoch_us(ts)) AS last_us
+      |  FROM events GROUP BY 1
+      |), fin AS (
+      |  SELECT max(epoch_us(ts)) AS end_us FROM events
+      |), pu AS (
+      |  SELECT (last_us - first_us) // 604800000000 AS k,
+      |         (end_us - last_us) < 604800000000 AS censored
+      |  FROM life, fin
+      |), pp AS (
+      |  SELECT k, count(*) AS n_ended,
+      |         sum(CASE WHEN censored THEN 0 ELSE 1 END) AS n_churned,
+      |         sum(CASE WHEN censored THEN 1 ELSE 0 END) AS n_censored
+      |  FROM pu GROUP BY 1
+      |), axis AS (
+      |  SELECT unnest(generate_series(0, (SELECT max(k) FROM pp))) AS k
+      |), f AS (
+      |  SELECT axis.k, coalesce(pp.n_ended, 0) AS n_ended,
+      |         coalesce(pp.n_churned, 0) AS n_churned,
+      |         coalesce(pp.n_censored, 0) AS n_censored
+      |  FROM axis LEFT JOIN pp ON pp.k = axis.k
+      |), ar AS (
+      |  SELECT k, n_churned, n_censored,
+      |         sum(n_ended) OVER (ORDER BY k DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk
+      |  FROM f
+      |)
+      |SELECT CAST(k AS BIGINT) AS period,
+      |       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+      |       CAST(n_churned AS BIGINT) AS n_churned,
+      |       CAST(n_censored AS BIGINT) AS n_censored,
+      |       CAST((n_churned * 1000000) // n_at_risk AS BIGINT) AS hazard_ppm
+      |FROM ar ORDER BY period""".stripMargin,
+    doc = "discrete-time churn life table: weekly at-risk/churned/censored counts + exact-ppm hazard (survival curve = client-side fold of the hazards)") { (spark, dir) =>
+    graft.api.Features.hazardLifeTable(
+        Sources.table(spark, dir, "events")
+          .select(col("user_id"), tsUs.as("us")),
+        "user_id", "us", periodUs = 604800000000L)
+      .orderBy("period")
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
     e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
-    e25, e26, e27, e28, e29, e30, e31, e32, e33, e34, e35)
+    e25, e26, e27, e28, e29, e30, e31, e32, e33, e34, e35, e36)
 }

@@ -1269,6 +1269,80 @@ object GraphOps {
       .orderBy("sup")
   }
 
+  /** HITS hubs and authorities ([[graft.api.Graph.hitsScores]],
+    * Kleinberg 1999) over the DIRECTED bipartite purchase graph
+    * customer→part: a customer is a good HUB when they buy
+    * authoritative parts, a part a good AUTHORITY when good hubs buy
+    * it — the mutual-reinforcement ranking PageRank's single score
+    * can't express, and the classic recommender bootstrap on exactly
+    * this bipartite shape. L1-normalized exact fixed-point arithmetic
+    * (see the API doc for why L1, not L2), two iterations, top-20 per
+    * side. The oracle unrolls both rounds as CTEs with `//` floors.
+    */
+  val g21 = OpQuery.oracled("g21_hits_bipartite", {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "h0" else s"h${i - 1}n"
+      s"""a$i AS (
+      |  SELECT e.p, sum($prev.h) AS a FROM e JOIN $prev USING (c) GROUP BY 1
+      |), a${i}n AS (
+      |  SELECT p, (a * 1000000) // (SELECT sum(a) FROM a$i) AS a FROM a$i
+      |), h$i AS (
+      |  SELECT e.c, sum(a${i}n.a) AS h FROM e JOIN a${i}n USING (p) GROUP BY 1
+      |), h${i}n AS (
+      |  SELECT c, (h * 1000000) // (SELECT sum(h) FROM h$i) AS h FROM h$i
+      |)"""
+    }
+    s"""WITH e AS (
+      |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |), h0 AS (
+      |  SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM e
+      |), ${round(1)}, ${round(2)}
+      |SELECT * FROM (
+      |  SELECT 'hub' AS side, c AS node, CAST(h AS BIGINT) AS score_ppm
+      |  FROM h2n ORDER BY score_ppm DESC, node LIMIT 20
+      |)
+      |UNION ALL
+      |SELECT * FROM (
+      |  SELECT 'authority' AS side, p AS node, CAST(a AS BIGINT) AS score_ppm
+      |  FROM a2n ORDER BY score_ppm DESC, node LIMIT 20
+      |)
+      |ORDER BY side, score_ppm DESC, node""".stripMargin
+  },
+    doc = "HITS hubs/authorities on the bipartite customer-part purchase graph: L1-normalized exact fixed-point power iteration, 2 rounds, top-20 per side") { (spark, dir) =>
+    val e = spark.read.parquet(ensureBipartiteEdges(spark, dir))
+    graft.api.Windows.topKPerGroup(
+        graft.api.Graph.hitsScores(e, iterations = 2),
+        Seq("side"), Seq(("score_ppm", true), ("node", false)), 20)
+      .select("side", "node", "score_ppm")
+      .orderBy(col("side"), col("score_ppm").desc, col("node"))
+  }
+
+  /** Materialized per-SF bipartite customer→part purchase edge list
+    * (g21's input) — the same maintained-table contract as
+    * [[ensureEdges]]: built once per SF outside the timed section, so
+    * the g21 number measures the HITS kernel, not the orderkey join.
+    */
+  private[graft] def ensureBipartiteEdges(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    synchronized {
+      val sf = new java.io.File(dir).getName.replace(".", "_")
+      val loc = s"${graft.io.Scratch.targetRoot}/edges/$sf/purchase_bipartite"
+      val fp = graft.io.DerivedCache.fingerprint(dir,
+        Seq("orders", "lineitem"))
+      if (!graft.io.DerivedCache.isFresh(loc, s"$loc/_SUCCESS", fp)) {
+        Sources.table(spark, dir, "orders")
+          .select(col("o_orderkey").as("ok"), col("o_custkey").as("src"))
+          .join(Sources.table(spark, dir, "lineitem")
+            .select(col("l_orderkey").as("ok"), col("l_partkey").as("dst")),
+            "ok")
+          .select("src", "dst").distinct()
+          .write.mode("overwrite").parquet(loc)
+        graft.io.DerivedCache.stamp(loc, fp)
+      }
+      loc
+    }
+
   /** Every g-query carries the shared edge build as its `prepare` step:
     * Verify/Bench run it once per SF outside the timed section, so the
     * per-query numbers measure the kernel, not an 12×-repaid derivation.
@@ -1277,5 +1351,6 @@ object GraphOps {
     g10, g11, g12, g15, g16, g17, g19, g20).map(_.copy(prepare = (s, d) => { ensureEdges(s, d); () })) ++
     Seq(g08.copy(prepare = (s, d) => { ensureLinkCandidates(s, d); () })) ++
     Seq(g13, g18, r62).map(_.copy(prepare = (s, d) => { ensureWeightedEdges(s, d); () })) ++
-    Seq(g14)
+    Seq(g14,
+      g21.copy(prepare = (s, d) => { ensureBipartiteEdges(s, d); () }))
 }

@@ -859,12 +859,95 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** k-anonymity audit of the corpus's released metadata surface
+    * ([[graft.api.Corpus.kAnonymityProfile]]): the quasi-identifier is
+    * (lang, source, 500-char length band) — the tuple a release's
+    * per-document metadata exposes — and the output is the
+    * group-size histogram: every document in a QI group of size k < 5
+    * is re-identifiable to within k candidates, and the histogram says
+    * how many rows sit at each exposure level. The privacy twin of
+    * p09's dataset card: run both before a release, diff across
+    * releases. Exact integers end to end.
+    */
+  /** p10's oracle, shared VERBATIM with the streaming monitor qs21
+    * (the s22/qs16 pairing): the streamed QI-count view's read-time
+    * histogram must land on the flat-table histogram exactly.
+    */
+  private[ops] val kAnonOracleSql: String =
+    """WITH qi AS (
+      |  SELECT lang, source, n_chars // 500 AS len_band, count(*) AS k
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT CAST(k AS BIGINT) AS k,
+      |       CAST(count(*) AS BIGINT) AS n_groups,
+      |       CAST(sum(k) AS BIGINT) AS n_rows
+      |FROM qi GROUP BY 1
+      |ORDER BY k""".stripMargin
+
+  val p10 = OpQuery.oracled("p10_k_anonymity_audit", kAnonOracleSql,
+    doc = "k-anonymity audit of the (lang, source, length-band) quasi-identifier: group-size histogram with rows-at-exposure counts — the release privacy gate, exact integers") { (spark, dir) =>
+    graft.api.Corpus.kAnonymityProfile(
+        Sources.table(spark, dir, "documents")
+          .select(col("lang"), col("source"),
+            expr("n_chars div 500").as("len_band")),
+        Seq("lang", "source", "len_band"))
+      .orderBy("k")
+  }
+
+  /** The SUPPRESSION half of the k-anonymity story (p10 is the audit):
+    * documents whose (lang, source, length-band) QI group is smaller
+    * than k = 5 are withheld from the release, and the output is the
+    * per-source release manifest — docs released, docs suppressed,
+    * chars released — the privacy-gated composition of p10's grouping
+    * with p09's card shape. Suppression (drop the row) rather than
+    * generalization (coarsen the band) keeps the released rows' values
+    * untouched, which is what a reproducible corpus release wants.
+    *
+    * Scale shape: one QI-grain aggregate, one join of the corpus back
+    * to its (far smaller) QI frame on the same key the aggregate
+    * shuffled on, one per-source aggregate. No row-level window.
+    */
+  val p11 = OpQuery.oracled("p11_anonymized_release",
+    """WITH qi AS (
+      |  SELECT lang, source, n_chars // 500 AS len_band, count(*) AS k
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |  GROUP BY 1, 2, 3
+      |), d AS (
+      |  SELECT f.source, f.n_chars,
+      |         CASE WHEN qi.k >= 5 THEN 1 ELSE 0 END AS rel
+      |  FROM read_parquet('{SFDIR}/documents.parquet') f
+      |  JOIN qi ON qi.lang = f.lang AND qi.source = f.source
+      |         AND qi.len_band = f.n_chars // 500
+      |)
+      |SELECT source,
+      |       CAST(sum(rel) AS BIGINT) AS n_released,
+      |       CAST(sum(1 - rel) AS BIGINT) AS n_suppressed,
+      |       CAST(sum(CASE WHEN rel = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+      |         AS chars_released
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    doc = "k-anonymous release manifest: suppress documents in QI groups smaller than 5, report per-source released/suppressed/chars — the suppression half of p10's audit") { (spark, dir) =>
+    val f = Sources.table(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        expr("n_chars div 500").as("len_band"), col("n_chars"))
+    val qi = f.groupBy("lang", "source", "len_band")
+      .agg(count(lit(1)).as("k"))
+    f.join(qi, Seq("lang", "source", "len_band"))
+      .withColumn("rel", when(col("k") >= 5, 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(sum("rel").cast("bigint").as("n_released"),
+        sum(lit(1L) - col("rel")).cast("bigint").as("n_suppressed"),
+        sum(when(col("rel") === 1L, col("n_chars")).otherwise(0L))
+          .cast("bigint").as("chars_released"))
+      .orderBy("source")
+  }
+
   /** p01/p03 consume d04's verified-pairs stage, which reads the
     * per-SF materialized pairs table — carry its build as prepare so
     * their timings never absorb it, independent of run order.
     */
   val all: Seq[OpQuery] = Seq(p01, p02, p03, p04, p05, p06, p07, p08,
-    p09).map { q =>
+    p09, p10, p11).map { q =>
     if (Set(p01.name, p03.name).contains(q.name))
       q.copy(prepare = (s, d) => { DedupOps.ensureNearDupPairs(s, d); () })
     else q

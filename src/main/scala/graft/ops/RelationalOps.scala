@@ -1252,7 +1252,111 @@ object RelationalOps {
       .orderBy("return_mode")
   }
 
+  /** Data-quality EXPECTATIONS audit — the declarative rule table a
+    * lakehouse ingest gates on (range checks, positivity, referential
+    * integrity, cross-table ordering), evaluated in ONE pass per input
+    * shape and reported as exact per-rule counts with a pass share in
+    * ppm. Violations are COUNTED, not dropped — the audit is the
+    * operator; quarantine/fail-the-load policies read this table.
+    *
+    * Scale shape: the two row-local rules fold into a single lineitem
+    * aggregate; each referential rule is one left join counted by
+    * null-ness (the dimension side broadcast where small); the
+    * cross-table ordering rule rides the same orderkey join r65 uses.
+    * Output is five rows — the audit never materializes violating rows.
+    */
+  val r66 = OpQuery.oracled("r66_quality_expectations",
+    """WITH li AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50
+      |                       THEN 0 ELSE 1 END) AS BIGINT) AS qviol,
+      |         CAST(sum(CASE WHEN l_extendedprice > 0
+      |                       THEN 0 ELSE 1 END) AS BIGINT) AS pviol
+      |  FROM lineitem
+      |), liref AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN o.o_orderkey IS NULL
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS viol
+      |  FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |), oref AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN c.c_custkey IS NULL
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS viol
+      |  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+      |), shp AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS viol
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |), rules AS (
+      |  SELECT 'li_quantity_range' AS rule, n AS n_checked,
+      |         qviol AS n_violations FROM li
+      |  UNION ALL
+      |  SELECT 'li_positive_price', n, pviol FROM li
+      |  UNION ALL
+      |  SELECT 'li_valid_order', n, viol FROM liref
+      |  UNION ALL
+      |  SELECT 'ord_valid_customer', n, viol FROM oref
+      |  UNION ALL
+      |  SELECT 'li_ship_after_order', n, viol FROM shp
+      |)
+      |SELECT rule, n_checked, n_violations,
+      |       CAST(((n_checked - n_violations) * 1000000) // n_checked
+      |            AS BIGINT) AS pass_ppm
+      |FROM rules ORDER BY rule""".stripMargin,
+    doc = "data-quality expectations audit: range/positivity/referential/cross-table-ordering rules as exact per-rule violation counts + ppm pass share — the declarative ingest gate table") { (spark, dir) =>
+    val li = Sources.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate")
+    val oKeys = Sources.table(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val liStats = li.agg(
+      count(lit(1)).cast("bigint").as("n"),
+      sum(when(col("l_quantity").between(1, 50), 0L).otherwise(1L))
+        .cast("bigint").as("qviol"),
+      sum(when(col("l_extendedprice") > 0, 0L).otherwise(1L))
+        .cast("bigint").as("pviol"))
+    def refAudit(facts: DataFrame, factKey: String, dim: DataFrame,
+        dimKey: String, bcast: Boolean): DataFrame = {
+      val d = if (bcast) broadcast(dim) else dim
+      facts.join(d, col(factKey) === col(dimKey), "left")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(when(col(dimKey).isNull, 1L).otherwise(0L))
+            .cast("bigint").as("viol"))
+    }
+    val liRef = refAudit(li.select("l_orderkey"), "l_orderkey",
+      oKeys.select("o_orderkey"), "o_orderkey", bcast = false)
+    val oRef = refAudit(oKeys.select("o_custkey"), "o_custkey",
+      Sources.table(spark, dir, "customer").select("c_custkey"),
+      "c_custkey", bcast = true)
+    val shp = li.select("l_orderkey", "l_shipdate")
+      .join(oKeys.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L))
+          .cast("bigint").as("viol"))
+    def row(name: String, src: DataFrame, violCol: String): DataFrame =
+      src.select(lit(name).as("rule"), col("n").as("n_checked"),
+        col(violCol).as("n_violations"))
+    // both row-local rules unpivot out of the ONE lineitem aggregate —
+    // two `row()` calls would scan the fact table twice
+    val liRules = liStats.select(explode(array(
+        struct(lit("li_quantity_range").as("rule"),
+          col("n").as("n_checked"), col("qviol").as("n_violations")),
+        struct(lit("li_positive_price").as("rule"),
+          col("n").as("n_checked"), col("pviol").as("n_violations"))))
+        .as("r"))
+      .select("r.*")
+    liRules
+      .unionAll(row("li_valid_order", liRef, "viol"))
+      .unionAll(row("ord_valid_customer", oRef, "viol"))
+      .unionAll(row("li_ship_after_order", shp, "viol"))
+      .withColumn("pass_ppm",
+        expr("((n_checked - n_violations) * 1000000) div n_checked")
+          .cast("bigint"))
+      .orderBy("rule")
+  }
+
   val all: Seq[OpQuery] = Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09,
     r10, r11, r12, r30, r32, r38, r41, r42, r43, r44, r46, r47, r48, r49,
-    r50, r51, r52, r54, r55, r56, r57, r58, r64, r65)
+    r50, r51, r52, r54, r55, r56, r57, r58, r64, r65, r66)
 }

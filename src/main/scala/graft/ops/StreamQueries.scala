@@ -1450,6 +1450,273 @@ object StreamQueries {
           col("conv")))
   }
 
+  // qs20's sketch geometry + seeded bucket: t12's exact construction
+  // (4 md5-seeded hash rows × 8 buckets — deliberately tiny so
+  // collisions, the thing the sketch trades space for, actually happen
+  // and the overcount column shows the one-sided error).
+  private val cmsRows = 4
+  private val cmsWidth = 8
+  private def duckCmsBucket(i: String, t: String): String =
+    s"""((instr('0123456789abcdef', substr(md5($i || ':' || $t), 1, 1)) - 1) * 16
+       | + (instr('0123456789abcdef', substr(md5($i || ':' || $t), 2, 1)) - 1)) % $cmsWidth""".stripMargin
+  private def sparkCmsBucket(i: org.apache.spark.sql.Column,
+      t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = md5(concat(i.cast("string"), lit(":"), t))
+    def nib(pos: Int) = instr(lit("0123456789abcdef"), substring(h, pos, 1)) - 1
+    (nib(1) * 16 + nib(2)) % cmsWidth
+  }
+
+  /** qs20: STREAMING count-min sketch — the t12 sketch maintained
+    * incrementally under the hard signal. Each micro-batch explodes its
+    * events across the 4 hash rows, buckets them with the same
+    * md5-seeded cell function as t12, and folds per-cell COUNTS into
+    * the stored register view through the replay-guarded
+    * [[graft.stream.Pipelines.aggViewSink]] (register increments are
+    * additive, so the fold is batching-invariant; the batch-id
+    * high-water mark absorbs replays). State is the sketch itself —
+    * 4×8 = 32 BIGINT registers at ANY stream length, which is the
+    * whole point: streaming frequency estimates from a few hundred
+    * bytes. The readout ranks the exact top-10 event types and reads
+    * each one's CMS estimate (min over the 4 rows) off the stored
+    * registers; the oracle re-derives registers + estimates from the
+    * flat events table, so equality proves the two-run fold (plus an
+    * empty third run) lost and double-counted nothing.
+    */
+  val qs20 = OpQuery.oracled("qs20_stream_cms_registers",
+    s"""WITH freq AS (
+      |  SELECT event_type AS t, count(*) AS cnt FROM events GROUP BY 1
+      |), rows_ AS (
+      |  SELECT unnest(generate_series(0, ${cmsRows - 1})) AS i
+      |), cells AS (
+      |  SELECT i, ${duckCmsBucket("i", "t")} AS b,
+      |         CAST(sum(cnt) AS BIGINT) AS cell
+      |  FROM freq, rows_ GROUP BY 1, 2
+      |), top AS (
+      |  SELECT t, cnt FROM freq ORDER BY cnt DESC, t LIMIT 10
+      |), est AS (
+      |  SELECT top.t, top.cnt, min(cells.cell) AS cms
+      |  FROM top JOIN rows_ ON true
+      |  JOIN cells ON cells.i = rows_.i
+      |   AND cells.b = ${duckCmsBucket("rows_.i", "top.t")}
+      |  GROUP BY 1, 2
+      |)
+      |SELECT t AS token, CAST(cnt AS BIGINT) AS cnt,
+      |       CAST(cms AS BIGINT) AS cms,
+      |       CAST(cms - cnt AS BIGINT) AS overcount
+      |FROM est
+      |ORDER BY cnt DESC, token""".stripMargin,
+    doc = "streaming count-min sketch: md5-seeded per-cell counts " +
+      "folded additively into a 32-register view across two runs + " +
+      "an empty run; readout = exact top-10 types with CMS estimate " +
+      "and overcount (oracle re-derives the sketch from the flat " +
+      "table)") { (spark, dir) =>
+    val root = scratch(dir, "qs20")
+    wipe(root)
+    val ev = Sources.table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"))
+    ev.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$root/input")
+    val sch = spark.read.parquet(s"$root/input").schema
+    // static cell dimension: all 32 (row, bucket) cells
+    val dim = spark.range(cmsRows.toLong * cmsWidth)
+      .select(expr(s"CAST(id div $cmsWidth AS INT)").as("i"),
+        (col("id") % cmsWidth).cast("int").as("b"))
+      .select(concat(col("i"), lit(":"), col("b")).as("cell"),
+        concat(col("i"), lit(":"), col("b")).as("cell_key"))
+    def facts(stream: DataFrame): DataFrame = stream
+      .select(col("event_type"),
+        explode(expr(s"sequence(0, ${cmsRows - 1})")).as("i"))
+      .select(concat(col("i"), lit(":"),
+          sparkCmsBucket(col("i"), col("event_type"))).as("cell"),
+        lit(0.0).as("vz"))
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.aggViewSink(
+        facts(spark.readStream.schema(sch).parquet(s"$root/input")),
+        dim, s"$root/table", s"$root/ckpt",
+        joinKey = "cell", viewKey = "cell_key", valueCol = "vz"))
+    run()
+    ev.filter(col("event_id") % 2 === 1)
+      .write.mode("append").parquet(s"$root/input")
+    run()
+    run() // no new files: the fold must be a no-op
+    val regs = spark.read.parquet(s"$root/table")
+      .select(col("cell_key"), col("n_rows").as("cell"))
+    val freq = ev.groupBy(col("event_type").as("t"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = freq.orderBy(col("cnt").desc, col("t").asc).limit(10)
+    top.select(col("t"), col("cnt"),
+        explode(expr(s"sequence(0, ${cmsRows - 1})")).as("i"))
+      .select(col("t"), col("cnt"), concat(col("i"), lit(":"),
+        sparkCmsBucket(col("i"), col("t"))).as("cell_key"))
+      .join(broadcast(regs), "cell_key")
+      .groupBy("t", "cnt").agg(min("cell").as("cms"))
+      .select(col("t").as("token"), col("cnt").cast("bigint").as("cnt"),
+        col("cms").cast("bigint").as("cms"),
+        (col("cms") - col("cnt")).cast("bigint").as("overcount"))
+      .orderBy(col("cnt").desc, col("token").asc)
+  }
+
+  /** qs21: STREAMING k-ANONYMITY MONITOR — the privacy audit (batch
+    * p10) maintained incrementally: each micro-batch's documents fold
+    * their (lang, source, length-band) quasi-identifier counts into
+    * the stored QI-count view through the replay-guarded agg-view
+    * sink (per-QI counts are additive, so the fold is
+    * batching-invariant), and the release gate's k histogram is
+    * ranked AT READ TIME over the bounded view — group-size
+    * histograms are NOT additive across batches, so the view keeps
+    * the QI grain and the non-incremental histogram runs on it, never
+    * on raw documents (the qs17 read-time-rank pattern). State is one
+    * row per observed QI tuple. Readout columns and oracle are shared
+    * VERBATIM with p10: the streamed view's histogram must land on
+    * the flat-table audit exactly, across two waves + an empty
+    * commit.
+    */
+  val qs21 = OpQuery.oracled("qs21_stream_kanon_monitor",
+    PipelineOps.kAnonOracleSql,
+    doc = "streaming k-anonymity monitor: QI-tuple counts folded " +
+      "additively into a view across two runs + an empty run; k " +
+      "histogram ranked at read time on the bounded view (oracle " +
+      "shared verbatim with batch p10)") { (spark, dir) =>
+    val root = scratch(dir, "qs21")
+    wipe(root)
+    val docs = Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$root/input")
+    val sch = spark.read.parquet(s"$root/input").schema
+    // the QI tuple as one key string; '' can't occur in the
+    // fixture's lang/source values, so the concat is collision-free
+    def facts(stream: DataFrame): DataFrame = stream
+      .select(concat_ws("", col("lang"), col("source"),
+          expr("n_chars div 500")).as("qi"),
+        lit(0.0).as("vz"))
+    val dim = docs
+      .select(concat_ws("", col("lang"), col("source"),
+        expr("n_chars div 500")).as("qi")).distinct()
+      .withColumn("qi_key", col("qi"))
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.aggViewSink(
+        facts(spark.readStream.schema(sch).parquet(s"$root/input")),
+        dim, s"$root/table", s"$root/ckpt",
+        joinKey = "qi", viewKey = "qi_key", valueCol = "vz"))
+    run()
+    docs.filter(col("doc_id") % 2 === 1)
+      .write.mode("append").parquet(s"$root/input")
+    run()
+    run() // no new files: the fold must be a no-op
+    spark.read.parquet(s"$root/table")
+      .groupBy(col("n_rows").as("k"))
+      .agg(count(lit(1)).cast("bigint").as("n_groups"),
+        sum("n_rows").cast("bigint").as("n_rows"))
+      .select(col("k").cast("bigint").as("k"), col("n_groups"),
+        col("n_rows"))
+      .orderBy("k")
+  }
+
+  /** qs22: STREAMING HyperLogLog — r34's first-principles sketch
+    * maintained incrementally, and the MAX-monoid complement of
+    * qs20's SUM-monoid count-min fold (between them the streaming
+    * story covers both commutative monoids production sketches merge
+    * under). Per event type, 64 registers of keyed state
+    * ([[graft.stream.Pipelines.hllRegisters]]) hold the running max
+    * of r34's rho over the 60-bit md5 hash of each user id; the
+    * emitted rows are state-derived running maxes (monotone), landed
+    * through the update-mode upsert sink across two incremental runs
+    * sharing a checkpoint. The readout re-derives r34's full surface
+    * from the stored registers — every register, the integer harmonic
+    * numerator, the zero-register count, the exact distinct count and
+    * the one-division IEEE estimate — and the oracle recomputes the
+    * whole sketch from the flat table, so equality proves the
+    * streamed max-fold landed on the batch registers bit for bit.
+    */
+  val qs22 = OpQuery.oracled("qs22_stream_hll_distinct",
+    """WITH h AS (
+      |  SELECT event_type,
+      |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM events
+      |), rho AS (
+      |  SELECT event_type, h % 64 AS bucket,
+      |         CASE WHEN h // 64 = 0 THEN 55
+      |              ELSE 55 - length(bin(h // 64)) END AS rho
+      |  FROM h
+      |), reg AS (
+      |  SELECT event_type, bucket, max(rho) AS register
+      |  FROM rho GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT f.event_type, b.bucket
+      |  FROM (SELECT DISTINCT event_type FROM events) f
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b
+      |), filled AS (
+      |  SELECT g.event_type, g.bucket, coalesce(r.register, 0) AS register
+      |  FROM grid g LEFT JOIN reg r
+      |    ON g.event_type = r.event_type AND g.bucket = r.bucket
+      |), summed AS (
+      |  SELECT event_type, bucket, register,
+      |         CAST(sum(CAST(1 AS BIGINT) << (55 - register))
+      |              OVER (PARTITION BY event_type) AS BIGINT) AS s_num,
+      |         CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY event_type) AS BIGINT) AS zero_regs
+      |  FROM filled
+      |), exact AS (
+      |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT s.event_type, s.bucket, s.register, s.s_num, s.zero_regs,
+      |       e.exact_distinct,
+      |       CAST(0.709 AS DOUBLE) * 4096
+      |         * CAST((CAST(1 AS BIGINT) << 55) AS DOUBLE)
+      |         / CAST(s.s_num AS DOUBLE) AS hll_estimate
+      |FROM summed s JOIN exact e ON s.event_type = e.event_type
+      |ORDER BY s.event_type, s.bucket""".stripMargin,
+    doc = "streaming HyperLogLog distinct-user registers per event " +
+      "type: max-monoid keyed state across two incremental runs, " +
+      "r34's full first-principles surface read off the stored " +
+      "registers (oracle recomputes the sketch from the flat table)") { (spark, dir) =>
+    import spark.implicits._
+    val root = scratch(dir, "qs22")
+    wipe(root)
+    val ev = Sources.table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    ev.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$root/input")
+    val sch = spark.read.parquet(s"$root/input").schema
+    val s8 = stateSession(spark, 8)
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.stateUpsertSink(
+        Pipelines.hllRegisters(
+          s8.readStream.schema(sch).parquet(s"$root/input")
+            .select(col("event_type"),
+              expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+                .as("h"))
+            .as[Pipelines.TypedHash]).toDF()
+          .select(concat_ws(":", col("event_type"), col("bucket")).as("k"),
+            col("event_type"), col("bucket"), col("register")),
+        s"$root/table", s"$root/ckpt", key = "k", orderCol = "register"))
+    run()
+    ev.filter(col("event_id") % 2 === 1)
+      .write.mode("append").parquet(s"$root/input")
+    run()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_distinct"))
+    spark.read.parquet(s"$root/table")
+      .select("event_type", "bucket", "register")
+      .withColumn("s_num",
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - register)")).over(w)
+          .cast("bigint"))
+      .withColumn("zero_regs",
+        sum(when(col("register") === 0, 1L).otherwise(0L)).over(w)
+          .cast("bigint"))
+      .join(exact, "event_type")
+      .withColumn("hll_estimate",
+        expr("""CAST(0.709 AS DOUBLE) * 4096
+                | * CAST(shiftleft(CAST(1 AS BIGINT), 55) AS DOUBLE)
+                | / CAST(s_num AS DOUBLE)""".stripMargin))
+      .select("event_type", "bucket", "register", "s_num", "zero_regs",
+        "exact_distinct", "hll_estimate")
+      .orderBy("event_type", "bucket")
+  }
+
   val all: Seq[OpQuery] = Seq(
     qs1,
     qs2.copy(prepare = (s, d) => { ensureEnvelopeInput(s, d); () }),
@@ -1470,5 +1737,8 @@ object StreamQueries {
     qs16,
     qs17,
     qs18,
-    qs19)
+    qs19,
+    qs20,
+    qs21,
+    qs22)
 }

@@ -940,6 +940,54 @@ object Pipelines {
       }
   }
 
+  case class TypedHash(event_type: String, h: Long)
+  case class HllRegsState(regs: Seq[Int])
+  case class HllRegUpdate(event_type: String, bucket: Int, register: Int)
+
+  /** r34's rho: the HLL leading-zero rank of the 54-bit window above
+    * the bucket bits — `55` when the window is zero, else `55 − the
+    * window's bit length`. Factored out so the streaming fold and the
+    * spec pin the SAME scalar the batch/oracle expression
+    * (`55 - length(bin(h // 64))`) computes.
+    */
+  private[graft] def hllRho(rest: Long): Int =
+    if (rest == 0L) 55
+    else 55 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+
+  /** Streaming HyperLogLog registers — the MAX-monoid sketch state
+    * complementing qs20's SUM-monoid count-min fold: per event type,
+    * 64 registers of keyed state (`flatMapGroupsWithState`), each the
+    * running max of r34's rho over the 60-bit md5 hash of the id.
+    * Register max-merge is associative and commutative, so the final
+    * registers are independent of how ids split across micro-batches —
+    * and the emitted rows are state-derived running maxes (monotone in
+    * `register`), so the update-mode upsert sink absorbs replays the
+    * same way qs18's monotone counts do. Constant state per key: the
+    * sketch IS the state, a few hundred bytes per type at any stream
+    * length.
+    */
+  def hllRegisters(events: org.apache.spark.sql.Dataset[TypedHash])
+      : org.apache.spark.sql.Dataset[HllRegUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HllRegsState, HllRegUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (t: String, it: Iterator[TypedHash], state: org.apache.spark.sql.streaming.GroupState[HllRegsState]) =>
+          val regs = state.getOption.map(_.regs.toArray)
+            .getOrElse(Array.fill(64)(0))
+          it.foreach { e =>
+            val b = (e.h % 64).toInt
+            val rho = hllRho(e.h / 64)
+            if (rho > regs(b)) regs(b) = rho
+          }
+          state.update(HllRegsState(regs.toIndexedSeq))
+          regs.iterator.zipWithIndex
+            .map { case (r, b) => HllRegUpdate(t, b, r) }
+      }
+  }
+
   case class GapEvent(user_id: Long, ts_ns: Long)
   case class GapState(last_ns: Long, n: Long, s1: Long, s2: Long)
   case class GapUpdate(user_id: Long, n_gaps: Long, s1: Long, s2: Long)

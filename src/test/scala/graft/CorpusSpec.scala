@@ -96,4 +96,17 @@ class CorpusSpec extends AnyFunSuite {
     // fr: 1 doc, rank*2 <= 1 -> none
     assert(got == Map(1L -> 1, 2L -> 2), got.toString)
   }
+
+  test("kAnonymityProfile: group-size histogram over the QI tuple (p10 kernel)") {
+    import spark.implicits._
+    val df = Seq(("en", "a"), ("en", "a"), ("en", "b"),
+      ("fr", "a"), ("fr", "a"), ("fr", "a")).toDF("lang", "source")
+    val got = Corpus.kAnonymityProfile(df, Seq("lang", "source"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // k → (n_groups, n_rows): one singleton (the re-identifiable row),
+    // one pair, one triple
+    assert(got == Map(1L -> ((1L, 1L)), 2L -> ((1L, 2L)),
+      3L -> ((1L, 3L))), got.toString)
+  }
 }

@@ -182,4 +182,22 @@ class FeaturesSpec extends AnyFunSuite {
     assert(got("periodic") == ((48L, 0L, 64L, 0.0)), got.toString)
     assert(got("trend") == ((48L, 1152L, 48L, 24.0)), got.toString)
   }
+
+  test("hazardLifeTable: censoring, suffix at-risk counts, and gap periods (e36 kernel)") {
+    import spark.implicits._
+    // period = 10 us; corpus end = 38 (C's last event).
+    //  A: 0→25  lifetime k=2, end-last=13 ≥ 10 → churned at 2
+    //  B: 0→5   k=0, end-last=33 → churned at 0
+    //  C: 30→38 k=0, end-last=0 < 10 → CENSORED at 0 (quiet, not gone)
+    val ev = Seq(("A", 0L), ("A", 25L), ("B", 0L), ("B", 5L),
+      ("C", 30L), ("C", 38L)).toDF("user_id", "us")
+    val got = graft.api.Features.hazardLifeTable(ev, "user_id", "us", 10L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      // period → (at_risk, churned, censored, hazard_ppm)
+      0L -> ((3L, 1L, 1L, 333333L)),
+      1L -> ((1L, 0L, 0L, 0L)), // gap period still appears, hazard 0
+      2L -> ((1L, 1L, 0L, 1000000L))), got.toString)
+  }
 }

@@ -449,4 +449,26 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 2L,
       (2L, 4L) -> 1L, (3L, 4L) -> 1L), got.toString)
   }
+
+  test("HITS on a hand bipartite graph: hand-computed L1 fixed point (g21 kernel)") {
+    // customers {1,2} → parts {10,11}: 1 buys both, 2 buys only 10.
+    // Round 1: a = (2e6, 1e6), Sa = 3e6 → a' = (666666, 333333);
+    //          h = (999999, 666666), Sh = 1666665 → h' = (600000, 400000)
+    //          (both divisions land exactly — picked so round 1 is
+    //          floor-free and round 2 exercises real floors).
+    // Round 2: a = (1000000, 600000), Sa = 1.6e6 → a' = (625000, 375000);
+    //          h = (1000000, 625000), Sh = 1.625e6
+    //          → h' = (615384, 384615) — both floored.
+    val e = spark.createDataFrame(Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L))).toDF("src", "dst")
+    val got = graft.api.Graph.hitsScores(e, iterations = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("hub", 1L) -> 615384L, ("hub", 2L) -> 384615L,
+      ("authority", 10L) -> 625000L, ("authority", 11L) -> 375000L),
+      got.toString)
+    // mutual reinforcement: the hub buying the better basket outranks
+    // the other even though both have an edge to the top authority
+    assert(got(("hub", 1L)) > got(("hub", 2L)))
+  }
 }

@@ -27,6 +27,7 @@ class ScaleOracleSpec extends AnyFunSuite {
     "r01_semi_join_open_orders", "r02_anti_join_no_orders",
     "r05_explode_part_words", "r22_group_topk_parts",
     "r59_schema_evolved_scan", "r65_late_shipment_priority",
+    "r66_quality_expectations",
     "e35_ab_experiment_readout",
     "q04_top_segment_per_balance_band",
     "qr3_top_poster_per_country", "qr6_users_joined_per_year",
@@ -38,8 +39,11 @@ class ScaleOracleSpec extends AnyFunSuite {
     "d18_cross_source_dup_matrix",
     "m01_binary_payload_meta", "m05_modality_mix",
     "e05_latest_event_per_user", "e23_pareto_concentration",
+    "e36_churn_hazard_table",
     "s03_label_norm_stats", "s22_centroid_drift", "s23_knn_graph",
-    "g08_link_prediction", "p09_dataset_card")
+    "g08_link_prediction", "g21_hits_bipartite",
+    "p09_dataset_card", "p10_k_anonymity_audit",
+    "p11_anonymized_release")
 
   test("sf0.1 DuckDB oracle parity on the cheap deterministic subset") {
     assume(sys.env.get("SPARK_GRAFT_SF01_ORACLE").contains("1"),

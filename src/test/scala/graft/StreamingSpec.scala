@@ -1737,4 +1737,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((1L, true, 600L), (2L, true, 900L),
       (3L, false, 1100L)), rows.toString)
   }
+
+  test("hllRho matches the oracle's 55 - bitlength formula on real hash draws (qs22 kernel)") {
+    // boundary pins: zero window -> 55; one-bit window -> 54; the
+    // widest 54-bit window -> 1
+    assert(Pipelines.hllRho(0L) == 55)
+    assert(Pipelines.hllRho(1L) == 54)
+    assert(Pipelines.hllRho((1L << 54) - 1) == 1)
+    // the scalar must equal the mirrored SQL expression on the same
+    // md5 hash draws qs22/r34 feed it
+    val sample = spark.range(1, 2000)
+      .select(expr(
+        "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        .as("h"))
+      .select(expr("h div 64").as("rest"),
+        expr("""CASE WHEN h div 64 = 0 THEN 55
+                |     ELSE 55 - length(conv(h div 64, 10, 2)) END""".stripMargin)
+          .as("want"))
+      .collect()
+    sample.foreach { r =>
+      assert(Pipelines.hllRho(r.getLong(0)) == r.getInt(1),
+        s"rest=${r.getLong(0)}")
+    }
+  }
 }
