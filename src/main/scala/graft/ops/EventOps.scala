@@ -196,7 +196,11 @@ object EventOps {
     * next stage — uniform keys, three shuffles total, no windows over
     * the full stream and no per-user event lists.
     */
-  val e08 = OpQuery.oracled("e08_funnel_conversion",
+  /** e08's oracle, shared VERBATIM with the streaming funnel qs23
+    * (the e35/qs19 pairing): the streamed per-user stage table's
+    * readout must land on the flat-table funnel exactly.
+    */
+  private[ops] val funnelOracleSql: String =
     """WITH v AS (
       |  SELECT user_id, min(epoch_us(ts)) AS v_us
       |  FROM events WHERE event_type = 'view' GROUP BY 1
@@ -221,7 +225,9 @@ object EventOps {
       |       CAST((SELECT count(*) FROM c) AS DOUBLE)
       |         / (SELECT count(*) FROM v) AS view_click_rate,
       |       CAST((SELECT count(*) FROM p) AS DOUBLE)
-      |         / (SELECT count(*) FROM v) AS full_funnel_rate""".stripMargin,
+      |         / (SELECT count(*) FROM v) AS full_funnel_rate""".stripMargin
+
+  val e08 = OpQuery.oracled("e08_funnel_conversion", funnelOracleSql,
     doc = "ordered view→click→purchase funnel with per-stage time gates") { (spark, dir) =>
     val hourUs = 3600000000L
     val ev = Sources.table(spark, dir, "events")

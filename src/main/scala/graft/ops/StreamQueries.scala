@@ -1717,6 +1717,127 @@ object StreamQueries {
       .orderBy("event_type", "bucket")
   }
 
+  /** qs23: STREAMING FUNNEL — the per-user view→click→purchase stage
+    * machine ([[graft.stream.Pipelines.funnelStages]], previously
+    * spec-only) promoted under the hard signal: first view, first
+    * click within 1 h of it, first purchase within 1 h of that, as
+    * three exact-Long timestamps of keyed state folded across two
+    * event-time-ordered incremental runs (the qs19 in-order ingest
+    * contract, commit-count-asserted — O(1) state cannot reopen a
+    * stage for an out-of-order earlier event, so ordered ingest IS the
+    * correctness precondition and the drive pins it). Stage is
+    * monotone per user, so the update-mode upsert sink absorbs
+    * replays. Readout recomputes e08's five-column funnel from the
+    * stored per-user stage table; oracle shared VERBATIM with batch
+    * e08 — the streamed state machine must land on the flat-table
+    * funnel exactly.
+    */
+  val qs23 = OpQuery.oracled("qs23_stream_funnel",
+    EventOps.funnelOracleSql,
+    doc = "streaming view->click->purchase funnel state machine " +
+      "across two event-time-ordered runs (three exact Longs of " +
+      "state per user); readout recomputes the e08 funnel from the " +
+      "stored stage table, oracle shared verbatim with batch e08") { (spark, dir) =>
+    import spark.implicits._
+    val root = scratch(dir, "qs23")
+    wipe(root)
+    // 2024-01-16T00:00Z — the qs19 mid-span boundary
+    val boundaryUs = 1705363200000000L
+    val ev = Sources.table(spark, dir, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+    ev.filter(col("us") < boundaryUs)
+      .write.mode("overwrite").parquet(s"$root/input")
+    val sch = spark.read.parquet(s"$root/input").schema
+    val s8 = stateSession(spark, 8)
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.stateUpsertSink(
+        Pipelines.funnelStages(
+          s8.readStream.schema(sch).parquet(s"$root/input")
+            .as[Pipelines.FunnelEvent]).toDF(),
+        s"$root/table", s"$root/ckpt",
+        key = "user_id", orderCol = "stage"))
+    def commits(): Int =
+      Option(new java.io.File(s"$root/ckpt/commits").listFiles())
+        .map(_.count(_.getName.forall(_.isDigit))).getOrElse(0)
+    run()
+    require(commits() == 1,
+      s"qs23 run 1 split into ${commits()} micro-batches; the " +
+        "cross-batch event-time-order contract no longer holds")
+    ev.filter(col("us") >= boundaryUs)
+      .write.mode("append").parquet(s"$root/input")
+    run()
+    require(commits() == 2,
+      s"qs23 run 2 ended at ${commits()} total commits (want 2)")
+    val st = spark.read.parquet(s"$root/table")
+    st.agg(sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n_view_click"),
+        sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("n_full_funnel"))
+      .select(col("n_view"), col("n_view_click"), col("n_full_funnel"),
+        (col("n_view_click").cast("double") / col("n_view"))
+          .as("view_click_rate"),
+        (col("n_full_funnel").cast("double") / col("n_view"))
+          .as("full_funnel_rate"))
+  }
+
+  /** qs24: STREAMING CO-PURCHASE EDGE VIEW — incremental maintenance
+    * of the batch edge derivation behind the entire g-family
+    * ([[graft.stream.Pipelines.streamEdges]], previously spec-only):
+    * as order items arrive, each new part emits one canonical a<b
+    * edge against every part already in its order's basket — state is
+    * one bounded part-set per open order (≤ 7 items in this schema),
+    * never stream-length — and the edge table merges by (pa, pb), so
+    * cross-order repeats and replays both collapse exactly like the
+    * batch `distinct()`. The two waves split WITHIN orders (by line
+    * number), so run 2's emissions genuinely depend on run 1's basket
+    * state through the state store. Readout is the distinct edge set;
+    * the oracle is the batch pair expansion — equality proves
+    * incremental maintenance converged to the from-scratch derivation.
+    */
+  val qs24 = OpQuery.oracled("qs24_stream_edge_view",
+    """WITH pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |)
+      |SELECT DISTINCT pa, pb FROM pairs
+      |ORDER BY pa, pb""".stripMargin,
+    doc = "streaming incremental co-purchase edge view: per-order " +
+      "basket state emits each new canonical pair once, waves split " +
+      "WITHIN orders so run 2 depends on run 1's baskets; readout = " +
+      "distinct edge set, oracle = the batch pair expansion") { (spark, dir) =>
+    import spark.implicits._
+    val root = scratch(dir, "qs24")
+    wipe(root)
+    val items = Sources.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("order_id"),
+        col("l_partkey").as("part_id"), col("l_linenumber"))
+    items.filter(col("l_linenumber") % 2 === 1).drop("l_linenumber")
+      .write.mode("overwrite").parquet(s"$root/input")
+    val sch = spark.read.parquet(s"$root/input").schema
+    val s8 = stateSession(spark, 8)
+    // streamEdges is an APPEND-mode state op (pairs emit once, when
+    // the later part arrives), so it lands through the append-mode
+    // merge sink; the (pa, pb) key makes cross-order repeats and
+    // replays collapse exactly like the batch distinct()
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.upsertSink(
+        Pipelines.streamEdges(
+          s8.readStream.schema(sch).parquet(s"$root/input")
+            .as[Pipelines.BasketItem]).toDF()
+          .select(concat_ws(":", col("pa"), col("pb")).as("k"),
+            col("pa"), col("pb"), lit(1L).as("one")),
+        s"$root/table", s"$root/ckpt", key = "k", orderCol = "one"))
+    run()
+    items.filter(col("l_linenumber") % 2 === 0).drop("l_linenumber")
+      .write.mode("append").parquet(s"$root/input")
+    run()
+    spark.read.parquet(s"$root/table")
+      .select("pa", "pb")
+      .orderBy("pa", "pb")
+  }
+
   val all: Seq[OpQuery] = Seq(
     qs1,
     qs2.copy(prepare = (s, d) => { ensureEnvelopeInput(s, d); () }),
@@ -1740,5 +1861,7 @@ object StreamQueries {
     qs19,
     qs20,
     qs21,
-    qs22)
+    qs22,
+    qs23,
+    qs24)
 }
