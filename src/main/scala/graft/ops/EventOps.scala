@@ -1563,7 +1563,254 @@ object EventOps {
       .orderBy("period")
   }
 
+  /** L28-style ENGAGEMENT-DEPTH CURVE (the "power-user curve"): per
+    * aligned 28-day window, the histogram of users by how many distinct
+    * days they were active, with a suffix cumulative count ("users
+    * active on ≥ d days" — the curve product teams read right-to-left)
+    * and each bar's share of the window's actives in exact ppm. The
+    * shape of this histogram — smile vs slope — is the standard
+    * engagement-depth diagnostic that single-ratio metrics like e28's
+    * DAU/WAU stickiness compress away, and it complements e09 (cohort
+    * retention: who came BACK) and e21 (rolling actives: how MANY) with
+    * the missing axis: how DEEPLY each active user engaged.
+    *
+    * Determinism/scale: the window key and day are pure integer epoch
+    * arithmetic (`us // 86400000000 // 28` — the e31 timezone-proof
+    * bucketing); the per-(window, user) distinct-day count is one
+    * two-phase aggregate shuffled on (win, user_id); the histogram is a
+    * second aggregate at (win, active_days) grain — at most 28 rows per
+    * window FOREVER, so the suffix-sum window function runs on the
+    * bounded histogram, never on user-grain rows (the e36 at-risk
+    * pattern). Shares are exact floor-ppm: `n · 10⁶ // win_users`, no
+    * doubles anywhere in the output.
+    */
+  /** e37 kernel on a (day, user_id) frame — factored for the hand
+    * fixture in FeaturesSpec; see [[e37]] for the full contract.
+    */
+  def engagementDepthCurve(d: DataFrame): DataFrame = {
+    val ua = d
+      .groupBy(expr("day div 28").as("win"), col("user_id"))
+      .agg(countDistinct(col("day")).as("active_days"))
+    val hist = ua.groupBy("win", "active_days")
+      .agg(count(lit(1)).as("n_users"))
+    val wSuf = Window.partitionBy("win").orderBy(col("active_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("win")
+    hist
+      .withColumn("n_at_least", sum("n_users").over(wSuf))
+      .withColumn("win_users", sum("n_users").over(wTot))
+      .select(col("win").cast("bigint").as("win"),
+        col("active_days").cast("bigint").as("active_days"),
+        col("n_users").cast("bigint").as("n_users"),
+        col("n_at_least").cast("bigint").as("n_users_at_least"),
+        expr("(n_users * 1000000) div win_users").cast("bigint")
+          .as("share_ppm"))
+      .orderBy("win", "active_days")
+  }
+
+  val e37 = OpQuery.oracled("e37_engagement_depth_curve",
+    """WITH d AS (
+      |  SELECT (epoch_ns(ts) // 1000) // 86400000000 AS day, user_id
+      |  FROM events
+      |), ua AS (
+      |  SELECT day // 28 AS win, user_id,
+      |         count(DISTINCT day) AS active_days
+      |  FROM d GROUP BY 1, 2
+      |), hist AS (
+      |  SELECT win, active_days, count(*) AS n_users
+      |  FROM ua GROUP BY 1, 2
+      |), c AS (
+      |  SELECT win, active_days, n_users,
+      |         sum(n_users) OVER (PARTITION BY win ORDER BY active_days DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS n_at_least,
+      |         sum(n_users) OVER (PARTITION BY win) AS win_users
+      |  FROM hist
+      |)
+      |SELECT CAST(win AS BIGINT) AS win,
+      |       CAST(active_days AS BIGINT) AS active_days,
+      |       CAST(n_users AS BIGINT) AS n_users,
+      |       CAST(n_at_least AS BIGINT) AS n_users_at_least,
+      |       CAST((n_users * 1000000) // win_users AS BIGINT) AS share_ppm
+      |FROM c ORDER BY win, active_days""".stripMargin,
+    doc = "engagement-depth (L28) curve: per 28-day window, users bucketed by distinct active days, suffix 'at least d days' counts + exact-ppm shares; windows run on the <=28-row histogram, not user grain") { (spark, dir) =>
+    engagementDepthCurve(
+      Sources.table(spark, dir, "events")
+        .select(expr("(ts div 1000) div 86400000000").as("day"),
+          col("user_id")))
+  }
+
+  /** e38 kernel on an (event_type, c) frame (one row per user) — the
+    * HISTOGRAM form of the Gini sum: group users by their count value,
+    * then `S = Σ_v v·(2·C_v·m_v + m_v²)` where `m_v` is the number of
+    * users at value v and `C_v` the users strictly below — algebraically
+    * identical to the textbook `Σ(2i−n−1)x_(i)` over sorted users
+    * (a tie block's Σ(2i−1) is order-free), but the rank window runs on
+    * the DISTINCT-VALUE histogram, never on user grain — no single
+    * reducer ever sorts a type's full user list. Factored for the hand
+    * fixture in FeaturesSpec.
+    */
+  def giniConcentration(uc: DataFrame): DataFrame = {
+    val h = uc.groupBy("event_type", "c")
+      .agg(count(lit(1)).cast("bigint").as("m"))
+    val wb = Window.partitionBy("event_type").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val k = h.withColumn("cb",
+      coalesce(sum("m").over(wb), lit(0L)).cast("bigint"))
+    k.groupBy("event_type")
+      .agg(sum("m").cast("bigint").as("n_users"),
+        sum(col("c") * col("m")).cast("bigint").as("total_events"),
+        sum(col("c") * (lit(2L) * col("cb") * col("m")
+          + col("m") * col("m"))).cast("bigint").as("s"))
+      .select(col("event_type"), col("n_users"), col("total_events"),
+        (col("s") - col("n_users") * col("total_events")).cast("bigint")
+          .as("gini_num"),
+        ((col("s") - col("n_users") * col("total_events")).cast("double")
+          / (col("n_users") * col("total_events"))).as("gini"))
+      .orderBy("event_type")
+  }
+
+  /** Per-type GINI COEFFICIENT of user activity — the full-distribution
+    * inequality statistic complementing e23's single top-10% share: 0 =
+    * every active user contributes equally, →1 = one user is the whole
+    * stream (computed over OBSERVED users; silent users carry no rows,
+    * which is the honest frame for traffic concentration). Exact by
+    * construction: the numerator `Σ(2i−n−1)·c` is pure BIGINT
+    * arithmetic folded on the count-value histogram (see
+    * [[giniConcentration]] — no user-grain sort, so a 10⁹-user type
+    * never lands on one reducer), and the coefficient is ONE final IEEE
+    * division, bit-identical in both engines.
+    */
+  val e38 = OpQuery.oracled("e38_gini_concentration",
+    """WITH uc AS (
+      |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2
+      |), h AS (
+      |  SELECT event_type, c, CAST(count(*) AS BIGINT) AS m
+      |  FROM uc GROUP BY 1, 2
+      |), k AS (
+      |  SELECT event_type, c, m,
+      |         CAST(coalesce(sum(m) OVER (PARTITION BY event_type ORDER BY c
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS cb
+      |  FROM h
+      |), t AS (
+      |  SELECT event_type, CAST(sum(m) AS BIGINT) AS n_users,
+      |         CAST(sum(c * m) AS BIGINT) AS total_events,
+      |         CAST(sum(c * (2 * cb * m + m * m)) AS BIGINT) AS s
+      |  FROM k GROUP BY 1
+      |)
+      |SELECT event_type, n_users, total_events,
+      |       CAST(s - n_users * total_events AS BIGINT) AS gini_num,
+      |       CAST(s - n_users * total_events AS DOUBLE)
+      |         / (n_users * total_events) AS gini
+      |FROM t ORDER BY event_type""".stripMargin,
+    doc = "per-type Gini coefficient of user activity: exact BIGINT numerator folded on the count-value histogram (no user-grain sort), one final division — the full-distribution skew statistic next to e23's top-share") { (spark, dir) =>
+    giniConcentration(
+      Sources.table(spark, dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).cast("bigint").as("c"))
+        .select("event_type", "c"))
+  }
+
+  // e39's pre/post boundary: 2024-01-08 in epoch microseconds — week 1
+  // is the covariate window, the rest of the fixture the outcome window
+  private val cupedBoundaryUs = 1704672000000000L
+
+  /** CUPED-ADJUSTED A/B readout (Deng et al., WSDM 2013) — the
+    * variance-reduction companion to e35's plain two-proportion
+    * readout: each user's PRE-experiment activity (week-1 click count
+    * `x`) explains away part of the outcome noise, so the adjusted
+    * per-arm rate `ȳ_a − θ·(x̄_a − x̄)` detects smaller effects with
+    * the same sample. θ is the pooled OLS slope
+    * `(N·Σxy − Σx·Σy) / (N·Σx² − (Σx)²)` — every operand an exact
+    * BIGINT of counts (x is a count, y a 0/1 flag), ONE division; the
+    * adjusted rate is one mirrored fixed-order IEEE chain (the e35 z
+    * precedent: sub/mul/div on identical exact-integer inputs is
+    * bit-stable cross-engine). Arms are the e35 md5 hash of user_id —
+    * a pure function, so pre-period data cannot leak arm assignment.
+    *
+    * Scale shape: ONE per-user aggregate shuffled on user_id builds
+    * (arm, x, y); the pooled moments are a second aggregate to ONE
+    * row, broadcast back; the readout is an arm-grain aggregate.
+    * Nothing user-grain survives past the first shuffle.
+    */
+  val e39 = OpQuery.oracled("e39_cuped_adjusted_readout",
+    s"""WITH u AS (
+      |  SELECT user_id, CAST($abArmSql AS INT) AS arm,
+      |         CAST(sum(CASE WHEN event_type = 'click'
+      |                   AND epoch_us(ts) < $cupedBoundaryUs
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |         CAST(max(CASE WHEN event_type = 'purchase'
+      |                   AND epoch_us(ts) >= $cupedBoundaryUs
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2
+      |), th AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS nn,
+      |         CAST(sum(x) AS BIGINT) AS sx,
+      |         CAST(CAST(count(*) AS BIGINT) * CAST(sum(x * y) AS BIGINT)
+      |              - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT)
+      |              AS DOUBLE)
+      |           / CAST(CAST(count(*) AS BIGINT) * CAST(sum(x * x) AS BIGINT)
+      |                  - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT)
+      |                  AS DOUBLE) AS theta
+      |  FROM u
+      |)
+      |SELECT u.arm,
+      |       CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(sum(u.x) AS BIGINT) AS pre_clicks,
+      |       CAST(sum(u.y) AS BIGINT) AS conv,
+      |       CAST(sum(u.y) AS DOUBLE) / count(*) AS raw_rate,
+      |       max(th.theta) AS theta,
+      |       CAST(sum(u.y) AS DOUBLE) / count(*)
+      |         - max(th.theta) * (CAST(sum(u.x) AS DOUBLE) / count(*)
+      |                            - CAST(max(th.sx) AS DOUBLE) / max(th.nn))
+      |         AS adj_rate
+      |FROM u CROSS JOIN th
+      |GROUP BY u.arm ORDER BY arm""".stripMargin,
+    doc = "CUPED variance-reduced A/B readout: pooled OLS slope over exact BIGINT moments (one division), per-arm adjusted rate as one mirrored IEEE chain — detects smaller effects than e35's raw rates at the same sample") { (spark, dir) =>
+    cupedReadout(
+      Sources.table(spark, dir, "events")
+        .groupBy(col("user_id"), expr(abArmSql).cast("int").as("arm"))
+        .agg(
+          sum(when(col("event_type") === "click" &&
+            tsUs < cupedBoundaryUs, 1L).otherwise(0L)).cast("bigint")
+            .as("x"),
+          max(when(col("event_type") === "purchase" &&
+            tsUs >= cupedBoundaryUs, 1L).otherwise(0L)).cast("bigint")
+            .as("y")))
+  }
+
+  /** e39 kernel on an (arm, x, y) per-user frame — factored for the
+    * hand fixture in FeaturesSpec; see [[e39]] for the full contract.
+    */
+  def cupedReadout(u: DataFrame): DataFrame = {
+    val th = u.agg(
+        count(lit(1)).cast("bigint").as("nn"),
+        sum("x").cast("bigint").as("sx"),
+        sum(col("x") * col("y")).cast("bigint").as("sxy"),
+        sum(col("y")).cast("bigint").as("sy"),
+        sum(col("x") * col("x")).cast("bigint").as("sxx"))
+      .select(col("nn"), col("sx"),
+        ((col("nn") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("nn") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("theta"))
+    u.crossJoin(broadcast(th))
+      .groupBy("arm")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_users"),
+        sum("x").cast("bigint").as("pre_clicks"),
+        sum("y").cast("bigint").as("conv"),
+        (sum("y").cast("double") / count(lit(1))).as("raw_rate"),
+        max("theta").as("theta"),
+        (sum("y").cast("double") / count(lit(1))
+          - max("theta") * (sum("x").cast("double") / count(lit(1))
+            - max("sx").cast("double") / max("nn"))).as("adj_rate"))
+      .orderBy("arm")
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
     e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
-    e25, e26, e27, e28, e29, e30, e31, e32, e33, e34, e35, e36)
+    e25, e26, e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38,
+    e39)
 }

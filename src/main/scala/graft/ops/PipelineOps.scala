@@ -942,12 +942,107 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** EVAL-LEAKAGE FIREWALL — the release-side composition of the
+    * decontamination family, run in the direction that actually guards
+    * a training run: t06's deterministic hash split fixes the eval set,
+    * then every TRAIN document sharing ≥ 1 word 5-gram with ANY eval
+    * document is dropped before release (t08 flags leaky TEST docs for
+    * eval reporting; t32 scrubs spans; this gate removes leaky TRAIN
+    * docs wholesale — the three directions a real pipeline runs
+    * together). Output is the per-language release manifest — train
+    * docs seen / dropped / kept, chars kept, the leak share in exact
+    * floor-ppm — plus a gate verdict per stratum (pass iff leak_ppm ≤
+    * 20 000, a 2% eval-leak budget; both engines compare the same exact
+    * integers, so the flag is hash-stable).
+    *
+    * Scale shape: shingling is the codegen'd
+    * [[graft.expr.WordShingles]] map stage; the eval side collapses to
+    * its DISTINCT shingle set before the join (one row per shingle no
+    * matter how many eval docs contain it — t08's uniform-key
+    * argument), the train side stays (doc, shingle) distinct and the
+    * leak test is a semi-join on the shingle key; the manifest is one
+    * aggregate at language grain. No frequency caps needed, nothing
+    * quadratic, nothing driver-side.
+    */
+  /** p12 kernel after the split: on a (doc_id, split, lang, n_chars,
+    * text) frame, drop every train doc sharing a word 5-gram with any
+    * test doc and emit the per-language release manifest — factored
+    * for the hand fixture in CorpusSpec; see [[p12]] for the full
+    * contract.
+    */
+  def evalLeakageManifest(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sh = docs.select(col("doc_id"), col("split"),
+      explode(graft.expr.WordShingles.word_shingles(col("text"), 5)).as("g"))
+    val ev = sh.filter(col("split") === "test").select("g").distinct()
+    val leaky = sh.filter(col("split") === "train")
+      .select("doc_id", "g").distinct()
+      .join(ev, Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("leak", lit(1L))
+    docs.filter(col("split") === "train")
+      .select("doc_id", "lang", "n_chars")
+      .join(leaky, Seq("doc_id"), "left")
+      .withColumn("leak", coalesce(col("leak"), lit(0L)))
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("bigint").as("n_train"),
+        sum("leak").cast("bigint").as("n_dropped"),
+        (count(lit(1)) - sum("leak")).cast("bigint").as("n_kept"),
+        sum(when(col("leak") === 0L, col("n_chars")).otherwise(0L))
+          .cast("bigint").as("chars_kept"),
+        expr("(sum(leak) * 1000000) div count(1)").cast("bigint")
+          .as("leak_ppm"),
+        when(expr("(sum(leak) * 1000000) div count(1)") <= 20000L, 1)
+          .otherwise(0).cast("int").as("gate_pass"))
+      .orderBy("lang")
+  }
+
+  val p12 = OpQuery.oracled("p12_eval_leakage_firewall",
+    """WITH s AS (
+      |  SELECT doc_id, text, lang, n_chars,
+      |         CASE WHEN (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |                 + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 205
+      |              THEN 'train' ELSE 'test' END AS split
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), tok AS (
+      |  SELECT doc_id, split, string_split(text, ' ') AS ts FROM s
+      |), sh AS (
+      |  SELECT doc_id, split,
+      |         concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3], ts[i+4]) AS g
+      |  FROM tok, unnest(generate_series(1, len(ts) - 4)) AS u(i)
+      |  WHERE len(ts) >= 5
+      |), ev AS (
+      |  SELECT DISTINCT g FROM sh WHERE split = 'test'
+      |), leaky AS (
+      |  SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (g)
+      |  WHERE sh.split = 'train'
+      |), m AS (
+      |  SELECT s.lang, s.n_chars,
+      |         CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS leak
+      |  FROM s LEFT JOIN leaky l USING (doc_id)
+      |  WHERE s.split = 'train'
+      |)
+      |SELECT lang,
+      |       CAST(count(*) AS BIGINT) AS n_train,
+      |       CAST(sum(leak) AS BIGINT) AS n_dropped,
+      |       CAST(count(*) - sum(leak) AS BIGINT) AS n_kept,
+      |       CAST(sum(CASE WHEN leak = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+      |         AS chars_kept,
+      |       CAST((sum(leak) * 1000000) // count(*) AS BIGINT) AS leak_ppm,
+      |       CAST(CASE WHEN (sum(leak) * 1000000) // count(*) <= 20000
+      |            THEN 1 ELSE 0 END AS INT) AS gate_pass
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    doc = "eval-leakage firewall: train docs sharing any eval 5-gram dropped before release; per-language manifest + exact-ppm leak share + 2%-budget gate verdict (distinct-shingle semi-join, t08's scale shape)") { (spark, dir) =>
+    evalLeakageManifest(graft.api.Sampling.withTrainTestSplit(
+      Sources.table(spark, dir, "documents"), "doc_id", trainFraction = 0.8))
+  }
+
   /** p01/p03 consume d04's verified-pairs stage, which reads the
     * per-SF materialized pairs table — carry its build as prepare so
     * their timings never absorb it, independent of run order.
     */
   val all: Seq[OpQuery] = Seq(p01, p02, p03, p04, p05, p06, p07, p08,
-    p09, p10, p11).map { q =>
+    p09, p10, p11, p12).map { q =>
     if (Set(p01.name, p03.name).contains(q.name))
       q.copy(prepare = (s, d) => { DedupOps.ensureNearDupPairs(s, d); () })
     else q

@@ -1356,7 +1356,186 @@ object RelationalOps {
       .orderBy("rule")
   }
 
+  /** DECILE LIFT TABLE — the model-calibration artifact every scoring
+    * pipeline publishes: customers ranked by a score (account balance
+    * stands in for the model score), cut into exact deciles, each
+    * decile's conversion ("placed ≥ 1 order") rate in exact floor-ppm
+    * and its lift over the base rate. Decile assignment is explicit
+    * rank arithmetic `((rk−1)·10) div n + 1` — NOT `ntile`, whose
+    * remainder-distribution rule is an implementation detail this
+    * operator refuses to depend on; rank ties break on the key, so the
+    * cut is bit-stable in both engines. Lift is
+    * `n_buyers_d · NC / (n_customers_d · NB)` — exact BIGINT operands,
+    * ONE IEEE division.
+    *
+    * Scale shape: the fact side collapses to per-customer order counts
+    * BEFORE touching the dimension (one shuffle on custkey); the global
+    * rank window runs on the CUSTOMER DIMENSION after that aggregation
+    * — the e23 compressed-grain precedent, never on order/fact grain.
+    * Totals ride a broadcast 1-row frame.
+    */
+  val r67 = OpQuery.oracled("r67_balance_decile_lift",
+    """WITH oc AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1
+      |), c AS (
+      |  SELECT c_custkey, c_acctbal, coalesce(oc.n_orders, 0) AS n_orders
+      |  FROM customer LEFT JOIN oc ON oc.o_custkey = c_custkey
+      |), t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS nc,
+      |         CAST(sum(CASE WHEN n_orders > 0 THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS nb
+      |  FROM c
+      |), r AS (
+      |  SELECT n_orders,
+      |         row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rk
+      |  FROM c
+      |), d AS (
+      |  SELECT CAST(((rk - 1) * 10) // (SELECT nc FROM t) + 1 AS INT)
+      |           AS decile,
+      |         n_orders
+      |  FROM r
+      |)
+      |SELECT decile,
+      |       CAST(count(*) AS BIGINT) AS n_customers,
+      |       CAST(sum(CASE WHEN n_orders > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_buyers,
+      |       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+      |       CAST((sum(CASE WHEN n_orders > 0 THEN 1 ELSE 0 END) * 1000000)
+      |            // count(*) AS BIGINT) AS buy_ppm,
+      |       CAST(sum(CASE WHEN n_orders > 0 THEN 1 ELSE 0 END)
+      |            * (SELECT nc FROM t) AS DOUBLE)
+      |         / (count(*) * (SELECT nb FROM t)) AS lift
+      |FROM d GROUP BY 1 ORDER BY decile""".stripMargin,
+    doc = "balance-decile lift table: exact rank-arithmetic deciles over the customer dimension (post-aggregation grain), per-decile conversion ppm + one-division lift vs base rate") { (spark, dir) =>
+    val oc = Sources.table(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).cast("bigint").as("n_orders"))
+    val c = Sources.table(spark, dir, "customer")
+      .select("c_custkey", "c_acctbal")
+      .join(oc, col("o_custkey") === col("c_custkey"), "left")
+      .select(col("c_custkey"), col("c_acctbal"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    val t = c.agg(count(lit(1)).cast("bigint").as("nc"),
+      sum(when(col("n_orders") > 0, 1L).otherwise(0L)).cast("bigint")
+        .as("nb"))
+    c.withColumn("rk", row_number().over(
+        Window.orderBy(col("c_acctbal").desc, col("c_custkey")))
+        .cast("bigint"))
+      .crossJoin(broadcast(t))
+      .withColumn("decile",
+        (expr("((rk - 1) * 10) div nc") + 1).cast("int"))
+      .groupBy("decile")
+      .agg(count(lit(1)).cast("bigint").as("n_customers"),
+        sum(when(col("n_orders") > 0, 1L).otherwise(0L)).cast("bigint")
+          .as("n_buyers"),
+        sum("n_orders").cast("bigint").as("n_orders"),
+        expr("(sum(CASE WHEN n_orders > 0 THEN 1 ELSE 0 END) * 1000000) div count(1)")
+          .cast("bigint").as("buy_ppm"),
+        (sum(when(col("n_orders") > 0, 1L).otherwise(0L)) * max("nc"))
+          .cast("double")
+          .divide(count(lit(1)) * max("nb")).as("lift"))
+      .orderBy("decile")
+  }
+
+  /** Materialized per-SF ORC mirror of the lineitem scan projection —
+    * the DerivedCache contract (built once outside every timed
+    * section; a regenerated fixture rebuilds it).
+    */
+  private[graft] def ensureOrcMirror(
+      spark: SparkSession, dir: String): String = synchronized {
+    val sf = new java.io.File(dir).getName.replace(".", "_")
+    val loc = s"${graft.io.Scratch.targetRoot}/mirror/$sf/lineitem_orc"
+    val fp = graft.io.DerivedCache.fingerprint(dir, Seq("lineitem"))
+    if (!graft.io.DerivedCache.isFresh(loc, s"$loc/_SUCCESS", fp)) {
+      Sources.table(spark, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice",
+          "l_discount", "l_returnflag")
+        .write.mode("overwrite").orc(loc)
+      graft.io.DerivedCache.stamp(loc, fp)
+    }
+    loc
+  }
+
+  /** ORC SCAN PARITY — the second columnar format of the source
+    * surface (SURVEY §2.1 S1 beyond parquet; ORC ships in the Spark
+    * distribution, unlike the cloud-jar Delta/Kafka connectors the
+    * IoProfile swap covers): the engine scans an ORC mirror of the
+    * fact projection while the oracle reads the ORIGINAL parquet, so
+    * hash-equality proves the full write→read ORC round trip preserves
+    * every value (doubles bit-for-bit, strings, keys) AND that the
+    * aggregate over it matches. The quantity predicate is written to
+    * be pushed into the ORC scan — PlanSpec pins `PushedFilters` on
+    * the DSv2 scan, same contract as the parquet pushdown asserts.
+    */
+  val r68 = OpQuery.oracled("r68_orc_scan_parity",
+    """SELECT l_returnflag,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_quantity BETWEEN 5 AND 45
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    doc = "ORC scan parity: engine reads the ORC mirror (predicate pushed to the ORC scan), oracle reads the original parquet — hash equality proves the full ORC write/read round trip") { (spark, dir) =>
+    spark.read.orc(ensureOrcMirror(spark, dir))
+      .filter(col("l_quantity").between(5, 45))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+        prodSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Materialized per-SF CSV mirror of the orders ingest projection
+    * (header + explicit null token, the shape a drop-zone delivers).
+    */
+  private[graft] def ensureCsvMirror(
+      spark: SparkSession, dir: String): String = synchronized {
+    val sf = new java.io.File(dir).getName.replace(".", "_")
+    val loc = s"${graft.io.Scratch.targetRoot}/mirror/$sf/orders_csv"
+    val fp = graft.io.DerivedCache.fingerprint(dir, Seq("orders"))
+    if (!graft.io.DerivedCache.isFresh(loc, s"$loc/_SUCCESS", fp)) {
+      Sources.table(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").option("header", "true").csv(loc)
+      graft.io.DerivedCache.stamp(loc, fp)
+    }
+    loc
+  }
+
+  /** CSV INGEST PARITY — the text-format leg of the source surface:
+    * the engine ingests a header CSV mirror of orders with an
+    * EXPLICIT schema (never inference — schema drift must fail, not
+    * adapt silently) while the oracle reads the original parquet.
+    * Hash equality proves the text round trip is lossless — doubles
+    * survive because the writer emits the shortest representation
+    * that parses back to the identical bits (the Java/C++ grisu
+    * contract both engines' readers honor). The aggregate mirrors the
+    * ingest smoke test a drop-zone pipeline runs before accepting a
+    * delivery.
+    */
+  val r69 = OpQuery.oracled("r69_csv_ingest_parity",
+    """SELECT o_orderstatus,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    doc = "CSV ingest parity: explicit-schema header-CSV read of the orders mirror vs the parquet oracle — lossless text round trip (shortest-repr doubles) + the drop-zone ingest smoke aggregate") { (spark, dir) =>
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("o_orderkey", "bigint").add("o_custkey", "bigint")
+      .add("o_orderstatus", "string").add("o_totalprice", "double")
+    spark.read.option("header", "true").schema(schema)
+      .csv(ensureCsvMirror(spark, dir))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        countDistinct(col("o_custkey")).cast("bigint").as("n_customers"),
+        moneySum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Seq[OpQuery] = Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09,
     r10, r11, r12, r30, r32, r38, r41, r42, r43, r44, r46, r47, r48, r49,
-    r50, r51, r52, r54, r55, r56, r57, r58, r64, r65, r66)
+    r50, r51, r52, r54, r55, r56, r57, r58, r64, r65, r66, r67,
+    r68.copy(prepare = (s, d) => { ensureOrcMirror(s, d); () }),
+    r69.copy(prepare = (s, d) => { ensureCsvMirror(s, d); () }))
 }

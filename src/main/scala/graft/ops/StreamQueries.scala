@@ -1838,6 +1838,270 @@ object StreamQueries {
       .orderBy("pa", "pb")
   }
 
+  // qs25's histogram geometry: fixed-width value bins, clamped at the
+  // top. value/16 is division by a power of two (exact in IEEE), so
+  // floor() lands on the same bin in every engine; 32 bins cover the
+  // fixture's [0, ~490] range with a real clamp path at bin 31.
+  private val histBins = 32
+  private val histWidth = 16
+
+  /** qs25's read-time quantile rule on an (event_type, bin, n) register
+    * frame: per type, pXX_bin is the SMALLEST bin whose cumulative
+    * count satisfies `cum·100 ≥ XX·n` — all-integer, so it lands
+    * identically in every engine; the first crossing bin always has
+    * mass (cum is a step function), so absent zero-count cells cannot
+    * shift it. Factored for the boundary fixture in StreamingSpec.
+    */
+  def histogramQuantiles(regs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val c = regs
+      .withColumn("cum", sum("n").over(
+        w.partitionBy("event_type").orderBy("bin")
+          .rowsBetween(w.unboundedPreceding, w.currentRow)))
+      .withColumn("tot", sum("n").over(w.partitionBy("event_type")))
+    def pBin(q: Int) =
+      min(when(col("cum") * 100 >= lit(q.toLong) * col("tot"), col("bin")))
+    c.groupBy("event_type")
+      .agg(max("tot").cast("bigint").as("n_events"),
+        pBin(50).cast("int").as("p50_bin"),
+        pBin(90).cast("int").as("p90_bin"),
+        pBin(99).cast("int").as("p99_bin"),
+        (pBin(50) * histWidth).cast("int").as("p50_lo"),
+        (pBin(90) * histWidth).cast("int").as("p90_lo"),
+        (pBin(99) * histWidth).cast("int").as("p99_lo"))
+      .orderBy("event_type")
+  }
+
+  /** qs25: STREAMING HISTOGRAM QUANTILES — the third streaming sketch
+    * next to qs20 (count-min, SUM monoid) and qs22 (HyperLogLog, MAX
+    * monoid): a fixed-bin value histogram is itself a SUM-monoid
+    * register file (per-cell counts are additive ⇒ the fold is
+    * batching- and replay-invariant through the agg-view sink), and
+    * quantiles are a pure READ-TIME function of the merged registers —
+    * the qs17/qs21 read-time-rank pattern applied to distribution
+    * state. State is (event types × 32) BIGINT cells at ANY stream
+    * length; this is how a production pipeline watches latency/value
+    * percentiles without ever sorting the stream.
+    *
+    * The quantile rule is exact-integer: per type, pXX_bin is the
+    * smallest bin whose cumulative count satisfies `cum·100 ≥ XX·n`
+    * (no doubles, no interpolation — the reported value is the bin's
+    * lower edge, which is the honest resolution of a binned sketch).
+    * The oracle re-derives bins and quantiles from the flat events
+    * table, so equality proves the two-run fold (plus an empty third
+    * run) lost and double-counted nothing.
+    */
+  val qs25 = OpQuery.oracled("qs25_stream_histogram_quantiles",
+    s"""WITH b AS (
+      |  SELECT event_type,
+      |         least(CAST(floor(value / $histWidth) AS BIGINT),
+      |               ${histBins - 1}) AS bin
+      |  FROM events
+      |), h AS (
+      |  SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2
+      |), c AS (
+      |  SELECT event_type, bin, n,
+      |         sum(n) OVER (PARTITION BY event_type ORDER BY bin
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |         sum(n) OVER (PARTITION BY event_type) AS tot
+      |  FROM h
+      |)
+      |SELECT event_type,
+      |       CAST(max(tot) AS BIGINT) AS n_events,
+      |       CAST(min(CASE WHEN cum * 100 >= 50 * tot THEN bin END) AS INT)
+      |         AS p50_bin,
+      |       CAST(min(CASE WHEN cum * 100 >= 90 * tot THEN bin END) AS INT)
+      |         AS p90_bin,
+      |       CAST(min(CASE WHEN cum * 100 >= 99 * tot THEN bin END) AS INT)
+      |         AS p99_bin,
+      |       CAST(min(CASE WHEN cum * 100 >= 50 * tot THEN bin END)
+      |            * $histWidth AS INT) AS p50_lo,
+      |       CAST(min(CASE WHEN cum * 100 >= 90 * tot THEN bin END)
+      |            * $histWidth AS INT) AS p90_lo,
+      |       CAST(min(CASE WHEN cum * 100 >= 99 * tot THEN bin END)
+      |            * $histWidth AS INT) AS p99_lo
+      |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin,
+    doc = "streaming per-type value histogram (32 fixed bins) folded " +
+      "additively across two runs + an empty run; read-time exact " +
+      "integer quantile rule (smallest bin with cum*100 >= q*n) — " +
+      "percentile monitoring from bounded registers, no stream sort") { (spark, dir) =>
+    val root = scratch(dir, "qs25")
+    wipe(root)
+    val ev = Sources.table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$root/input")
+    val sch = spark.read.parquet(s"$root/input").schema
+    val sparkBin =
+      least(floor(col("value") / histWidth).cast("bigint"),
+        lit(histBins - 1L))
+    // static cell grid: every observed type × all 32 bins, so the
+    // view's key space is closed before the first fold
+    val dim = ev.select(col("event_type")).distinct()
+      .crossJoin(spark.range(histBins.toLong)
+        .select(col("id").as("bin")))
+      .select(concat_ws(":", col("event_type"), col("bin")).as("cell"))
+      .withColumn("cell_key", col("cell"))
+    def facts(stream: DataFrame): DataFrame = stream
+      .select(concat_ws(":", col("event_type"), sparkBin).as("cell"),
+        lit(0.0).as("vz"))
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.aggViewSink(
+        facts(spark.readStream.schema(sch).parquet(s"$root/input")),
+        dim, s"$root/table", s"$root/ckpt",
+        joinKey = "cell", viewKey = "cell_key", valueCol = "vz"))
+    run()
+    ev.filter(col("event_id") % 2 === 1)
+      .write.mode("append").parquet(s"$root/input")
+    run()
+    run() // no new files: the fold must be a no-op
+    histogramQuantiles(
+      spark.read.parquet(s"$root/table")
+        .select(split(col("cell_key"), ":").getItem(0).as("event_type"),
+          split(col("cell_key"), ":").getItem(1).cast("bigint").as("bin"),
+          col("n_rows").as("n")))
+  }
+
+  // qs26's signature geometry: 16 md5-seeded min-hash rows over word
+  // 5-gram shingles (t08's shingle spec), 60 bits per hash (qs22's
+  // conv idiom). 16 rows keep the pairwise-agreement readout an exact
+  // small integer while still giving a usable Jaccard estimate.
+  private val mhRows = 16
+
+  /** qs26: STREAMING MINHASH — per-source corpus-similarity monitoring
+    * as the MIN-monoid sketch, completing the commutative-monoid trio
+    * next to qs20 (count-min, SUM) and qs22 (HyperLogLog, MAX): each
+    * source's 16-register MinHash signature over its documents' word
+    * 5-gram shingle SET is maintained incrementally through
+    * [[graft.stream.Pipelines.minViewSink]]. Min-merge is idempotent,
+    * so duplicate shingles across documents and batches need no
+    * streaming `distinct` (which would be unbounded state) — the
+    * registers converge to the set minima regardless of batching, and
+    * the per-batch groupBy gives the fold a map-side partial min. State
+    * is (sources × 16) BIGINT registers at ANY corpus size: this is how
+    * a production ingest watches "is source A becoming a mirror of
+    * source B" without ever joining the corpora.
+    *
+    * The readout emits the full pairwise source matrix: signature
+    * agreement `n_agree` (an exact 0..16 integer off the streamed
+    * registers — matching minima estimate Jaccard, the MinHash
+    * property), its one-division estimate, and the EXACT shingle-set
+    * Jaccard recomputed from the flat table as the planted truth the
+    * estimate is judged against (the qs20 cnt-vs-cms pattern). The
+    * oracle re-derives registers, agreements and exact overlaps from
+    * the flat table, so equality proves the streamed min-fold landed on
+    * the batch set-minima bit for bit across two waves + an empty run.
+    */
+  val qs26 = OpQuery.oracled("qs26_stream_minhash_registers",
+    s"""WITH sh AS (
+      |  SELECT DISTINCT source,
+      |         concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3], ts[i+4]) AS g
+      |  FROM (SELECT source, string_split(text, ' ') AS ts FROM documents),
+      |       unnest(generate_series(1, len(ts) - 4)) AS u(i)
+      |  WHERE len(ts) >= 5
+      |), rows_ AS (
+      |  SELECT unnest(generate_series(0, ${mhRows - 1})) AS i
+      |), reg AS (
+      |  SELECT source, i,
+      |         min(CAST('0x' || substr(md5(i || ':' || g), 1, 15) AS BIGINT))
+      |           AS register
+      |  FROM sh, rows_ GROUP BY 1, 2
+      |), agree AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |         sum(CASE WHEN a.register = b.register THEN 1 ELSE 0 END)
+      |           AS n_agree
+      |  FROM reg a JOIN reg b ON a.i = b.i AND a.source < b.source
+      |  GROUP BY 1, 2
+      |), sizes AS (
+      |  SELECT source, count(*) AS n FROM sh GROUP BY 1
+      |), inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT ag.src_a AS src_a, ag.src_b AS src_b,
+      |       CAST(ag.n_agree AS INT) AS n_agree,
+      |       CAST(ag.n_agree AS DOUBLE) / $mhRows AS est_jaccard,
+      |       CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+      |       CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS BIGINT) AS n_union,
+      |       CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+      |         / (sa.n + sb.n - coalesce(i.n_inter, 0)) AS jaccard
+      |FROM agree ag
+      |JOIN sizes sa ON sa.source = ag.src_a
+      |JOIN sizes sb ON sb.source = ag.src_b
+      |LEFT JOIN inter i ON i.src_a = ag.src_a AND i.src_b = ag.src_b
+      |ORDER BY ag.src_a, ag.src_b""".stripMargin,
+    doc = "streaming per-source MinHash signatures (16 md5-seeded " +
+      "rows over word 5-gram shingles) min-folded across two runs + " +
+      "an empty run; readout = pairwise signature agreement vs exact " +
+      "shingle-set Jaccard (oracle re-derives the registers from the " +
+      "flat table)") { (spark, dir) =>
+    val root = scratch(dir, "qs26")
+    wipe(root)
+    val docs = Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$root/input")
+    val sch = spark.read.parquet(s"$root/input").schema
+    def facts(stream: DataFrame): DataFrame = stream
+      .select(col("source"),
+        explode(graft.expr.WordShingles.word_shingles(col("text"), 5))
+          .as("g"))
+      .select(col("source"), col("g"),
+        explode(expr(s"sequence(0, ${mhRows - 1})")).as("i"))
+      .select(concat_ws(":", col("source"), col("i")).as("cell"),
+        expr("CAST(conv(substr(md5(concat(CAST(i AS STRING), ':', g)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.minViewSink(
+        facts(spark.readStream.schema(sch).parquet(s"$root/input")),
+        s"$root/table", s"$root/ckpt",
+        viewKey = "cell", valueCol = "h"))
+    run()
+    docs.filter(col("doc_id") % 2 === 1)
+      .write.mode("append").parquet(s"$root/input")
+    run()
+    run() // no new files: the fold must be a no-op
+    val regs = spark.read.parquet(s"$root/table")
+      .select(split(col("cell"), ":").getItem(0).as("source"),
+        split(col("cell"), ":").getItem(1).cast("int").as("i"),
+        col("register"))
+    val a = regs.select(col("source").as("src_a"), col("i"),
+      col("register").as("reg_a"))
+    val b = regs.select(col("source").as("src_b"), col("i"),
+      col("register").as("reg_b"))
+    val agree = a.join(b, Seq("i")).filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(when(col("reg_a") === col("reg_b"), 1L).otherwise(0L))
+        .as("n_agree"))
+    val sh = docs
+      .select(col("source"),
+        explode(graft.expr.WordShingles.word_shingles(col("text"), 5))
+          .as("g"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("source").as("src_a"), col("g"))
+      .join(sh.select(col("source").as("src_b"), col("g")), Seq("g"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+    agree
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n").as("nb"))), Seq("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .select(col("src_a"), col("src_b"),
+        col("n_agree").cast("int").as("n_agree"),
+        (col("n_agree").cast("double") / mhRows).as("est_jaccard"),
+        col("n_inter").cast("bigint").as("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).cast("bigint")
+          .as("n_union"),
+        (col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   val all: Seq[OpQuery] = Seq(
     qs1,
     qs2.copy(prepare = (s, d) => { ensureEnvelopeInput(s, d); () }),
@@ -1863,5 +2127,7 @@ object StreamQueries {
     qs21,
     qs22,
     qs23,
-    qs24)
+    qs24,
+    qs25,
+    qs26)
 }

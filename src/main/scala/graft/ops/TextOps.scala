@@ -2327,8 +2327,66 @@ object TextOps {
       .orderBy("rung")
   }
 
+  /** Term BURSTINESS profile (Church & Gale 1995): for every vocabulary
+    * type, total occurrences `tf`, document frequency `df`, and their
+    * ratio — the mean occurrences per CONTAINING document. Content
+    * words are bursty (when they appear at all, they appear in clumps:
+    * tf/df ≫ 1); function words are even (tf/df ≈ tf/N). Corpus
+    * curation reads this column to pick deny-list candidates
+    * (boilerplate is maximally bursty) and to sanity-check tokenizer
+    * spec changes — a re-tokenization that shifts burstiness shifted
+    * word boundaries. Complements t10 (frequency coverage: tf alone)
+    * and t07 (per-DOC salience): burstiness is the per-TERM dispersion
+    * statistic neither surfaces.
+    *
+    * Scale shape: one explode to (doc, term), then ONE two-phase
+    * aggregate shuffled on term — `count(*)` and `count(DISTINCT
+    * doc_id)` share the shuffle (Spark plans distinct-on-key via
+    * partial expand, still a single exchange on term); the corpus size
+    * joins in as a broadcast 1-row frame (t07's precedent). Output is
+    * vocabulary-grain — bounded by type count, not token count. The
+    * ratio is ONE IEEE division of exact BIGINTs; df share is exact
+    * floor-ppm.
+    */
+  /** t42 kernel on a (doc_id, text) frame — factored for the hand
+    * fixture in TextStatsSpec; see [[t42]] for the full contract.
+    */
+  def termBurstiness(docs: DataFrame): DataFrame = {
+    val nd = docs.agg(count(lit(1)).as("n"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).cast("bigint").as("tf"),
+        countDistinct(col("doc_id")).cast("bigint").as("df"))
+      .crossJoin(broadcast(nd))
+      .select(col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") / col("df")).as("burstiness"),
+        expr("(df * 1000000) div n").cast("bigint").as("df_ppm"))
+      .orderBy("term")
+  }
+
+  val t42 = OpQuery.oracled("t42_term_burstiness",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), tf AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS tf,
+      |         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM tok GROUP BY 1
+      |), nd AS (
+      |  SELECT count(*) AS n FROM read_parquet('{SFDIR}/documents.parquet')
+      |)
+      |SELECT term, tf, df,
+      |       CAST(tf AS DOUBLE) / df AS burstiness,
+      |       CAST((df * 1000000) // (SELECT n FROM nd) AS BIGINT) AS df_ppm
+      |FROM tf ORDER BY term""".stripMargin,
+    doc = "per-term burstiness (Church-Gale tf/df) + exact-ppm doc frequency: the dispersion statistic for deny-list and tokenizer-drift review; one shuffle on term, vocabulary-grain output") { (spark, dir) =>
+    termBurstiness(
+      Sources.table(spark, dir, "documents").select("doc_id", "text"))
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
-      t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41)
+      t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
+      t42)
 }

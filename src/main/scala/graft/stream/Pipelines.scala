@@ -812,6 +812,67 @@ object Pipelines {
     ()
   }
 
+  /** MIN-monoid view sink — [[aggViewSink]]'s fold machinery with a
+    * min-merge: each micro-batch reduces to per-`viewKey` minima of
+    * `valueCol` (the groupBy gives Spark a MAP-SIDE partial min, so
+    * the shuffle carries one row per (partition, key) — the property
+    * a `flatMapGroupsWithState` register fold cannot get), and the
+    * stored view folds by `least(stored, partial)`. Min is
+    * commutative, associative AND idempotent, so the fold is
+    * batching-invariant by algebra; the batch-id high-water mark is
+    * still committed with the data ([[applyMinViewBatch]]) so replays
+    * are structurally no-ops, same as every other view sink. This is
+    * the sketch sink for MinHash-style signatures: the view IS the
+    * signature register file, constant-size at any stream length.
+    */
+  def minViewSink(facts: DataFrame, tablePath: String,
+      checkpoint: String, viewKey: String, valueCol: String)
+      : DataStreamWriter[Row] =
+    facts.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val partial = batch.groupBy(viewKey)
+          .agg(min(col(valueCol)).cast("bigint").as("register"))
+        applyMinViewBatch(batch.sparkSession, tablePath, partial,
+          viewKey, batchId)
+      }
+
+  /** [[applyAggViewBatch]]'s publish/replay protocol with a min-merge
+    * fold — staged write, atomic publish, `_LAST_BATCH` high-water
+    * mark; a replayed `batchId <= mark` is a no-op (and would be
+    * value-harmless anyway: min is idempotent).
+    */
+  private[graft] def applyMinViewBatch(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      partial: DataFrame, viewKey: String, batchId: Long): Unit = {
+    recoverPublished(tablePath, "minViewSink")
+    val markFile = new java.io.File(tablePath, "_LAST_BATCH")
+    val lastApplied =
+      if (markFile.exists())
+        new String(java.nio.file.Files.readAllBytes(markFile.toPath),
+          "UTF-8").trim.toLong
+      else -1L
+    if (batchId <= lastApplied) return // replayed batch: already folded
+    val table = new java.io.File(tablePath)
+    val hasData = table.isDirectory && Option(table.listFiles())
+      .exists(_.exists(_.getName.startsWith("part-")))
+    val merged =
+      if (hasData)
+        spark.read.parquet(tablePath).unionByName(partial)
+          .groupBy(viewKey)
+          .agg(min("register").cast("bigint").as("register"))
+      else partial
+    val staged = tablePath + ".staged"
+    merged.write.mode("overwrite").parquet(staged)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(staged, "_LAST_BATCH"),
+      batchId.toString.getBytes("UTF-8"))
+    publishStaged(tablePath, "minViewSink")
+    ()
+  }
+
   /** Streaming incremental aggregate-view maintenance — the streaming
     * twin of the r60 batch query: each micro-batch of fact rows is
     * broadcast-joined to the (small, static) dimension, reduced to

@@ -109,4 +109,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((1L, 1L)), 2L -> ((1L, 2L)),
       3L -> ((1L, 3L))), got.toString)
   }
+
+  test("evalLeakageManifest: train doc sharing an eval 5-gram drops, clean docs survive, gate flags both ways (p12 kernel)") {
+    import spark.implicits._
+    val docs = Seq(
+      // eval doc whose one 5-gram is the leak probe
+      (10L, "test", "en", 5L, "v w x y z"),
+      // leaky train doc: contains "v w x y z" verbatim → dropped
+      (1L, "train", "en", 20L, "a b v w x y z"),
+      // clean train docs (en fails the 2% gate at 1/2 dropped; fr passes)
+      (2L, "train", "en", 30L, "p q r s t u"),
+      (3L, "train", "fr", 40L, "p q r s t")
+    ).toDF("doc_id", "split", "lang", "n_chars", "text")
+    val got = graft.ops.PipelineOps.evalLeakageManifest(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6)))
+    assert(got.toSeq == Seq(
+      // (lang, n_train, n_dropped, n_kept, chars_kept, leak_ppm, gate)
+      ("en", 2L, 1L, 1L, 30L, 500000L, 0),
+      ("fr", 1L, 0L, 1L, 40L, 0L, 1)), got.mkString(","))
+  }
 }

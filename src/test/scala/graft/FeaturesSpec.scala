@@ -200,4 +200,61 @@ class FeaturesSpec extends AnyFunSuite {
       1L -> ((1L, 0L, 0L, 0L)), // gap period still appears, hazard 0
       2L -> ((1L, 1L, 0L, 1000000L))), got.toString)
   }
+
+  test("engagementDepthCurve: duplicate days collapse, window boundary splits, suffix counts + floor-ppm shares (e37 kernel)") {
+    import spark.implicits._
+    // win 0 = days 0..27, win 1 = days 28..55.
+    //  u1: days 0,1,2           → 3 active days in win 0
+    //  u2: day 0 twice          → 1 (distinct days, not rows)
+    //  u3: days 27 and 28       → 1 in EACH window (boundary split)
+    val d = Seq(("u1", 0L), ("u1", 1L), ("u1", 2L), ("u2", 0L),
+      ("u2", 0L), ("u3", 27L), ("u3", 28L)).toDF("user_id", "day")
+    val got = graft.ops.EventOps.engagementDepthCurve(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      // (win, active_days, n_users, n_at_least, share_ppm)
+      (0L, 1L, 2L, 3L, 666666L), // floor ppm: 2·10⁶ // 3
+      (0L, 3L, 1L, 1L, 333333L),
+      (1L, 1L, 1L, 1L, 1000000L)), got.mkString(","))
+  }
+
+  test("giniConcentration: equal counts → 0, hand-summed skew, tie blocks collapse on the histogram (e38 kernel)") {
+    import spark.implicits._
+    val uc = Seq(
+      // eq: three users at 2 events each → perfectly equal
+      ("eq", 2L), ("eq", 2L), ("eq", 2L),
+      // sk: sorted (1,3): S = 1·1 + 3·3 = 10; num = 10 − 2·4 = 2
+      ("sk", 1L), ("sk", 3L),
+      // tie: sorted (1,1,2): S = 1 + 3 + 10 = 14; num = 14 − 3·4 = 2
+      ("tie", 1L), ("tie", 1L), ("tie", 2L)
+    ).toDF("event_type", "c")
+    val got = graft.ops.EventOps.giniConcentration(uc).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("eq", 3L, 6L, 0L, 0.0),
+      ("sk", 2L, 4L, 2L, 0.25),
+      ("tie", 3L, 4L, 2L, 2.0 / 12)), got.mkString(","))
+  }
+
+  test("cupedReadout: hand-computed pooled slope and adjusted rates (e39 kernel)") {
+    import spark.implicits._
+    // pooled: N=4, Σx=6, Σy=2, Σxy=4, Σx²=14 →
+    //   θ = (4·4 − 6·2)/(4·14 − 36) = 4/20 = 0.2; x̄ = 1.5.
+    // arm0 (x̄=0.5 below pool) adjusts UP: 0.5 − 0.2·(0.5−1.5) = 0.7;
+    // arm1 (x̄=2.5 above)      adjusts DOWN: 0.5 − 0.2·(2.5−1.5) = 0.3
+    val u = Seq((0, 0L, 0L), (0, 1L, 1L), (1, 3L, 1L), (1, 2L, 0L))
+      .toDF("arm", "x", "y")
+    val got = graft.ops.EventOps.cupedReadout(u).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)).toSeq ==
+      Seq((0, 2L, 1L, 1L, 0.5), (1, 2L, 5L, 1L, 0.5)), got.mkString(","))
+    got.foreach { t =>
+      assert(math.abs(t._6 - 0.2) < 1e-12, s"theta ${t._6}")
+    }
+    assert(math.abs(got(0)._7 - 0.7) < 1e-12, got(0)._7.toString)
+    assert(math.abs(got(1)._7 - 0.3) < 1e-12, got(1)._7.toString)
+  }
 }

@@ -471,4 +471,47 @@ class GraphSpec extends AnyFunSuite {
     // the other even though both have an edge to the top authority
     assert(got(("hub", 1L)) > got(("hub", 2L)))
   }
+
+  test("SCC: cycles group, bridges and chains stay singletons (g22 kernel)") {
+    // {1,2,3} 3-cycle → scc 1; bridge 3→4; {4,5} 2-cycle → scc 4;
+    // 5→6 (6 is a sink singleton); 7→3 (7 a source singleton);
+    // 10→9→8 a separate weak component that is a pure chain — its own
+    // Tarjan shard, all singletons
+    val e = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 4L),
+      (5L, 6L), (7L, 3L), (10L, 9L), (9L, 8L))).toDF("src", "dst")
+    val got = graft.api.Graph.stronglyConnectedComponents(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 7L,
+      8L -> 8L, 9L -> 9L, 10L -> 10L), got.toString)
+  }
+
+  test("tarjanScc: a 100k-deep path cannot overflow the task stack (explicit-stack kernel); cycle at the bottom found") {
+    // path 100000 → 99999 → … → 3 → (2 ⇄ 1): recursion would blow the
+    // default JVM stack around ~10⁴ frames; the explicit-stack kernel
+    // must walk it and still find the 2-cycle at the far end
+    val n = 100000L
+    val chain = (3L to n).map(i => (i, i - 1L))
+    val edges = chain ++ Seq((2L, 1L), (1L, 2L))
+    val got = graft.api.Graph.tarjanScc(edges).toMap
+    assert(got.size == n)
+    assert(got(1L) == 1L && got(2L) == 1L)
+    assert((3L to n).forall(i => got(i) == i))
+  }
+
+  test("SCC: two nested cycles sharing a node form ONE component; a one-way ladder does not") {
+    // figure-eight: 1→2→1 and 2→3→2 share node 2 → all of {1,2,3}
+    // is one SCC (mutual through 2); ladder 3→4, 4→5 with NO return
+    // path stays acyclic → singletons
+    val e = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 5L)))
+      .toDF("src", "dst")
+    val got = graft.api.Graph.stronglyConnectedComponents(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L),
+      got.toString)
+  }
 }

@@ -73,6 +73,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LessThanOrEqual(l_shipdate"), p.take(2000))
   }
 
+  test("r68: the quantity predicate pushes into the ORC scan") {
+    val p = plan(graft.ops.RelationalOps.r68.fn(spark, TestSpark.sf0001))
+    assert(p.toLowerCase.contains("orc"), p.take(2000))
+    assert(p.contains("PushedFilters"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,5"), p.take(4000))
+  }
+
   test("q01: dimension joins broadcast") {
     val p = plan(StarQueries.q01.fn(spark, TestSpark.sf0001))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

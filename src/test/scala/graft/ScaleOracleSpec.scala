@@ -39,7 +39,11 @@ class ScaleOracleSpec extends AnyFunSuite {
     "d18_cross_source_dup_matrix",
     "m01_binary_payload_meta", "m05_modality_mix",
     "e05_latest_event_per_user", "e23_pareto_concentration",
-    "e36_churn_hazard_table",
+    "e36_churn_hazard_table", "e37_engagement_depth_curve",
+    "e38_gini_concentration", "e39_cuped_adjusted_readout",
+    "r67_balance_decile_lift", "r68_orc_scan_parity",
+    "r69_csv_ingest_parity",
+    "t42_term_burstiness", "p12_eval_leakage_firewall",
     "s03_label_norm_stats", "s22_centroid_drift", "s23_knn_graph",
     "g08_link_prediction", "g21_hits_bipartite",
     "p09_dataset_card", "p10_k_anonymity_audit",

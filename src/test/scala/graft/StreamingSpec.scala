@@ -1760,4 +1760,42 @@ class StreamingSpec extends AnyFunSuite {
         s"rest=${r.getLong(0)}")
     }
   }
+
+  test("histogramQuantiles: exact-boundary crossings, sparse bins, clamp bin (qs25 kernel)") {
+    import spark.implicits._
+    // type x: cum at bin 0 = 50 (50·100 = 50·tot EXACTLY → p50 is bin
+    // 0, the ≥-boundary case), cum at bin 2 = 90 (again exact for
+    // p90), p99 lands on the clamp bin 31; bins 1, 3..30 absent —
+    // zero-count cells must not shift any crossing
+    val regs = Seq(("x", 0L, 50L), ("x", 2L, 40L), ("x", 31L, 10L),
+      ("y", 5L, 1L)).toDF("event_type", "bin", "n")
+    val got = graft.ops.StreamQueries.histogramQuantiles(regs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))
+    assert(got.toSeq == Seq(
+      // (type, n, p50_bin, p90_bin, p99_bin, p50_lo, p90_lo, p99_lo)
+      ("x", 100L, 0, 2, 31, 0, 32, 496),
+      ("y", 1L, 5, 5, 5, 80, 80, 80)), got.mkString(","))
+  }
+
+  test("applyMinViewBatch: min-merge across batches, new keys appear, replays are no-ops (qs26 kernel)") {
+    import spark.implicits._
+    val table =
+      graft.io.Scratch.runRoot("minview-spec", "spec", "table")
+    def view(): Map[String, Long] = spark.read.parquet(table).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Pipelines.applyMinViewBatch(spark, table,
+      Seq(("a", 5L), ("b", 7L)).toDF("cell", "register"), "cell", 0L)
+    assert(view() == Map("a" -> 5L, "b" -> 7L))
+    // batch 1: a improves, b regresses (kept at 7), c is new
+    Pipelines.applyMinViewBatch(spark, table,
+      Seq(("a", 3L), ("b", 9L), ("c", 1L)).toDF("cell", "register"),
+      "cell", 1L)
+    assert(view() == Map("a" -> 3L, "b" -> 7L, "c" -> 1L))
+    // replayed batch 1 with DIFFERENT values: the high-water mark must
+    // make it a structural no-op (not merely value-harmless)
+    Pipelines.applyMinViewBatch(spark, table,
+      Seq(("a", 0L)).toDF("cell", "register"), "cell", 1L)
+    assert(view() == Map("a" -> 3L, "b" -> 7L, "c" -> 1L))
+  }
 }

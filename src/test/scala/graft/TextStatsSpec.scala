@@ -80,4 +80,18 @@ class TextStatsSpec extends AnyFunSuite {
       (3, 6L, 6L, 1L, 5L),
       (4, 8L, 8L, 2L, 7L)), got.mkString(","))
   }
+
+  test("termBurstiness: tf counts occurrences, df containing docs, ratio and floor-ppm exact (t42 kernel)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.termBurstiness(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      // (term, tf, df, burstiness, df_ppm over N=3)
+      ("a", 3L, 2L, 1.5, 666666L),
+      ("b", 1L, 1L, 1.0, 333333L),
+      ("c", 4L, 2L, 2.0, 666666L)), got.mkString(","))
+  }
 }

@@ -89,4 +89,17 @@ class WindowsSpec extends AnyFunSuite {
     assert(got(("g2", 1.0)) == ((3L, 80.0)), got.toString)
     assert(got.size == 4, got.toString)
   }
+
+  test("r67 decile cut: rank arithmetic yields all 10 buckets, sizes within 1, base-rate lift weighted to 1") {
+    val rows = graft.ops.RelationalOps.r67.fn(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10), rows.mkString(","))
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, sizes.mkString(","))
+    // Σ n_customers_d · lift_d = NC · Σ nb_d / NB = NC — the lift
+    // column must be a weighted mean of exactly 1
+    val nc = sizes.sum.toDouble
+    val wsum = rows.map(r => r.getLong(1) * r.getDouble(5)).sum
+    assert(math.abs(wsum - nc) < 1e-6, s"$wsum vs $nc")
+  }
 }
