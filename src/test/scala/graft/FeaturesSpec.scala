@@ -238,6 +238,52 @@ class FeaturesSpec extends AnyFunSuite {
       ("tie", 3L, 4L, 2L, 2.0 / 12)), got.mkString(","))
   }
 
+  test("property: giniConcentration histogram form == textbook sorted form on 80 random distributions") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genCounts = for {
+      n <- Gen.choose(1, 8)
+      cs <- Gen.listOfN(n, Gen.choose(1L, 20L))
+    } yield cs
+    val samples = Gen.listOfN(80, genCounts)
+      .apply(Gen.Parameters.default, Seed(7L))
+      .getOrElse(fail("generator produced no sample"))
+    // one frame, one job: each random distribution is its own type
+    val uc = samples.zipWithIndex
+      .flatMap { case (cs, i) => cs.map(c => (f"t$i%03d", c)) }
+      .toDF("event_type", "c")
+    val got = graft.ops.EventOps.giniConcentration(uc).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    samples.zipWithIndex.foreach { case (cs, i) =>
+      // textbook: Σ(2i − n − 1)·x over ascending-sorted x, 1-indexed
+      val sorted = cs.sorted
+      val n = sorted.size.toLong
+      val want = sorted.zipWithIndex
+        .map { case (x, j) => (2L * (j + 1) - n - 1) * x }.sum
+      assert(got(f"t$i%03d") == want, s"dist $cs")
+    }
+  }
+
+  test("property: cupedReadout's adjusted rates preserve the pooled rate (weighted means equal) on random frames") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // Σ n_a·adj_a == Σ conv_a: CUPED moves rate BETWEEN arms, never
+    // invents conversions — the defining identity of the adjustment
+    val genUser = Gen.zip(Gen.choose(0, 1), Gen.choose(0L, 9L),
+      Gen.oneOf(0L, 1L))
+    val samples = Gen.listOfN(300, genUser)
+      .apply(Gen.Parameters.default, Seed(11L))
+      .getOrElse(fail("generator produced no sample"))
+    val rows = graft.ops.EventOps.cupedReadout(
+        samples.toDF("arm", "x", "y")).collect()
+    val adjTotal = rows.map(r => r.getLong(1) * r.getDouble(6)).sum
+    val convTotal = rows.map(_.getLong(3)).sum.toDouble
+    assert(math.abs(adjTotal - convTotal) < 1e-6,
+      s"$adjTotal vs $convTotal")
+  }
+
   test("cupedReadout: hand-computed pooled slope and adjusted rates (e39 kernel)") {
     import spark.implicits._
     // pooled: N=4, Σx=6, Σy=2, Σxy=4, Σx²=14 →

@@ -502,6 +502,41 @@ class GraphSpec extends AnyFunSuite {
     assert((3L to n).forall(i => got(i) == i))
   }
 
+  test("property: tarjanScc == brute Floyd-Warshall mutual reachability on 150 random digraphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def brute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val idx = nodes.zipWithIndex.toMap
+      val n = nodes.size
+      val reach = Array.fill(n, n)(false)
+      edges.foreach { case (u, v) => reach(idx(u))(idx(v)) = true }
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+      nodes.map { v =>
+        val i = idx(v)
+        val mutual = nodes.filter { u =>
+          val j = idx(u); u == v || (reach(i)(j) && reach(j)(i))
+        }
+        v -> mutual.min
+      }.toMap
+    }
+    val genGraph = for {
+      n <- Gen.choose(2, 10)
+      m <- Gen.choose(1, 2 * n)
+      // self-loops allowed on purpose: they must not affect membership
+      edges <- Gen.listOfN(m, Gen.zip(Gen.choose(1L, n.toLong),
+        Gen.choose(1L, n.toLong)))
+    } yield edges
+    val samples = Gen.listOfN(150, genGraph)
+      .apply(Gen.Parameters.default, Seed(42L))
+      .getOrElse(fail("generator produced no sample"))
+    samples.foreach { edges =>
+      val got = graft.api.Graph.tarjanScc(edges).toMap
+      assert(got == brute(edges), s"edges $edges")
+    }
+  }
+
   test("SCC: two nested cycles sharing a node form ONE component; a one-way ladder does not") {
     // figure-eight: 1→2→1 and 2→3→2 share node 2 → all of {1,2,3}
     // is one SCC (mutual through 2); ladder 3→4, 4→5 with NO return

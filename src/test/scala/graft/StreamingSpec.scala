@@ -1778,6 +1778,41 @@ class StreamingSpec extends AnyFunSuite {
       ("y", 1L, 5, 5, 5, 80, 80, 80)), got.mkString(","))
   }
 
+  test("property: histogramQuantiles == the expanded multiset's ceil(q·n/100)-th smallest, on 60 random histograms") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genHist = for {
+      k <- Gen.choose(1, 6)
+      bins <- Gen.listOfN(k, Gen.zip(Gen.choose(0L, 31L),
+        Gen.choose(1L, 50L)))
+    } yield bins.groupBy(_._1).map { case (b, xs) => (b, xs.map(_._2).sum) }
+      .toList
+    val samples = Gen.listOfN(60, genHist)
+      .apply(Gen.Parameters.default, Seed(5L))
+      .getOrElse(fail("generator produced no sample"))
+    val regs = samples.zipWithIndex
+      .flatMap { case (h, i) => h.map { case (b, n) => (f"t$i%03d", b, n) } }
+      .toDF("event_type", "bin", "n")
+    val got = graft.ops.StreamQueries.histogramQuantiles(regs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))).toMap
+    samples.zipWithIndex.foreach { case (h, i) =>
+      val expanded = h.flatMap { case (b, n) => Seq.fill(n.toInt)(b) }
+        .sorted
+      val n = expanded.size
+      def q(p: Int): Int = {
+        // smallest bin whose cum·100 ≥ p·n == the ceil(p·n/100)-th
+        // smallest element (1-indexed) of the expanded multiset
+        val rank = (p * n + 99) / 100
+        expanded(rank - 1).toInt
+      }
+      val (gn, g50, g90, g99) = got(f"t$i%03d")
+      assert(gn == n.toLong && g50 == q(50) && g90 == q(90) &&
+        g99 == q(99), s"hist $h got ${got(f"t$i%03d")}")
+    }
+  }
+
   test("applyMinViewBatch: min-merge across batches, new keys appear, replays are no-ops (qs26 kernel)") {
     import spark.implicits._
     val table =
