@@ -1056,13 +1056,84 @@ object DedupOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** d19's length cap: the DP is quadratic in string length, so the
+    * verifier compares bounded PREFIXES — the cost per pair is a
+    * constant (≤ cap² cells) whatever the corpus' document sizes, and
+    * the oracle applies the identical substr. A production verifier
+    * that needed full-document distance would chunk + align instead;
+    * the bounded-prefix form is the admission-gate shape.
+    */
+  private val editPrefixChars = 400
+
+  /** EDIT-DISTANCE VERIFICATION of the LSH candidates — the second
+    * opinion on d04's verified pairs in a different metric space:
+    * shingle jaccard is order-insensitive (a paragraph shuffle keeps
+    * jaccard high), Levenshtein is order-SENSITIVE, so pairs high in
+    * jaccard but low in edit similarity are rearrangements, not
+    * near-copies — exactly the split a dedup policy treats differently
+    * (keep rearrangements, drop near-copies). Distance runs on the
+    * first `editPrefixChars` chars (see cap note above); similarity is
+    * exact floor-ppm on the longer prefix's length:
+    * `(max_len − dist)·10⁶ div max_len`. Both engines implement the
+    * classic Wagner–Fischer DP (`levenshtein`), so the integer
+    * distances agree exactly.
+    *
+    * Scale shape: the pair list is LSH-bounded (never all-pairs), the
+    * two doc joins are key lookups, and the DP cost per pair is
+    * capped — the whole verify stage is linear in the candidate count.
+    */
+  val d19 = OpQuery.oracled("d19_edit_distance_verify", {
+    s"""WITH d AS (
+      |  SELECT doc_id, substr(text, 1, $editPrefixChars) AS p
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), pairs AS (
+      |${d04.oracle.get}
+      |)
+      |SELECT q.doc_a, q.doc_b, q.jaccard,
+      |       CAST(levenshtein(da.p, db.p) AS INT) AS edit_dist,
+      |       CAST(((greatest(length(da.p), length(db.p))
+      |              - levenshtein(da.p, db.p)) * 1000000)
+      |            // greatest(length(da.p), length(db.p)) AS BIGINT)
+      |         AS edit_sim_ppm
+      |FROM pairs q
+      |JOIN d da ON da.doc_id = q.doc_a
+      |JOIN d db ON db.doc_id = q.doc_b
+      |ORDER BY q.doc_a, q.doc_b""".stripMargin
+  },
+    doc = "bounded-prefix Levenshtein verification of d04's near-dup pairs: exact edit distance + floor-ppm edit similarity — the order-sensitive second metric that separates rearrangements from near-copies") { (spark, dir) =>
+    editDistanceVerify(
+      nearDupPairsCached(spark, dir),
+      Sources.table(spark, dir, "documents").select("doc_id", "text"),
+      editPrefixChars)
+  }
+
+  /** d19 kernel over a (doc_a, doc_b, jaccard) pair frame and a
+    * (doc_id, text) doc frame — factored for the hand fixture in
+    * DedupApiSpec; see [[d19]] for the full contract.
+    */
+  def editDistanceVerify(pairs: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame, prefixChars: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val d = docs.select(col("doc_id"),
+      substring(col("text"), 1, prefixChars).as("p"))
+    pairs
+      .join(d.select(col("doc_id").as("doc_a"), col("p").as("pa")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("p").as("pb")), "doc_b")
+      .withColumn("edit_dist", levenshtein(col("pa"), col("pb")).cast("int"))
+      .withColumn("mx", greatest(length(col("pa")), length(col("pb"))))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("edit_dist"),
+        expr("CAST(((mx - edit_dist) * 1000000) div mx AS BIGINT)")
+          .as("edit_sim_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The consumers of the shared verified-pairs table carry its
     * build as their `prepare` step (Bench times the consumer, not the
     * 4×-repaid pipeline); every other d-query is standalone.
     */
   val all: Seq[OpQuery] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    d10, d11, d12, d13, d14, d15, d16, d17, d18).map { q =>
-    if (Set(d04.name, d07.name, d08.name, d18.name).contains(q.name))
+    d10, d11, d12, d13, d14, d15, d16, d17, d18, d19).map { q =>
+    if (Set(d04.name, d07.name, d08.name, d18.name, d19.name).contains(q.name))
       q.copy(prepare = (s, d) => { ensureNearDupPairs(s, d); () })
     else if (q.name == d09.name)
       q.copy(prepare = (s, d) => { ensureIncrementalIndex(s, d); () })

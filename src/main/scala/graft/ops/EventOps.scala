@@ -1809,8 +1809,497 @@ object EventOps {
       .orderBy("arm")
   }
 
+  // e40's mirrored IEEE tail over the six exact counts: the four cell
+  // rates and the difference-in-differences estimate, each a fixed
+  // expression tree of correctly-rounded ops (the e35/e39 doctrine).
+  private val didPreC = "(CAST(pre_control AS DOUBLE) / n_control)"
+  private val didPostC = "(CAST(post_control AS DOUBLE) / n_control)"
+  private val didPreT = "(CAST(pre_treatment AS DOUBLE) / n_treatment)"
+  private val didPostT = "(CAST(post_treatment AS DOUBLE) / n_treatment)"
+  private val didEst =
+    s"((($didPostT) - ($didPreT)) - (($didPostC) - ($didPreC)))"
+
+  /** e40 kernel over a per-user frame `(arm int, pre_n long,
+    * post_n long)` — the 2×2 cell counts + mirrored IEEE rate/DiD
+    * tail, factored for the hand fixture in FeaturesSpec.
+    */
+  def didReadout(perUser: DataFrame): DataFrame =
+    perUser
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("bigint")
+          .as("n_control"),
+        sum(when(col("arm") === 0, col("pre_n")).otherwise(0L))
+          .cast("bigint").as("pre_control"),
+        sum(when(col("arm") === 0, col("post_n")).otherwise(0L))
+          .cast("bigint").as("post_control"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("bigint")
+          .as("n_treatment"),
+        sum(when(col("arm") === 1, col("pre_n")).otherwise(0L))
+          .cast("bigint").as("pre_treatment"),
+        sum(when(col("arm") === 1, col("post_n")).otherwise(0L))
+          .cast("bigint").as("post_treatment"))
+      .withColumn("rate_pre_control", expr(didPreC))
+      .withColumn("rate_post_control", expr(didPostC))
+      .withColumn("rate_pre_treatment", expr(didPreT))
+      .withColumn("rate_post_treatment", expr(didPostT))
+      .withColumn("did_estimate", expr(didEst))
+
+  /** DIFFERENCE-IN-DIFFERENCES readout — the quasi-experimental
+    * companion to e35 (randomized z) and e39 (CUPED variance
+    * reduction): per-user purchase counts in the pre and post halves
+    * of the observation window, a fixed user panel (every user with
+    * any event, zero-filled by conditional sums — no join), arms from
+    * the same portable md5 uniform as e35 so assignment is a pure
+    * function of user_id. The DiD estimate
+    * `(post_T − pre_T) − (post_C − pre_C)` (per-user means) removes
+    * any arm-constant level difference and any period shock common to
+    * both arms. The period cut is data-derived and deterministic: the
+    * midpoint of the observed day range, `(min_day + max_day + 1) div
+    * 2`, computed once and broadcast. Output is one row of six exact
+    * BIGINT panel counts plus five mirrored fixed-order IEEE doubles.
+    *
+    * Scale shape: one aggregate shuffled on user_id (the panel), a
+    * 1-row bound frame broadcast into it, then a 1-row readout — no
+    * step holds more than the user-grain frame.
+    */
+  val e40 = OpQuery.oracled("e40_did_readout", {
+    val armSql = s"(${graft.api.Sampling.uniform32Sql("user_id")} % 2)"
+    s"""WITH d AS (
+      |  SELECT user_id, event_type,
+      |         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |  FROM events
+      |), b AS (
+      |  SELECT CAST((min(day) + max(day) + 1) // 2 AS BIGINT) AS cut FROM d
+      |), per AS (
+      |  SELECT CAST($armSql AS INT) AS arm,
+      |         CAST(sum(CASE WHEN event_type = 'purchase'
+      |                        AND day < (SELECT cut FROM b)
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS pre_n,
+      |         CAST(sum(CASE WHEN event_type = 'purchase'
+      |                        AND day >= (SELECT cut FROM b)
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS post_n
+      |  FROM d GROUP BY user_id
+      |), agg AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_control,
+      |    CAST(sum(CASE WHEN arm = 0 THEN pre_n ELSE 0 END) AS BIGINT)
+      |      AS pre_control,
+      |    CAST(sum(CASE WHEN arm = 0 THEN post_n ELSE 0 END) AS BIGINT)
+      |      AS post_control,
+      |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_treatment,
+      |    CAST(sum(CASE WHEN arm = 1 THEN pre_n ELSE 0 END) AS BIGINT)
+      |      AS pre_treatment,
+      |    CAST(sum(CASE WHEN arm = 1 THEN post_n ELSE 0 END) AS BIGINT)
+      |      AS post_treatment
+      |  FROM per
+      |)
+      |SELECT n_control, pre_control, post_control,
+      |       n_treatment, pre_treatment, post_treatment,
+      |       $didPreC AS rate_pre_control,
+      |       $didPostC AS rate_post_control,
+      |       $didPreT AS rate_pre_treatment,
+      |       $didPostT AS rate_post_treatment,
+      |       $didEst AS did_estimate
+      |FROM agg""".stripMargin
+  },
+    doc = "difference-in-differences readout: hash-armed fixed user panel, data-derived midpoint period cut, per-arm pre/post purchase counts + mirrored IEEE rates and DiD estimate") { (spark, dir) =>
+    val d = Sources.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("ts DIV 86400000000000").as("day"))
+    val cut = d.agg(
+      expr("CAST((min(day) + max(day) + 1) div 2 AS BIGINT)").as("cut"))
+    didReadout(
+      d.crossJoin(broadcast(cut))
+        .groupBy("user_id", "cut")
+        .agg(
+          sum(when(col("event_type") === "purchase" &&
+            col("day") < col("cut"), 1L).otherwise(0L))
+            .cast("bigint").as("pre_n"),
+          sum(when(col("event_type") === "purchase" &&
+            col("day") >= col("cut"), 1L).otherwise(0L))
+            .cast("bigint").as("post_n"))
+        .select(expr(abArmSql).cast("int").as("arm"),
+          col("pre_n"), col("post_n")))
+  }
+
+  // e41's mirrored IEEE tail: Pearson r from the five exact BIGINT
+  // moments — integer numerator/variances first (exact), then one
+  // fixed-order chain of correctly-rounded double ops.
+  private val corrNum = "(n_days * sxy - sx * sy)"
+  private val corrVx = "(n_days * sxx - sx * sx)"
+  private val corrVy = "(n_days * syy - sy * sy)"
+  // constant series have no defined correlation: NULL explicitly on
+  // both sides (engines differ on double x/0 — NULL vs Infinity)
+  private val corrR =
+    s"(CASE WHEN $corrVx = 0 OR $corrVy = 0 THEN NULL " +
+      s"ELSE CAST($corrNum AS DOUBLE) / (sqrt(CAST($corrVx AS DOUBLE)) * sqrt(CAST($corrVy AS DOUBLE))) END)"
+
+  /** e41 kernel over a zero-filled (day, event_type, c) grid —
+    * factored for the hand fixture in FeaturesSpec.
+    */
+  def metricCorrelation(grid: DataFrame): DataFrame = {
+    val a = grid.select(col("day"), col("event_type").as("type_a"),
+      col("c").as("x"))
+    val b = grid.select(col("day"), col("event_type").as("type_b"),
+      col("c").as("y"))
+    a.join(b, "day").filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).cast("bigint").as("n_days"),
+        sum("x").cast("bigint").as("sx"),
+        sum("y").cast("bigint").as("sy"),
+        sum(col("x") * col("y")).cast("bigint").as("sxy"),
+        sum(col("x") * col("x")).cast("bigint").as("sxx"),
+        sum(col("y") * col("y")).cast("bigint").as("syy"))
+      .select(col("type_a"), col("type_b"), col("n_days"),
+        expr(corrR).as("pearson_r"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** METRIC CORRELATION MATRIX — exact Pearson correlation between
+    * every pair of event types' daily-count series: the "which metrics
+    * move together" table behind anomaly triage (a drop in `click`
+    * that `view` does not share is a client bug, one they share is
+    * traffic). Series are the per-(day, type) counts on the DENSE day
+    * grid (distinct observed days × observed types, absent cells
+    * zero-filled — a missing day IS a zero, and dropping it would bias
+    * r toward busy days). All five moments are exact BIGINTs; r is one
+    * mirrored fixed-order IEEE chain per pair (sqrt is
+    * correctly-rounded — the e35 doctrine). At 100-TB daily volumes
+    * the moment registers widen to DECIMAL(38,0); the shape is
+    * unchanged.
+    *
+    * Scale shape: the count aggregate shuffles raw events once on
+    * (day, type); everything after runs at day grain (the compressed
+    * grain, e23's precedent) — the pair fan-out is T² per day, bounded
+    * by the metric catalog, never by traffic.
+    */
+  val e41 = OpQuery.oracled("e41_metric_correlation",
+    s"""WITH d AS (
+      |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |         event_type
+      |  FROM events
+      |), c AS (
+      |  SELECT day, event_type, CAST(count(*) AS BIGINT) AS c
+      |  FROM d GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT dd.day, tt.event_type, coalesce(c.c, 0) AS c
+      |  FROM (SELECT DISTINCT day FROM d) dd
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM d) tt
+      |  LEFT JOIN c ON c.day = dd.day AND c.event_type = tt.event_type
+      |), m AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         CAST(count(*) AS BIGINT) AS n_days,
+      |         CAST(sum(a.c) AS BIGINT) AS sx,
+      |         CAST(sum(b.c) AS BIGINT) AS sy,
+      |         CAST(sum(a.c * b.c) AS BIGINT) AS sxy,
+      |         CAST(sum(a.c * a.c) AS BIGINT) AS sxx,
+      |         CAST(sum(b.c * b.c) AS BIGINT) AS syy
+      |  FROM grid a JOIN grid b ON b.day = a.day
+      |  WHERE a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT type_a, type_b, n_days, $corrR AS pearson_r
+      |FROM m ORDER BY type_a, type_b""".stripMargin,
+    doc = "pairwise Pearson correlation of per-type daily count series on the dense zero-filled day grid: exact BIGINT moments, one mirrored IEEE chain per pair; day-grain after one raw shuffle") { (spark, dir) =>
+    val d = Sources.table(spark, dir, "events")
+      .select(expr("ts DIV 86400000000000").as("day"), col("event_type"))
+    val counts = d.groupBy("day", "event_type")
+      .agg(count(lit(1)).cast("bigint").as("c"))
+    // eager localCheckpoint (the g21/s24 lesson): the grid feeds BOTH
+    // sides of the pair self-join — on raw lineage each side would
+    // re-scan events three times (counts + the two distincts)
+    val grid = d.select("day").distinct()
+      .crossJoin(broadcast(d.select("event_type").distinct()))
+      .join(counts, Seq("day", "event_type"), "left")
+      .na.fill(0L, Seq("c"))
+      .localCheckpoint(true)
+    metricCorrelation(grid)
+  }
+
+  /** SEASONAL ANOMALY FLAGS — e31's hour-of-week seasonality and
+    * e15's median+MAD robustness composed into the dashboard alert
+    * rule: per event type, the dense hourly count grid (absent hours
+    * ARE zeros — e34's gap-fill doctrine; dropping them would teach
+    * the baseline that quiet hours never happen), each hour compared
+    * to its (dow, hour-of-day) slot's median across weeks, flagged
+    * when the deviation exceeds 3·MAD AND an absolute floor of 5
+    * events (the floor keeps a sparse slot with MAD 0 from flagging
+    * every nonzero hour — the standard robust-alert hurdle). Medians
+    * and MADs are exact percentiles of integers (halves exactly
+    * representable — the e15 doctrine), so the whole surface is
+    * bit-stable; the full grid is emitted with the flag AS DATA, so
+    * the oracle re-proves baseline, deviation and rule on every row.
+    *
+    * Scale shape: counts shuffle raw events once on (type, hour); the
+    * grid, slot medians and flags all run at hour grain (bounded by
+    * time span × metric count, never by traffic).
+    */
+  val e42 = OpQuery.oracled("e42_seasonal_anomaly_flags",
+    """WITH h AS (
+      |  SELECT event_type, epoch_ns(ts) // 1000 // 3600000000 AS hr,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2
+      |), span AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
+      |grid AS (
+      |  SELECT t.event_type, g.hr, coalesce(h.c, 0) AS c
+      |  FROM (SELECT DISTINCT event_type FROM h) t
+      |  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM span),
+      |                                            (SELECT hi FROM span)))
+      |                AS hr) g
+      |  LEFT JOIN h ON h.event_type = t.event_type AND h.hr = g.hr
+      |), slot AS (
+      |  SELECT event_type, hr, c,
+      |         ((hr // 24) + 4) % 7 AS dow, hr % 24 AS hod
+      |  FROM grid
+      |), med AS (
+      |  SELECT event_type, dow, hod, quantile_cont(c, 0.5) AS med
+      |  FROM slot GROUP BY 1, 2, 3
+      |), dev AS (
+      |  SELECT s.event_type, s.hr, s.c, s.dow, s.hod, m.med,
+      |         abs(s.c - m.med) AS adev
+      |  FROM slot s JOIN med m ON m.event_type = s.event_type
+      |    AND m.dow = s.dow AND m.hod = s.hod
+      |), mad AS (
+      |  SELECT event_type, dow, hod, quantile_cont(adev, 0.5) AS mad
+      |  FROM dev GROUP BY 1, 2, 3
+      |)
+      |SELECT d.event_type, CAST(d.hr AS BIGINT) AS hr, d.c,
+      |       d.med, m.mad,
+      |       CAST(CASE WHEN d.adev > 3 * m.mad AND d.adev >= 5
+      |                 THEN 1 ELSE 0 END AS INT) AS is_anomaly
+      |FROM dev d JOIN mad m ON m.event_type = d.event_type
+      |  AND m.dow = d.dow AND m.hod = d.hod
+      |ORDER BY d.event_type, d.hr""".stripMargin,
+    doc = "hour-of-week robust anomaly flags: dense zero-filled hourly grid, per-slot median + MAD baseline across weeks, 3*MAD + absolute-floor rule emitted as data on every grid row") { (spark, dir) =>
+    val h = Sources.table(spark, dir, "events")
+      .select(expr("ts div 3600000000000").as("hr"), col("event_type"))
+      .groupBy("event_type", "hr")
+      .agg(count(lit(1)).cast("bigint").as("c"))
+    val span = h.agg(min("hr").as("lo"), max("hr").as("hi"))
+    // eager localCheckpoint: the dense grid feeds the median pass, the
+    // deviation join and the final flag join — raw lineage would
+    // re-scan events once per consumer (the g21/s24 lesson)
+    val grid = h.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("hr"))
+      .join(h, Seq("event_type", "hr"), "left")
+      .na.fill(0L, Seq("c"))
+      .localCheckpoint(true)
+    seasonalAnomalyFlags(grid)
+  }
+
+  /** e42 kernel on a dense (event_type, hr, c) hourly grid — factored
+    * for the hand fixture in FeaturesSpec; see [[e42]].
+    */
+  def seasonalAnomalyFlags(grid: DataFrame): DataFrame = {
+    val slotted = grid
+      .withColumn("dow", expr("(hr div 24 + 4) % 7"))
+      .withColumn("hod", col("hr") % 24)
+    val wSlot = Seq("event_type", "dow", "hod").map(col)
+    val med = slotted.groupBy(wSlot: _*)
+      .agg(percentile(col("c"), lit(0.5)).as("med"))
+    // checkpointed for the same reason: dev feeds both the MAD pass
+    // and the final flag join
+    val dev = slotted.join(med, Seq("event_type", "dow", "hod"))
+      .withColumn("adev", abs(col("c") - col("med")))
+      .localCheckpoint(true)
+    val mad = dev.groupBy(wSlot: _*)
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(mad, Seq("event_type", "dow", "hod"))
+      .select(col("event_type"), col("hr").cast("bigint").as("hr"),
+        col("c"), col("med"), col("mad"),
+        when(col("adev") > lit(3) * col("mad") && col("adev") >= 5, 1)
+          .otherwise(0).cast("int").as("is_anomaly"))
+      .orderBy("event_type", "hr")
+  }
+
+  /** COHORT LTV CURVE — e09's retention triangle with the revenue
+    * axis: users grouped by FIRST-EVENT week (the signup cohort),
+    * each cohort's purchase value per weeks-since-cohort in exact
+    * integer cents, zero-filled through the cohort's observable k
+    * range (a quiet week is a 0, and the cumulative curve needs it),
+    * cumulated over k, and normalized to exact floor cents-per-user.
+    * This is the curve a data team reads payback periods off; unlike
+    * e09 it weighs WHAT users spend, not whether they return.
+    *
+    * Scale shape: one user-grain shuffle (first week), one
+    * (cohort, k) aggregate of purchases, then everything runs at
+    * cohort×week grain (bounded by the calendar, not by traffic);
+    * the running sum partitions by cohort.
+    */
+  val e43 = OpQuery.oracled("e43_cohort_ltv_curve",
+    """WITH f AS (
+      |  SELECT user_id,
+      |         min(epoch_us(ts) // 604800000000) AS wk0
+      |  FROM events GROUP BY 1
+      |), sz AS (
+      |  SELECT wk0, CAST(count(*) AS BIGINT) AS n_users FROM f GROUP BY 1
+      |), mx AS (
+      |  SELECT max(epoch_us(ts) // 604800000000) AS hi FROM events
+      |), pur AS (
+      |  SELECT f.wk0,
+      |         CAST(epoch_us(e.ts) // 604800000000 - f.wk0 AS BIGINT) AS k,
+      |         CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+      |           AS cents
+      |  FROM events e JOIN f ON f.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT g.wk0, g.n_users, g.k, coalesce(p.cents, 0) AS week_cents
+      |  FROM (
+      |    SELECT s.wk0, s.n_users,
+      |           unnest(generate_series(0, mx.hi - s.wk0)) AS k
+      |    FROM sz s CROSS JOIN mx) g
+      |  LEFT JOIN pur p ON p.wk0 = g.wk0 AND p.k = g.k
+      |), cum AS (
+      |  SELECT wk0, n_users, k, week_cents,
+      |         sum(week_cents) OVER (PARTITION BY wk0 ORDER BY k
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+      |  FROM grid
+      |)
+      |SELECT CAST(wk0 AS BIGINT) AS cohort_week, CAST(k AS INT) AS k,
+      |       n_users, CAST(week_cents AS BIGINT) AS week_cents,
+      |       CAST(cum_cents AS BIGINT) AS cum_cents,
+      |       CAST(cum_cents // n_users AS BIGINT) AS ltv_cents
+      |FROM cum ORDER BY cohort_week, k""".stripMargin,
+    doc = "cohort lifetime-value curve: first-event-week cohorts, per weeks-since-cohort purchase cents (zero-filled through each cohort's observable range), cumulative + exact floor cents-per-user") { (spark, dir) =>
+    val ev = Sources.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000 div 604800000000").as("wk"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val f = ev.groupBy("user_id").agg(min("wk").as("wk0"))
+    val sz = f.groupBy("wk0")
+      .agg(count(lit(1)).cast("bigint").as("n_users"))
+    val mx = ev.agg(max("wk").as("hi"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .join(f, "user_id")
+      .groupBy(col("wk0"), (col("wk") - col("wk0")).cast("bigint").as("k"))
+      .agg(sum("cents").cast("bigint").as("cents"))
+    val grid = sz.crossJoin(broadcast(mx))
+      .select(col("wk0"), col("n_users"),
+        explode(sequence(lit(0L), col("hi") - col("wk0"))).as("k"))
+      .join(pur, Seq("wk0", "k"), "left")
+      .na.fill(0L, Seq("cents"))
+      .withColumnRenamed("cents", "week_cents")
+    ltvCurve(grid)
+  }
+
+  /** e43 kernel on a dense (wk0, n_users, k, week_cents) cohort grid —
+    * factored for the hand fixture in FeaturesSpec; see [[e43]].
+    */
+  def ltvCurve(grid: DataFrame): DataFrame =
+    grid
+      .withColumn("cum_cents", sum("week_cents").over(
+        Window.partitionBy("wk0").orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("wk0").cast("bigint").as("cohort_week"),
+        col("k").cast("int").as("k"), col("n_users"),
+        col("week_cents").cast("bigint").as("week_cents"),
+        col("cum_cents").cast("bigint").as("cum_cents"),
+        expr("CAST(cum_cents div n_users AS BIGINT)").as("ltv_cents"))
+      .orderBy("cohort_week", "k")
+
+  // e44's mirrored MDE tail over the four exact counts: pooled rate,
+  // standard error, minimum detectable effect at alpha=5% two-sided /
+  // 80% power (the z constants are plain double literals — identical
+  // text on both engines), observed diff and the powered verdict.
+  private val pwrPool =
+    "(CAST(conv_control + conv_treatment AS DOUBLE) / (n_control + n_treatment))"
+  private val pwrSe =
+    s"(sqrt((($pwrPool) * (CAST(1 AS DOUBLE) - ($pwrPool)))" +
+      " * ((CAST(1 AS DOUBLE) / n_control) + (CAST(1 AS DOUBLE) / n_treatment))))"
+  private val pwrMde =
+    s"((CAST(1.959963984540054 AS DOUBLE) + CAST(0.8416212335729143 AS DOUBLE)) * $pwrSe)"
+  private val pwrObs =
+    "((CAST(conv_treatment AS DOUBLE) / n_treatment) - (CAST(conv_control AS DOUBLE) / n_control))"
+
+  /** e44 kernel over the one-row (n_control, conv_control,
+    * n_treatment, conv_treatment) count frame — factored for the hand
+    * fixture in FeaturesSpec.
+    */
+  def powerReadout(counts: DataFrame): DataFrame =
+    counts
+      .withColumn("pooled_rate", expr(pwrPool))
+      .withColumn("observed_diff", expr(pwrObs))
+      .withColumn("mde_abs", expr(pwrMde))
+      .withColumn("is_powered",
+        when(expr(s"abs($pwrObs) >= $pwrMde"), 1).otherwise(0).cast("int"))
+
+  /** EXPERIMENT POWER READOUT — the "was this experiment big enough"
+    * table completing the experimentation suite (e35 z, e39 CUPED,
+    * e40 DiD): from e35's exact exposure/conversion counts, the
+    * minimum detectable effect at the standard alpha=5% two-sided /
+    * 80% power operating point, `MDE = (z_{0.975}+z_{0.80})·SE` with
+    * the pooled-rate standard error, and the verdict — is the
+    * OBSERVED difference at least the MDE? A significant-looking
+    * result below the MDE is noise dressed up; a null result with a
+    * huge MDE was never a test. All counts exact BIGINTs via the same
+    * lineage as e35 (hash arm, first-view exposure, 7-day window);
+    * the tail is one mirrored fixed-order IEEE chain on a 1-row
+    * frame.
+    */
+  val e44 = OpQuery.oracled("e44_experiment_power", {
+    val armSqlV = s"(${graft.api.Sampling.uniform32Sql("v.user_id")} % 2)"
+    s"""WITH v AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS v_us FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), conv AS (
+        |  SELECT DISTINCT e.user_id
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) > v.v_us
+        |    AND epoch_us(e.ts) <= v.v_us + 604800000000
+        |), per AS (
+        |  SELECT CAST($armSqlV AS INT) AS arm,
+        |         CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS conv
+        |  FROM v LEFT JOIN conv c ON c.user_id = v.user_id
+        |), agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+        |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_control,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treatment,
+        |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_treatment
+        |  FROM per
+        |)
+        |SELECT n_control, conv_control, n_treatment, conv_treatment,
+        |       $pwrPool AS pooled_rate,
+        |       $pwrObs AS observed_diff,
+        |       $pwrMde AS mde_abs,
+        |       CAST(CASE WHEN abs($pwrObs) >= $pwrMde THEN 1 ELSE 0 END
+        |            AS INT) AS is_powered
+        |FROM agg""".stripMargin
+  },
+    doc = "experiment power readout: minimum detectable effect at alpha=5%/80% power from e35's exact exposure/conversion counts + the observed-vs-MDE verdict — the sample-size sanity table of the experimentation suite") { (spark, dir) =>
+    val ev = Sources.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("v_us"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id")
+      .filter(col("us") > col("v_us") &&
+        col("us") <= col("v_us") + lit(604800000000L))
+      .select("user_id").distinct()
+      .withColumn("cv", lit(1L))
+    powerReadout(
+      v.join(conv, Seq("user_id"), "left")
+        .select(expr(abArmSql).cast("int").as("arm"),
+          coalesce(col("cv"), lit(0L)).as("conv"))
+        .agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("bigint")
+            .as("n_control"),
+          sum(when(col("arm") === 0, col("conv")).otherwise(0L))
+            .cast("bigint").as("conv_control"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("bigint")
+            .as("n_treatment"),
+          sum(when(col("arm") === 1, col("conv")).otherwise(0L))
+            .cast("bigint").as("conv_treatment")))
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
     e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
     e25, e26, e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38,
-    e39)
+    e39, e40, e41, e42, e43, e44)
 }

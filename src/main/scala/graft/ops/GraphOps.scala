@@ -1445,8 +1445,113 @@ object GraphOps {
     * Verify/Bench run it once per SF outside the timed section, so the
     * per-query numbers measure the kernel, not an 12×-repaid derivation.
     */
+  /** EFFECTIVE DIAMETER (90%) from the HyperBall neighborhood
+    * function — the classic sketch readout (Palmer/Gibbons/Faloutsos
+    * ANF; Boldi–Vigna HyperBall): NF(r) = Σ_v |ball_r(v)| estimated
+    * from the same 16-register frames g10/g11 maintain, and the
+    * effective diameter is the smallest radius whose NF reaches 90%
+    * of the horizon's. Per-node estimates are quantized to integer
+    * micros BEFORE the global sum (floor of a bit-deterministic
+    * double — the t37 truncation doctrine), so the sum is order-free
+    * and exact; the 90% rule is the integer cross-multiply
+    * `10·NF(r) ≥ 9·NF(R)`. Output is the radius profile with the
+    * threshold flag AS DATA — the first flagged radius IS the
+    * effective diameter.
+    *
+    * Scale shape: [[graft.api.Graph.hyperBallProfile]]'s bounded
+    * rounds (constant work per node per round), then a radius-grain
+    * aggregate of |nodes|·R rows. The exact alternative is all-pairs
+    * BFS — the sketch path is the only one alive at 100 TB.
+    */
+  val g23 = OpQuery.oracled("g23_effective_diameter", {
+    def merge(src: String, dst: String): String =
+      s"""$dst AS (
+      |  SELECT node, bucket, max(register) AS register FROM (
+      |    SELECT node, bucket, register FROM $src
+      |    UNION ALL
+      |    SELECT s.v AS node, r.bucket, r.register
+      |    FROM sym s JOIN $src r ON r.node = s.u)
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+    def est(src: String, dst: String, r: Int): String =
+      s"""$dst AS (
+      |  SELECT $r AS radius,
+      |         CAST(floor(CAST(0.673 AS DOUBLE) * 256
+      |           * CAST((CAST(1 AS BIGINT) << 57) AS DOUBLE)
+      |           / CAST(ssum + (16 - cnt) * (CAST(1 AS BIGINT) << 57) AS DOUBLE)
+      |           * 1000000) AS BIGINT) AS em
+      |  FROM (
+      |    SELECT node,
+      |           sum(CAST(1 AS BIGINT) << (57 - register)) AS ssum,
+      |           count(*) AS cnt
+      |    FROM $src GROUP BY 1)
+      |)""".stripMargin
+    s"""WITH pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), e0 AS (
+      |  SELECT DISTINCT pa, pb FROM pairs WHERE $edgeKeep
+      |), sym AS (
+      |  SELECT pa AS u, pb AS v FROM e0
+      |  UNION ALL
+      |  SELECT pb AS u, pa AS v FROM e0
+      |), h AS (
+      |  SELECT DISTINCT u AS node,
+      |         CAST('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM sym
+      |), r0 AS (
+      |  SELECT node, h % 16 AS bucket,
+      |         CASE WHEN h // 16 = 0 THEN 57
+      |              ELSE 57 - length(bin(h // 16)) END AS register
+      |  FROM h
+      |), ${merge("r0", "r1")}, ${merge("r1", "r2")}, ${merge("r2", "r3")},
+      |${est("r1", "e1", 1)}, ${est("r2", "e2", 2)}, ${est("r3", "e3", 3)},
+      |nf AS (
+      |  SELECT radius, CAST(count(*) AS BIGINT) AS n_nodes,
+      |         CAST(sum(em) AS BIGINT) AS nf_micros
+      |  FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+      |        UNION ALL SELECT * FROM e3)
+      |  GROUP BY 1
+      |), mx AS (SELECT nf_micros AS nf_max FROM nf WHERE radius = 3)
+      |SELECT CAST(radius AS INT) AS radius, n_nodes, nf_micros,
+      |       CAST((nf_micros * 1000000) // (SELECT nf_max FROM mx) AS BIGINT)
+      |         AS share_ppm,
+      |       CAST(CASE WHEN 10 * nf_micros >= 9 * (SELECT nf_max FROM mx)
+      |                 THEN 1 ELSE 0 END AS INT) AS reaches_90pct
+      |FROM nf ORDER BY radius""".stripMargin
+  },
+    doc = "effective diameter from the HyperBall neighborhood function: per-radius NF as an order-free sum of floor-micros ball estimates, 90% rule as integer cross-multiply — the first flagged radius is the effective diameter") { (spark, dir) =>
+    effectiveDiameterProfile(
+      graft.api.Graph.hyperBallProfile(edges(spark, dir), maxRadius = 3),
+      horizon = 3)
+  }
+
+  /** g23 readout kernel on a (radius, ball_estimate) profile frame —
+    * factored for the hand fixture in GraphSpec; see [[g23]].
+    */
+  def effectiveDiameterProfile(prof: org.apache.spark.sql.DataFrame,
+      horizon: Int): org.apache.spark.sql.DataFrame = {
+    val nf = prof
+      .select(col("radius"),
+        floor(col("ball_estimate") * 1000000).cast("bigint").as("em"))
+      .groupBy("radius")
+      .agg(count(lit(1)).cast("bigint").as("n_nodes"),
+        sum("em").cast("bigint").as("nf_micros"))
+    val mx = nf.agg(max(when(col("radius") === horizon, col("nf_micros")))
+      .as("nf_max"))
+    nf.crossJoin(broadcast(mx))
+      .select(col("radius").cast("int").as("radius"), col("n_nodes"),
+        col("nf_micros"),
+        expr("CAST((nf_micros * 1000000) div nf_max AS BIGINT)")
+          .as("share_ppm"),
+        when(lit(10) * col("nf_micros") >= lit(9) * col("nf_max"), 1)
+          .otherwise(0).cast("int").as("reaches_90pct"))
+      .orderBy("radius")
+  }
+
   val all: Seq[OpQuery] = Seq(g01, g02, g03, g04, g05, g06, g07, g09,
-    g10, g11, g12, g15, g16, g17, g19, g20).map(_.copy(prepare = (s, d) => { ensureEdges(s, d); () })) ++
+    g10, g11, g12, g15, g16, g17, g19, g20, g23).map(_.copy(prepare = (s, d) => { ensureEdges(s, d); () })) ++
     Seq(g08.copy(prepare = (s, d) => { ensureLinkCandidates(s, d); () })) ++
     Seq(g13, g18, r62).map(_.copy(prepare = (s, d) => { ensureWeightedEdges(s, d); () })) ++
     Seq(g14,

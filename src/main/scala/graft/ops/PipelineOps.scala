@@ -1041,9 +1041,201 @@ object PipelineOps {
     * per-SF materialized pairs table — carry its build as prepare so
     * their timings never absorb it, independent of run order.
     */
+  /** Output shard count for p13 — small enough that every SF rung
+    * fills all shards, large enough that the stripe balance is a real
+    * claim (500 docs / 16 shards at sf0.001 → ~31 docs each).
+    */
+  private val nShards = 16
+
+  /** RELEASE-SHARD PACKING PLAN — the manifest that turns an assembled
+    * corpus into the fixed set of output shards a training run reads:
+    * within each source, documents are ranked by size (tokens DESC,
+    * doc_id tie-break) and striped round-robin across `nShards`
+    * shards — the classic sorted-round-robin LPT approximation, which
+    * bounds each shard's token excess over the mean by one stripe's
+    * largest document. Because the stripe is PER SOURCE, every shard
+    * also inherits a near-proportional slice of every source (no
+    * shard is all-web or all-code), which is what keeps shard order
+    * from becoming an accidental curriculum. Complements t14: t14
+    * packs context-window BINS inside a shard in ingest order; p13
+    * decides which documents land in which shard file.
+    *
+    * Scale shape: the only window is a per-SOURCE rank (executor-sized
+    * partitions — never a global sort; the t14 doctrine), then one
+    * shard-grain aggregate of ≤ nShards rows. All-integer output.
+    */
+  val p13 = OpQuery.oracled("p13_shard_packing_plan",
+    s"""WITH d AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), r AS (
+      |  SELECT source, doc_id, n_tok,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY n_tok DESC, doc_id) AS rk
+      |  FROM d
+      |), s AS (
+      |  SELECT CAST((rk - 1) % $nShards AS INT) AS shard, source, n_tok
+      |  FROM r
+      |)
+      |SELECT shard,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |       CAST(max(n_tok) AS BIGINT) AS max_doc_tokens
+      |FROM s GROUP BY 1 ORDER BY shard""".stripMargin,
+    doc = "release-shard packing plan: per-source size-sorted round-robin striping into fixed output shards — per-shard docs/tokens/source-breadth manifest with LPT-style balance, no global sort") { (spark, dir) =>
+    shardPackingPlan(
+      Sources.table(spark, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tok")),
+      nShards)
+  }
+
+  /** p13 kernel on a (source, doc_id, n_tok) frame — factored for the
+    * balance-invariant fixture in CorpusSpec; see [[p13]].
+    */
+  def shardPackingPlan(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("n_tok").desc, col("doc_id"))))
+      .select((((col("rk") - 1) % k)).cast("int").as("shard"),
+        col("source"), col("n_tok"))
+      .groupBy("shard")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_tok").cast("bigint").as("n_tokens"),
+        countDistinct(col("source")).cast("bigint").as("n_sources"),
+        max("n_tok").cast("bigint").as("max_doc_tokens"))
+      .orderBy("shard")
+  }
+
+  /** DEDUP-CASCADE FUNNEL REPORT — p01's four-stage assembly re-read
+    * as the per-stage DIAGNOSTICS table: for every source, how many
+    * documents enter, and how many survive the exact-dedup, near-dedup,
+    * length-gate and token-budget stages CUMULATIVELY (each stage a
+    * conditional count over the same staged flag frame — the corpus is
+    * never re-scanned per stage), plus the end-to-end exact floor-ppm
+    * survival rate. This is the table that says WHERE a source's
+    * documents die — a source bleeding at the near-dup stage is a
+    * mirror; one dying at the length gate is fragments — which p01's
+    * final manifest cannot distinguish.
+    *
+    * Stage semantics are p01's verbatim (same keeper rules, same
+    * budget rule through the same `api.Corpus.tokenBudget` entry
+    * point); the oracle re-derives all four stages and every
+    * intermediate count.
+    */
+  val p14 = OpQuery.oracled("p14_dedup_cascade_report", {
+    s"""WITH RECURSIVE pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |${DedupOps.d04.oracle.get}
+      |  )
+      |), edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b AS u, doc_a AS v FROM pairs
+      |), reach AS (
+      |  SELECT u, u AS l FROM (SELECT DISTINCT u FROM edges)
+      |  UNION
+      |  SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v
+      |), lab AS (
+      |  SELECT u AS doc_id, min(l) AS cluster_id FROM reach GROUP BY 1
+      |), ek AS (
+      |  SELECT min(doc_id) AS doc_id
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |  GROUP BY md5(text)
+      |), d AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), st AS (
+      |  SELECT d.doc_id, d.source, d.n_tokens,
+      |         CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact_ok,
+      |         CASE WHEN k.doc_id IS NOT NULL
+      |                AND (lab.cluster_id IS NULL OR lab.cluster_id = d.doc_id)
+      |              THEN 1 ELSE 0 END AS near_ok
+      |  FROM d
+      |  LEFT JOIN ek k ON k.doc_id = d.doc_id
+      |  LEFT JOIN lab ON lab.doc_id = d.doc_id
+      |), st2 AS (
+      |  SELECT st.*, CASE WHEN near_ok = 1 AND n_tokens >= 20
+      |                    THEN 1 ELSE 0 END AS len_ok
+      |  FROM st
+      |), adm AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id,
+      |           sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+      |             AS cum
+      |    FROM st2 WHERE len_ok = 1)
+      |  WHERE cum <= 1000
+      |)
+      |SELECT s.source,
+      |       CAST(count(*) AS BIGINT) AS n_raw,
+      |       CAST(sum(s.exact_ok) AS BIGINT) AS n_exact,
+      |       CAST(sum(s.near_ok) AS BIGINT) AS n_near,
+      |       CAST(sum(s.len_ok) AS BIGINT) AS n_len,
+      |       CAST(sum(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_admitted,
+      |       CAST((sum(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      |             * 1000000) // count(*) AS BIGINT) AS survival_ppm
+      |FROM st2 s LEFT JOIN adm a ON a.doc_id = s.doc_id
+      |GROUP BY 1 ORDER BY s.source""".stripMargin
+  },
+    doc = "dedup-cascade funnel report: per source, cumulative survivors of exact dedup -> near dedup -> length gate -> token budget (p01's stage semantics verbatim) + exact floor-ppm end-to-end survival — the where-do-documents-die diagnostics table") { (spark, dir) =>
+    val docs = Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val exactKeep = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).withColumn("ex", lit(1L))
+    val clusters = graft.api.Dedup
+      .nearDupClusters(DedupOps.d04.fn(spark, dir))
+      .select(col("doc_id"), col("cluster_id"))
+    val staged = docs
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+      .withColumn("exact_ok",
+        when(col("ex").isNotNull, 1L).otherwise(0L))
+      .withColumn("near_ok",
+        when(col("ex").isNotNull &&
+          (col("cluster_id").isNull || col("cluster_id") === col("doc_id")),
+          1L).otherwise(0L))
+      .withColumn("len_ok",
+        when(col("near_ok") === 1L && col("n_tokens") >= 20, 1L)
+          .otherwise(0L))
+      // text dropped, then eager localCheckpoint: the flag frame feeds
+      // both the budget stage and the final aggregate — raw lineage
+      // would re-run the near-dup join chain per consumer
+      .select("doc_id", "source", "n_tokens", "exact_ok", "near_ok",
+        "len_ok")
+      .localCheckpoint(true)
+    val admitted = graft.api.Corpus.tokenBudget(
+        staged.filter(col("len_ok") === 1L)
+          .select("source", "doc_id", "n_tokens"),
+        group = "source", order = "doc_id", nTokens = "n_tokens",
+        budget = 1000L)
+      .select(col("doc_id")).withColumn("bud", lit(1L))
+    staged.join(admitted, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_raw"),
+        sum("exact_ok").cast("bigint").as("n_exact"),
+        sum("near_ok").cast("bigint").as("n_near"),
+        sum("len_ok").cast("bigint").as("n_len"),
+        sum(coalesce(col("bud"), lit(0L))).cast("bigint").as("n_admitted"))
+      .select(col("source"), col("n_raw"), col("n_exact"), col("n_near"),
+        col("n_len"), col("n_admitted"),
+        expr("CAST((n_admitted * 1000000) div n_raw AS BIGINT)")
+          .as("survival_ppm"))
+      .orderBy("source")
+  }
+
   val all: Seq[OpQuery] = Seq(p01, p02, p03, p04, p05, p06, p07, p08,
-    p09, p10, p11, p12).map { q =>
-    if (Set(p01.name, p03.name).contains(q.name))
+    p09, p10, p11, p12, p13, p14).map { q =>
+    if (Set(p01.name, p03.name, p14.name).contains(q.name))
       q.copy(prepare = (s, d) => { DedupOps.ensureNearDupPairs(s, d); () })
     else q
   }

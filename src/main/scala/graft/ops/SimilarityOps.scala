@@ -2146,7 +2146,75 @@ object SimilarityOps {
       .orderBy("q_id")
   }
 
+  /** ANN INDEX TOMBSTONE HEALTH — the maintenance half of the IVF
+    * index lifecycle the build ops (s04/p05) and drift monitor (s22)
+    * leave open: when corpus documents are deleted, a production
+    * index does not rebuild per delete — deleted vectors become
+    * TOMBSTONES filtered at query time, and the index is rebuilt when
+    * a cell's dead share crosses a threshold (dead entries still cost
+    * scan time and skew the cell geometry). The deletion set here is
+    * deterministic (`vec_id % 7 = 0` — a 14% churn wave); output is
+    * the per-cell health manifest: live/dead counts, exact floor-ppm
+    * live share, and the integer-compare rebuild verdict
+    * `5·n_dead > n_total` (dead share > 20%).
+    *
+    * Scale shape: cell assignment is the broadcast-codebook map stage
+    * every IVF op shares; the manifest is one cell-grain aggregate.
+    * The rebuild decision never touches vectors — only the counters a
+    * real index keeps per posting list.
+    */
+  val s26 = OpQuery.oracled("s26_ann_tombstone_health", {
+    s"""WITH e AS (
+       |  $duckEmbedded
+       |), cent AS (
+       |  SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id % 250 = 0
+       |), assign AS (
+       |  SELECT e.vec_id, cent.c_id,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY e.vec_id
+       |           ORDER BY ${duckDot("e.v", "cent.cv")} / (e.nrm * cent.cnrm) DESC, cent.c_id ASC)
+       |         AS INT) AS crn
+       |  FROM e, cent
+       |), cells AS (
+       |  SELECT vec_id, c_id FROM assign WHERE crn = 1
+       |)
+       |SELECT c_id,
+       |       CAST(count(*) AS BIGINT) AS n_total,
+       |       CAST(sum(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_dead,
+       |       CAST(((count(*) - sum(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END))
+       |             * 1000000) // count(*) AS BIGINT) AS live_ppm,
+       |       CAST(CASE WHEN 5 * sum(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END)
+       |                      > count(*)
+       |                 THEN 1 ELSE 0 END AS INT) AS rebuild
+       |FROM cells
+       |GROUP BY 1 ORDER BY c_id""".stripMargin
+  },
+    doc = "IVF index tombstone health: deterministic delete wave marked dead per cell, exact floor-ppm live share + integer-compare rebuild verdict (dead share > 20%) — the index-maintenance counter surface") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = embedded(spark, dir).select("vec_id", "v", "nrm")
+    val cent = e.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("c_id").asc)
+    e.crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(s"${dotDec("v", "cv")} / (nrm * cnrm)"))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .withColumn("dead", when(col("vec_id") % 7 === 0, 1L).otherwise(0L))
+      .groupBy("c_id")
+      .agg(count(lit(1)).cast("bigint").as("n_total"),
+        sum("dead").cast("bigint").as("n_dead"))
+      .select(col("c_id"), col("n_total"), col("n_dead"),
+        expr("CAST(((n_total - n_dead) * 1000000) div n_total AS BIGINT)")
+          .as("live_ppm"),
+        when(lit(5) * col("n_dead") > col("n_total"), 1).otherwise(0)
+          .cast("int").as("rebuild"))
+      .orderBy("c_id")
+  }
+
   val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
-    s24, s25)
+    s24, s25, s26)
 }

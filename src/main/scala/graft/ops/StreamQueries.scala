@@ -2150,6 +2150,228 @@ object StreamQueries {
     loc
   }
 
+  // qs27's mirrored IEEE readout tail over the exact registers: mean
+  // and population std, each a fixed left-associated chain of
+  // correctly-rounded ops (the e35 doctrine). The variance numerator
+  // n·Σx² − (Σx)² is exact BIGINT and ≥ 0 by Cauchy–Schwarz; at
+  // 100-TB volumes the registers widen to DECIMAL(38,0), shape
+  // unchanged.
+  private val momMean = "(CAST(sum_cents AS DOUBLE) / n_events / 100)"
+  private val momStd =
+    "(sqrt(CAST(n_events * sumsq_cents - sum_cents * sum_cents AS DOUBLE))" +
+      " / n_events / 100)"
+
+  /** qs27's read-time stats rule on an (event_type, reg, n_rows, s)
+    * register frame — factored for the hand fixture in StreamingSpec.
+    */
+  def momentStats(regs: DataFrame): DataFrame =
+    regs.groupBy("event_type")
+      .agg(
+        max(when(col("reg") === "s1", col("n_rows"))).cast("bigint")
+          .as("n_events"),
+        max(when(col("reg") === "s1", col("s"))).cast("bigint")
+          .as("sum_cents"),
+        max(when(col("reg") === "s2", col("s"))).cast("bigint")
+          .as("sumsq_cents"))
+      .withColumn("mean_value", expr(momMean))
+      .withColumn("std_value", expr(momStd))
+      .orderBy("event_type")
+
+  /** qs27: STREAMING EXACT MOMENTS — the running mean/variance monitor
+    * as a SUM-monoid register file, next to qs20 (count-min), qs22
+    * (HLL) and qs25 (histogram): per event type, THREE additive
+    * registers — n, Σcents, Σcents² (cents = the house
+    * `round(value·100)` exact-integer rule, e15's precedent) — folded
+    * through the replay-guarded agg-view sink; each event fans to two
+    * register cells (`type:s1` carries cents, `type:s2` carries
+    * cents², n rides the cell row count). Addition is commutative and
+    * associative, so the fold is batching-invariant by algebra and
+    * replays are structural no-ops via the batch-id high-water mark.
+    * Mean and population std are READ-TIME functions of the merged
+    * registers (mirrored fixed-order IEEE over exact BIGINTs) — this
+    * is how a production pipeline watches a value distribution's
+    * location and spread, and alerts on z-shifts, with constant state
+    * per key and no second pass for the variance.
+    *
+    * The oracle re-derives all three registers and the IEEE tail from
+    * the flat events table, so equality proves the two-run fold (plus
+    * an empty third run) lost and double-counted nothing.
+    */
+  val qs27 = OpQuery.oracled("qs27_stream_moment_registers",
+    s"""WITH c AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), a AS (
+      |  SELECT event_type,
+      |         CAST(count(*) AS BIGINT) AS n_events,
+      |         CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |         CAST(sum(cents * cents) AS BIGINT) AS sumsq_cents
+      |  FROM c GROUP BY 1
+      |)
+      |SELECT event_type, n_events, sum_cents, sumsq_cents,
+      |       $momMean AS mean_value,
+      |       $momStd AS std_value
+      |FROM a ORDER BY event_type""".stripMargin,
+    doc = "streaming exact moments per event type (n, sum, sum-of-squares " +
+      "in integer cents) folded additively across two runs + an empty " +
+      "run; read-time mirrored-IEEE mean and population std — " +
+      "distribution monitoring from three BIGINT registers per key") { (spark, dir) =>
+    val root = scratch(dir, "qs27")
+    wipe(root)
+    val ev = Sources.table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$root/input")
+    val sch = spark.read.parquet(s"$root/input").schema
+    // static cell grid: every observed type × both registers, so the
+    // view's key space is closed before the first fold
+    val dim = ev.select(col("event_type")).distinct()
+      .crossJoin(spark.range(2)
+        .select(concat(lit("s"), col("id") + 1).as("reg")))
+      .select(concat_ws(":", col("event_type"), col("reg")).as("cell"))
+      .withColumn("cell_key", col("cell"))
+    def facts(stream: DataFrame): DataFrame = stream
+      .select(col("event_type"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .select(explode(array(
+        struct(concat_ws(":", col("event_type"), lit("s1")).as("cell"),
+          col("cents").as("vz")),
+        struct(concat_ws(":", col("event_type"), lit("s2")).as("cell"),
+          (col("cents") * col("cents")).as("vz")))).as("x"))
+      .select(col("x.cell").as("cell"), col("x.vz").cast("double").as("vz"))
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.aggViewSink(
+        facts(spark.readStream.schema(sch).parquet(s"$root/input")),
+        dim, s"$root/table", s"$root/ckpt",
+        joinKey = "cell", viewKey = "cell_key", valueCol = "vz"))
+    run()
+    ev.filter(col("event_id") % 2 === 1)
+      .write.mode("append").parquet(s"$root/input")
+    run()
+    run() // no new files: the fold must be a no-op
+    momentStats(
+      spark.read.parquet(s"$root/table")
+        .select(split(col("cell_key"), ":").getItem(0).as("event_type"),
+          split(col("cell_key"), ":").getItem(1).as("reg"),
+          col("n_rows"), col("s")))
+  }
+
+  // qs28's alert rule: a one-sided spike flag against the mirrored
+  // IEEE mean + 3·population-std of the type's dense hourly series
+  // (exact BIGINT moments; zeros are real observations). One-sided
+  // because ingest alerting asks "did traffic spike", not "is this
+  // hour unusual" — e42 owns the two-sided robust form.
+  private val spikeMean = "(CAST(sc AS DOUBLE) / n_hours)"
+  private val spikeStd =
+    "(sqrt(CAST(n_hours * scc - sc * sc AS DOUBLE)) / n_hours)"
+
+  /** qs28's read-time alert rule on a dense (event_type, hr, c) hourly
+    * grid — factored for the hand fixture in StreamingSpec.
+    */
+  def spikeAlerts(grid: DataFrame): DataFrame = {
+    val m = grid.groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).cast("bigint").as("n_hours"),
+        sum("c").cast("bigint").as("sc"),
+        sum(col("c") * col("c")).cast("bigint").as("scc"))
+    grid.join(broadcast(m), col("event_type") === col("et"))
+      .select(col("event_type"), col("hr").cast("bigint").as("hr"),
+        col("c").cast("bigint").as("c"),
+        when(col("c").cast("double") >
+          expr(spikeMean) + lit(3) * expr(spikeStd), 1)
+          .otherwise(0).cast("int").as("is_spike"))
+      .orderBy("event_type", "hr")
+  }
+
+  /** qs28: STREAMING SPIKE ALERTS — the alerting readout over the
+    * qs17-shaped incrementally-maintained hourly view: per-(type,
+    * hour) counts fold additively through the replay-guarded agg-view
+    * sink (two waves + an empty commit), and the alert rule runs AT
+    * READ TIME on the stored view densified over the observed hour
+    * span (an absent hour IS a zero observation — dropping it would
+    * inflate the baseline). The rule is the ops-standard one-sided
+    * `c > mean + 3σ` from exact BIGINT moments of the dense series —
+    * with qs17 (top-k), qs25 (quantiles) and qs27 (moments) this
+    * completes the incremental-view readout family: the same fold,
+    * four different read-time functions. Oracle re-derives the dense
+    * grid and the rule from the flat events table, so equality proves
+    * the fold lost nothing AND the alert thresholds match bit-for-bit.
+    */
+  val qs28 = OpQuery.oracled("qs28_stream_spike_alerts",
+    s"""WITH h AS (
+      |  SELECT event_type, epoch_ns(ts) // 1000 // 3600000000 AS hr,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2
+      |), span AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
+      |grid AS (
+      |  SELECT t.event_type, g.hr, coalesce(h.c, 0) AS c
+      |  FROM (SELECT DISTINCT event_type FROM h) t
+      |  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM span),
+      |                                            (SELECT hi FROM span)))
+      |                AS hr) g
+      |  LEFT JOIN h ON h.event_type = t.event_type AND h.hr = g.hr
+      |), m AS (
+      |  SELECT event_type,
+      |         CAST(count(*) AS BIGINT) AS n_hours,
+      |         CAST(sum(c) AS BIGINT) AS sc,
+      |         CAST(sum(c * c) AS BIGINT) AS scc
+      |  FROM grid GROUP BY 1
+      |)
+      |SELECT g.event_type, CAST(g.hr AS BIGINT) AS hr, g.c,
+      |       CAST(CASE WHEN CAST(g.c AS DOUBLE) >
+      |                      $spikeMean + 3 * $spikeStd
+      |                 THEN 1 ELSE 0 END AS INT) AS is_spike
+      |FROM grid g JOIN m ON m.event_type = g.event_type
+      |ORDER BY g.event_type, g.hr""".stripMargin,
+    doc = "streaming spike alerts: per-(type, hour) counts folded " +
+      "additively across two runs + an empty run; read-time one-sided " +
+      "mean + 3-sigma rule over the densified stored view — the " +
+      "alerting readout of the incremental-view family") { (spark, dir) =>
+    val root = scratch(dir, "qs28")
+    wipe(root)
+    val ev = Sources.table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        expr("ts div 3600000000000").as("hr"))
+    ev.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$root/input")
+    val sch = spark.read.parquet(s"$root/input").schema
+    // closed key grid: every observed type × every hour in the span,
+    // so the view key space is fixed before the first fold
+    val span = ev.agg(min("hr").as("lo"), max("hr").as("hi"))
+    val dim = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("hr"))
+      .select(concat_ws(":", col("event_type"), col("hr")).as("cell"))
+      .withColumn("cell_key", col("cell"))
+    def facts(stream: DataFrame): DataFrame = stream
+      .select(concat_ws(":", col("event_type"), col("hr")).as("cell"),
+        lit(0.0).as("vz"))
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.aggViewSink(
+        facts(spark.readStream.schema(sch).parquet(s"$root/input")),
+        dim, s"$root/table", s"$root/ckpt",
+        joinKey = "cell", viewKey = "cell_key", valueCol = "vz"))
+    run()
+    ev.filter(col("event_id") % 2 === 1)
+      .write.mode("append").parquet(s"$root/input")
+    run()
+    run() // no new files: the fold must be a no-op
+    // densify the stored view over its own key span: absent cells are
+    // hours the stream never saw for that type — zeros by definition
+    val view = spark.read.parquet(s"$root/table")
+      .select(split(col("cell_key"), ":").getItem(0).as("event_type"),
+        split(col("cell_key"), ":").getItem(1).cast("bigint").as("hr"),
+        col("n_rows").as("c"))
+    val vspan = view.agg(min("hr").as("lo"), max("hr").as("hi"))
+    val grid = view.select("event_type").distinct()
+      .crossJoin(broadcast(vspan))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("hr"))
+      .join(view, Seq("event_type", "hr"), "left")
+      .na.fill(0L, Seq("c"))
+    spikeAlerts(grid)
+  }
+
   val all: Seq[OpQuery] = Seq(
     qs1,
     qs2.copy(prepare = (s, d) => { ensureEnvelopeInput(s, d); () }),
@@ -2177,5 +2399,7 @@ object StreamQueries {
     qs23,
     qs24,
     qs25,
-    qs26.copy(prepare = (s, d) => { ensureSourceOverlap(s, d); () }))
+    qs26.copy(prepare = (s, d) => { ensureSourceOverlap(s, d); () }),
+    qs27,
+    qs28)
 }

@@ -2384,9 +2384,77 @@ object TextOps {
       Sources.table(spark, dir, "documents").select("doc_id", "text"))
   }
 
+  /** t43 kernel on a (source, text) frame — factored for the hand
+    * fixture in TextStatsSpec; see [[t43]] for the full contract.
+    */
+  def lexicalRichness(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term")
+      .agg(count(lit(1)).cast("bigint").as("k"))
+      .groupBy("source")
+      .agg(sum("k").cast("bigint").as("n_tokens"),
+        count(lit(1)).cast("bigint").as("n_types"),
+        sum(when(col("k") === 1L, 1L).otherwise(0L)).cast("bigint")
+          .as("n_hapax"),
+        sum(when(col("k") === 2L, 1L).otherwise(0L)).cast("bigint")
+          .as("n_dis"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_hapax"), col("n_dis"),
+        expr("(n_types * 1000000) div n_tokens").cast("bigint")
+          .as("type_token_ppm"),
+        expr("(n_hapax * 1000000) div n_types").cast("bigint")
+          .as("hapax_share_ppm"))
+      .orderBy("source")
+
+  /** Per-source LEXICAL RICHNESS — the corpus-linguistics vocabulary
+    * profile (Baayen, "Word Frequency Distributions"): token count,
+    * type count, hapax legomena (types seen once) and dis legomena
+    * (types seen twice), plus exact floor-ppm type/token and
+    * hapax-share ratios. Hapax share is the classic productivity
+    * signal — a source whose hapax share collapses is templated or
+    * machine-repeated text; a source where it explodes is OCR noise or
+    * tokenizer drift. Complements t41 (vocab GROWTH over ingest order)
+    * and t10 (coverage of a fixed global vocab) with the per-source
+    * frequency-spectrum summary neither surfaces.
+    *
+    * Scale shape: one explode to (source, term), a two-phase aggregate
+    * shuffled on (source, term) — map-side partial counts absorb
+    * within-partition repeats — then a source-grain rollup of the
+    * type-grain frame. Output is one row per source; no doc-grain or
+    * token-grain rows survive the first aggregate. All-integer, so the
+    * profile is bit-stable and diffable across releases.
+    */
+  val t43 = OpQuery.oracled("t43_lexical_richness",
+    """WITH tk AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS term
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), ty AS (
+      |  SELECT source, term, CAST(count(*) AS BIGINT) AS k
+      |  FROM tk GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT source,
+      |         CAST(sum(k) AS BIGINT) AS n_tokens,
+      |         CAST(count(*) AS BIGINT) AS n_types,
+      |         CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_hapax,
+      |         CAST(sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_dis
+      |  FROM ty GROUP BY 1
+      |)
+      |SELECT source, n_tokens, n_types, n_hapax, n_dis,
+      |       CAST((n_types * 1000000) // n_tokens AS BIGINT)
+      |         AS type_token_ppm,
+      |       CAST((n_hapax * 1000000) // n_types AS BIGINT)
+      |         AS hapax_share_ppm
+      |FROM agg ORDER BY source""".stripMargin,
+    doc = "per-source lexical richness: tokens, types, hapax/dis legomena + exact-ppm type-token and hapax-share ratios — the frequency-spectrum profile for OCR-noise and templating review") { (spark, dir) =>
+    lexicalRichness(
+      Sources.table(spark, dir, "documents").select("source", "text"))
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
       t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
-      t42)
+      t42, t43)
 }

@@ -129,4 +129,46 @@ class CorpusSpec extends AnyFunSuite {
       ("en", 2L, 1L, 1L, 30L, 500000L, 0),
       ("fr", 1L, 0L, 1L, 40L, 0L, 1)), got.mkString(","))
   }
+
+  test("shardPackingPlan: per-source size-sorted round-robin stripes, balance and conservation (p13 kernel)") {
+    import spark.implicits._
+    // srcA sizes 10,8,6,4 (doc_ids 1..4), srcB sizes 5,3 (5,6), k=2:
+    // srcA ranks 1..4 → shards 0,1,0,1; srcB ranks 1,2 → shards 0,1
+    val docs = Seq(
+      ("srcA", 1L, 10L), ("srcA", 2L, 8L), ("srcA", 3L, 6L),
+      ("srcA", 4L, 4L), ("srcB", 5L, 5L), ("srcB", 6L, 3L))
+      .toDF("source", "doc_id", "n_tok")
+    val got = graft.ops.PipelineOps.shardPackingPlan(docs, 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      // (shard, n_docs, n_tokens, n_sources, max_doc_tokens)
+      (0, 3L, 21L, 2L, 10L),
+      (1, 3L, 15L, 2L, 8L)), got.mkString(","))
+    // conservation + per-shard doc balance within 1 (every source
+    // stripes evenly, so the union does too)
+    assert(got.map(_._2).sum == 6L && got.map(_._3).sum == 36L)
+    assert(got.map(_._2).max - got.map(_._2).min <= 1L)
+  }
+
+  test("property: shardPackingPlan conserves docs/tokens and bounds doc skew by the source count (p13 kernel)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val k = 4
+    val gen = Gen.listOfN(60, Gen.zip(Gen.oneOf("s0", "s1", "s2"),
+      Gen.choose(1L, 50L)))
+    val docs = gen.apply(Gen.Parameters.default, Seed(43L))
+      .getOrElse(fail("generator produced no sample"))
+      .zipWithIndex.map { case ((src, tok), i) => (src, i.toLong, tok) }
+    val got = graft.ops.PipelineOps.shardPackingPlan(
+      docs.toDF("source", "doc_id", "n_tok"), k).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // conservation: nothing dropped, nothing duplicated
+    assert(got.map(_._2).sum == docs.size.toLong)
+    assert(got.map(_._3).sum == docs.map(_._3).sum)
+    // each source stripes within 1 per shard, so the union's per-shard
+    // doc skew is bounded by the number of sources
+    assert(got.map(_._2).max - got.map(_._2).min <= 3L, got.mkString(","))
+  }
 }

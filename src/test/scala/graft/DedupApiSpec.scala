@@ -457,4 +457,58 @@ class DedupApiSpec extends AnyFunSuite {
     assert(Dedup.allPairsCosine(docs, maxInputRows = 5L).count() ==
       Dedup.allPairsCosine(docs).count())
   }
+
+  test("editDistanceVerify: classic distances, identical docs, floor-ppm rule, prefix cap (d19 kernel)") {
+    import spark.implicits._
+    val docs = Seq((1L, "kitten"), (2L, "sitting"), (3L, "kitten"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 0.8), (1L, 3L, 1.0))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = graft.ops.DedupOps.editDistanceVerify(pairs, docs, 400)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      // kitten→sitting is the textbook 3; ppm = (7-3)*1e6 div 7
+      (1L, 2L, 3, 571428L),
+      (1L, 3L, 0, 1000000L)), got.mkString(","))
+    // the prefix cap is real: at cap 4 only "kitt" vs "sitt" is
+    // compared — distance 1 on max-length 4
+    val capped = graft.ops.DedupOps.editDistanceVerify(pairs, docs, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3),
+        r.getLong(4)))
+    assert(capped.toSeq == Seq(
+      (1L, 2L, 1, 750000L),
+      (1L, 3L, 0, 1000000L)), capped.mkString(","))
+  }
+
+  test("property: editDistanceVerify equals the textbook Wagner-Fischer DP on 120 random string pairs (d19 kernel)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // short strings over a 3-letter alphabet make interesting edit
+    // scripts (transpositions, shared prefixes) likely; empty strings
+    // included — lev("", y) must be |y|
+    val genStr = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val ps = Gen.listOfN(120, Gen.zip(genStr, genStr))
+      .apply(Gen.Parameters.default, Seed(19L))
+      .getOrElse(fail("generator produced no sample"))
+    val docs = ps.zipWithIndex.flatMap { case ((x, y), i) =>
+      Seq((2L * i, x), (2L * i + 1, y)) }.toDF("doc_id", "text")
+    val pairs = ps.indices.map(i => (2L * i, 2L * i + 1, 1.0))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = graft.ops.DedupOps.editDistanceVerify(pairs, docs, 400)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    ps.zipWithIndex.foreach { case ((x, y), i) =>
+      assert(got(2L * i) == lev(x, y), s"'$x' vs '$y'")
+    }
+  }
 }

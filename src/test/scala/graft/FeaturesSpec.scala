@@ -303,4 +303,211 @@ class FeaturesSpec extends AnyFunSuite {
     assert(math.abs(got(0)._7 - 0.7) < 1e-12, got(0)._7.toString)
     assert(math.abs(got(1)._7 - 0.3) < 1e-12, got(1)._7.toString)
   }
+
+  test("didReadout: hand-computed 2x2 cells, rates and DiD estimate (e40 kernel)") {
+    import spark.implicits._
+    // control: users (pre 1, post 2) and (pre 0, post 1);
+    // treatment: (2, 2) and (1, 4) → per-user means pre_c 0.5,
+    // post_c 1.5, pre_t 1.5, post_t 3.0 → DiD (3.0-1.5)-(1.5-0.5)=0.5
+    val perUser = Seq((0, 1L, 2L), (0, 0L, 1L), (1, 2L, 2L), (1, 1L, 4L))
+      .toDF("arm", "pre_n", "post_n")
+    val r = graft.ops.EventOps.didReadout(perUser).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((2L, 1L, 3L, 2L, 3L, 6L)), r.toString)
+    assert(r.getDouble(6) == 0.5 && r.getDouble(7) == 1.5 &&
+      r.getDouble(8) == 1.5 && r.getDouble(9) == 3.0, r.toString)
+    assert(r.getDouble(10) == 0.5, r.toString)
+  }
+
+  test("metricCorrelation: exact moments, perfect/negative correlation, zero-variance NULL (e41 kernel)") {
+    import spark.implicits._
+    // a=(1,2,3), b=(2,4,6) perfectly correlated; c=(3,1,2) anti-ish;
+    // z=(5,5,5) constant — every pair with z must be NULL, not inf
+    val grid = Seq(
+      (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L),
+      (1L, "b", 2L), (2L, "b", 4L), (3L, "b", 6L),
+      (1L, "c", 3L), (2L, "c", 1L), (3L, "c", 2L),
+      (1L, "z", 5L), (2L, "z", 5L), (3L, "z", 5L))
+      .toDF("day", "event_type", "c")
+    val got = graft.ops.EventOps.metricCorrelation(grid).collect()
+    val byPair = got.map(r => ((r.getString(0), r.getString(1)),
+      (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(byPair.keySet == Set(("a", "b"), ("a", "c"), ("a", "z"),
+      ("b", "c"), ("b", "z"), ("c", "z")))
+    assert(byPair(("a", "b"))._1 == 3L)
+    // IEEE chain: 12/(sqrt(6)*sqrt(24)) etc — exact doubles of the
+    // mirrored expression, not the algebraic 1.0/-0.5
+    assert(byPair(("a", "b"))._2.contains(
+      12.0 / (math.sqrt(6.0) * math.sqrt(24.0))))
+    assert(byPair(("a", "c"))._2.contains(
+      -3.0 / (math.sqrt(6.0) * math.sqrt(6.0))))
+    assert(byPair(("b", "c"))._2.contains(
+      -6.0 / (math.sqrt(24.0) * math.sqrt(6.0))))
+    assert(byPair(("a", "z"))._2.isEmpty && byPair(("b", "z"))._2.isEmpty &&
+      byPair(("c", "z"))._2.isEmpty)
+  }
+
+  test("seasonalAnomalyFlags: slot median/MAD baseline, 3*MAD rule, absolute floor (e42 kernel)") {
+    import spark.implicits._
+    // hours 0/168/336 share slot (dow 4, hod 0) across three weeks:
+    //   type x: c = 10,10,100 → med 10, MAD 0 → only the 90-dev hour
+    //     flags (the floor admits it);
+    //   type y: c = 10,10,12 → dev 2 < floor 5 → MAD 0 must NOT flag;
+    //   type z: c = 10,11,100 → med 11, MAD 1 → 89 > 3 flags
+    val grid = Seq(
+      ("x", 0L, 10L), ("x", 168L, 10L), ("x", 336L, 100L),
+      ("y", 0L, 10L), ("y", 168L, 10L), ("y", 336L, 12L),
+      ("z", 0L, 10L), ("z", 168L, 11L), ("z", 336L, 100L))
+      .toDF("event_type", "hr", "c")
+    val got = graft.ops.EventOps.seasonalAnomalyFlags(grid).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getInt(5)))
+    assert(got.toSeq == Seq(
+      ("x", 0L, 10L, 10.0, 0.0, 0), ("x", 168L, 10L, 10.0, 0.0, 0),
+      ("x", 336L, 100L, 10.0, 0.0, 1),
+      ("y", 0L, 10L, 10.0, 0.0, 0), ("y", 168L, 10L, 10.0, 0.0, 0),
+      ("y", 336L, 12L, 10.0, 0.0, 0),
+      ("z", 0L, 10L, 11.0, 1.0, 0), ("z", 168L, 11L, 11.0, 1.0, 0),
+      ("z", 336L, 100L, 11.0, 1.0, 1)), got.mkString(","))
+  }
+
+  test("property: metricCorrelation equals the textbook Pearson from exact moments on random series (e41 kernel)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def corr(xs: Seq[Long], ys: Seq[Long]): Option[Double] = {
+      val n = xs.size.toLong
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum; val syy = ys.map(a => a * a).sum
+      val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+      if (vx == 0 || vy == 0) None
+      else Some((n * sxy - sx * sy).toDouble /
+        (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble)))
+    }
+    // 3 series over 15 days; values 0..9 (constant series arise
+    // naturally and must come back NULL)
+    val nDays = 15
+    val series = Gen.listOfN(3, Gen.listOfN(nDays, Gen.choose(0L, 9L)))
+      .apply(Gen.Parameters.default, Seed(23L))
+      .getOrElse(fail("generator produced no sample"))
+    val types = Seq("a", "b", "c")
+    val grid = types.zip(series).flatMap { case (t, vs) =>
+      vs.zipWithIndex.map { case (v, d) => (d.toLong, t, v) } }
+      .toDF("day", "event_type", "c")
+    val got = graft.ops.EventOps.metricCorrelation(grid).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    for (i <- 0 until 3; j <- (i + 1) until 3) {
+      val want = corr(series(i), series(j))
+      assert(got((types(i), types(j))) == want,
+        s"${types(i)}-${types(j)}: got ${got((types(i), types(j)))}, want $want")
+    }
+  }
+
+  test("property: ltvCurve conservation and floor-division bounds on random cohort grids (e43 kernel)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(4, Gen.zip(Gen.choose(1L, 20L),
+      Gen.listOfN(6, Gen.choose(0L, 500L))))
+    val cohorts = gen.apply(Gen.Parameters.default, Seed(29L))
+      .getOrElse(fail("generator produced no sample"))
+    val grid = cohorts.zipWithIndex.flatMap { case ((n, weeks), w0) =>
+      weeks.zipWithIndex.map { case (c, k) =>
+        (w0.toLong, n, k.toLong, c) } }
+      .toDF("wk0", "n_users", "k", "week_cents")
+    val got = graft.ops.EventOps.ltvCurve(grid).collect()
+    cohorts.zipWithIndex.foreach { case ((n, weeks), w0) =>
+      val rows = got.filter(_.getLong(0) == w0.toLong).sortBy(_.getInt(1))
+      // cum at the horizon equals the cohort's total; every ltv row
+      // satisfies the floor-division sandwich ltv·n <= cum < (ltv+1)·n
+      assert(rows.last.getLong(4) == weeks.sum)
+      rows.foreach { r =>
+        val (nu, cum, ltv) = (r.getLong(2), r.getLong(4), r.getLong(5))
+        assert(ltv * nu <= cum && cum < (ltv + 1) * nu, r.toString)
+      }
+    }
+  }
+
+  test("property: seasonalAnomalyFlags equals a scalar median/MAD mirror on random slot grids (e42 kernel)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // interpolated median of integer-valued doubles is exact: the
+    // midpoint of two integers is a representable half
+    def q50(v: Seq[Double]): Double = {
+      val s = v.sorted; val n = s.size
+      val lo = s((0.5 * (n - 1)).toInt)
+      val hi = s(math.ceil(0.5 * (n - 1)).toInt)
+      lo + 0.5 * (hi - lo)
+    }
+    // every (type, week, offset) cell gets a count: 2 types × 4 weeks
+    // × 3 hour offsets — each (type, dow, hod) slot sees 4 weeks
+    val cells = for (t <- Seq("x", "y"); w <- 0 to 3; o <- Seq(0L, 24L, 50L))
+      yield (t, 168L * w + o)
+    val counts = Gen.listOfN(cells.size, Gen.choose(0L, 40L))
+      .apply(Gen.Parameters.default, Seed(31L))
+      .getOrElse(fail("generator produced no sample"))
+    val grid = cells.zip(counts).map { case ((t, hr), c) => (t, hr, c) }
+    val got = graft.ops.EventOps.seasonalAnomalyFlags(
+      grid.toDF("event_type", "hr", "c")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(3), r.getDouble(4), r.getInt(5)))).toMap
+    val bySlot = grid.groupBy { case (t, hr, _) =>
+      (t, (hr / 24 + 4) % 7, hr % 24) }
+    bySlot.foreach { case (_, rows) =>
+      val med = q50(rows.map(_._3.toDouble))
+      val mad = q50(rows.map(r => math.abs(r._3 - med)))
+      rows.foreach { case (t, hr, c) =>
+        val adev = math.abs(c - med)
+        val flag = if (adev > 3 * mad && adev >= 5) 1 else 0
+        assert(got((t, hr)) == ((med, mad, flag)),
+          s"($t,$hr,$c): got ${got((t, hr))}, want ($med,$mad,$flag)")
+      }
+    }
+  }
+
+  test("powerReadout: pooled-SE MDE and the powered verdict in both directions (e44 kernel)") {
+    import spark.implicits._
+    def mde(nc: Long, cc: Long, nt: Long, ct: Long): Double = {
+      val p = (cc + ct).toDouble / (nc + nt)
+      (1.959963984540054 + 0.8416212335729143) *
+        math.sqrt((p * (1.0 - p)) * ((1.0 / nc) + (1.0 / nt)))
+    }
+    // big effect (0.1 -> 0.3 on 100/arm): observed 0.2 >= MDE -> powered
+    val a = graft.ops.EventOps.powerReadout(
+      Seq((100L, 10L, 100L, 30L)).toDF(
+        "n_control", "conv_control", "n_treatment", "conv_treatment"))
+      .collect()(0)
+    assert(a.getDouble(6) == mde(100, 10, 100, 30), a.toString)
+    // mirrored IEEE: the observed diff is the double chain's value,
+    // not the algebraic 0.2
+    assert(a.getDouble(5) == 30.0 / 100 - 10.0 / 100 && a.getInt(7) == 1,
+      a.toString)
+    // tiny effect (0.1 -> 0.12): observed 0.02 < MDE -> underpowered
+    val b = graft.ops.EventOps.powerReadout(
+      Seq((100L, 10L, 100L, 12L)).toDF(
+        "n_control", "conv_control", "n_treatment", "conv_treatment"))
+      .collect()(0)
+    assert(b.getInt(7) == 0 && b.getDouble(6) == mde(100, 10, 100, 12),
+      b.toString)
+  }
+
+  test("ltvCurve: cumulative cents over quiet weeks, exact floor cents-per-user (e43 kernel)") {
+    import spark.implicits._
+    val grid = Seq(
+      (0L, 4L, 0L, 100L), (0L, 4L, 1L, 0L), (0L, 4L, 2L, 50L),
+      (1L, 3L, 0L, 10L))
+      .toDF("wk0", "n_users", "k", "week_cents")
+    val got = graft.ops.EventOps.ltvCurve(grid).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      // (cohort, k, n_users, week, cum, ltv = cum div n)
+      (0L, 0, 4L, 100L, 100L, 25L),
+      (0L, 1, 4L, 0L, 100L, 25L),
+      (0L, 2, 4L, 50L, 150L, 37L),
+      (1L, 0, 3L, 10L, 10L, 3L)), got.mkString(","))
+  }
 }

@@ -549,4 +549,20 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L),
       got.toString)
   }
+
+  test("effectiveDiameterProfile: order-free floor-micros NF, 90% cross-multiply rule (g23 kernel)") {
+    import spark.implicits._
+    // exact-binary estimates so floor-micros is unambiguous:
+    // r1 NF = 1.5 + 2.5 = 4.0M micros (53% of horizon — below 90%),
+    // r2 NF = 3.0 + 4.5 = 7.5M micros (the horizon — flags)
+    val prof = Seq((1, 1.5), (1, 2.5), (2, 3.0), (2, 4.5))
+      .toDF("radius", "ball_estimate")
+    val got = graft.ops.GraphOps.effectiveDiameterProfile(prof, horizon = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    assert(got.toSeq == Seq(
+      (1, 2L, 4000000L, 533333L, 0),
+      (2, 2L, 7500000L, 1000000L, 1)), got.mkString(","))
+  }
 }

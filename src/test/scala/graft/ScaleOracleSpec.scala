@@ -47,7 +47,11 @@ class ScaleOracleSpec extends AnyFunSuite {
     "s03_label_norm_stats", "s22_centroid_drift", "s23_knn_graph",
     "g08_link_prediction", "g21_hits_bipartite",
     "p09_dataset_card", "p10_k_anonymity_audit",
-    "p11_anonymized_release")
+    "p11_anonymized_release",
+    "t43_lexical_richness", "e40_did_readout", "e41_metric_correlation",
+    "d19_edit_distance_verify", "p13_shard_packing_plan",
+    "e42_seasonal_anomaly_flags", "e43_cohort_ltv_curve",
+    "s26_ann_tombstone_health", "e44_experiment_power")
 
   test("sf0.1 DuckDB oracle parity on the cheap deterministic subset") {
     assume(sys.env.get("SPARK_GRAFT_SF01_ORACLE").contains("1"),

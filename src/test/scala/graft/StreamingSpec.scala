@@ -1778,6 +1778,84 @@ class StreamingSpec extends AnyFunSuite {
       ("y", 1L, 5, 5, 5, 80, 80, 80)), got.mkString(","))
   }
 
+  test("momentStats: register pivot, mirrored-IEEE mean and population std (qs27 kernel)") {
+    import spark.implicits._
+    // type x: cents {10,20,30,40} → n=4, s1=100, s2=3000;
+    // mean = 100/4/100 = 0.25; var num = 4·3000 − 100² = 2000,
+    // std = sqrt(2000)/4/100. type y: constant cents 5 → std 0 exactly
+    val regs = Seq(
+      ("x", "s1", 4L, 100L), ("x", "s2", 4L, 3000L),
+      ("y", "s1", 2L, 10L), ("y", "s2", 2L, 50L))
+      .toDF("event_type", "reg", "n_rows", "s")
+    val got = graft.ops.StreamQueries.momentStats(regs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("x", 4L, 100L, 3000L, 0.25, math.sqrt(2000.0) / 4 / 100),
+      ("y", 2L, 10L, 50L, 0.05, 0.0)), got.mkString(","))
+  }
+
+  test("spikeAlerts: one-sided mean + 3-sigma rule over the dense series (qs28 kernel)") {
+    import spark.implicits._
+    // type x: eleven quiet hours of 1 plus one hour of 50 —
+    // mean 61/12, std sqrt(12·2511 − 61²)/12 → threshold ≈ 45.7, so
+    // ONLY the 50 flags; type y: constant series, std 0, c > mean is
+    // false at every hour (c == mean), nothing flags
+    val grid = ((0L to 10L).map(h => ("x", h, 1L)) :+ (("x", 11L, 50L))) ++
+      (0L to 3L).map(h => ("y", h, 7L))
+    val got = graft.ops.StreamQueries.spikeAlerts(
+      grid.toDF("event_type", "hr", "c")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.count(_._4 == 1) == 1 && got.find(_._4 == 1).get ==
+      (("x", 11L, 50L, 1)), got.mkString(","))
+    assert(got.filter(_._1 == "y").forall(_._4 == 0))
+  }
+
+  test("property: momentStats equals the scalar mean/std mirror on random cents multisets (qs27 kernel)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val sets = Gen.listOfN(6, Gen.nonEmptyListOf(Gen.choose(0L, 5000L)))
+      .apply(Gen.Parameters.default, Seed(37L))
+      .getOrElse(fail("generator produced no sample"))
+    val regs = sets.zipWithIndex.flatMap { case (cs, i) =>
+      val n = cs.size.toLong
+      Seq((s"t$i", "s1", n, cs.sum), (s"t$i", "s2", n, cs.map(c => c * c).sum))
+    }.toDF("event_type", "reg", "n_rows", "s")
+    val got = graft.ops.StreamQueries.momentStats(regs).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(4), r.getDouble(5)))).toMap
+    sets.zipWithIndex.foreach { case (cs, i) =>
+      val n = cs.size.toLong; val s1 = cs.sum; val s2 = cs.map(c => c * c).sum
+      val mean = s1.toDouble / n / 100
+      val std = math.sqrt((n * s2 - s1 * s1).toDouble) / n / 100
+      assert(got(s"t$i") == ((mean, std)), s"t$i: ${got(s"t$i")}")
+    }
+  }
+
+  test("property: spikeAlerts equals the scalar mean+3-sigma mirror on random hourly grids (qs28 kernel)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val series = Gen.listOfN(3, Gen.listOfN(20, Gen.choose(0L, 60L)))
+      .apply(Gen.Parameters.default, Seed(41L))
+      .getOrElse(fail("generator produced no sample"))
+    val grid = series.zipWithIndex.flatMap { case (cs, i) =>
+      cs.zipWithIndex.map { case (c, h) => (s"t$i", h.toLong, c) } }
+      .toDF("event_type", "hr", "c")
+    val got = graft.ops.StreamQueries.spikeAlerts(grid).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(3)).toMap
+    series.zipWithIndex.foreach { case (cs, i) =>
+      val n = cs.size.toLong; val sc = cs.sum
+      val scc = cs.map(c => c * c).sum
+      val mean = sc.toDouble / n
+      val std = math.sqrt((n * scc - sc * sc).toDouble) / n
+      cs.zipWithIndex.foreach { case (c, h) =>
+        val want = if (c.toDouble > mean + 3 * std) 1 else 0
+        assert(got((s"t$i", h.toLong)) == want, s"t$i hr $h c $c")
+      }
+    }
+  }
+
   test("property: histogramQuantiles == the expanded multiset's ceil(q·n/100)-th smallest, on 60 random histograms") {
     import spark.implicits._
     import org.scalacheck.Gen

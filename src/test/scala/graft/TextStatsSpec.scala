@@ -94,4 +94,19 @@ class TextStatsSpec extends AnyFunSuite {
       ("b", 1L, 1L, 1.0, 333333L),
       ("c", 4L, 2L, 2.0, 666666L)), got.mkString(","))
   }
+
+  test("lexicalRichness: type/hapax/dis counts and floor-ppm ratios per source (t43 kernel)") {
+    import spark.implicits._
+    // srcA term counts: a=3, b=2, c=1, d=1 → 7 tokens, 4 types,
+    // 2 hapax (c, d), 1 dis (b); srcB is the 1-token degenerate case
+    val docs = Seq(("srcA", "a a b c"), ("srcA", "a d b"), ("srcB", "x"))
+      .toDF("source", "text")
+    val got = graft.ops.TextOps.lexicalRichness(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      // (source, n_tokens, n_types, n_hapax, n_dis, ttr_ppm, hapax_ppm)
+      ("srcA", 7L, 4L, 2L, 1L, 571428L, 500000L),
+      ("srcB", 1L, 1L, 1L, 0L, 1000000L, 1000000L)), got.mkString(","))
+  }
 }
