@@ -167,6 +167,54 @@ object Graph {
     ranks.select(col("node"), col("r").cast("bigint").as("rank_pico"))
   }
 
+  /** Per-round convergence telemetry of [[pageRankFixedPoint]]'s exact
+    * fixed-point iteration: after each power round, the L1 and max
+    * picorank deltas against the previous generation and the count of
+    * nodes that moved — the dial that says HOW MANY rounds a graph
+    * actually needs (g03 fixes 3 by convention; a production job stops
+    * on `l1_delta < ε·total_mass`). Same arithmetic as the kernel
+    * (`r div deg` contributions, `prBase + 85·s div 100`), so every
+    * delta is an exact BIGINT any engine reproduces. Each generation
+    * is eagerly localCheckpointed (it feeds both the next round and
+    * the delta join — the round-lineage doctrine of
+    * [[hyperBallProfile]]); the output is one row per round.
+    */
+  def pageRankConvergence(edgeList: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"bad iterations $iterations")
+    val prOne = 1000000000000L
+    val prBase = 150000000000L
+    val e2 = edgeList.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(edgeList.select(col("pb").as("u"), col("pa").as("v")))
+    val deg = e2.groupBy("u").agg(count(lit(1)).as("deg"))
+    val ed = e2.join(deg, "u").persist()
+    var ranks = deg.select(col("u").as("node"), lit(prOne).as("r"))
+      .localCheckpoint(true)
+    var out: Option[DataFrame] = None
+    for (i <- 1 to iterations) {
+      val next = ed.join(ranks, col("node") === col("u"))
+        .select(col("v"), expr("r div deg").as("contrib"))
+        .groupBy(col("v").as("nxt")).agg(sum("contrib").as("s"))
+        .select(col("nxt").as("node"),
+          (lit(prBase) + expr("(85 * s) div 100")).as("r"))
+        .localCheckpoint(true)
+      val delta = next.join(ranks.select(col("node"), col("r").as("pr")),
+          "node")
+        .select(abs(col("r") - col("pr")).as("d"))
+        .agg(sum("d").cast("bigint").as("l1_delta_pico"),
+          max("d").cast("bigint").as("max_delta_pico"),
+          sum(when(col("d") > 0, 1L).otherwise(0L)).cast("bigint")
+            .as("n_changed"))
+        .select(lit(i).cast("int").as("round"), col("l1_delta_pico"),
+          col("max_delta_pico"), col("n_changed"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(ranks)
+      ranks = next
+      out = Some(out.map(_.unionByName(delta)).getOrElse(delta))
+    }
+    ed.unpersist()
+    out.get.orderBy("round")
+  }
+
   /** WEIGHTED PageRank in the same exact fixed-point arithmetic as
     * [[pageRankFixedPoint]]: rank flows along each edge in proportion
     * to its weight — `r(v) = prBase + 0.85 · Σ_{u~v} r(u)·w(u,v) div W(u)`

@@ -1550,8 +1550,69 @@ object GraphOps {
       .orderBy("radius")
   }
 
+  /** PAGERANK CONVERGENCE CURVE — g03's fixed-point iteration with its
+    * stopping dial exposed ([[graft.api.Graph.pageRankConvergence]]):
+    * per power round, the exact L1 / max picorank deltas vs the
+    * previous generation and how many nodes moved. g03 fixes 3 rounds
+    * by convention; this is the table that JUSTIFIES a round budget —
+    * production jobs stop on `l1_delta < ε·mass`, and the curve shows
+    * where that crossing happens for this graph. All deltas are exact
+    * BIGINTs of the same `div`-floored arithmetic, so the oracle
+    * unrolls the rounds and reproduces every bit.
+    *
+    * Scale shape: identical per-round cost to g03 (one edge-rank join
+    * + aggregate), plus one node-grain delta join per round; output is
+    * R rows.
+    */
+  val g24 = OpQuery.oracled("g24_pagerank_convergence", {
+    def iterSql(i: Int): String = {
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS (
+      |  SELECT ed.v AS node, sum(p.r // ed.deg) AS s
+      |  FROM ed JOIN $prev p ON p.node = ed.u
+      |  GROUP BY 1
+      |), r$i AS (
+      |  SELECT node, $prBase + (85 * s) // 100 AS r FROM c$i
+      |)"""
+    }
+    def deltaSql(i: Int): String = {
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""SELECT $i AS round,
+      |       CAST(sum(abs(n.r - p.r)) AS BIGINT) AS l1_delta_pico,
+      |       CAST(max(abs(n.r - p.r)) AS BIGINT) AS max_delta_pico,
+      |       CAST(sum(CASE WHEN n.r <> p.r THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_changed
+      |FROM r$i n JOIN $prev p ON p.node = n.node"""
+    }
+    s"""WITH pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), e AS (
+      |  SELECT DISTINCT pa, pb FROM pairs WHERE $edgeKeep
+      |), e2 AS (
+      |  SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e
+      |), deg AS (
+      |  SELECT u, count(*) AS deg FROM e2 GROUP BY 1
+      |), ed AS (
+      |  SELECT e2.u, e2.v, deg.deg FROM e2 JOIN deg ON deg.u = e2.u
+      |), r0 AS (
+      |  SELECT u AS node, CAST($prOne AS BIGINT) AS r FROM deg
+      |), ${iterSql(1)}, ${iterSql(2)}, ${iterSql(3)}
+      |SELECT * FROM (
+      |  ${deltaSql(1)}
+      |  UNION ALL
+      |  ${deltaSql(2)}
+      |  UNION ALL
+      |  ${deltaSql(3)}
+      |) ORDER BY round""".stripMargin
+  },
+    doc = "PageRank convergence curve: per power round, exact L1/max picorank deltas vs the previous generation + moved-node count — the stopping-rule dial behind g03's fixed round budget") { (spark, dir) =>
+    graft.api.Graph.pageRankConvergence(edges(spark, dir), iterations = 3)
+  }
+
   val all: Seq[OpQuery] = Seq(g01, g02, g03, g04, g05, g06, g07, g09,
-    g10, g11, g12, g15, g16, g17, g19, g20, g23).map(_.copy(prepare = (s, d) => { ensureEdges(s, d); () })) ++
+    g10, g11, g12, g15, g16, g17, g19, g20, g23, g24).map(_.copy(prepare = (s, d) => { ensureEdges(s, d); () })) ++
     Seq(g08.copy(prepare = (s, d) => { ensureLinkCandidates(s, d); () })) ++
     Seq(g13, g18, r62).map(_.copy(prepare = (s, d) => { ensureWeightedEdges(s, d); () })) ++
     Seq(g14,

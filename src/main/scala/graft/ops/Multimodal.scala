@@ -786,6 +786,69 @@ object Multimodal {
           .as("garbage_ratio"))
   }
 
+  /** CROSS-MODAL DEDUP POLICY — the decision table a multimodal corpus
+    * needs when the media leg (m03: byte-histogram L1 near-dup, order-
+    * insensitive) and the caption leg (d04: shingle-Jaccard near-dup,
+    * order-sensitive) DISAGREE about a pair: both dup → a true
+    * duplicate record (`drop_dup`); media dup with distinct captions →
+    * keep one media, merge captions (`recaption`); caption dup with
+    * distinct media → the caption is boilerplate or the media was
+    * re-encoded (`reencode`). The caption leg is d04's verified pairs
+    * restricted to the media-sampled stripe (media_id = doc_id), so
+    * the two legs align on the same identity space. Emitted pair-grain
+    * with both flags as data — policy counts are one aggregate away,
+    * and the oracle re-proves the classification on every pair.
+    *
+    * Scale shape: both pair sets are blocked, never all-pairs; the
+    * policy join is pair-grain (full outer on the two bounded lists).
+    */
+  val m13 = OpQuery.oracled("m13_crossmodal_dedup_policy", {
+    s"""WITH m AS (
+      |${m03.oracle.get}
+      |), c0 AS (
+      |${graft.ops.DedupOps.d04.oracle.get}
+      |), c AS (
+      |  SELECT doc_a, doc_b FROM c0
+      |  WHERE doc_a % 10 = 0 AND doc_b % 10 = 0
+      |)
+      |SELECT coalesce(m.media_a, c.doc_a) AS id_a,
+      |       coalesce(m.media_b, c.doc_b) AS id_b,
+      |       CAST(CASE WHEN m.media_a IS NOT NULL THEN 1 ELSE 0 END AS INT)
+      |         AS media_dup,
+      |       CAST(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS INT)
+      |         AS caption_dup,
+      |       CASE WHEN m.media_a IS NOT NULL AND c.doc_a IS NOT NULL
+      |              THEN 'drop_dup'
+      |            WHEN m.media_a IS NOT NULL THEN 'recaption'
+      |            ELSE 'reencode' END AS policy
+      |FROM m FULL JOIN c ON c.doc_a = m.media_a AND c.doc_b = m.media_b
+      |ORDER BY id_a, id_b""".stripMargin
+  },
+    doc = "cross-modal dedup policy: m03's media near-dup pairs full-outer-joined with d04's caption near-dup pairs on the shared identity stripe — drop_dup / recaption / reencode classification emitted per pair") { (spark, dir) =>
+    val media = m03.fn(spark, dir)
+      .select(col("media_a"), col("media_b")).withColumn("mdup", lit(1))
+    val caps = graft.ops.DedupOps.d04.fn(spark, dir)
+      .filter(col("doc_a") % 10 === 0 && col("doc_b") % 10 === 0)
+      .select(col("doc_a"), col("doc_b")).withColumn("cdup", lit(1))
+    media.join(caps,
+        col("doc_a") === col("media_a") && col("doc_b") === col("media_b"),
+        "full_outer")
+      .select(
+        coalesce(col("media_a"), col("doc_a")).as("id_a"),
+        coalesce(col("media_b"), col("doc_b")).as("id_b"),
+        coalesce(col("mdup"), lit(0)).cast("int").as("media_dup"),
+        coalesce(col("cdup"), lit(0)).cast("int").as("caption_dup"),
+        when(col("mdup").isNotNull && col("cdup").isNotNull, "drop_dup")
+          .when(col("mdup").isNotNull, "recaption")
+          .otherwise("reencode").as("policy"))
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[OpQuery] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09,
-    m10, m11, m12)
+    m10, m11, m12,
+    m13.copy(prepare = (s, d) => {
+      ensureMediaFiles(s, d)
+      graft.ops.DedupOps.ensureNearDupPairs(s, d)
+      ()
+    }))
 }

@@ -550,6 +550,21 @@ class GraphSpec extends AnyFunSuite {
       got.toString)
   }
 
+  test("pageRankConvergence: hand-computed picorank deltas on the 3-path (g24 kernel)") {
+    import spark.implicits._
+    // path 1-2-3, all ranks start at 1e12:
+    // round 1: r(1)=r(3)=575e9, r(2)=1850e9 → L1 = 2·425e9 + 850e9
+    // round 2: r(1)=r(3)=936.25e9, r(2)=1127.5e9 → L1 = 2·361.25e9
+    //          + 722.5e9 — every operand an exact div-floored BIGINT
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("pa", "pb")
+    val got = graft.api.Graph.pageRankConvergence(e, iterations = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, 1700000000000L, 850000000000L, 3L),
+      (2, 1445000000000L, 722500000000L, 3L)), got.mkString(","))
+  }
+
   test("effectiveDiameterProfile: order-free floor-micros NF, 90% cross-multiply rule (g23 kernel)") {
     import spark.implicits._
     // exact-binary estimates so floor-micros is unambiguous:

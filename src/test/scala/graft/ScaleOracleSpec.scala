@@ -51,7 +51,8 @@ class ScaleOracleSpec extends AnyFunSuite {
     "t43_lexical_richness", "e40_did_readout", "e41_metric_correlation",
     "d19_edit_distance_verify", "p13_shard_packing_plan",
     "e42_seasonal_anomaly_flags", "e43_cohort_ltv_curve",
-    "s26_ann_tombstone_health", "e44_experiment_power")
+    "s26_ann_tombstone_health", "e44_experiment_power",
+    "g24_pagerank_convergence", "m13_crossmodal_dedup_policy")
 
   test("sf0.1 DuckDB oracle parity on the cheap deterministic subset") {
     assume(sys.env.get("SPARK_GRAFT_SF01_ORACLE").contains("1"),
