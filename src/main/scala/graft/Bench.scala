@@ -92,6 +92,30 @@ object Bench {
     SparkEntry.registry.sortBy(_.name)
       .filter(q => only.forall(_.exists(q.name.startsWith)))
 
+  /** Re-time exactly the queries whose first reading crossed the
+    * superlinear threshold, keeping the MIN of old and new — one hot
+    * co-tenancy window must not mint a flag that costs a round of
+    * adjudication (r14: four flags in a load_avg-18.8 draw, all on
+    * untouched code; every one adjudicated environmental). With
+    * REPS=1 (the driver protocol) this makes threshold-crossers
+    * min-of-2; with REPS=2 they become min-of-4. The re-measured
+    * names are reported in the rung JSON ("retimed") so the evidence
+    * shows which readings got the second look.
+    */
+  private def retimeFlagged(spark: SparkSession, dir: String,
+      ts: Seq[Timing], flagged: Set[String]): Seq[Timing] =
+    if (flagged.isEmpty) ts
+    else {
+      val byName = selected.map(q => q.name -> q).toMap
+      ts.map { t =>
+        if (!flagged.contains(t.name)) t
+        else {
+          val again = timeAll(spark, dir, Seq(byName(t.name))).head
+          if (!again.failed && (t.failed || again.sec < t.sec)) again else t
+        }
+      }
+    }
+
   private def timeAll(spark: SparkSession, sfDir: String,
       queries: Seq[graft.ops.OpQuery] = selected,
       afterEach: Int => Unit = _ => ()): Seq[Timing] =
@@ -349,7 +373,23 @@ object Bench {
             !quadraticByConstruction.contains(q.name))
         val skipped = results.map(_.name)
           .filterNot(eligible.map(_.name).toSet).sorted
-        val big = timeAll(spark, cand.getPath, eligible)
+        // Mid-rung canary samples: the sf1 rung is where r14's four
+        // phantom flags were minted (driver draw, load_avg 18.8), and
+        // the primary draw's samples say nothing about host state
+        // DURING this rung — sample r41 here too so a burst inside the
+        // rung is data in the same JSON.
+        val bigSamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+        val big0 = timeAll(spark, cand.getPath, eligible,
+          afterEach = i => if (i % 25 == 0) bigSamples += i -> canaryTime(1))
+        def flagsOf(ts: Seq[Timing]): Set[String] = ts.flatMap { t =>
+          val s = primary.getOrElse(t.name, -1.0)
+          val r = if (t.failed || s < 0.0) -1.0 else adj(t.sec) / adj(s)
+          if (r > SuperlinearRatio && t.sec > MinFlagSeconds) Some(t.name) else None
+        }.toSet
+        // threshold-crossers get a second reading (min kept) before a
+        // flag is recorded — see retimeFlagged
+        val firstFlags = flagsOf(big0)
+        val big = retimeFlagged(spark, cand.getPath, big0, firstFlags)
         val ratios = big.map { t =>
           val s = primary.getOrElse(t.name, -1.0)
           t.name -> (if (t.failed || s < 0.0) -1.0 else adj(t.sec) / adj(s))
@@ -362,9 +402,14 @@ object Bench {
         // by name, never as an unexplained -1.0 ratio.
         val rungErrors = big.filter(_.failed).map(_.name).sorted
         val crossDist = big.map(_.name).filter(crossDistributionText).sorted
+        val bigSamplesJson = bigSamples
+          .map { case (i, s) => s"""{"after":$i,"sec":${math.round(s * 1000.0) / 1000.0}}""" }
+          .mkString("[", ",", "]")
         s""","curve_big":{"dir":"${cand.getPath}","queries":${jsonMap(big.map(t => t.name -> t.sec))},""" +
           s""""ratio":${jsonMap(ratios)},""" +
           s""""superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""retimed":${firstFlags.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""samples":$bigSamplesJson,""" +
           s""""cross_distribution":${crossDist.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           errDetailJson(big) +

@@ -2,6 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.api.Checkpoints.LineageOps
 
 import graft.expr.WordShingles.word_shingles
 
@@ -206,12 +207,12 @@ object Dedup {
           .filter(col("_f") <= cap).select("sh")
         shsRaw.join(ok, "sh").select(col(idCol), col("sh"))
       case None => shsRaw
-    }).localCheckpoint(true)
+    }).cutLineage
     // one shuffle on the doc key yields the signature AND the shingle
     // count (the later metric denominators) — no separate sizes pass
     val aggs = minAggs(seeds) :+ count(lit(1)).as("n")
     val sig = withHashHalves(shs, idCol)
-      .groupBy(idCol).agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+      .groupBy(idCol).agg(aggs.head, aggs.tail: _*).cutLineage
     val bands = sig.select(col(idCol),
       explode(bandKeyArray(seeds, bandSize)).as("bk"))
     val cand = bands.as("a")
@@ -270,10 +271,10 @@ object Dedup {
     // (id, hash) grain — tiny next to the shingle work this function
     // exists to bound.
     val mem = docs.select(col(idCol).as("_m_id"), md5(col(textCol)).as("_th"))
-      .localCheckpoint(true)
+      .cutLineage
     val grp = mem.groupBy("_th")
       .agg(min(col("_m_id")).as("_rep"), count(lit(1)).as("_k"))
-      .localCheckpoint(true)
+      .cutLineage
     val repDocs = docs.join(grp.select(col("_rep")), col(idCol) === col("_rep"))
       .select(col(idCol), col(textCol))
     val (counts, sizes) =
@@ -576,7 +577,7 @@ object Dedup {
     // a lazy persist would race its two union branches in one job
     val tF = System.nanoTime()
     val fwd = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .localCheckpoint(true)
+      .cutLineage
     logStage("pairs-ckpt", tF)
     // seed labels from the symmetric neighborhood minimum
     val tS = System.nanoTime()
@@ -585,7 +586,7 @@ object Dedup {
       .groupBy(col("u"))
       .agg(least(min(col("v")), col("u")).as("label"))
       .select(col("u").as("doc_id"), col("label"))
-      .localCheckpoint(true)
+      .cutLineage
     logStage("seed-labels", tS)
     // contract: original edges -> seed-label edges (directed half is
     // enough; the fixpoint resymmetrizes), self-loops out, deduped
@@ -597,7 +598,7 @@ object Dedup {
       .filter(col("lu") =!= col("lv"))
       .select(col("lu").as("u"), col("lv").as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .cutLineage
     logStage("contract", tC)
     val nC = eC.count()
     val labels =
@@ -665,7 +666,7 @@ object Dedup {
     var labels = edges.groupBy(col("u"))
       .agg(least(min(col("v")), col("u")).as("label"))
       .select(col("u").as("doc_id"), col("label"))
-      .localCheckpoint(true)
+      .cutLineage
     def labelSum(): java.math.BigDecimal = {
       val v = labels.agg(sum(col("label").cast("decimal(38,0)"))).head().get(0)
       if (v == null) java.math.BigDecimal.ZERO
@@ -689,7 +690,7 @@ object Dedup {
       val next = labels.select("doc_id", "label")
         .unionByName(n1m).unionByName(n2).unionByName(j2)
         .groupBy("doc_id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .cutLineage
       org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(labels)
       labels = next
       val s = labelSum()

@@ -137,9 +137,14 @@ object Features {
     // the k·σ allowance (scaled by n like everything else) re-enters
     // integer land through a mirrored ceil: ceil of the same IEEE
     // double is the same integer in both engines, and every op after
-    // it is exact again
+    // it is exact again. The variance numerator n·Σv² − (Σv)² is
+    // computed in DECIMAL(38,0), not BIGINT — Spark silently wraps a
+    // BIGINT product while DuckDB promotes to HUGEINT/errors, so large
+    // per-key totals would diverge (the r15 sweep of the r14-ADVICE
+    // momStd class); exact decimal matches HUGEINT bit-for-bit here.
     val allowance =
-      ceil(lit(k) * sqrt((col("n") * col("s2") - col("s1") * col("s1"))
+      ceil(lit(k) * sqrt((col("n").cast("decimal(38,0)") * col("s2")
+        - col("s1").cast("decimal(38,0)") * col("s1"))
         .cast("double"))).cast("long")
     df.join(broadcast(st), Seq(group))
       .withColumn("y", col("n") * col(value) - col("s1") - allowance)
@@ -148,7 +153,8 @@ object Features {
         col("p") - least(lit(0L), min(col("p")).over(w)))
       .withColumn("drift",
         (col("s_scaled").cast("double") >
-          lit(h) * sqrt((col("n") * col("s2") - col("s1") * col("s1"))
+          lit(h) * sqrt((col("n").cast("decimal(38,0)") * col("s2")
+            - col("s1").cast("decimal(38,0)") * col("s1"))
             .cast("double"))).cast("int"))
       .drop("y", "p", "n", "s1", "s2")
   }

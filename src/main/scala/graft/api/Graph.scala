@@ -2,6 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.api.Checkpoints.LineageOps
 
 /** Graph kernels over a plain undirected edge frame — the library
   * surface behind the g01–g05 queries (same contract as [[Features]]
@@ -188,7 +189,7 @@ object Graph {
     val deg = e2.groupBy("u").agg(count(lit(1)).as("deg"))
     val ed = e2.join(deg, "u").persist()
     var ranks = deg.select(col("u").as("node"), lit(prOne).as("r"))
-      .localCheckpoint(true)
+      .cutLineage
     var out: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       val next = ed.join(ranks, col("node") === col("u"))
@@ -196,7 +197,7 @@ object Graph {
         .groupBy(col("v").as("nxt")).agg(sum("contrib").as("s"))
         .select(col("nxt").as("node"),
           (lit(prBase) + expr("(85 * s) div 100")).as("r"))
-        .localCheckpoint(true)
+        .cutLineage
       val delta = next.join(ranks.select(col("node"), col("r").as("pr")),
           "node")
         .select(abs(col("r") - col("pr")).as("d"))
@@ -206,12 +207,17 @@ object Graph {
             .as("n_changed"))
         .select(lit(i).cast("int").as("round"), col("l1_delta_pico"),
           col("max_delta_pico"), col("n_changed"))
-        .localCheckpoint(true)
+        .cutLineage
       org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(ranks)
       ranks = next
       out = Some(out.map(_.unionByName(delta)).getOrElse(delta))
     }
     ed.unpersist()
+    // the output unions only checkpointed per-round delta frames — the
+    // FINAL ranks generation has no reader left; free its blocks too
+    // (r14 ADVICE: the loop freed every superseded generation but left
+    // the last one in executor storage for the rest of the session)
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(ranks)
     out.get.orderBy("round")
   }
 
@@ -315,7 +321,7 @@ object Graph {
     // plan to a scan of the stored blocks; superseded generations are
     // freed immediately via the bridge.
     var visited = seeds.select(col("node"), lit(0).as("hop"))
-      .localCheckpoint(true)
+      .cutLineage
     var frontier = visited.select("node")
     for (h <- 1 to maxHops) {
       val grown = visited.unionAll(
@@ -323,7 +329,7 @@ object Graph {
           .select(col("v").as("node")).distinct()
           .join(visited.select("node"), Seq("node"), "left_anti")
           .select(col("node"), lit(h).as("hop")))
-        .localCheckpoint(true)
+        .cutLineage
       org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(visited)
       visited = grown
       // the new frontier reads out of the checkpointed union
@@ -367,7 +373,7 @@ object Graph {
         .join(broadcast(seedFix), col("node") === col("s_node"), "left")
         .select(col("node"),
           coalesce(col("s_label"), col("label")).as("label"))
-        .localCheckpoint(true)
+        .cutLineage
       org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(lab)
       lab = next
     }
@@ -551,7 +557,7 @@ object Graph {
         expr("""CASE WHEN h div 16 = 0 THEN 57
                 |     ELSE 57 - length(conv(h div 16, 10, 2)) END""".stripMargin)
           .as("register"))
-      .localCheckpoint(true)
+      .cutLineage
     var out: Option[DataFrame] = None
     for (r <- 1 to maxRadius) {
       val nbr = sym
@@ -560,7 +566,7 @@ object Graph {
         .select(col("v").as("node"), col("bucket"), col("register"))
       val next = regs.unionByName(nbr)
         .groupBy("node", "bucket").agg(max("register").as("register"))
-        .localCheckpoint(true)
+        .cutLineage
       org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(regs)
       regs = next
       // the summary must be materialized BEFORE the next round frees
@@ -568,9 +574,14 @@ object Graph {
       // lineage to recompute from, so a lazy reader of freed blocks
       // dies with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; it is |nodes|
       // rows, so checkpointing it eagerly costs nothing
-      val s = summarize(next, r).localCheckpoint(true)
+      val s = summarize(next, r).cutLineage
       out = Some(out.map(_.unionByName(s)).getOrElse(s))
     }
+    // output = checkpointed per-round summaries only: free the final
+    // register generation and the symmetrized edge cache (r14 ADVICE —
+    // same retained-last-generation pattern as pageRankConvergence)
+    org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(regs)
+    sym.unpersist()
     out.get
   }
 
@@ -631,7 +642,7 @@ object Graph {
     // cluster-fixpoint pattern). Superseded generations are freed
     // immediately via the bridge (getPersistentRDDs only releases
     // checkpoint blocks at driver GC).
-    var cur = edgeList.select(col("pa"), col("pb")).localCheckpoint(true)
+    var cur = edgeList.select(col("pa"), col("pb")).cutLineage
     var curCount = cur.count()
     var converged = false
     var r = 0
@@ -644,7 +655,7 @@ object Graph {
         .join(bad.select(col("node").as("pa")), Seq("pa"), "left_anti")
         .join(bad.select(col("node").as("pb")), Seq("pb"), "left_anti")
         .select(col("pa"), col("pb"))
-        .localCheckpoint(true)
+        .cutLineage
       val nextCount = next.count()
       org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(cur)
       converged = nextCount == curCount
@@ -877,6 +888,84 @@ object Graph {
       .select("item", "neighbor", "shared_users", "cosine")
   }
 
+  /** DIMSUM-style SAMPLED item-item cosine estimates (Zadeh &
+    * Carlson, "Dimension Independent Matrix Square using MapReduce",
+    * KDD 2013) — the scale-safe sibling of [[itemCfSimilarity]]'s
+    * exact projection, and the answer to its one structural cost:
+    * even with the basket cap and the a-priori prune, the exact path
+    * SHUFFLES every surviving co-occurrence (g14 is the registry's
+    * single largest shuffle). DIMSUM's insight is that the pairs a
+    * cosine ranking actually needs are the ones whose popularity
+    * product is small relative to their co-count, so each per-basket
+    * pair (a,b) is emitted with probability
+    * `p_ab = min(1, γ / (√n_a·√n_b))` and the co-count is re-inflated
+    * at read time — the expansion still runs map-side (same compute
+    * as exact), but the SHUFFLE carries only the γ-dialed sample,
+    * independent of how many users the corpus has. γ is the explicit
+    * recall-vs-shuffle dial; the g25 registry query measures it
+    * against the exact top-k planted truth (the s14 pattern).
+    *
+    * Oracle-checkable sampling: the coin is the house portable
+    * uniform — the 60-bit md5 prefix of `u|pa|pb` compared against
+    * `p_ab · 2⁶⁰`, every operand a fixed-order chain of
+    * correctly-rounded IEEE ops (sqrt/mul/div — the t31 doctrine), so
+    * both engines draw the SAME sample bit-for-bit. The estimator is
+    * exact where the sample is the census (`√n_a·√n_b ≤ γ` means
+    * p = 1 and ĉ = co): `cos_hat = c/(√n_a·√n_b)` there, `c/γ`
+    * otherwise (E[c] = co·γ/(√n_a·√n_b) = γ·cosine).
+    *
+    * Input `incidence` is (u, p); rows are deduplicated here.
+    * Returns one estimate row per sampled pair per γ:
+    * (gamma, pa, pb, c, est_cosine), pa < pb.
+    */
+  def dimsumPairEstimates(incidence: DataFrame, gammas: Seq[Int],
+      maxBasket: Option[Long] = None): DataFrame = {
+    require(gammas.nonEmpty && gammas.forall(_ >= 1), s"bad gammas $gammas")
+    val ui = incidence.select(col("u"), col("p")).distinct()
+    val np = ui.groupBy("p").agg(count(lit(1)).as("n"))
+    val baskets = ui.groupBy("u")
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+    val capped = maxBasket.fold(baskets)(cap =>
+      baskets.filter(size(col("ps")) <= cap))
+    val cand = capped
+      .select(col("u"), explode(expr(
+        """flatten(transform(ps,
+          |  (x, i) -> transform(slice(ps, i + 2, size(ps)),
+          |            y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("q"))
+      .select(col("u"), col("q.pa").as("pa"), col("q.pb").as("pb"))
+    // the coin and the threshold: one draw per (user, pair), filtered
+    // MAP-SIDE for the largest γ before any exchange, then fanned per
+    // γ (thresholds are monotone in γ, so smaller γs are subsets of
+    // the same draw — one expansion serves every dial setting)
+    val drawn = cand
+      .join(broadcast(np.select(col("p").as("pa"), col("n").as("na"))), "pa")
+      .join(broadcast(np.select(col("p").as("pb"), col("n").as("nb"))), "pb")
+      .withColumn("u01", expr(
+        "CAST(CAST(conv(substr(md5(concat_ws('|', CAST(u AS STRING), " +
+          "CAST(pa AS STRING), CAST(pb AS STRING))), 1, 15), 16, 10) " +
+          "AS BIGINT) AS DOUBLE)"))
+      .withColumn("den", expr(
+        "sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))"))
+    val maxG = gammas.max
+    val kept = drawn
+      .filter(col("u01") <
+        (lit(maxG.toDouble) / col("den")) * lit(1152921504606846976.0))
+      .withColumn("gamma", explode(array(gammas.map(g => lit(g)): _*)))
+      .filter(col("u01") <
+        (col("gamma").cast("double") / col("den")) * lit(1152921504606846976.0))
+    kept.groupBy("gamma", "pa", "pb")
+      .agg(count(lit(1)).cast("bigint").as("c"))
+      .join(broadcast(np.select(col("p").as("pa"), col("n").as("na"))), "pa")
+      .join(broadcast(np.select(col("p").as("pb"), col("n").as("nb"))), "pb")
+      .select(col("gamma"), col("pa"), col("pb"), col("c"),
+        expr("""CASE WHEN sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))
+                |          <= CAST(gamma AS DOUBLE)
+                |     THEN CAST(c AS DOUBLE)
+                |          / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+                |     ELSE CAST(c AS DOUBLE) / CAST(gamma AS DOUBLE)
+                |END""".stripMargin).as("est_cosine"))
+  }
+
   /** Per-edge triangle support — for each undirected edge (pa < pb),
     * how many triangles contain it (= common neighbors of its
     * endpoints). Support 0 marks a LOCAL BRIDGE: the only local route
@@ -921,10 +1010,10 @@ object Graph {
     require(k >= 3, s"bad k $k")
     require(rounds >= 1, s"bad rounds $rounds")
     var cur = edgeSupport(edgeList).filter(col("sup") >= k - 2)
-      .select("pa", "pb").localCheckpoint(true)
+      .select("pa", "pb").cutLineage
     for (_ <- 2 to rounds) {
       val next = edgeSupport(cur).filter(col("sup") >= k - 2)
-        .select("pa", "pb").localCheckpoint(true)
+        .select("pa", "pb").cutLineage
       org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(cur)
       cur = next
     }
@@ -967,7 +1056,7 @@ object Graph {
       .unionAll(weighted.select(col("pb").as("u"), col("pa").as("v"), col("c")))
       .persist()
     var dist = seeds.select(col("node"), lit(0L).as("dist"))
-      .localCheckpoint(true)
+      .cutLineage
     var frontier = dist // round 1 relaxes the seeds
     var r = 0
     var saturated = false
@@ -981,14 +1070,14 @@ object Graph {
       val improved = offers.join(dist, Seq("node"), "left")
         .filter(col("dist").isNull || col("cand") < col("dist"))
         .select(col("node"), col("cand").as("dist"))
-        .localCheckpoint(true)
+        .cutLineage
       if (improved.isEmpty) {
         org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(improved)
         saturated = true
       } else {
         val merged = dist.unionAll(improved)
           .groupBy("node").agg(min(col("dist")).as("dist"))
-          .localCheckpoint(true)
+          .cutLineage
         org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(dist)
         if (frontier ne dist)
           org.apache.spark.sql.GraftSqlBridge.unpersistCheckpointed(frontier)
@@ -1037,7 +1126,7 @@ object Graph {
       // them, and on raw lineage that reuse doubles the plan per
       // half-round (the s24 lesson — ~270 exchanges for two rounds
       // without the cut, 8 with it)
-      val r = raw0.localCheckpoint(true)
+      val r = raw0.cutLineage
       cuts += r
       val tot = r.agg(sum(col(s)).as("tot"))
       r.crossJoin(broadcast(tot))
@@ -1110,7 +1199,7 @@ object Graph {
     import spark.implicits._
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
-      .localCheckpoint(true)
+      .cutLineage
     val wcc = Dedup.nearDupClusters(e, aCol = "src", bCol = "dst")
       .select(col("doc_id").as("src"), col("cluster_id").as("comp"))
     e.join(wcc, "src")

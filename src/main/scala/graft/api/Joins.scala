@@ -2,6 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.api.Checkpoints.LineageOps
 
 /** Distributed interval/range joins.
   *
@@ -155,7 +156,7 @@ object Joins {
       .orderBy(col("_graft_n").desc, col(factKey))
       .limit(topHotKeys)
       .select(col(factKey).as("_graft_hk"))
-      .localCheckpoint(true)
+      .cutLineage
     val factsHot = facts
       .join(broadcast(hot), col(factKey) === col("_graft_hk")).drop("_graft_hk")
     val factsCold = facts

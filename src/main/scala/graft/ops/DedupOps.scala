@@ -1062,6 +1062,17 @@ object DedupOps {
     * the oracle applies the identical substr. A production verifier
     * that needed full-document distance would chunk + align instead;
     * the bounded-prefix form is the admission-gate shape.
+    *
+    * CHARACTER-UNIT CAVEAT (r14 ADVICE; measured): Spark's
+    * `levenshtein` edits CODE POINTS while DuckDB's edits BYTES —
+    * 'café'→'cafe' is 1 in Spark, 2 in DuckDB; deleting one emoji is
+    * 1 vs 4. The fixture corpus is all-ASCII (where the two agree
+    * unit-for-unit — DedupApiSpec pins both facts), so oracle parity
+    * here certifies the ASCII contract only. On a multilingual corpus
+    * the ENGINE's code-point semantics is the correct one (an accented
+    * character is one edit, not two); a byte-based oracle would need
+    * its own byte-wise DP, not a different engine. Same latent class
+    * the repo flags at m03's hex() comment.
     */
   private val editPrefixChars = 400
 

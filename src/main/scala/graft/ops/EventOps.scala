@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.api.Checkpoints.LineageOps
 
 import graft.io.Sources
 
@@ -1282,9 +1283,12 @@ object EventOps {
       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       |         CAST(sum(n_events) AS BIGINT) AS s1,
       |         CAST(sum(n_events * n_events) AS BIGINT) AS s2,
-      |         CAST(ceil(0.5 * sqrt(CAST(count(*) * sum(n_events * n_events)
-      |                                   - sum(n_events) * sum(n_events)
-      |                                   AS DOUBLE))) AS BIGINT) AS allow
+      |         CAST(ceil(0.5 * sqrt(CAST(
+      |                  CAST(count(*) AS DECIMAL(38,0))
+      |                    * sum(n_events * n_events)
+      |                  - CAST(sum(n_events) AS DECIMAL(38,0))
+      |                    * sum(n_events)
+      |                  AS DOUBLE))) AS BIGINT) AS allow
       |  FROM hc GROUP BY 1
       |), ser AS (
       |  SELECT hc.event_type, hc.hour, hc.n_events, st.n, st.s1, st.s2,
@@ -1303,7 +1307,9 @@ object EventOps {
       |SELECT event_type, hour, n_events,
       |       CAST(s_scaled AS BIGINT) AS s_scaled,
       |       CAST(CASE WHEN CAST(s_scaled AS DOUBLE) >
-      |                      4.0 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+      |                      4.0 * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2
+      |                                      - CAST(s1 AS DECIMAL(38,0)) * s1
+      |                                      AS DOUBLE))
       |                 THEN 1 ELSE 0 END AS INT) AS drift
       |FROM cs ORDER BY event_type, hour""".stripMargin,
     doc = "per-type hourly-rate CUSUM change points (closed-form " +
@@ -1748,11 +1754,11 @@ object EventOps {
       |), th AS (
       |  SELECT CAST(count(*) AS BIGINT) AS nn,
       |         CAST(sum(x) AS BIGINT) AS sx,
-      |         CAST(CAST(count(*) AS BIGINT) * CAST(sum(x * y) AS BIGINT)
-      |              - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT)
+      |         CAST(CAST(count(*) AS DECIMAL(38,0)) * CAST(sum(x * y) AS BIGINT)
+      |              - CAST(sum(x) AS DECIMAL(38,0)) * CAST(sum(y) AS BIGINT)
       |              AS DOUBLE)
-      |           / CAST(CAST(count(*) AS BIGINT) * CAST(sum(x * x) AS BIGINT)
-      |                  - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT)
+      |           / CAST(CAST(count(*) AS DECIMAL(38,0)) * CAST(sum(x * x) AS BIGINT)
+      |                  - CAST(sum(x) AS DECIMAL(38,0)) * CAST(sum(x) AS BIGINT)
       |                  AS DOUBLE) AS theta
       |  FROM u
       |)
@@ -1791,9 +1797,14 @@ object EventOps {
         sum(col("x") * col("y")).cast("bigint").as("sxy"),
         sum(col("y")).cast("bigint").as("sy"),
         sum(col("x") * col("x")).cast("bigint").as("sxx"))
+      // moment products in DECIMAL(38,0) — the r14-ADVICE momStd
+      // overflow class: BIGINT wraps silently in Spark while DuckDB
+      // promotes, so the slope would diverge at large totals
       .select(col("nn"), col("sx"),
-        ((col("nn") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("nn") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        ((col("nn").cast("decimal(38,0)") * col("sxy")
+          - col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
+          (col("nn").cast("decimal(38,0)") * col("sxx")
+            - col("sx").cast("decimal(38,0)") * col("sx")).cast("double"))
           .as("theta"))
     u.crossJoin(broadcast(th))
       .groupBy("arm")
@@ -1925,11 +1936,16 @@ object EventOps {
   }
 
   // e41's mirrored IEEE tail: Pearson r from the five exact BIGINT
-  // moments — integer numerator/variances first (exact), then one
-  // fixed-order chain of correctly-rounded double ops.
-  private val corrNum = "(n_days * sxy - sx * sy)"
-  private val corrVx = "(n_days * sxx - sx * sx)"
-  private val corrVy = "(n_days * syy - sy * sy)"
+  // moments — numerator/variances in DECIMAL(38,0) first (exact; in
+  // plain BIGINT Spark silently wraps on overflow while DuckDB
+  // promotes, so large per-key totals would diverge — r14 ADVICE),
+  // then one fixed-order chain of correctly-rounded double ops.
+  private val corrNum =
+    "(CAST(n_days AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
+  private val corrVx =
+    "(CAST(n_days AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+  private val corrVy =
+    "(CAST(n_days AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy)"
   // constant series have no defined correlation: NULL explicitly on
   // both sides (engines differ on double x/0 — NULL vs Infinity)
   private val corrR =
@@ -2014,7 +2030,7 @@ object EventOps {
       .crossJoin(broadcast(d.select("event_type").distinct()))
       .join(counts, Seq("day", "event_type"), "left")
       .na.fill(0L, Seq("c"))
-      .localCheckpoint(true)
+      .cutLineage
     metricCorrelation(grid)
   }
 
@@ -2087,7 +2103,7 @@ object EventOps {
         explode(sequence(col("lo"), col("hi"))).as("hr"))
       .join(h, Seq("event_type", "hr"), "left")
       .na.fill(0L, Seq("c"))
-      .localCheckpoint(true)
+      .cutLineage
     seasonalAnomalyFlags(grid)
   }
 
@@ -2105,7 +2121,7 @@ object EventOps {
     // and the final flag join
     val dev = slotted.join(med, Seq("event_type", "dow", "hod"))
       .withColumn("adev", abs(col("c") - col("med")))
-      .localCheckpoint(true)
+      .cutLineage
     val mad = dev.groupBy(wSlot: _*)
       .agg(percentile(col("adev"), lit(0.5)).as("mad"))
     dev.join(mad, Seq("event_type", "dow", "hod"))
@@ -2298,8 +2314,167 @@ object EventOps {
             .cast("bigint").as("conv_treatment")))
   }
 
+  /** e45's per-look arithmetic, shared engine/oracle: the e35 z chain
+    * behind a degenerate-look guard (an empty arm or an all-or-nothing
+    * pooled rate has no defined z — explicit NULL on both sides, the
+    * e41 constant-series precedent), and the O'Brien–Fleming boundary
+    * `z_K · sqrt(K/k)` — spending almost no alpha early (the boundary
+    * at look 1 of 4 is 2·z_K) and converging to the fixed-sample
+    * critical value at the horizon. 2.024 is the standard K=4,
+    * two-sided α=0.05 OBF terminal value (Jennison & Turnbull,
+    * "Group Sequential Methods", table 2.3); it enters as the same
+    * literal in both dialects, and sqrt/div/mul are correctly-rounded
+    * IEEE ops in a fixed order (t31 doctrine), so the boundary and
+    * the crossing flags are bit-identical.
+    */
+  private val gstLooksK = 4
+  private val gstZGuarded =
+    s"(CASE WHEN n_control = 0 OR n_treatment = 0" +
+      s" OR conv_control + conv_treatment = 0" +
+      s" OR conv_control + conv_treatment = n_control + n_treatment" +
+      s" THEN NULL ELSE $abZ END)"
+  private val gstBoundary =
+    s"(2.024 * sqrt(CAST($gstLooksK AS DOUBLE) / CAST(look AS DOUBLE)))"
+
+  /** e45 kernel over a per-exposed-user frame
+    * `(arm int, v_us long, conv_us long-nullable)` — factored for the
+    * hand fixture in FeaturesSpec. `conv_us` is the user's FIRST
+    * qualifying conversion time; a look only counts conversions
+    * already observed at its cut (`conv_us <= cut_us`) — the
+    * what-we-knew-at-the-look discipline that makes an interim z an
+    * honest monitoring statistic instead of a peek at the future.
+    * Look cuts are pure integer-µs arithmetic over the exposure span
+    * (`lo + (hi-lo)·k div K`), so every count is exact and the oracle
+    * reproduces the table bit-for-bit.
+    */
+  def gstLooks(perUser: DataFrame, nLooks: Int = gstLooksK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nLooks >= 2, s"bad nLooks $nLooks")
+    val span = perUser.agg(min("v_us").as("lo"), max("v_us").as("hi"))
+    val cuts = perUser.sparkSession.range(1, nLooks + 1)
+      .select(col("id").cast("int").as("look"))
+      .crossJoin(broadcast(span))
+      .select(col("look"),
+        (col("lo") + expr(s"((hi - lo) * look) div $nLooks")).as("cut_us"))
+    // K-row fan of the USER-grain frame, aggregated immediately —
+    // map-side combine keeps the shuffle at K rows per partition
+    // whatever the corpus size
+    val agg = perUser.crossJoin(broadcast(cuts))
+      .filter(col("v_us") <= col("cut_us"))
+      .withColumn("conv_at",
+        when(col("conv_us").isNotNull && col("conv_us") <= col("cut_us"), 1L)
+          .otherwise(0L))
+      .groupBy("look", "cut_us")
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("bigint")
+          .as("n_control"),
+        sum(when(col("arm") === 0, col("conv_at")).otherwise(0L))
+          .cast("bigint").as("conv_control"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("bigint")
+          .as("n_treatment"),
+        sum(when(col("arm") === 1, col("conv_at")).otherwise(0L))
+          .cast("bigint").as("conv_treatment"))
+    agg
+      .withColumn("z_score", expr(gstZGuarded))
+      .withColumn("obf_boundary", expr(gstBoundary))
+      .withColumn("crossed",
+        when(col("z_score").isNotNull &&
+          abs(col("z_score")) > col("obf_boundary"), 1)
+          .otherwise(0).cast("int"))
+      .withColumn("stopped_by_now",
+        max(col("crossed")).over(Window.orderBy("look")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("int"))
+      .orderBy("look")
+  }
+
+  /** e45: GROUP-SEQUENTIAL MONITORING of the e35 experiment — the
+    * r14-verdict "new design, not new readout" extension of the
+    * experimentation suite (e35 z / e39 CUPED / e40 DiD / e44 MDE all
+    * answer at the horizon; this answers the question a live
+    * experiment actually asks: CAN WE STOP YET, without inflating
+    * false positives by peeking). Four equally-spaced interim looks
+    * over the exposure span; at each look the cumulative
+    * exposure/conversion counts AS OBSERVED BY THAT TIME, the pooled
+    * z, the O'Brien–Fleming boundary, and the crossing/stopped flags.
+    * mSPRT (the always-valid alternative) needs exp/ln — not
+    * correctly-rounded, off the oracle surface per the t31/t40
+    * doctrine; OBF needs only sqrt, so the whole monitor is
+    * bit-checkable.
+    */
+  val e45 = OpQuery.oracled("e45_group_sequential_readout", {
+    val armSqlV = s"(${graft.api.Sampling.uniform32Sql("v.user_id")} % 2)"
+    s"""WITH v AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS v_us FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), cv AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS conv_us
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) > v.v_us
+        |    AND epoch_us(e.ts) <= v.v_us + 604800000000
+        |  GROUP BY 1
+        |), per AS (
+        |  SELECT CAST($armSqlV AS INT) AS arm, v.v_us, cv.conv_us
+        |  FROM v LEFT JOIN cv ON cv.user_id = v.user_id
+        |), span AS (
+        |  SELECT min(v_us) AS lo, max(v_us) AS hi FROM per
+        |), cuts AS (
+        |  SELECT CAST(g.look AS INT) AS look,
+        |         lo + ((hi - lo) * g.look) // $gstLooksK AS cut_us
+        |  FROM span, (SELECT unnest(generate_series(1, $gstLooksK)) AS look) g
+        |), agg AS (
+        |  SELECT c.look, c.cut_us,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_control,
+        |    CAST(sum(CASE WHEN arm = 0 AND conv_us IS NOT NULL
+        |                   AND conv_us <= c.cut_us THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS conv_control,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_treatment,
+        |    CAST(sum(CASE WHEN arm = 1 AND conv_us IS NOT NULL
+        |                   AND conv_us <= c.cut_us THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS conv_treatment
+        |  FROM per JOIN cuts c ON per.v_us <= c.cut_us
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT look, CAST(cut_us AS BIGINT) AS cut_us,
+        |         n_control, conv_control, n_treatment, conv_treatment,
+        |         $gstZGuarded AS z_score,
+        |         $gstBoundary AS obf_boundary
+        |  FROM agg
+        |), flagged AS (
+        |  SELECT *,
+        |         CAST(CASE WHEN z_score IS NOT NULL
+        |                    AND abs(z_score) > obf_boundary
+        |               THEN 1 ELSE 0 END AS INT) AS crossed
+        |  FROM scored
+        |)
+        |SELECT look, cut_us, n_control, conv_control, n_treatment,
+        |       conv_treatment, z_score, obf_boundary, crossed,
+        |       CAST(max(crossed) OVER (ORDER BY look
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS INT) AS stopped_by_now
+        |FROM flagged ORDER BY look""".stripMargin
+  },
+    doc = "group-sequential experiment monitor: 4 interim looks over the exposure span, cumulative counts as-observed-at-the-look, pooled z vs O'Brien-Fleming boundaries, crossing + stopped flags - the can-we-stop-yet table of the experimentation suite") { (spark, dir) =>
+    val ev = Sources.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("v_us"))
+    val cv = ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id")
+      .filter(col("us") > col("v_us") &&
+        col("us") <= col("v_us") + lit(604800000000L))
+      .groupBy("user_id").agg(min(col("us")).as("conv_us"))
+    gstLooks(
+      v.join(cv, Seq("user_id"), "left")
+        .select(expr(abArmSql).cast("int").as("arm"),
+          col("v_us"), col("conv_us")))
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
     e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
     e25, e26, e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38,
-    e39, e40, e41, e42, e43, e44)
+    e39, e40, e41, e42, e43, e44, e45)
 }

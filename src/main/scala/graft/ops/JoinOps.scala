@@ -116,7 +116,14 @@ object JoinOps {
       val fp = graft.io.DerivedCache.fingerprint(dir, Seq(t))
       if (!graft.io.DerivedCache.isFresh(loc, s"$loc/_SUCCESS", fp)) {
         // stale (or first build): rewrite files AND refresh the catalog
-        // entry — a regenerated fixture must never serve old buckets
+        // entry — a regenerated fixture must never serve old buckets.
+        // The stderr line makes the rebuild VISIBLE in any bench log:
+        // timeAll swallows prepare() failures by design, so a build
+        // that crashed in prepare replays here inside the TIMED fn —
+        // r14's driver draw read r19 at 39 s at sf1 (56.9×, calm
+        // windows read ~2 s) and this line is how that class of
+        // reading becomes attributable instead of a round of forensics.
+        System.err.println(s"[ensureBucketed] REBUILD $name from $dir")
         spark.sql(s"DROP TABLE IF EXISTS $name")
         Sources.table(spark, dir, t).write.mode("overwrite")
           .bucketBy(8, k).sortBy(k)

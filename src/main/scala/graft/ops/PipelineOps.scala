@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
+import graft.api.Checkpoints.LineageOps
 
 import graft.io.Sources
 
@@ -1212,7 +1213,7 @@ object PipelineOps {
       // would re-run the near-dup join chain per consumer
       .select("doc_id", "source", "n_tokens", "exact_ok", "near_ok",
         "len_ok")
-      .localCheckpoint(true)
+      .cutLineage
     val admitted = graft.api.Corpus.tokenBudget(
         staged.filter(col("len_ok") === 1L)
           .select("source", "doc_id", "n_tokens"),

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.api.Checkpoints.LineageOps
 
 import graft.io.Sources
 
@@ -2062,7 +2063,7 @@ object SimilarityOps {
       .withColumn("sim_mic", expr(
         s"CAST((${dotDec("av", "bv")} / (anrm * bnrm)) * 1000000 AS BIGINT)"))
       .select("q_id", "a_id", "b_id", "sim_mic")
-    (rel.localCheckpoint(), pairSim.localCheckpoint())
+    (rel.cutLineage, pairSim.cutLineage)
   }
 
   /** The s24 acceptance DIAL (the house pattern: every retrieval
@@ -2123,10 +2124,10 @@ object SimilarityOps {
     // probe frames so the greedy-round lineage isn't re-planned per
     // reference (the s24 lesson, one level up)
     val mmr = graft.api.Similarity.mmrSelect(rel, pairSim, k = 3)
-      .select("q_id", "cand_id").localCheckpoint()
+      .select("q_id", "cand_id").cutLineage
     val plain = graft.api.Windows.topKPerGroup(rel, Seq("q_id"),
       Seq(("rel_mic", true), ("cand_id", false)), 3)
-      .select("q_id", "cand_id").localCheckpoint()
+      .select("q_id", "cand_id").cutLineage
     def relSum(set: DataFrame, name: String): DataFrame =
       rel.join(set, Seq("q_id", "cand_id"))
         .groupBy("q_id").agg(sum("rel_mic").cast("bigint").as(name))

@@ -2153,12 +2153,16 @@ object StreamQueries {
   // qs27's mirrored IEEE readout tail over the exact registers: mean
   // and population std, each a fixed left-associated chain of
   // correctly-rounded ops (the e35 doctrine). The variance numerator
-  // n·Σx² − (Σx)² is exact BIGINT and ≥ 0 by Cauchy–Schwarz; at
-  // 100-TB volumes the registers widen to DECIMAL(38,0), shape
-  // unchanged.
+  // n·Σx² − (Σx)² is computed in DECIMAL(38,0) — in plain BIGINT
+  // Spark silently WRAPS on overflow while DuckDB promotes/errors, so
+  // at large per-key totals the engine would return a wrong std while
+  // the oracle failed differently (r14 ADVICE). Both engines do exact
+  // decimal arithmetic at width 38 with identical results, and the
+  // value is ≥ 0 by Cauchy–Schwarz.
   private val momMean = "(CAST(sum_cents AS DOUBLE) / n_events / 100)"
   private val momStd =
-    "(sqrt(CAST(n_events * sumsq_cents - sum_cents * sum_cents AS DOUBLE))" +
+    "(sqrt(CAST(CAST(n_events AS DECIMAL(38,0)) * sumsq_cents" +
+      " - CAST(sum_cents AS DECIMAL(38,0)) * sum_cents AS DOUBLE))" +
       " / n_events / 100)"
 
   /** qs27's read-time stats rule on an (event_type, reg, n_rows, s)
@@ -2233,6 +2237,20 @@ object StreamQueries {
     def facts(stream: DataFrame): DataFrame = stream
       .select(col("event_type"),
         round(col("value") * 100).cast("bigint").as("cents"))
+      // exactness guard (r14 ADVICE): cents² rides a DOUBLE fact into
+      // the view's decimal(18,2) register, which is exact only while
+      // cents² < 2^53 — i.e. |cents| ≤ 94,906,265 (~$949k). Beyond
+      // that the fold would silently round while the oracle stayed
+      // exact; fail LOUDLY at ingest instead. assert_true sits inside
+      // the filter predicate so column pruning cannot drop it. At
+      // volumes where single values pass $949k, widen the register
+      // schema (decimal(38,0) or hi/lo split) — the fold is unchanged.
+      .filter(coalesce(
+        assert_true(abs(col("cents")) <= lit(94906265L),
+          lit("qs27: |cents| > 2^26.5 — cents^2 exceeds the exact range " +
+            "of the DOUBLE fact / decimal(18,2) register; widen the " +
+            "register schema")),
+        lit(true)))
       .select(explode(array(
         struct(concat_ws(":", col("event_type"), lit("s1")).as("cell"),
           col("cents").as("vz")),
@@ -2262,8 +2280,10 @@ object StreamQueries {
   // because ingest alerting asks "did traffic spike", not "is this
   // hour unusual" — e42 owns the two-sided robust form.
   private val spikeMean = "(CAST(sc AS DOUBLE) / n_hours)"
+  // variance numerator in DECIMAL(38,0), not BIGINT — see momStd
   private val spikeStd =
-    "(sqrt(CAST(n_hours * scc - sc * sc AS DOUBLE)) / n_hours)"
+    "(sqrt(CAST(CAST(n_hours AS DECIMAL(38,0)) * scc" +
+      " - CAST(sc AS DECIMAL(38,0)) * sc AS DOUBLE)) / n_hours)"
 
   /** qs28's read-time alert rule on a dense (event_type, hr, c) hourly
     * grid — factored for the hand fixture in StreamingSpec.

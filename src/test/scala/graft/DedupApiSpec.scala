@@ -481,6 +481,24 @@ class DedupApiSpec extends AnyFunSuite {
       (1L, 3L, 0, 1000000L)), capped.mkString(","))
   }
 
+  test("editDistanceVerify: code-point edit units on non-ASCII text (d19 character-unit contract)") {
+    import spark.implicits._
+    // Spark's levenshtein edits CODE POINTS; DuckDB's edits BYTES
+    // ('café'→'cafe': 1 vs 2 — measured, r14 ADVICE). The engine's
+    // code-point semantics is the contract this spec pins: one
+    // accented char or one emoji is ONE edit regardless of its UTF-8
+    // width. d19's ORACLE parity additionally requires the corpus be
+    // ASCII (where byte == code point); see the editPrefixChars note.
+    val docs = Seq((1L, "café"), (2L, "cafe"), (3L, "ab😀cd"),
+      (4L, "abcd")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 0.9), (3L, 4L, 0.9))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = graft.ops.DedupOps.editDistanceVerify(pairs, docs, 400)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    assert(got(1L) == 1, s"café→cafe must be one code-point edit, got ${got(1L)}")
+    assert(got(3L) == 1, s"deleting one emoji must be one edit, got ${got(3L)}")
+  }
+
   test("property: editDistanceVerify equals the textbook Wagner-Fischer DP on 120 random string pairs (d19 kernel)") {
     import spark.implicits._
     import org.scalacheck.Gen

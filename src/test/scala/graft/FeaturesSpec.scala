@@ -510,4 +510,37 @@ class FeaturesSpec extends AnyFunSuite {
       (0L, 2, 4L, 50L, 150L, 37L),
       (1L, 0, 3L, 10L, 10L, 3L)), got.mkString(","))
   }
+
+  test("gstLooks: integer cut points, as-observed-at-the-look counts, OBF crossing + prefix stop flag (e45 kernel)") {
+    import spark.implicits._
+    // span 0..400 → cuts 100/200/300/400. Treatment user (50, 250)
+    // is the as-observed case: exposed from look 1, but its
+    // conversion only COUNTS from look 3 (250 > cut_2 = 200).
+    val perUser = Seq(
+      (0, 0L, None), (0, 100L, None), (0, 150L, None), (0, 250L, None),
+      (1, 0L, Some(50L)), (1, 50L, Some(250L)), (1, 150L, Some(180L)),
+      (1, 400L, None))
+      .toDF("arm", "v_us", "conv_us")
+    val got = graft.ops.EventOps.gstLooks(perUser).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7),
+        r.getInt(8), r.getInt(9)))
+    def zm(nc: Long, cc: Long, nt: Long, ct: Long): Double = {
+      val rc = cc.toDouble / nc; val rt = ct.toDouble / nt
+      val pool = (cc + ct).toDouble / (nc + nt)
+      (rt - rc) / math.sqrt((pool * (1.0 - pool)) *
+        ((1.0 / nc) + (1.0 / nt)))
+    }
+    def bm(k: Int): Double = 2.024 * math.sqrt(4.0 / k)
+    // (look, cut, nc, cc, nt, ct, z, boundary, crossed, stopped):
+    // the OBF ladder holds the early looks (z 1.15/1.73 under 4.05/
+    // 2.86) and the monitor fires at look 3 (2.646 > 2.337), staying
+    // fired at the horizon (2.191 > 2.024)
+    val want = Seq(
+      (1, 100L, 2L, 0L, 2L, 1L, zm(2, 0, 2, 1), bm(1), 0, 0),
+      (2, 200L, 3L, 0L, 3L, 2L, zm(3, 0, 3, 2), bm(2), 0, 0),
+      (3, 300L, 4L, 0L, 3L, 3L, zm(4, 0, 3, 3), bm(3), 1, 1),
+      (4, 400L, 4L, 0L, 4L, 3L, zm(4, 0, 4, 3), bm(4), 1, 1))
+    assert(got.toSeq == want, got.mkString("\n"))
+  }
 }

@@ -580,4 +580,57 @@ class GraphSpec extends AnyFunSuite {
       (1, 2L, 4000000L, 533333L, 0),
       (2, 2L, 7500000L, 1000000L, 1)), got.mkString(","))
   }
+
+  test("dimsumPairEstimates: census at large gamma equals brute cosine; sample is gamma-monotone; cap binds (g25 kernel)") {
+    import spark.implicits._
+    // 5 users over 4 items; co/n by hand:
+    // n(1)=4, n(2)=4, n(3)=3, n(4)=1
+    // co(1,2)=3, co(1,3)=3, co(2,3)=2, co(1,4)=1, co(3,4)=1
+    val inc = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L), (12L, 3L),
+      (13L, 1L), (13L, 3L), (13L, 4L),
+      (14L, 2L) // singleton basket: no pairs
+    ).toDF("u", "p")
+    // gamma = 100 ≥ every √n_a·√n_b → p = 1: the sample IS the census
+    // and the estimate IS the exact cosine (the p=1 branch)
+    val census = graft.api.Graph.dimsumPairEstimates(inc, Seq(100))
+      .collect()
+      .map(r => ((r.getLong(1), r.getLong(2)), (r.getLong(3), r.getDouble(4))))
+      .toMap
+    val expect = Map(
+      (1L, 2L) -> (3L, 3.0 / (math.sqrt(4.0) * math.sqrt(4.0))),
+      (1L, 3L) -> (3L, 3.0 / (math.sqrt(4.0) * math.sqrt(3.0))),
+      (2L, 3L) -> (2L, 2.0 / (math.sqrt(4.0) * math.sqrt(3.0))),
+      (1L, 4L) -> (1L, 1.0 / (math.sqrt(4.0) * math.sqrt(1.0))),
+      (3L, 4L) -> (1L, 1.0 / (math.sqrt(3.0) * math.sqrt(1.0))))
+    assert(census == expect, census.toString)
+    // smaller gamma keeps a SUBSET of the same md5 draw, pairwise
+    // c(gamma_small) <= c(gamma_large), and the two dial settings ride
+    // one expansion (the fan-out path) — whatever survives must carry
+    // the else-branch estimate c/gamma when den > gamma
+    val both = graft.api.Graph.dimsumPairEstimates(inc, Seq(1, 100))
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)), r.getLong(3),
+        r.getDouble(4)))
+    val g1 = both.filter(_._1 == 1)
+    g1.foreach { case (_, pair, c, est) =>
+      assert(c <= census(pair)._1, s"$pair over-sampled at gamma=1")
+      val den = math.sqrt(expectN(pair._1)) * math.sqrt(expectN(pair._2))
+      val want = if (den <= 1.0) c / den else c / 1.0
+      assert(est == want, s"$pair est $est want $want")
+    }
+    // the basket cap excludes the fat user from the EXPANSION but its
+    // items keep their true popularity in the denominator
+    val capped = graft.api.Graph
+      .dimsumPairEstimates(inc, Seq(100), maxBasket = Some(2L))
+      .collect()
+      .map(r => ((r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    // only users 11 (2 items) and 14 (1) survive the cap → one pair
+    assert(capped == Map((1L, 2L) -> 1L), capped.toString)
+  }
+
+  private def expectN(p: Long): Double =
+    Map(1L -> 4.0, 2L -> 4.0, 3L -> 3.0, 4L -> 1.0)(p)
 }
