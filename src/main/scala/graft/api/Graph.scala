@@ -923,23 +923,31 @@ object Graph {
     require(gammas.nonEmpty && gammas.forall(_ >= 1), s"bad gammas $gammas")
     val ui = incidence.select(col("u"), col("p")).distinct()
     val np = ui.groupBy("p").agg(count(lit(1)).as("n"))
-    val baskets = ui.groupBy("u")
-      .agg(sort_array(collect_set(col("p"))).as("ps"))
+    // popularity rides INSIDE the basket elements, so the O(users ·
+    // basket²) pair stream needs no join at all — the first cut
+    // broadcast-joined np onto every expanded pair row twice, and on
+    // a 10M-pair expansion those two probe passes were measurable
+    // wall-clock for information the basket already had at item grain
+    val baskets = ui.join(broadcast(np), "p")
+      .select(col("u"), struct(col("p"), col("n")).as("pn"))
+      .groupBy("u")
+      .agg(sort_array(collect_set(col("pn"))).as("ps"))
     val capped = maxBasket.fold(baskets)(cap =>
       baskets.filter(size(col("ps")) <= cap))
     val cand = capped
       .select(col("u"), explode(expr(
         """flatten(transform(ps,
           |  (x, i) -> transform(slice(ps, i + 2, size(ps)),
-          |            y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("q"))
-      .select(col("u"), col("q.pa").as("pa"), col("q.pb").as("pb"))
+          |            y -> struct(x.p AS pa, x.n AS na,
+          |                        y.p AS pb, y.n AS nb))))""".stripMargin))
+        .as("q"))
+      .select(col("u"), col("q.pa").as("pa"), col("q.na").as("na"),
+        col("q.pb").as("pb"), col("q.nb").as("nb"))
     // the coin and the threshold: one draw per (user, pair), filtered
     // MAP-SIDE for the largest γ before any exchange, then fanned per
     // γ (thresholds are monotone in γ, so smaller γs are subsets of
     // the same draw — one expansion serves every dial setting)
     val drawn = cand
-      .join(broadcast(np.select(col("p").as("pa"), col("n").as("na"))), "pa")
-      .join(broadcast(np.select(col("p").as("pb"), col("n").as("nb"))), "pb")
       .withColumn("u01", expr(
         "CAST(CAST(conv(substr(md5(concat_ws('|', CAST(u AS STRING), " +
           "CAST(pa AS STRING), CAST(pb AS STRING))), 1, 15), 16, 10) " +
@@ -954,9 +962,8 @@ object Graph {
       .filter(col("u01") <
         (col("gamma").cast("double") / col("den")) * lit(1152921504606846976.0))
     kept.groupBy("gamma", "pa", "pb")
-      .agg(count(lit(1)).cast("bigint").as("c"))
-      .join(broadcast(np.select(col("p").as("pa"), col("n").as("na"))), "pa")
-      .join(broadcast(np.select(col("p").as("pb"), col("n").as("nb"))), "pb")
+      .agg(count(lit(1)).cast("bigint").as("c"),
+        max("na").as("na"), max("nb").as("nb"))
       .select(col("gamma"), col("pa"), col("pb"), col("c"),
         expr("""CASE WHEN sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))
                 |          <= CAST(gamma AS DOUBLE)

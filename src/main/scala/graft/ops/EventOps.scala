@@ -1115,15 +1115,15 @@ object EventOps {
     * squared coefficient of variation `cv² = Var(g)/E(g)²` of each
     * user's gap sequence separates them, and it reduces to EXACT
     * integer arithmetic: with n gaps in whole seconds,
-    * `cv² = (n·Σg² − (Σg)²) / (Σg)²` — both operands BIGINT products
-    * of BIGINT sums, one final double division (second-scale gaps keep
-    * n·Σg² far inside 2^63 for any realistic per-user history; the
-    * µs-scale version would overflow, which is why the gap drops to
-    * seconds first). This is the traffic-quality filter a training-data
-    * pipeline runs before trusting engagement signals: one lag window
-    * + one aggregation, both shuffled on user_id — nothing quadratic,
-    * nothing driver-side. DuckDB's sum(BIGINT) widens to HUGEINT, so
-    * every sum is cast back before the products (recipe rule).
+    * `cv² = (n·Σg² − (Σg)²) / (Σg)²` — the products of the BIGINT sums
+    * run in DECIMAL(38,0) (the momStd overflow class: a decade-long
+    * metronomic user's (Σg)² passes 2^63, where Spark wraps silently
+    * and DuckDB promotes/errors — exact decimal matches HUGEINT
+    * bit-for-bit), then one final double division. Dropping the gap to
+    * whole seconds first keeps the SUMS themselves in BIGINT. This is
+    * the traffic-quality filter a training-data pipeline runs before
+    * trusting engagement signals: one lag window + one aggregation,
+    * both shuffled on user_id — nothing quadratic, nothing driver-side.
     */
   val e30 = OpQuery.oracled("e30_bot_regularity",
     """WITH g AS (
@@ -1141,8 +1141,13 @@ object EventOps {
       |)
       |SELECT user_id, n_gaps,
       |       CAST(s1 AS DOUBLE) / n_gaps AS mean_gap_s,
-      |       CAST(n_gaps * s2 - s1 * s1 AS DOUBLE) / (s1 * s1) AS cv2,
-      |       CAST(CASE WHEN CAST(n_gaps * s2 - s1 * s1 AS DOUBLE) / (s1 * s1) < 0.25
+      |       CAST(CAST(n_gaps AS DECIMAL(38,0)) * s2
+      |            - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+      |         / CAST(CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE) AS cv2,
+      |       CAST(CASE WHEN CAST(CAST(n_gaps AS DECIMAL(38,0)) * s2
+      |                           - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+      |                      / CAST(CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+      |                      < 0.25
       |            THEN 1 ELSE 0 END AS INT) AS scripted
       |FROM a ORDER BY user_id""".stripMargin,
     doc = "bot detection by inter-arrival regularity: per-user gap cv^2 from exact integer sums, one division; cv2 < 0.25 flags metronomic traffic") { (spark, dir) =>
@@ -1158,8 +1163,12 @@ object EventOps {
         sum(col("gap_s")).cast("bigint").as("s1"),
         sum(col("gap_s") * col("gap_s")).cast("bigint").as("s2"))
       .filter(col("n_gaps") >= 5 && col("s1") > 0)
-    val cv2 = (col("n_gaps") * col("s2") - col("s1") * col("s1")).cast("double") /
-      (col("s1") * col("s1"))
+    // moment products in DECIMAL(38,0) — the momStd overflow class: a
+    // decade-long metronomic user's Σgap² (and (Σgap)²) can pass 2^63,
+    // where Spark wraps silently and DuckDB promotes
+    val cv2 = (col("n_gaps").cast("decimal(38,0)") * col("s2")
+      - col("s1").cast("decimal(38,0)") * col("s1")).cast("double") /
+      (col("s1").cast("decimal(38,0)") * col("s1")).cast("double")
     a.select(col("user_id"), col("n_gaps"),
         (col("s1").cast("double") / col("n_gaps")).as("mean_gap_s"),
         cv2.as("cv2"),
@@ -2473,8 +2482,212 @@ object EventOps {
           col("v_us"), col("conv_us")))
   }
 
+  // e46's shared per-stratum tail: the e40 DiD strings behind an
+  // empty-arm guard (a stratum missing one arm has no defined DiD —
+  // NULL on both sides, excluded from the pool), plus the precision
+  // weight n_c·n_t/(n_c+n_t) — the inverse-variance-flavored weight
+  // that gives a stratum influence in proportion to how much both its
+  // arms can actually say (a stratum with 3 treatment users cannot
+  // dominate the pooled estimate however large its control side).
+  private val sdidGuarded =
+    s"(CASE WHEN n_control = 0 OR n_treatment = 0 THEN NULL" +
+      s" ELSE $didEst END)"
+  private val sdidW =
+    "(CAST(n_control AS DOUBLE) * n_treatment / (n_control + n_treatment))"
+  // pooled estimate as a FIXED-ORDER pivot chain over the three
+  // strata, never a sum() over double rows (aggregation order is not
+  // deterministic in either engine; a left-associated three-term
+  // chain is)
+  private def sdidTermNum(k: Int) =
+    s"(CASE WHEN d$k IS NULL OR w$k IS NULL THEN CAST(0 AS DOUBLE)" +
+      s" ELSE w$k * d$k END)"
+  private def sdidTermDen(k: Int) =
+    s"(CASE WHEN d$k IS NULL OR w$k IS NULL THEN CAST(0 AS DOUBLE)" +
+      s" ELSE w$k END)"
+  private val sdidPooledNum =
+    s"(${sdidTermNum(1)} + ${sdidTermNum(2)} + ${sdidTermNum(3)})"
+  private val sdidPooledDen =
+    s"(${sdidTermDen(1)} + ${sdidTermDen(2)} + ${sdidTermDen(3)})"
+  private val sdidPooled =
+    s"(CASE WHEN $sdidPooledDen = 0 THEN NULL" +
+      s" ELSE $sdidPooledNum / $sdidPooledDen END)"
+
+  /** e46 kernel over a per-user frame `(arm int, pre_n long,
+    * post_n long)` — factored for the hand fixture in FeaturesSpec.
+    * Strata are assigned at HISTOGRAM grain: the cumulative user
+    * count below each distinct pre-period value cuts the axis into
+    * `nStrata` near-equal bands (`(cum_before · S) div n + 1`), so
+    * every user sharing a value lands in the same stratum
+    * deterministically and the rank window runs on distinct VALUES,
+    * never on the user dimension (the e38 Gini / r67 decile
+    * precedent — no billion-row single-reducer sort). Output: one row
+    * per populated stratum plus the stratum-0 pooled row, whose
+    * did_estimate is the precision-weighted combination and whose
+    * counts/rates are the plain totals (so the distance between
+    * stratum 0's pooled DiD and e40's raw DiD on the same panel IS
+    * the measured confounding adjustment).
+    */
+  def stratifiedDid(perUser: DataFrame, nStrata: Int = 3): DataFrame = {
+    require(nStrata == 3, "the pooled pivot chain is written for 3 strata")
+    val n = perUser.agg(count(lit(1)).cast("bigint").as("nu"))
+    val wb = Window.orderBy("pre_n")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bounds = perUser.groupBy("pre_n")
+      .agg(count(lit(1)).cast("bigint").as("m"))
+      .withColumn("cb", coalesce(sum("m").over(wb), lit(0L)))
+      .crossJoin(broadcast(n))
+      .select(col("pre_n"),
+        (expr(s"(cb * $nStrata) div nu") + 1).cast("int").as("stratum"))
+    val cell = perUser.join(broadcast(bounds), "pre_n")
+      .groupBy("stratum")
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("bigint")
+          .as("n_control"),
+        sum(when(col("arm") === 0, col("pre_n")).otherwise(0L))
+          .cast("bigint").as("pre_control"),
+        sum(when(col("arm") === 0, col("post_n")).otherwise(0L))
+          .cast("bigint").as("post_control"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("bigint")
+          .as("n_treatment"),
+        sum(when(col("arm") === 1, col("pre_n")).otherwise(0L))
+          .cast("bigint").as("pre_treatment"),
+        sum(when(col("arm") === 1, col("post_n")).otherwise(0L))
+          .cast("bigint").as("post_treatment"))
+      .withColumn("did_estimate", expr(sdidGuarded))
+      .withColumn("w", expr(sdidW))
+      .cutLineage // read twice: the stratum rows and the pooled pivot
+    val pivCols = (1 to nStrata).flatMap(k => Seq(
+      max(when(col("stratum") === k, col("w"))).as(s"w$k"),
+      max(when(col("stratum") === k, col("did_estimate"))).as(s"d$k"))) ++
+      Seq(
+        sum("n_control").cast("bigint").as("n_control"),
+        sum("pre_control").cast("bigint").as("pre_control"),
+        sum("post_control").cast("bigint").as("post_control"),
+        sum("n_treatment").cast("bigint").as("n_treatment"),
+        sum("pre_treatment").cast("bigint").as("pre_treatment"),
+        sum("post_treatment").cast("bigint").as("post_treatment"))
+    val piv = cell.agg(pivCols.head, pivCols.tail: _*)
+    val pooled = piv.select(
+      lit(0).cast("int").as("stratum"),
+      col("n_control"), col("pre_control"), col("post_control"),
+      col("n_treatment"), col("pre_treatment"), col("post_treatment"),
+      expr(sdidPooled).as("did_estimate"),
+      expr(sdidPooledDen).as("w"))
+    cell.select(col("stratum"), col("n_control"), col("pre_control"),
+        col("post_control"), col("n_treatment"), col("pre_treatment"),
+        col("post_treatment"), col("did_estimate"), col("w"))
+      .unionByName(pooled)
+      .orderBy("stratum")
+  }
+
+  /** e46: STRATIFIED difference-in-differences — the r14-verdict
+    * "new design" causal extension: e40's raw DiD is confounded when
+    * baseline activity differs across arms AND predicts the outcome
+    * trend, so the panel is post-stratified into pre-period-activity
+    * terciles and the per-stratum DiDs are pooled with precision
+    * weights (the Cochran–Mantel–Haenszel construction applied to the
+    * DiD estimand). Stratum 0 carries the pooled estimate next to the
+    * plain totals; strata 1–3 show where the effect actually lives.
+    */
+  val e46 = OpQuery.oracled("e46_stratified_did", {
+    val armSql = s"(${graft.api.Sampling.uniform32Sql("user_id")} % 2)"
+    s"""WITH d AS (
+      |  SELECT user_id, event_type,
+      |         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |  FROM events
+      |), b AS (
+      |  SELECT CAST((min(day) + max(day) + 1) // 2 AS BIGINT) AS cut FROM d
+      |), pu AS (
+      |  SELECT CAST($armSql AS INT) AS arm,
+      |         CAST(sum(CASE WHEN event_type = 'purchase'
+      |                        AND day < (SELECT cut FROM b)
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS pre_n,
+      |         CAST(sum(CASE WHEN event_type = 'purchase'
+      |                        AND day >= (SELECT cut FROM b)
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS post_n
+      |  FROM d GROUP BY user_id
+      |), n AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS nu FROM pu
+      |), bounds AS (
+      |  SELECT pre_n,
+      |         CAST((coalesce(sum(m) OVER (ORDER BY pre_n
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |               0) * 3) // nu + 1 AS INT) AS stratum
+      |  FROM (SELECT pre_n, CAST(count(*) AS BIGINT) AS m
+      |        FROM pu GROUP BY 1) h, n
+      |), cell AS (
+      |  SELECT s.stratum,
+      |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_control,
+      |    CAST(sum(CASE WHEN arm = 0 THEN pre_n ELSE 0 END) AS BIGINT)
+      |      AS pre_control,
+      |    CAST(sum(CASE WHEN arm = 0 THEN post_n ELSE 0 END) AS BIGINT)
+      |      AS post_control,
+      |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_treatment,
+      |    CAST(sum(CASE WHEN arm = 1 THEN pre_n ELSE 0 END) AS BIGINT)
+      |      AS pre_treatment,
+      |    CAST(sum(CASE WHEN arm = 1 THEN post_n ELSE 0 END) AS BIGINT)
+      |      AS post_treatment
+      |  FROM pu JOIN bounds s USING (pre_n)
+      |  GROUP BY 1
+      |), scored AS (
+      |  SELECT stratum, n_control, pre_control, post_control,
+      |         n_treatment, pre_treatment, post_treatment,
+      |         $sdidGuarded AS did_estimate,
+      |         $sdidW AS w
+      |  FROM cell
+      |), piv AS (
+      |  SELECT
+      |    max(CASE WHEN stratum = 1 THEN w END) AS w1,
+      |    max(CASE WHEN stratum = 1 THEN did_estimate END) AS d1,
+      |    max(CASE WHEN stratum = 2 THEN w END) AS w2,
+      |    max(CASE WHEN stratum = 2 THEN did_estimate END) AS d2,
+      |    max(CASE WHEN stratum = 3 THEN w END) AS w3,
+      |    max(CASE WHEN stratum = 3 THEN did_estimate END) AS d3,
+      |    CAST(sum(n_control) AS BIGINT) AS n_control,
+      |    CAST(sum(pre_control) AS BIGINT) AS pre_control,
+      |    CAST(sum(post_control) AS BIGINT) AS post_control,
+      |    CAST(sum(n_treatment) AS BIGINT) AS n_treatment,
+      |    CAST(sum(pre_treatment) AS BIGINT) AS pre_treatment,
+      |    CAST(sum(post_treatment) AS BIGINT) AS post_treatment
+      |  FROM scored
+      |)
+      |SELECT stratum, n_control, pre_control, post_control,
+      |       n_treatment, pre_treatment, post_treatment,
+      |       did_estimate, w
+      |FROM scored
+      |UNION ALL
+      |SELECT CAST(0 AS INT) AS stratum,
+      |       n_control, pre_control, post_control,
+      |       n_treatment, pre_treatment, post_treatment,
+      |       $sdidPooled AS did_estimate,
+      |       $sdidPooledDen AS w
+      |FROM piv
+      |ORDER BY stratum""".stripMargin
+  },
+    doc = "stratified difference-in-differences: pre-period-activity terciles assigned at histogram grain, per-stratum DiD behind an empty-arm guard, precision-weighted pooled estimate via a fixed-order pivot chain (stratum 0)") { (spark, dir) =>
+    val d = Sources.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("ts DIV 86400000000000").as("day"))
+    val cut = d.agg(
+      expr("CAST((min(day) + max(day) + 1) div 2 AS BIGINT)").as("cut"))
+    stratifiedDid(
+      d.crossJoin(broadcast(cut))
+        .groupBy("user_id", "cut")
+        .agg(
+          sum(when(col("event_type") === "purchase" &&
+            col("day") < col("cut"), 1L).otherwise(0L))
+            .cast("bigint").as("pre_n"),
+          sum(when(col("event_type") === "purchase" &&
+            col("day") >= col("cut"), 1L).otherwise(0L))
+            .cast("bigint").as("post_n"))
+        .select(expr(abArmSql).cast("int").as("arm"),
+          col("pre_n"), col("post_n")))
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
     e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
     e25, e26, e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38,
-    e39, e40, e41, e42, e43, e44, e45)
+    e39, e40, e41, e42, e43, e44, e45, e46)
 }

@@ -1003,13 +1003,18 @@ object GraphOps {
     loc
   }
 
-  /** g25's sampling dials: a sparse setting (most popularity products
-    * exceed γ, so the shuffle carries a thin sample) and a dense one
-    * (p = 1 for most pairs, recall ≈ 10⁶ ppm) — the two regimes the
-    * recall-vs-shuffle trade is ABOUT. On the flat fixture the mean
-    * per-item customer count sits between them at every SF.
+  /** g25's sampling dials: a sparse setting (~7% of the flat
+    * fixture's typical √n_a·√n_b ≈ 27 at sf0.01/sf0.1) and a moderate
+    * one (~30%) — BOTH genuinely sampled at the bench rungs, so the
+    * registry query's shuffle stays a fraction of the census (the
+    * first cut used γ = 32 > den, whose "dense" leg degenerated to
+    * the full exact pair shuffle at sf0.1 and read 12.6 s — a recall
+    * dial that pays census cost measures nothing). The p = 1 census
+    * branch of the estimator is still registry-exercised: at sf0.001
+    * den ≈ 3 < 8, so the moderate dial IS the census there, and the
+    * kernel spec pins the branch directly.
     */
-  private val dimsumGammas = Seq(2, 32)
+  private val dimsumGammas = Seq(2, 8)
 
   /** The DIMSUM sampled sibling of g14 (r14 verdict item 4): the
     * a-priori prune is the exact path's lever and stays OFF on the

@@ -2165,6 +2165,24 @@ object StreamQueries {
       " - CAST(sum_cents AS DECIMAL(38,0)) * sum_cents AS DOUBLE))" +
       " / n_events / 100)"
 
+  /** qs27's ingest exactness guard (r14 ADVICE): cents² rides a
+    * DOUBLE fact into the view's decimal(18,2) register, which is
+    * exact only while cents² < 2^53 — i.e. |cents| ≤ 94,906,265
+    * (~$949k). Beyond that the fold would silently round while the
+    * oracle stayed exact, so the predicate fails LOUDLY at ingest
+    * instead; it returns true for every in-range row and sits inside
+    * a filter so column pruning cannot drop it. Factored so the spec
+    * can fire both branches directly.
+    */
+  def momentCentsGuard(cents: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    coalesce(
+      assert_true(abs(cents) <= lit(94906265L),
+        lit("qs27: |cents| > 2^26.5 — cents^2 exceeds the exact range " +
+          "of the DOUBLE fact / decimal(18,2) register; widen the " +
+          "register schema")),
+      lit(true))
+
   /** qs27's read-time stats rule on an (event_type, reg, n_rows, s)
     * register frame — factored for the hand fixture in StreamingSpec.
     */
@@ -2237,20 +2255,11 @@ object StreamQueries {
     def facts(stream: DataFrame): DataFrame = stream
       .select(col("event_type"),
         round(col("value") * 100).cast("bigint").as("cents"))
-      // exactness guard (r14 ADVICE): cents² rides a DOUBLE fact into
-      // the view's decimal(18,2) register, which is exact only while
-      // cents² < 2^53 — i.e. |cents| ≤ 94,906,265 (~$949k). Beyond
-      // that the fold would silently round while the oracle stayed
-      // exact; fail LOUDLY at ingest instead. assert_true sits inside
-      // the filter predicate so column pruning cannot drop it. At
-      // volumes where single values pass $949k, widen the register
-      // schema (decimal(38,0) or hi/lo split) — the fold is unchanged.
-      .filter(coalesce(
-        assert_true(abs(col("cents")) <= lit(94906265L),
-          lit("qs27: |cents| > 2^26.5 — cents^2 exceeds the exact range " +
-            "of the DOUBLE fact / decimal(18,2) register; widen the " +
-            "register schema")),
-        lit(true)))
+      // see momentCentsGuard: loud ingest failure beyond the exact
+      // range; at volumes where single values pass $949k, widen the
+      // register schema (decimal(38,0) or hi/lo split) — the fold is
+      // unchanged
+      .filter(momentCentsGuard(col("cents")))
       .select(explode(array(
         struct(concat_ws(":", col("event_type"), lit("s1")).as("cell"),
           col("cents").as("vz")),

@@ -543,4 +543,47 @@ class FeaturesSpec extends AnyFunSuite {
       (4, 400L, 4L, 0L, 4L, 3L, zm(4, 0, 4, 3), bm(4), 1, 1))
     assert(got.toSeq == want, got.mkString("\n"))
   }
+
+  test("stratifiedDid: histogram-grain terciles, per-stratum DiD, precision-weighted pool (e46 kernel)") {
+    import spark.implicits._
+    // three tied value-blocks of 3 users → strata 1/2/3 exactly;
+    // hand DiDs: s1 = (3−0)−(1−0) = 2, s2 = (7−5)−(1−5) = 6,
+    // s3 = (20−10)−(5−10) = 15; every weight n_c·n_t/(n_c+n_t) = 2/3,
+    // so the pool is the plain mean 23/3 in the same IEEE chain
+    val pu = Seq(
+      (0, 0L, 2L), (0, 0L, 0L), (1, 0L, 3L),
+      (0, 5L, 1L), (1, 5L, 6L), (1, 5L, 8L),
+      (0, 10L, 4L), (0, 10L, 6L), (1, 10L, 20L))
+      .toDF("arm", "pre_n", "post_n")
+    val got = graft.ops.EventOps.stratifiedDid(pu).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7),
+        r.getDouble(8)))
+    val w = 2.0 * 1L / (2L + 1L)
+    val pooled = (w * 2.0 + w * 6.0 + w * 15.0) / (w + w + w)
+    assert(got.toSeq == Seq(
+      (0, 5L, 25L, 13L, 4L, 20L, 37L, pooled, w + w + w),
+      (1, 2L, 0L, 2L, 1L, 0L, 3L, 2.0, w),
+      (2, 1L, 5L, 1L, 2L, 10L, 14L, 6.0, w),
+      (3, 2L, 20L, 10L, 1L, 10L, 20L, 15.0, w)), got.mkString("\n"))
+  }
+
+  test("stratifiedDid: an empty-arm stratum has NULL DiD and is excluded from the pool (e46 guard)") {
+    import spark.implicits._
+    // stratum 1 = two control-only users (no treatment leg → no DiD);
+    // stratum 2 = 1v1 with DiD (9−5)−(1−5) = 8 — the pool must be 8
+    // on stratum 2's weight alone, not poisoned by the NULL
+    val pu = Seq(
+      (0, 0L, 1L), (0, 0L, 2L),
+      (0, 5L, 1L), (1, 5L, 9L))
+      .toDF("arm", "pre_n", "post_n")
+    val rows = graft.ops.EventOps.stratifiedDid(pu).collect()
+    val byStratum = rows.map(r => r.getInt(0) -> r).toMap
+    assert(byStratum(1).isNullAt(7), "empty-arm stratum must have NULL DiD")
+    assert(byStratum(1).getDouble(8) == 0.0)
+    assert(byStratum(2).getDouble(7) == 8.0)
+    assert(byStratum(0).getDouble(7) == 8.0,
+      s"pool must exclude the NULL stratum, got ${byStratum(0).getDouble(7)}")
+    assert(byStratum(0).getDouble(8) == 0.5)
+  }
 }

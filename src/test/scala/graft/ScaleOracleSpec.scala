@@ -33,6 +33,8 @@ class ScaleOracleSpec extends AnyFunSuite {
     "g16_link_candidate_build", "r19_bucketed_colocated_join",
     "t16_novelty_share", "t38_source_bigram_jaccard",
     "qs12_stream_dedup_gate", "qs24_stream_edge_view",
+    "g25_dimsum_sampled_similarity", "e45_group_sequential_readout",
+    "e46_stratified_did", "e30_bot_regularity", "e33_rate_change_points",
     "r01_semi_join_open_orders", "r02_anti_join_no_orders",
     "r05_explode_part_words", "r22_group_topk_parts",
     "r59_schema_evolved_scan", "r65_late_shipment_priority",

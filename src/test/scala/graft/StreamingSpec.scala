@@ -1795,6 +1795,21 @@ class StreamingSpec extends AnyFunSuite {
       ("y", 2L, 10L, 50L, 0.05, 0.0)), got.mkString(","))
   }
 
+  test("momentCentsGuard: passes the exact range, FIRES loudly past 2^26.5 cents (qs27 ingest guard)") {
+    import spark.implicits._
+    val ok = Seq(0L, 94906265L, -94906265L).toDF("cents")
+      .filter(graft.ops.StreamQueries.momentCentsGuard(col("cents")))
+    assert(ok.count() == 3, "in-range rows must pass the guard untouched")
+    val bad = Seq(1L, 94906266L).toDF("cents")
+      .filter(graft.ops.StreamQueries.momentCentsGuard(col("cents")))
+    val e = intercept[Exception] { bad.count() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("2^26.5")),
+      s"guard must fail with its own message, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("spikeAlerts: one-sided mean + 3-sigma rule over the dense series (qs28 kernel)") {
     import spark.implicits._
     // type x: eleven quiet hours of 1 plus one hour of 50 —
