@@ -568,6 +568,53 @@ class FeaturesSpec extends AnyFunSuite {
       (3, 2L, 20L, 10L, 1L, 10L, 20L, 15.0, w)), got.mkString("\n"))
   }
 
+  test("property: gstLooks equals the scalar cut/count/z mirror on 30 random panels (e45 kernel)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genPanel = Gen.listOfN(20, for {
+      arm <- Gen.oneOf(0, 1)
+      v <- Gen.choose(0L, 1000L)
+      conv <- Gen.option(Gen.choose(0L, 1200L))
+    } yield (arm, v, conv))
+    val panels = Gen.listOfN(30, genPanel)
+      .apply(Gen.Parameters.default, Seed(45L))
+      .getOrElse(fail("generator produced no sample"))
+    panels.zipWithIndex.foreach { case (panel, i) =>
+      val got = graft.ops.EventOps.gstLooks(
+          panel.toDF("arm", "v_us", "conv_us")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+          r.getInt(8), r.getInt(9)))
+      val lo = panel.map(_._2).min
+      val hi = panel.map(_._2).max
+      var stopped = 0
+      (1 to 4).foreach { k =>
+        val cut = lo + ((hi - lo) * k) / 4
+        val in = panel.filter(_._2 <= cut)
+        val nc = in.count(_._1 == 0).toLong
+        val nt = in.count(_._1 == 1).toLong
+        val cc = in.count(u => u._1 == 0 && u._3.exists(_ <= cut)).toLong
+        val ct = in.count(u => u._1 == 1 && u._3.exists(_ <= cut)).toLong
+        val z: Option[Double] =
+          if (nc == 0 || nt == 0 || cc + ct == 0 || cc + ct == nc + nt) None
+          else {
+            val pool = (cc + ct).toDouble / (nc + nt)
+            Some((ct.toDouble / nt - cc.toDouble / nc) /
+              math.sqrt((pool * (1.0 - pool)) * ((1.0 / nc) + (1.0 / nt))))
+          }
+        val b = 2.024 * math.sqrt(4.0 / k)
+        val crossed = if (z.exists(v => math.abs(v) > b)) 1 else 0
+        stopped = math.max(stopped, crossed)
+        val row = got.find(_._1 == k).getOrElse(
+          fail(s"panel $i: look $k missing (${got.mkString(",")})"))
+        assert(row == ((k, cut, nc, cc, nt, ct, z, crossed, stopped)),
+          s"panel $i look $k: got $row want ${(k, cut, nc, cc, nt, ct, z, crossed, stopped)}")
+      }
+    }
+  }
+
   test("stratifiedDid: an empty-arm stratum has NULL DiD and is excluded from the pool (e46 guard)") {
     import spark.implicits._
     // stratum 1 = two control-only users (no treatment leg → no DiD);

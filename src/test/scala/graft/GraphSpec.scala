@@ -633,4 +633,50 @@ class GraphSpec extends AnyFunSuite {
 
   private def expectN(p: Long): Double =
     Map(1L -> 4.0, 2L -> 4.0, 3L -> 3.0, 4L -> 1.0)(p)
+
+  test("property: dimsumPairEstimates census equals the brute co/(sqrt na * sqrt nb) on 40 random incidences (g25 kernel)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // small random bipartite incidences; gamma = 10^6 makes every
+    // p = 1, so the estimator must reproduce the exact census — the
+    // branch equality that anchors every sampled reading
+    val genInc = for {
+      nu <- Gen.choose(2, 8)
+      ni <- Gen.choose(2, 6)
+      rows <- Gen.listOfN(25,
+        Gen.zip(Gen.choose(0L, nu.toLong - 1), Gen.choose(1L, ni.toLong)))
+    } yield rows.distinct
+    val cases = Gen.listOfN(40, genInc)
+      .apply(Gen.Parameters.default, Seed(25L))
+      .getOrElse(fail("generator produced no sample"))
+    // one frame, one job: tag each case as its own universe by
+    // offsetting ids (items stay disjoint across cases)
+    val rows = cases.zipWithIndex.flatMap { case (inc, i) =>
+      inc.map { case (u, p) => (i * 1000L + u, i * 1000L + p) }
+    }
+    val est = graft.api.Graph
+      .dimsumPairEstimates(rows.toDF("u", "p"), Seq(1000000))
+      .collect()
+      .map(r => ((r.getLong(1), r.getLong(2)), (r.getLong(3), r.getDouble(4))))
+      .toMap
+    val brute: Map[(Long, Long), (Long, Double)] = {
+      val inc = rows.distinct
+      val n = inc.groupBy(_._2).map { case (p, xs) => p -> xs.size.toLong }
+      inc.groupBy(_._1).values.flatMap { basket =>
+        val ps = basket.map(_._2).sorted
+        for (a <- ps; b <- ps if a < b) yield (a, b)
+      }.groupBy(identity).map { case (pair, occ) =>
+        pair -> (occ.size.toLong,
+          occ.size.toDouble /
+            (math.sqrt(n(pair._1).toDouble) * math.sqrt(n(pair._2).toDouble)))
+      }
+    }
+    assert(est.keySet == brute.keySet,
+      s"pair sets differ: extra=${est.keySet -- brute.keySet} " +
+        s"missing=${brute.keySet -- est.keySet}")
+    est.foreach { case (pair, (c, cos)) =>
+      assert((c, cos) == brute(pair), s"$pair: got ($c,$cos) want ${brute(pair)}")
+    }
+  }
 }
