@@ -781,11 +781,17 @@ object Graph {
 
   def itemCfSimilarity(incidence: DataFrame, minShared: Int, k: Int,
       maxBasket: Option[Long] = None,
-      supportPrune: Option[Boolean] = None): DataFrame = {
+      supportPrune: Option[Boolean] = None,
+      assumeDeduped: Boolean = false): DataFrame = {
     // the deduped incidence feeds BOTH the popularity counts and the
     // basket expansion — materialize it once or the upstream join +
-    // distinct shuffle runs twice
-    val ui = incidence.select(col("u"), col("p")).distinct().persist()
+    // distinct shuffle runs twice. A caller serving an ALREADY-deduped
+    // incidence (g14/g25 read the DerivedCache-materialized (u,p)
+    // table) sets assumeDeduped so the kernel does not re-pay the
+    // distinct shuffle for a property the input carries by
+    // construction.
+    val ui0 = incidence.select(col("u"), col("p"))
+    val ui = (if (assumeDeduped) ui0 else ui0.distinct()).persist()
     val np = ui.groupBy("p").agg(count(lit(1)).as("n"))
     // A-priori support prune — co(a,b) ≤ min(n_a, n_b), so items with
     // fewer than minShared customers can be dropped from the baskets
@@ -914,14 +920,18 @@ object Graph {
     * p = 1 and ĉ = co): `cos_hat = c/(√n_a·√n_b)` there, `c/γ`
     * otherwise (E[c] = co·γ/(√n_a·√n_b) = γ·cosine).
     *
-    * Input `incidence` is (u, p); rows are deduplicated here.
+    * Input `incidence` is (u, p); rows are deduplicated here unless
+    * the caller vouches with `assumeDeduped` (g25 reads the
+    * DerivedCache-materialized incidence, already distinct on disk).
     * Returns one estimate row per sampled pair per γ:
     * (gamma, pa, pb, c, est_cosine), pa < pb.
     */
   def dimsumPairEstimates(incidence: DataFrame, gammas: Seq[Int],
-      maxBasket: Option[Long] = None): DataFrame = {
+      maxBasket: Option[Long] = None,
+      assumeDeduped: Boolean = false): DataFrame = {
     require(gammas.nonEmpty && gammas.forall(_ >= 1), s"bad gammas $gammas")
-    val ui = incidence.select(col("u"), col("p")).distinct()
+    val ui0 = incidence.select(col("u"), col("p"))
+    val ui = if (assumeDeduped) ui0 else ui0.distinct()
     val np = ui.groupBy("p").agg(count(lit(1)).as("n"))
     // popularity rides INSIDE the basket elements, so the O(users ·
     // basket²) pair stream needs no join at all — the first cut

@@ -44,6 +44,19 @@ class CheckpointStrategySpec extends AnyFunSuite {
     } finally {
       spark.conf.set(graft.api.Checkpoints.ModeKey, "local")
       spark.conf.unset(graft.api.Checkpoints.DirKey)
+      // SparkContext.setCheckpointDir is STICKY (no unset API), so the
+      // context keeps pointing at this temp dir for the rest of the
+      // JVM — harmless while mode=local (nothing routes through it;
+      // the second test below handles the already-set case), but the
+      // shared-session coupling means this spec must not run in
+      // parallel with suites that flip the mode. Delete the RDD files
+      // now that they have been asserted, so the temp tree does not
+      // outlive the test (r15 ADVICE).
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
     }
   }
 

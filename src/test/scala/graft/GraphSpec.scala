@@ -273,6 +273,28 @@ class GraphSpec extends AnyFunSuite {
     assert(loose(1)._2 == 1.0 / (math.sqrt(3.0) * math.sqrt(2.0)))
   }
 
+  test("assumeDeduped skips the distinct without changing either CF kernel (g14/g25 incidence materialization)") {
+    // duplicate rows must be invisible to the default path, and a
+    // pre-deduped input under assumeDeduped must match it exactly —
+    // the contract that lets g14/g25 read the DerivedCache incidence
+    val dup = spark.createDataFrame(Seq(
+      (1L, 1L), (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (3L, 4L),
+      (4L, 3L), (4L, 4L), (4L, 4L))).toDF("u", "p")
+    val ded = dup.distinct()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(
+      rows(graft.api.Graph.itemCfSimilarity(dup, minShared = 2, k = 3)) ==
+        rows(graft.api.Graph.itemCfSimilarity(ded, minShared = 2, k = 3,
+          assumeDeduped = true)))
+    assert(
+      rows(graft.api.Graph.dimsumPairEstimates(dup, Seq(1, 100))) ==
+        rows(graft.api.Graph.dimsumPairEstimates(ded, Seq(1, 100),
+          assumeDeduped = true)))
+  }
+
   test("g14 support prune: output-identical, cap binds on unpruned size, auto-enables on a tailed catalog") {
     // Head items 1..4 shared across users; tail items 201..215 bought
     // by exactly ONE user each (below minShared=2). Tail rows = 15 of
