@@ -99,22 +99,73 @@ object Bench {
     * untouched code; every one adjudicated environmental). With
     * REPS=1 (the driver protocol) this makes threshold-crossers
     * min-of-2; with REPS=2 they become min-of-4. The re-measured
-    * names are reported in the rung JSON ("retimed") so the evidence
-    * shows which readings got the second look.
+    * names are reported in the rung JSON ("retimed"), and BOTH
+    * readings in "retimed_readings" (r15 ADVICE: the published
+    * per-query times mix min-of-2 and single-shot — recording the
+    * spread lets adjudication see it instead of just the min).
     */
   private def retimeFlagged(spark: SparkSession, dir: String,
-      ts: Seq[Timing], flagged: Set[String]): Seq[Timing] =
-    if (flagged.isEmpty) ts
+      ts: Seq[Timing], flagged: Set[String])
+      : (Seq[Timing], Map[String, (Double, Double)]) =
+    if (flagged.isEmpty) (ts, Map.empty)
     else {
       val byName = selected.map(q => q.name -> q).toMap
-      ts.map { t =>
+      val readings = scala.collection.mutable.Map.empty[String, (Double, Double)]
+      val out = ts.map { t =>
         if (!flagged.contains(t.name)) t
         else {
           val again = timeAll(spark, dir, Seq(byName(t.name))).head
+          readings(t.name) = (t.sec, again.sec)
           if (!again.failed && (t.failed || again.sec < t.sec)) again else t
         }
       }
+      (out, readings.toMap)
     }
+
+  /** `"retimed":[names...],"retimed_readings":{name:[first,second]}` —
+    * shared disclosure fields for every rung that re-times
+    * threshold-crossers.
+    */
+  private def retimedJson(flagged: Set[String],
+      readings: Map[String, (Double, Double)]): String = {
+    def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
+    val reads = readings.toSeq.sortBy(_._1)
+      .map { case (n, (a, b)) => jsonStr(n) + s":[${r3(a)},${r3(b)}]" }
+      .mkString("{", ",", "}")
+    s""""retimed":${flagged.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""retimed_readings":$reads,"""
+  }
+
+  /** Calm per-query reference for the PRIMARY rung's retime guard
+    * (r15 verdict item 3): tools/bench_calm_ref.json holds the last
+    * committed calm full draw's per-query seconds, keyed to its SF.
+    * In-draw, any primary first reading above max(3x calm, 1s) gets
+    * ONE re-time with the min kept — the same hygiene curve_big
+    * already applies to its flag threshold, extended to the rung that
+    * feeds the 2x-of-baseline contract and every curve numerator
+    * (three straight rounds of "official hot, calm fine" — r13 1.11x,
+    * r14 1.43x, r15 2.01x — were all primary-rung heat). Names and
+    * both readings are disclosed in the top-level JSON
+    * ("retimed_primary"/"retimed_primary_readings"); queries without
+    * a ref entry (new this round) and non-matching SF dirs are never
+    * re-timed. Refreshed each round from the banked calm draw.
+    */
+  private def calmRef(sfDir: String): Map[String, Double] = {
+    try {
+      val f = new java.io.File("tools/bench_calm_ref.json")
+      if (!f.isFile) Map.empty
+      else {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == new java.io.File(sfDir).getName)
+        if (!sfOk) Map.empty
+        else "\"([a-z0-9_]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(txt)
+          .filter(_.group(1) != "sf")
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+  }
 
   private def timeAll(spark: SparkSession, sfDir: String,
       queries: Seq[graft.ops.OpQuery] = selected,
@@ -255,8 +306,15 @@ object Bench {
     // deltas). meter noise is irrelevant here — the next query's
     // prepare-drain discards the canary's shuffle.
     val canarySamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
-    val results = timeAll(spark, sfDir, selected,
+    val results0 = timeAll(spark, sfDir, selected,
       afterEach = i => if (i % 50 == 0) canarySamples += i -> canaryTime(1))
+    // primary-rung calm-reference retime — see calmRef
+    val ref = calmRef(sfDir)
+    val primaryFlagged = results0.filterNot(_.failed)
+      .filter(t => ref.get(t.name).exists(c => t.sec > math.max(3.0 * c, 1.0)))
+      .map(_.name).toSet
+    val (results, primaryReads) =
+      retimeFlagged(spark, sfDir, results0, primaryFlagged)
     val ok = results.filterNot(_.failed)
     val total = ok.map(_.sec).sum
     val errors = results.filter(_.failed).map(_.name)
@@ -271,21 +329,33 @@ object Bench {
       else None
     }
     val curve = curveDir.map { dir =>
-      val small = timeAll(spark, dir)
-      val smallMap = small.map(t => t.name -> t.sec).toMap
+      val small0 = timeAll(spark, dir)
       val bigMap = results.map(t => t.name -> t.sec).toMap
       def adj(v: Double): Double = math.max(v - overhead, 0.0)
-      val ratios = results.map { t =>
-        val s = smallMap.getOrElse(t.name, -1.0)
-        val r =
-          if (t.failed || s < 0.0) -1.0
-          else if (adj(s) < MinSmallSeconds) -1.0 // denominator is noise
-          else adj(t.sec) / adj(s)
-        t.name -> r
+      def ratiosOf(small: Seq[Timing]): Seq[(String, Double)] = {
+        val smallMap = small.map(t => t.name -> t.sec).toMap
+        results.map { t =>
+          val s = smallMap.getOrElse(t.name, -1.0)
+          val r =
+            if (t.failed || s < 0.0) -1.0
+            else if (adj(s) < MinSmallSeconds) -1.0 // denominator is noise
+            else adj(t.sec) / adj(s)
+          t.name -> r
+        }
       }
-      val superlinear = ratios.collect {
-        case (k, r) if r > SuperlinearRatio && bigMap.getOrElse(k, 0.0) > MinFlagSeconds => k
-      }
+      def flagsOf(ratios: Seq[(String, Double)]): Set[String] =
+        ratios.collect {
+          case (k, r) if r > SuperlinearRatio &&
+            bigMap.getOrElse(k, 0.0) > MinFlagSeconds => k
+        }.toSet
+      // threshold-crossers get their rung reading re-timed (min kept)
+      // before a flag is recorded — the curve_big hygiene on the rung
+      // that minted r15's g19/g25 flags (the primary numerator is
+      // covered by the calm-ref retime above)
+      val firstFlags = flagsOf(ratiosOf(small0))
+      val (small, smallReads) = retimeFlagged(spark, dir, small0, firstFlags)
+      val ratios = ratiosOf(small)
+      val superlinear = flagsOf(ratios).toSeq.sorted
       // A rung failure is a first-class signal, not a -1.0 ratio: a
       // query that errors at one SF but not another is a scale bug the
       // curve exists to catch (round 10's qs1/qs6/qs7 failed silently
@@ -294,6 +364,7 @@ object Bench {
       s""","curve":{"dir":"$dir","overhead":$overhead,"queries":${jsonMap(small.map(t => t.name -> t.sec))},""" +
         s""""ratio":${jsonMap(ratios)},""" +
         s""""superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        retimedJson(firstFlags, smallReads) +
         errDetailJson(small) +
         s""""errors":${rungErrors.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     }.getOrElse("")
@@ -389,7 +460,8 @@ object Bench {
         // threshold-crossers get a second reading (min kept) before a
         // flag is recorded — see retimeFlagged
         val firstFlags = flagsOf(big0)
-        val big = retimeFlagged(spark, cand.getPath, big0, firstFlags)
+        val (big, bigReads) =
+          retimeFlagged(spark, cand.getPath, big0, firstFlags)
         val ratios = big.map { t =>
           val s = primary.getOrElse(t.name, -1.0)
           t.name -> (if (t.failed || s < 0.0) -1.0 else adj(t.sec) / adj(s))
@@ -408,7 +480,7 @@ object Bench {
         s""","curve_big":{"dir":"${cand.getPath}","queries":${jsonMap(big.map(t => t.name -> t.sec))},""" +
           s""""ratio":${jsonMap(ratios)},""" +
           s""""superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-          s""""retimed":${firstFlags.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          retimedJson(firstFlags, bigReads) +
           s""""samples":$bigSamplesJson,""" +
           s""""cross_distribution":${crossDist.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
@@ -437,8 +509,13 @@ object Bench {
 
     val shuffleJson = jsonMap(results.map(t =>
       t.name -> math.round(t.shuffleMB * 1000.0) / 1000.0))
+    val primaryRetimeJson =
+      s""""retimed_primary":${primaryFlagged.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""retimed_primary_readings":${primaryReads.toSeq.sortBy(_._1)
+          .map { case (n, (a, b)) => jsonStr(n) + s":[${r3(a)},${r3(b)}]" }
+          .mkString("{", ",", "}")},"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map(t => t.name -> t.sec))},"shuffle_mb":$shuffleJson,${errDetailJson(results)}"errors":$errJson,"sf":"$sfDir"$curve$curveBig$canaryJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map(t => t.name -> t.sec))},"shuffle_mb":$shuffleJson,$primaryRetimeJson${errDetailJson(results)}"errors":$errJson,"sf":"$sfDir"$curve$curveBig$canaryJson}"""
     // Full diagnostics: printed early and persisted to a file, because
     // the driver records only the LAST ~2000 chars of stdout and parses
     // the JSON line inside that window. A 10 KB line starts outside the

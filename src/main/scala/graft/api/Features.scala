@@ -32,11 +32,13 @@ object Features {
 
   /** Adds an `ntile(n)` score column per listed metric, named
     * `<prefix from scoreNames>`. Runs single-partition global windows —
-    * call this on ENTITY-grain frames only (the e20 justification);
-    * `key` is the tie-break so the binning is a total order. The
-    * single-task sort is exact and fine up to ~10^8 entities; past
-    * that, switch to [[quintilesSampled]], which trades exact bin
-    * populations for a sort-free two-pass plan.
+    * call this on ENTITY-grain frames only; `key` is the tie-break so
+    * the binning is a total order. The single-task sort is exact and
+    * fine up to ~10^8 entities; past that this is the W2 hazard class
+    * (one hot task sorting the entity frame) — use
+    * [[quintilesHistogram]] (exact, sort-free, ties share a bin; the
+    * registry's e20 path since r16) or [[quintilesSampled]] (sketch
+    * boundaries).
     */
   def quintiles(df: DataFrame, key: String,
       metrics: Seq[(String, String)], n: Int = 5): DataFrame =
@@ -44,6 +46,44 @@ object Features {
       acc.withColumn(out,
         ntile(n).over(Window.orderBy(col(metric), col(key))).cast("int"))
     }
+
+  /** Exact HISTOGRAM-GRAIN n-tile scores — the scale-safe form of
+    * [[quintiles]] (r15 verdict item 4): per metric, the cumulative
+    * row count strictly below each DISTINCT value cuts the axis into
+    * `n` near-equal bands (`(cum_before · n) div total + 1` — the
+    * e46 stratum / e38 Gini / r67 decile precedent), and rows join
+    * their value's band through a broadcast of the value→bin map. The
+    * only window runs over distinct metric VALUES (bounded by the
+    * value domain, orders of magnitude under the entity dimension on
+    * count-like metrics), never over the entity frame — no
+    * single-reducer entity sort at any scale. Semantics vs `ntile`:
+    * rows tying on a value share its bin (ntile splits ties by the
+    * key tie-break), so bin populations differ exactly on boundary
+    * ties; bin ordering by metric value is identical. Deterministic,
+    * exact integer arithmetic — oracle-expressible bit-for-bit.
+    */
+  def quintilesHistogram(df: DataFrame,
+      metrics: Seq[(String, String)], n: Int = 5): DataFrame = {
+    require(n >= 2, s"bad n $n")
+    // the entity frame feeds the total, one histogram PER metric, and
+    // the scored output — materialize it once (the itemCfSimilarity
+    // precedent) or the upstream aggregation recomputes 2+|metrics|
+    // times
+    val base = df.persist()
+    val total = base.agg(count(lit(1)).cast("bigint").as("_qh_total"))
+    metrics.foldLeft(base) { case (acc, (metric, out)) =>
+      val wb = Window.orderBy(metric)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bins = base.groupBy(metric)
+        .agg(count(lit(1)).cast("bigint").as("_qh_m"))
+        .withColumn("_qh_cb",
+          coalesce(sum("_qh_m").over(wb), lit(0L)))
+        .crossJoin(broadcast(total))
+        .select(col(metric),
+          (expr(s"(_qh_cb * $n) div _qh_total") + 1).cast("int").as(out))
+      acc.join(broadcast(bins), Seq(metric))
+    }
+  }
 
   /** Sampled-boundary variant of [[quintiles]] for entity counts where
     * one global sort task is unacceptable: per metric the n-1 boundary

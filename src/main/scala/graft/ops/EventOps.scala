@@ -745,27 +745,57 @@ object EventOps {
     * quintile assignment is a total order, and money stays in integer
     * cents.
     */
+  /** Quintile scores are HISTOGRAM-GRAIN since r16 (verdict item 4):
+    * the previous `ntile(5)` form ran three single-partition windows
+    * over the full user frame — exact, but the W2 hazard class at
+    * 10⁹ users (one hot task sorting the entity dimension). The
+    * histogram form cuts each metric's axis at distinct-VALUE grain
+    * (`(cum_before·5) div n + 1`, the e46/e38/r67 precedent) and
+    * broadcast-joins the value→bin map back — no entity sort at any
+    * scale. Ties share a bin (ntile split them by user_id), which is
+    * the defensible feature semantics anyway: two users with
+    * identical spend should not land in different spend bins.
+    */
+  private def rfmBinSql(metric: String, alias: String): String =
+    s"""$alias AS (
+       |  SELECT $metric AS v, count(*) AS m FROM rfm GROUP BY 1
+       |), ${alias}b AS (
+       |  SELECT v,
+       |         CAST(coalesce(sum(m) OVER (ORDER BY v
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |              0) AS BIGINT) AS cb
+       |  FROM $alias
+       |), ${alias}q AS (
+       |  SELECT v, CAST((cb * 5) // nu + 1 AS INT) AS q
+       |  FROM ${alias}b CROSS JOIN nu
+       |)""".stripMargin
+
   val e20 = OpQuery.oracled("e20_rfm_features",
-    """WITH rfm AS (
+    s"""WITH rfm AS (
       |  SELECT user_id,
       |         CAST(max(epoch_us(ts)) AS BIGINT) AS last_seen_us,
       |         CAST(count(*) AS BIGINT) AS frequency,
       |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
       |  FROM events WHERE event_type = 'purchase' GROUP BY 1
-      |)
+      |), nu AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS nu FROM rfm
+      |), ${rfmBinSql("last_seen_us", "rb")},
+      |${rfmBinSql("frequency", "fb")},
+      |${rfmBinSql("monetary_cents", "mb")}
       |SELECT user_id, last_seen_us, frequency, monetary_cents,
-      |       CAST(ntile(5) OVER (ORDER BY last_seen_us, user_id) AS INT) AS r_quintile,
-      |       CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS INT) AS f_quintile,
-      |       CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id) AS INT) AS m_quintile
-      |FROM rfm ORDER BY user_id""".stripMargin,
-    doc = "per-user RFM purchase features + ntile(5) quintile scores (windows run on the small user-level frame)") { (spark, dir) =>
+      |       rbq.q AS r_quintile, fbq.q AS f_quintile, mbq.q AS m_quintile
+      |FROM rfm
+      |JOIN rbq ON rbq.v = rfm.last_seen_us
+      |JOIN fbq ON fbq.v = rfm.frequency
+      |JOIN mbq ON mbq.v = rfm.monetary_cents
+      |ORDER BY user_id""".stripMargin,
+    doc = "per-user RFM purchase features + histogram-grain quintile scores (distinct-value cumulative cuts, ties share a bin; no entity-frame sort)") { (spark, dir) =>
     val purchases = Sources.table(spark, dir, "events")
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), tsUs.as("us"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-    graft.api.Features.quintiles(
+    graft.api.Features.quintilesHistogram(
         graft.api.Features.rfm(purchases, "user_id", "us", "cents"),
-        key = "user_id",
         metrics = Seq(("last_seen_us", "r_quintile"),
           ("frequency", "f_quintile"), ("monetary_cents", "m_quintile")))
       .orderBy("user_id")
@@ -872,14 +902,97 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** One metric's four exact-quantile boundary scalars for e47's
+    * oracle: Spark's `approxQuantile(relativeError = 0)` returns the
+    * value at rank `ceil(p·n)` (1-indexed ascending, duplicates
+    * counted — pinned empirically against Spark 4.1), which at
+    * histogram grain is the smallest distinct value whose inclusive
+    * cumulative count reaches the rank; `(k·nu + 4) // 5` is that
+    * ceiling in exact integers.
+    */
+  private def sqBoundsSql(metric: String, alias: String): String = {
+    val bs = (1 to 4).map(k =>
+      s"(SELECT min(v) FROM ${alias}c WHERE cum >= ($k * nu + 4) // 5)" +
+        s" AS b$k").mkString(",\n       |         ")
+    s"""$alias AS (
+       |  SELECT $metric AS v, count(*) AS m FROM rfm GROUP BY 1
+       |), ${alias}c AS (
+       |  SELECT v, sum(m) OVER (ORDER BY v) AS cum FROM $alias
+       |), ${alias}q AS (
+       |  SELECT $bs
+       |  FROM nu
+       |)""".stripMargin
+  }
+
+  private def sqScoreSql(metric: String, alias: String): String =
+    s"CAST(1 + (CASE WHEN $metric > ${alias}q.b1 THEN 1 ELSE 0 END)" +
+      s" + (CASE WHEN $metric > ${alias}q.b2 THEN 1 ELSE 0 END)" +
+      s" + (CASE WHEN $metric > ${alias}q.b3 THEN 1 ELSE 0 END)" +
+      s" + (CASE WHEN $metric > ${alias}q.b4 THEN 1 ELSE 0 END) AS INT)"
+
+  /** e47: the SAMPLED-BOUNDARY sibling of e20 in the registry (r15
+    * verdict item 4's second half): the same RFM frame scored through
+    * [[graft.api.Features.quintilesSampled]] — per metric, n−1
+    * boundary values from `approxQuantile` (a distributed sketch
+    * aggregation; no sort anywhere, not even over distinct values)
+    * and a one-map-stage `1 + #boundaries strictly below` score. At
+    * `relativeError = 0` the sketch keeps all samples and the
+    * boundaries are the exact rank-`ceil(p·n)` statistics — which is
+    * what makes the query ORACLE-EXPRESSIBLE bit-for-bit (the
+    * production dial is a small positive ε, same code path, bounded
+    * sketch); rows tying ON a boundary land in the lower bin on both
+    * engines by the shared strict-> rule. This puts the documented
+    * scale path of the quintile family under the hash gate instead of
+    * spec-only (the r15 `weak` mark).
+    */
+  val e47 = OpQuery.oracled("e47_rfm_quintiles_sampled",
+    s"""WITH rfm AS (
+      |  SELECT user_id,
+      |         CAST(max(epoch_us(ts)) AS BIGINT) AS last_seen_us,
+      |         CAST(count(*) AS BIGINT) AS frequency,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+      |), nu AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS nu FROM rfm
+      |), ${sqBoundsSql("last_seen_us", "sr")},
+      |${sqBoundsSql("frequency", "sf")},
+      |${sqBoundsSql("monetary_cents", "sm")}
+      |SELECT user_id, last_seen_us, frequency, monetary_cents,
+      |       ${sqScoreSql("last_seen_us", "sr")} AS r_quintile,
+      |       ${sqScoreSql("frequency", "sf")} AS f_quintile,
+      |       ${sqScoreSql("monetary_cents", "sm")} AS m_quintile
+      |FROM rfm CROSS JOIN srq CROSS JOIN sfq CROSS JOIN smq
+      |ORDER BY user_id""".stripMargin,
+    doc = "per-user RFM features + sampled-boundary quintiles (approxQuantile sketch boundaries at relativeError 0, strict-above scoring; the sort-free scale path of the quintile family under the hash gate)") { (spark, dir) =>
+    val purchases = Sources.table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), tsUs.as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    graft.api.Features.quintilesSampled(
+        graft.api.Features.rfm(purchases, "user_id", "us", "cents"),
+        metrics = Seq(("last_seen_us", "r_quintile"),
+          ("frequency", "f_quintile"), ("monetary_cents", "m_quintile")),
+        relativeError = 0.0)
+      .orderBy("user_id")
+  }
+
   /** Traffic-concentration (Pareto) report: what share of all events
     * the top 10% of users generate — the skew diagnostic that decides
     * whether per-user operators downstream need salting. The top-10%
-    * cutoff is integer rank arithmetic (`rk * 10 <= n_users`), never a
-    * float percentile; the only float op is the one share division in
-    * the final row. The global rank window runs on the per-user count
-    * frame (one row per user, orders of magnitude under event grain) —
-    * the same justification as e20's quintiles.
+    * cutoff is integer rank arithmetic, never a float percentile; the
+    * only float op is the one share division in the final row.
+    *
+    * HISTOGRAM-GRAIN since r16 (verdict item 4): the previous form
+    * ranked every user through one single-partition `row_number`
+    * window — the W2 hazard at 10⁹ users. Users sharing a per-user
+    * count are interchangeable for the report's SUMS (every user in a
+    * value group contributes the same `c`), so the cutoff moves to
+    * distinct-VALUE grain: with `cb` = users strictly above value `c`
+    * and `K = n_users div 10` (`rk·10 ≤ n` ⟺ `rk ≤ K`), a value
+    * group of `m` users contributes `clamp(K − cb, 0, m)` of its
+    * members — identical totals to the user-grain rank for ANY
+    * tie-break, with the one window running over distinct count
+    * values (the e46/e38/r67 precedent).
     */
   val e23 = OpQuery.oracled("e23_pareto_concentration",
     """WITH uc AS (
@@ -888,30 +1001,40 @@ object EventOps {
       |  SELECT CAST(count(*) AS BIGINT) AS n_users,
       |         CAST(sum(c) AS BIGINT) AS total_events
       |  FROM uc
-      |), ranked AS (
-      |  SELECT user_id, c, row_number() OVER (ORDER BY c DESC, user_id) AS rk
-      |  FROM uc
+      |), h AS (
+      |  SELECT c, CAST(count(*) AS BIGINT) AS m FROM uc GROUP BY 1
+      |), hb AS (
+      |  SELECT c, m,
+      |         CAST(coalesce(sum(m) OVER (ORDER BY c DESC
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |              0) AS BIGINT) AS cb
+      |  FROM h
+      |), take AS (
+      |  SELECT c, least(greatest((n_users // 10) - cb, 0), m) AS k
+      |  FROM hb CROSS JOIN tot
       |)
-      |SELECT CAST(count(*) AS BIGINT) AS n_top_users,
-      |       CAST(sum(ranked.c) AS BIGINT) AS top_events,
+      |SELECT CAST(sum(k) AS BIGINT) AS n_top_users,
+      |       CAST(sum(k * c) AS BIGINT) AS top_events,
       |       CAST(max(tot.total_events) AS BIGINT) AS total_events,
-      |       CAST(sum(ranked.c) AS DOUBLE) / max(tot.total_events) AS top_share
-      |FROM ranked CROSS JOIN tot
-      |WHERE ranked.rk * 10 <= tot.n_users""".stripMargin,
-    doc = "top-10% user traffic share (Pareto skew diagnostic; integer rank cutoff, windows on the user-count frame)") { (spark, dir) =>
+      |       CAST(sum(k * c) AS DOUBLE) / max(tot.total_events) AS top_share
+      |FROM take CROSS JOIN tot""".stripMargin,
+    doc = "top-10% user traffic share (Pareto skew diagnostic; histogram-grain integer rank cutoff over distinct per-user counts)") { (spark, dir) =>
     val uc = Sources.table(spark, dir, "events")
       .groupBy("user_id").agg(count(lit(1)).as("c"))
     val tot = uc.agg(count(lit(1)).as("n_users"),
       sum(col("c")).as("total_events"))
-    val ranked = uc.withColumn("rk",
-      row_number().over(Window.orderBy(col("c").desc, col("user_id"))))
-    ranked.crossJoin(broadcast(tot))
-      .filter(col("rk") * 10 <= col("n_users"))
-      .agg(
-        count(lit(1)).cast("bigint").as("n_top_users"),
-        sum(col("c")).cast("bigint").as("top_events"),
+    val wb = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val take = uc.groupBy("c").agg(count(lit(1)).cast("bigint").as("m"))
+      .withColumn("cb", coalesce(sum("m").over(wb), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("k",
+        least(greatest(expr("(n_users div 10) - cb"), lit(0L)), col("m")))
+    take.agg(
+        sum(col("k")).cast("bigint").as("n_top_users"),
+        sum(col("k") * col("c")).cast("bigint").as("top_events"),
         max(col("total_events")).cast("bigint").as("total_events"),
-        (sum(col("c")).cast("double") / max(col("total_events")))
+        (sum(col("k") * col("c")).cast("double") / max(col("total_events")))
           .as("top_share"))
   }
 
@@ -2358,7 +2481,13 @@ object EventOps {
     */
   def gstLooks(perUser: DataFrame, nLooks: Int = gstLooksK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(nLooks >= 2, s"bad nLooks $nLooks")
+    // the OBF boundary below hardcodes the K=4 terminal value 2.024
+    // (Jennison & Turnbull table 2.3) — a different look count needs a
+    // different table constant, so any other nLooks would silently
+    // produce a statistically WRONG monitor (r15 ADVICE): refuse it.
+    require(nLooks == gstLooksK,
+      s"gstLooks supports exactly $gstLooksK looks (the 2.024 OBF " +
+        s"terminal constant is the K=$gstLooksK table value); got $nLooks")
     val span = perUser.agg(min("v_us").as("lo"), max("v_us").as("hi"))
     val cuts = perUser.sparkSession.range(1, nLooks + 1)
       .select(col("id").cast("int").as("look"))
@@ -2689,5 +2818,5 @@ object EventOps {
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
     e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
     e25, e26, e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38,
-    e39, e40, e41, e42, e43, e44, e45, e46)
+    e39, e40, e41, e42, e43, e44, e45, e46, e47)
 }

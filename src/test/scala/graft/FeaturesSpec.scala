@@ -120,6 +120,31 @@ class FeaturesSpec extends AnyFunSuite {
     assert(got == Map("a" -> 1, "b" -> 1, "c" -> 2, "d" -> 2), got.toString)
   }
 
+  test("quintilesHistogram: equals ntile on distinct values; ties share a bin (e20 kernel)") {
+    import spark.implicits._
+    // no ties: histogram-grain cuts reproduce ntile's bins exactly
+    val distinct = (1L to 100L).map(i => (s"u$i", i)).toDF("k", "m")
+    val exact = Features.quintiles(distinct, "k", Seq(("m", "bin")), n = 5)
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    val hist = Features.quintilesHistogram(distinct, Seq(("m", "bin")), n = 5)
+      .collect().map(r => r.getString(1) -> r.getInt(2)).toMap
+    assert(hist == exact,
+      s"diverging keys: ${hist.filter { case (k, v) => exact(k) != v }}")
+    // ties: every row sharing a value lands in ONE bin (ntile would
+    // split them by the key tie-break), rest bin above
+    val tied = ((1L to 50L).map(i => (s"t$i", 10L)) ++
+      (1L to 50L).map(i => (s"h$i", 100L + i))).toDF("k", "m")
+    val got = Features.quintilesHistogram(tied, Seq(("m", "bin")), n = 4)
+      .collect().map(r => r.getString(1) -> r.getInt(2)).toMap
+    val tbin = got.filter(_._1.startsWith("t")).values.toSet
+    assert(tbin == Set(1), s"tied rows split across bins: $tbin")
+    assert(got.filter(_._1.startsWith("h")).values.forall(_ > 1))
+    // two metrics at once: independent cuts, all original columns kept
+    val two = Features.quintilesHistogram(distinct,
+      Seq(("m", "bin_a"), ("m", "bin_b")), n = 5)
+    assert(two.columns.toSet == Set("k", "m", "bin_a", "bin_b"))
+  }
+
   test("quintilesSampled: boundary binning agrees with exact ntile on distinct values") {
     import spark.implicits._
     // 100 distinct metric values; exact boundaries (relativeError 0)
