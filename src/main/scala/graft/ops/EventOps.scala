@@ -2540,7 +2540,13 @@ object EventOps {
     * doctrine; OBF needs only sqrt, so the whole monitor is
     * bit-checkable.
     */
-  val e45 = OpQuery.oracled("e45_group_sequential_readout", {
+  /** The full group-sequential oracle, shared VERBATIM between the
+    * batch e45 and the streaming qs29 (the e35/qs19 `abOracleSql`
+    * pattern): both engines must land on the same look table whether
+    * the per-user (arm, v_us, conv_us) frame was derived in one batch
+    * pass or folded incrementally across micro-batch runs.
+    */
+  private[ops] val gstOracleSql: String = {
     val armSqlV = s"(${graft.api.Sampling.uniform32Sql("v.user_id")} % 2)"
     s"""WITH v AS (
         |  SELECT user_id, min(epoch_us(ts)) AS v_us FROM events
@@ -2594,7 +2600,9 @@ object EventOps {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |            AS INT) AS stopped_by_now
         |FROM flagged ORDER BY look""".stripMargin
-  },
+  }
+
+  val e45 = OpQuery.oracled("e45_group_sequential_readout", gstOracleSql,
     doc = "group-sequential experiment monitor: 4 interim looks over the exposure span, cumulative counts as-observed-at-the-look, pooled z vs O'Brien-Fleming boundaries, crossing + stopped flags - the can-we-stop-yet table of the experimentation suite") { (spark, dir) =>
     val ev = Sources.table(spark, dir, "events")
       .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("us"))

@@ -2401,6 +2401,64 @@ object StreamQueries {
     spikeAlerts(grid)
   }
 
+  /** qs29: STREAMING GROUP-SEQUENTIAL MONITOR — the incremental twin
+    * of the batch e45 (r15 verdict item 6), completing the
+    * experimentation suite's streaming story the way qs19 completed
+    * e35's: a live experiment does not re-scan its event history at
+    * every interim look. Per-user state is the
+    * [[graft.stream.Pipelines.gstStateSink]] register pair
+    * `(v_us, conv_us)` — first-view time and first qualifying
+    * conversion time, both MIN-monoids folded across two
+    * event-time-ordered incremental runs (a user whose view lands in
+    * run 1 and whose conversion lands in run 2 merges through the
+    * store, which is exactly the cross-run dependence the boundary
+    * split exercises) — and the whole look table (cuts, as-observed
+    * counts, pooled z, O'Brien–Fleming boundaries, crossing/stop
+    * flags) is a pure READ-time function over the stored registers
+    * ([[EventOps.gstLooks]], shared verbatim with e45). Oracle =
+    * e45's, shared verbatim: equality proves the incremental fold
+    * landed bit-for-bit on the from-scratch batch monitor.
+    */
+  val qs29 = OpQuery.oracled("qs29_stream_sequential_monitor",
+    EventOps.gstOracleSql,
+    doc = "streaming group-sequential monitor: per-user (first-view, " +
+      "first-conversion) min-monoid registers folded across two " +
+      "event-time-ordered runs; the 4-look OBF table is a read-time " +
+      "function over the stored state, oracle shared verbatim with " +
+      "batch e45") { (spark, dir) =>
+    val root = scratch(dir, "qs29")
+    wipe(root)
+    // 2024-01-16T00:00Z — the qs19/qs23 mid-span boundary
+    val boundaryUs = 1705363200000000L
+    val ev = Sources.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+    ev.filter(col("us") < boundaryUs)
+      .write.mode("overwrite").parquet(s"$root/input")
+    val sch = spark.read.parquet(s"$root/input").schema
+    val s8 = stateSession(spark, 8)
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.gstStateSink(
+        s8.readStream.schema(sch).parquet(s"$root/input"),
+        s"$root/table", s"$root/ckpt"))
+    def commits(): Int =
+      Option(new java.io.File(s"$root/ckpt/commits").listFiles())
+        .map(_.count(_.getName.forall(_.isDigit))).getOrElse(0)
+    run()
+    require(commits() == 1,
+      s"qs29 run 1 split into ${commits()} micro-batches; the sink's " +
+        "cross-batch event-time-order contract no longer holds")
+    ev.filter(col("us") >= boundaryUs)
+      .write.mode("append").parquet(s"$root/input")
+    run()
+    require(commits() == 2,
+      s"qs29 run 2 ended at ${commits()} total commits (want 2)")
+    EventOps.gstLooks(
+      spark.read.parquet(s"$root/table")
+        .select(expr(EventOps.abArmSql).cast("int").as("arm"),
+          col("v_us"), col("conv_us")))
+  }
+
   val all: Seq[OpQuery] = Seq(
     qs1,
     qs2.copy(prepare = (s, d) => { ensureEnvelopeInput(s, d); () }),
@@ -2430,5 +2488,6 @@ object StreamQueries {
     qs25,
     qs26.copy(prepare = (s, d) => { ensureSourceOverlap(s, d); () }),
     qs27,
-    qs28)
+    qs28,
+    qs29)
 }

@@ -501,6 +501,76 @@ object Pipelines {
         ()
       }
 
+  /** Streaming GROUP-SEQUENTIAL state fold — [[abExposureSink]]'s
+    * conversion-TIME generalization, the state layer of the qs29
+    * monitor: per exposed user the register is the pair
+    * `(v_us, conv_us)` — first-view time and first QUALIFYING
+    * conversion time (strictly after the view, within `windowUs`),
+    * `conv_us` NULL until one lands. An interim look only counts a
+    * conversion whose timestamp has passed the look's cut, so the
+    * monitor needs the TIME, not abExposureSink's 0/1 flag. Both
+    * registers are MIN-monoids (min is commutative, associative,
+    * idempotent), so the fold is batching-invariant by algebra under
+    * the same cross-batch event-time-order contract as
+    * abExposureSink (`v_us` fixes at first exposure; each batch's
+    * purchases are checked against the merged `v_us`), and replaying
+    * a committed batch re-derives the same mins — publish via the
+    * two-rename swap, recover on entry. The group-sequential look
+    * table itself is a pure READ-time function over this state
+    * ([[graft.ops.EventOps.gstLooks]]), the qs17/qs25/qs27/qs28
+    * register-file discipline.
+    */
+  def gstStateSink(events: DataFrame, tablePath: String,
+      checkpoint: String, windowUs: Long = 604800000000L)
+      : DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.persist()
+        val waveV = b.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("us")).as("wv"))
+        val waveP = b.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("us").as("pus"))
+        recoverPublished(tablePath, "gstStateSink")
+        val table = new java.io.File(tablePath)
+        val hasData = table.isDirectory && Option(table.listFiles())
+          .exists(_.exists(_.getName.startsWith("part-")))
+        val old =
+          if (hasData) spark.read.parquet(tablePath)
+          else spark.createDataFrame(
+            new java.util.ArrayList[Row](),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("user_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("v_us",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("conv_us",
+                org.apache.spark.sql.types.LongType))))
+        val exposed = old.join(waveV, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            coalesce(least(col("v_us"), col("wv")), col("v_us"), col("wv"))
+              .as("v_us"),
+            col("conv_us"))
+          .filter(col("v_us").isNotNull)
+        // this batch's qualifying conversions, reduced to the user's
+        // earliest — then min-merged with the stored register
+        val qual = waveP.join(exposed.select("user_id", "v_us"), "user_id")
+          .filter(col("pus") > col("v_us") &&
+            col("pus") <= col("v_us") + lit(windowUs))
+          .groupBy("user_id").agg(min(col("pus")).as("q_us"))
+        val merged = exposed.join(qual, Seq("user_id"), "left")
+          .select(col("user_id"), col("v_us"),
+            coalesce(least(col("conv_us"), col("q_us")),
+              col("conv_us"), col("q_us")).as("conv_us"))
+        merged.write.mode("overwrite").parquet(tablePath + ".staged")
+        b.unpersist()
+        publishStaged(tablePath, "gstStateSink")
+        ()
+      }
+
   /** Streaming content-addressed chunk store — the WRITE path of m11's
     * chunk-level dedup: each micro-batch of binary payloads is split
     * into fixed 64-byte chunks ([[graft.ops.Multimodal.payloadChunks]]),

@@ -1499,6 +1499,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(state() == Set((1L, 10L, 1L), (2L, 60L, 0L)))
   }
 
+  test("gst state restart: conversion-time registers min-merge across runs and absorb a replayed batch (qs29 sink)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = tmp("graft_gst_replay")
+    val mem = MemoryStream[(Long, String, Long)]
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.gstStateSink(
+        mem.toDF().toDF("user_id", "event_type", "us"),
+        s"$root/table", s"$root/ckpt", windowUs = 100L))
+    def state(): Set[(Long, Long, Option[Long])] =
+      spark.read.parquet(s"$root/table").as[(Long, Long, Option[Long])]
+        .collect().toSet
+    // wave 1: u1 exposed at 10, unconverted (conv_us NULL, not 0 —
+    // the flag sink's 0 would alias a real epoch); u2's purchase
+    // precedes any exposure — dropped
+    mem.addData((1L, "view", 10L), (2L, "purchase", 20L))
+    run()
+    assert(state() == Set((1L, 10L, None)))
+    // wave 2: u1's TWO qualifying purchases keep the earliest (50);
+    // u2 becomes exposed; u1's later view must not move v_us
+    mem.addData((1L, "purchase", 50L), (1L, "purchase", 80L),
+      (2L, "view", 60L), (1L, "view", 70L))
+    run()
+    assert(state() == Set((1L, 10L, Some(50L)), (2L, 60L, None)))
+    // kill between batch 2's publish and its checkpoint commit, plus
+    // mid-publish (live renamed aside): restart recovers the table,
+    // then replays the batch — min-merge recomputes identical state
+    forceReplay(s"$root/ckpt")
+    assert(new java.io.File(s"$root/table")
+      .renameTo(new java.io.File(s"$root/table.old")))
+    run()
+    assert(state() == Set((1L, 10L, Some(50L)), (2L, 60L, None)))
+    // out-of-window purchase (200 > 60+100) never converts u2; a
+    // second window for u1 (already converted) keeps the stored min
+    mem.addData((2L, "purchase", 200L), (1L, "purchase", 105L))
+    run()
+    assert(state() == Set((1L, 10L, Some(50L)), (2L, 60L, None)))
+  }
+
   test("chunk store restart: a replayed half-applied batch converges, no duplicate chunks") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
