@@ -382,6 +382,68 @@ object Dedup {
     (shs, sig)
   }
 
+  /** LSH index COMPACTION / GC report — the lifecycle leg of the
+    * [[incrementalCorpusIndex]] story (d20): a write-once signature
+    * index only ever grows, but documents get deleted, redacted, or
+    * superseded, and a production index is periodically compacted —
+    * tombstoned docs' band entries dropped, emptied buckets
+    * reclaimed. Per band, the report carries the GC accounting
+    * (entries before/tombstoned/after, distinct buckets
+    * before/after/emptied — the m12 chunk-GC discipline at signature
+    * grain) AND the probe-continuity accounting: the candidate pairs
+    * a probe batch raises against the full index, against the
+    * compacted index, and the difference (pairs only a tombstoned doc
+    * produced — exactly the set compaction is ALLOWED to lose). The
+    * band join runs once with the tombstone flag carried through, so
+    * full-vs-compacted comparison costs one probe pass, not two.
+    *
+    * Scale shape: one join of the corpus band frame against the
+    * tombstone set on the doc id (AQE picks the strategy), one
+    * band-bucket probe join — the d09 candidate path — and two
+    * band-grain aggregates; nothing touches shingle grain.
+    */
+  def indexCompactionReport(corpusSig: DataFrame, tombstones: DataFrame,
+      probeSig: DataFrame, idCol: String = "doc_id",
+      seeds: Int = 8, bandSize: Int = 2): DataFrame = {
+    def bands(sig: DataFrame): DataFrame =
+      sig.select(col(idCol),
+          posexplode(bandKeyArray(seeds, bandSize)).as(Seq("band", "bk")))
+    val corpus = bands(corpusSig)
+      .join(tombstones.select(col(idCol)).distinct()
+        .withColumn("_tomb", lit(1)), Seq(idCol), "left")
+      .select(col("band"), col("bk"),
+        coalesce(col("_tomb"), lit(0)).as("tomb"))
+      .persist() // feeds the GC stats and the probe-continuity join
+    val stats = corpus.groupBy("band").agg(
+      count(lit(1)).cast("bigint").as("n_entries_before"),
+      sum(col("tomb")).cast("bigint").as("n_tombstoned"),
+      countDistinct(col("bk")).cast("bigint").as("n_buckets_before"),
+      countDistinct(when(col("tomb") === 0, col("bk"))).cast("bigint")
+        .as("n_buckets_after"))
+    val cands = bands(probeSig).select(col("band"), col("bk"))
+      .join(corpus, Seq("band", "bk"))
+      .groupBy("band").agg(
+        count(lit(1)).cast("bigint").as("n_probe_cand_full"),
+        sum(when(col("tomb") === 0, 1L).otherwise(0L)).cast("bigint")
+          .as("n_probe_cand_after"))
+    stats.join(cands, Seq("band"), "left")
+      .select(col("band").cast("int").as("band"),
+        col("n_entries_before"), col("n_tombstoned"),
+        (col("n_entries_before") - col("n_tombstoned")).cast("bigint")
+          .as("n_entries_after"),
+        col("n_buckets_before"), col("n_buckets_after"),
+        (col("n_buckets_before") - col("n_buckets_after")).cast("bigint")
+          .as("n_buckets_emptied"),
+        coalesce(col("n_probe_cand_full"), lit(0L)).cast("bigint")
+          .as("n_probe_cand_full"),
+        coalesce(col("n_probe_cand_after"), lit(0L)).cast("bigint")
+          .as("n_probe_cand_after"),
+        (coalesce(col("n_probe_cand_full"), lit(0L)) -
+          coalesce(col("n_probe_cand_after"), lit(0L))).cast("bigint")
+          .as("n_probe_cand_reclaimed"))
+      .orderBy("band")
+  }
+
   /** Probe a new ingest batch against a prebuilt corpus index (see
     * [[incrementalCorpusIndex]]) — the per-batch production path.
     * `corpusShingles`/`corpusSig` are typically parquet scans of the

@@ -1138,15 +1138,93 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d20: LSH INDEX COMPACTION / GC — the index-LIFECYCLE axis of the
+    * dedup family (r15 verdict item 8): d09/qs12 made the write-once
+    * corpus signature index the production probe path, but a real
+    * index also SHRINKS — deletions, redactions, supersessions — and
+    * is periodically compacted. Tombstones here are the deterministic
+    * `doc_id % 7 = 3` slice of the corpus split (~14%);
+    * [[graft.api.Dedup.indexCompactionReport]] reports, per band, the
+    * GC accounting (entries and distinct buckets before/after,
+    * emptied buckets — the m12 chunk-GC discipline at signature
+    * grain) and the probe-continuity accounting: the d09 ingest
+    * batch's candidate pairs against the full vs compacted index,
+    * with the reclaimed difference being exactly the pairs only a
+    * tombstoned doc produced. The oracle re-derives signatures,
+    * bands, tombstones, and both probe legs from the flat documents
+    * table, so a compaction that dropped a live entry (or kept a dead
+    * bucket) hash-fails.
+    */
+  val d20 = OpQuery.oracled("d20_lsh_index_compaction", {
+    val bands = (0 until nSeeds / 2)
+      .map(b => s"SELECT doc_id, $b AS band, '$b:' || mh${2 * b} || ':' || mh${2 * b + 1} AS bk FROM sig")
+      .mkString("\n      |  UNION ALL\n      |  ")
+    s"""WITH shs AS (
+      |  SELECT doc_id, unnest(shingles) AS sh FROM ($duckShingles)
+      |), sig AS (
+      |  SELECT doc_id, ${duckMins.mkString(", ")} FROM shs GROUP BY doc_id
+      |), bands AS (
+      |  $bands
+      |), sp AS (
+      |  SELECT doc_id,
+      |         CASE WHEN $duckBucket < 205 THEN 'old' ELSE 'new' END AS side
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |), cb AS (
+      |  SELECT b.band, b.bk,
+      |         CASE WHEN b.doc_id % 7 = 3 THEN 1 ELSE 0 END AS tomb
+      |  FROM bands b JOIN sp ON sp.doc_id = b.doc_id AND sp.side = 'old'
+      |), pb AS (
+      |  SELECT b.band, b.bk
+      |  FROM bands b JOIN sp ON sp.doc_id = b.doc_id AND sp.side = 'new'
+      |), stats AS (
+      |  SELECT band,
+      |         CAST(count(*) AS BIGINT) AS n_entries_before,
+      |         CAST(sum(tomb) AS BIGINT) AS n_tombstoned,
+      |         CAST(count(DISTINCT bk) AS BIGINT) AS n_buckets_before,
+      |         CAST(count(DISTINCT CASE WHEN tomb = 0 THEN bk END)
+      |              AS BIGINT) AS n_buckets_after
+      |  FROM cb GROUP BY 1
+      |), cands AS (
+      |  SELECT p.band,
+      |         CAST(count(*) AS BIGINT) AS n_probe_cand_full,
+      |         CAST(sum(CASE WHEN c.tomb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_probe_cand_after
+      |  FROM pb p JOIN cb c ON c.band = p.band AND c.bk = p.bk
+      |  GROUP BY 1
+      |)
+      |SELECT s.band, s.n_entries_before, s.n_tombstoned,
+      |       s.n_entries_before - s.n_tombstoned AS n_entries_after,
+      |       s.n_buckets_before, s.n_buckets_after,
+      |       s.n_buckets_before - s.n_buckets_after AS n_buckets_emptied,
+      |       coalesce(c.n_probe_cand_full, 0) AS n_probe_cand_full,
+      |       coalesce(c.n_probe_cand_after, 0) AS n_probe_cand_after,
+      |       coalesce(c.n_probe_cand_full, 0) - coalesce(c.n_probe_cand_after, 0)
+      |         AS n_probe_cand_reclaimed
+      |FROM stats s LEFT JOIN cands c ON c.band = s.band
+      |ORDER BY s.band""".stripMargin
+  },
+    doc = "LSH index compaction/GC: per-band tombstone + bucket reclaim accounting and probe continuity against the full vs compacted corpus signature index") { (spark, dir) =>
+    val docs = Sources.table(spark, dir, "documents")
+    val bucket = graft.api.Sampling.hashBucket(col("doc_id"))
+    val idx = ensureIncrementalIndex(spark, dir)
+    graft.api.Dedup.indexCompactionReport(
+      corpusSig = spark.read.parquet(s"$idx/sig"),
+      tombstones = docs
+        .filter(bucket < 205 && col("doc_id") % 7 === 3)
+        .select("doc_id"),
+      probeSig = graft.api.Dedup.minhashSignatures(
+        docs.filter(bucket >= 205)))
+  }
+
   /** The consumers of the shared verified-pairs table carry its
     * build as their `prepare` step (Bench times the consumer, not the
     * 4×-repaid pipeline); every other d-query is standalone.
     */
   val all: Seq[OpQuery] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09,
-    d10, d11, d12, d13, d14, d15, d16, d17, d18, d19).map { q =>
+    d10, d11, d12, d13, d14, d15, d16, d17, d18, d19, d20).map { q =>
     if (Set(d04.name, d07.name, d08.name, d18.name, d19.name).contains(q.name))
       q.copy(prepare = (s, d) => { ensureNearDupPairs(s, d); () })
-    else if (q.name == d09.name)
+    else if (Set(d09.name, d20.name).contains(q.name))
       q.copy(prepare = (s, d) => { ensureIncrementalIndex(s, d); () })
     else q
   }

@@ -458,6 +458,33 @@ class DedupApiSpec extends AnyFunSuite {
       Dedup.allPairsCosine(docs).count())
   }
 
+  test("indexCompactionReport: GC accounting and probe continuity per band (d20 kernel)") {
+    import spark.implicits._
+    // seeds=4 / bandSize=2 -> 2 bands; signatures hand-built so every
+    // bucket membership is known. A and B share band-0's bucket; every
+    // band-1 bucket is distinct except probe P matching A.
+    val corpusSig = Seq(
+      (1L, 1L, 2L, 3L, 4L),  // A
+      (2L, 1L, 2L, 9L, 9L),  // B -> tombstoned
+      (3L, 5L, 5L, 7L, 7L))  // C
+      .toDF("doc_id", "mh0", "mh1", "mh2", "mh3")
+    val probeSig = Seq((10L, 1L, 2L, 3L, 4L)) // P = A's signature
+      .toDF("doc_id", "mh0", "mh1", "mh2", "mh3")
+    val tomb = Seq(2L).toDF("doc_id")
+    val got = Dedup.indexCompactionReport(corpusSig, tomb, probeSig,
+        seeds = 4, bandSize = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getLong(9))).toSeq
+    assert(got == Seq(
+      // band 0: buckets {A,B}, {C}; B's tombstone empties nothing
+      // (A keeps the shared bucket); P hits A (live) and B (reclaimed)
+      (0, 3L, 1L, 2L, 2L, 2L, 0L, 2L, 1L, 1L),
+      // band 1: buckets {A},{B},{C}; B's bucket is emptied; P hits
+      // only A, so the probe loses nothing to compaction
+      (1, 3L, 1L, 2L, 3L, 2L, 1L, 1L, 1L, 0L)), got.toString)
+  }
+
   test("editDistanceVerify: classic distances, identical docs, floor-ppm rule, prefix cap (d19 kernel)") {
     import spark.implicits._
     val docs = Seq((1L, "kitten"), (2L, "sitting"), (3L, "kitten"))
