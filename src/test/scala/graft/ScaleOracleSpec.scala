@@ -63,7 +63,13 @@ class ScaleOracleSpec extends AnyFunSuite {
     "d19_edit_distance_verify", "p13_shard_packing_plan",
     "e42_seasonal_anomaly_flags", "e43_cohort_ltv_curve",
     "s26_ann_tombstone_health", "e44_experiment_power",
-    "g24_pagerank_convergence", "m13_crossmodal_dedup_policy")
+    "g24_pagerank_convergence", "m13_crossmodal_dedup_policy",
+    // r15 verdict item 5: the two curve-rung-flagged queries carry
+    // correctness-at-scale evidence beside their adjudication; plus
+    // everything whose arithmetic changed or arrived in r16
+    "g19_edge_support_histogram", "g14_item_cf_similarity",
+    "e20_rfm_features", "e47_rfm_quintiles_sampled",
+    "d20_lsh_index_compaction", "qs29_stream_sequential_monitor")
 
   test("sf0.1 DuckDB oracle parity on the cheap deterministic subset") {
     assume(sys.env.get("SPARK_GRAFT_SF01_ORACLE").contains("1"),
