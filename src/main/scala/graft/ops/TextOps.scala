@@ -1633,14 +1633,25 @@ object TextOps {
     */
   private def bpeTrain(spark: org.apache.spark.sql.SparkSession,
       dir: String, rounds: Int)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    import org.apache.spark.sql.DataFrame
-    val words0 = Sources.table(spark, dir, "documents")
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    bpeTrainOn(bpeWords(Sources.table(spark, dir, "documents")), rounds)
+
+  /** The weighted distinct-word vocabulary in '|'-delimited symbol
+    * form — the frame every BPE trainer starts from. Factored from
+    * [[bpeTrain]] so t44 can train a twin on a SHIFTED corpus.
+    */
+  private[graft] def bpeWords(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("w"),
         concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")).as("s"),
         col("freq"))
+
+  private[graft] def bpeTrainOn(words0: org.apache.spark.sql.DataFrame, rounds: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.DataFrame
     def pairCounts(words: DataFrame): DataFrame =
       words
         .select(col("freq"),
@@ -2452,9 +2463,181 @@ object TextOps {
       Sources.table(spark, dir, "documents").select("source", "text"))
   }
 
+  /** Apply an already-trained merge table (round, lhs, rhs) to a
+    * '|'-delimited symbol vocabulary, in round order — the honest BPE
+    * ENCODE path for words the trainer never saw (t34's lookup only
+    * covers the training vocabulary; transfer scoring needs to encode
+    * ANY word by replaying the merges on its character split). Each
+    * round is a 1-row broadcast LEFT-on-true join + one `replace`
+    * (the bpeTrainOn no-op-on-empty contract), so the whole chain is
+    * `rounds` map stages over the distinct-word frame.
+    */
+  private[graft] def bpeApplyMerges(vocab: org.apache.spark.sql.DataFrame,
+      merges: org.apache.spark.sql.DataFrame, rounds: Int)
+      : org.apache.spark.sql.DataFrame = {
+    var v = vocab.select(col("w"), col("s"))
+    for (r <- 1 to rounds) {
+      val m = merges.filter(col("round") === r)
+        .select(col("lhs").as("_ml"), col("rhs").as("_mr"))
+      v = v.join(broadcast(m), lit(true), "left")
+        .select(col("w"),
+          when(col("_ml").isNull, col("s"))
+            .otherwise(expr(
+              "replace(s, '|' || _ml || '|' || _mr || '|', '|' || _ml || _mr || '|')"))
+            .as("s"))
+    }
+    v.select(col("w"),
+      size(expr("filter(split(s, '\\\\|'), x -> x != '')")).as("n_syms"))
+  }
+
+  /** t44: TOKENIZER TRANSFER DRIFT — the fidelity probe of the BPE
+    * family (r15 verdict item 8's second candidate axis): t33 trains
+    * and t34 scores ONE tokenizer on the corpus it was trained on,
+    * but the production question is TRANSFER — a tokenizer trained on
+    * last quarter's mixture scores this quarter's corpus, and the
+    * drift in tokens-per-word is the retraining signal. The twin here
+    * trains on a deterministically SHIFTED mixture (the md5
+    * source-bucket lower half — a topic-mix shift, not a random
+    * subsample), both merge tables replay over the FULL corpus
+    * vocabulary via [[bpeApplyMerges]] (encoding unseen words by
+    * merge replay, not vocabulary lookup), and the per-source report
+    * carries exact token counts under both tokenizers, the signed
+    * drift in ppm (both engines' integer division truncates toward
+    * zero — probed), and how many of the 3 greedy merges the two
+    * trainings share. Scale shape: two O(vocab)-per-round trainings,
+    * six 1-row broadcast merge applications, one broadcast vocabulary
+    * join onto the corpus word stream — nothing new touches corpus
+    * grain twice.
+    */
+  val t44 = OpQuery.oracled("t44_tokenizer_transfer_drift", {
+    def pairsOf(src: String, p: String) =
+      s"""$p AS (
+        |  SELECT syms[CAST(i AS INT)] AS lhs, syms[CAST(i AS INT)+1] AS rhs,
+        |         sum(freq) AS cnt
+        |  FROM (SELECT list_filter(string_split(s, '|'), x -> x <> '') AS syms,
+        |               freq FROM $src),
+        |       LATERAL unnest(range(1, len(syms))) AS t(i)
+        |  GROUP BY 1, 2
+        |)""".stripMargin
+    def mergedOf(src: String, m: String, w: String) =
+      s"""$w AS (
+        |  SELECT w, CASE WHEN $m.lhs IS NULL THEN s
+        |            ELSE replace(s, '|'||$m.lhs||'|'||$m.rhs||'|',
+        |                         '|'||$m.lhs||$m.rhs||'|') END AS s, freq
+        |  FROM $src LEFT JOIN $m ON true
+        |)""".stripMargin
+    def trainOf(w0: String, prefix: String): String = Seq(
+      pairsOf(w0, s"${prefix}p1"),
+      s"${prefix}m1 AS (SELECT lhs, rhs FROM ${prefix}p1 ORDER BY cnt DESC, lhs, rhs LIMIT 1)",
+      mergedOf(w0, s"${prefix}m1", s"${prefix}w1"),
+      pairsOf(s"${prefix}w1", s"${prefix}p2"),
+      s"${prefix}m2 AS (SELECT lhs, rhs FROM ${prefix}p2 ORDER BY cnt DESC, lhs, rhs LIMIT 1)",
+      mergedOf(s"${prefix}w1", s"${prefix}m2", s"${prefix}w2"),
+      pairsOf(s"${prefix}w2", s"${prefix}p3"),
+      s"${prefix}m3 AS (SELECT lhs, rhs FROM ${prefix}p3 ORDER BY cnt DESC, lhs, rhs LIMIT 1)")
+      .mkString(",\n      |")
+    val srcBucket =
+      "(instr('0123456789abcdef', substr(md5(source), 1, 1)) - 1) * 16" +
+        " + (instr('0123456789abcdef', substr(md5(source), 2, 1)) - 1)"
+    s"""WITH w0 AS (
+      |  SELECT w, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS s,
+      |         count(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |        FROM read_parquet('{SFDIR}/documents.parquet'))
+      |  GROUP BY 1, 2
+      |), v0 AS (
+      |  SELECT w, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS s,
+      |         count(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |        FROM read_parquet('{SFDIR}/documents.parquet')
+      |        WHERE $srcBucket < 128)
+      |  GROUP BY 1, 2
+      |),
+      |${trainOf("w0", "b")},
+      |${trainOf("v0", "s")},
+      |voc AS (SELECT w, s, CAST(0 AS BIGINT) AS freq FROM w0),
+      |${mergedOf("voc", "bm1", "eb1")},
+      |${mergedOf("eb1", "bm2", "eb2")},
+      |${mergedOf("eb2", "bm3", "eb3")},
+      |${mergedOf("voc", "sm1", "es1")},
+      |${mergedOf("es1", "sm2", "es2")},
+      |${mergedOf("es2", "sm3", "es3")},
+      |enc AS (
+      |  SELECT b.w,
+      |         len(list_filter(string_split(b.s, '|'), x -> x <> '')) AS nb,
+      |         len(list_filter(string_split(t.s, '|'), x -> x <> '')) AS ns
+      |  FROM eb3 b JOIN es3 t ON t.w = b.w
+      |), shared AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_shared_merges FROM (
+      |    SELECT lhs, rhs FROM bm1 UNION SELECT lhs, rhs FROM bm2
+      |    UNION SELECT lhs, rhs FROM bm3) b
+      |  JOIN (SELECT lhs, rhs FROM sm1 UNION SELECT lhs, rhs FROM sm2
+      |        UNION SELECT lhs, rhs FROM sm3) t
+      |    ON t.lhs = b.lhs AND t.rhs = b.rhs
+      |), docw AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_words,
+      |       CAST(sum(nb) AS BIGINT) AS n_tokens_base,
+      |       CAST(sum(ns) AS BIGINT) AS n_tokens_shifted,
+      |       CAST(((sum(ns) - sum(nb)) * 1000000) // sum(nb) AS BIGINT)
+      |         AS drift_ppm,
+      |       max(shared.n_shared_merges) AS n_shared_merges
+      |FROM docw JOIN enc USING (w) CROSS JOIN shared
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+  },
+    doc = "tokenizer transfer drift: BPE merges trained on the full corpus vs a source-bucket-shifted mixture, both replayed over the full vocabulary; per-source exact token counts, signed drift ppm, shared-merge count") { (spark, dir) =>
+    val docs = Sources.table(spark, dir, "documents")
+    // the full-corpus vocabulary feeds base training AND the shifted
+    // replay — one corpus pass, reused across the iterative rounds
+    val vocab = bpeWords(docs).persist()
+    val (mBase0, wBase0) = bpeTrainOn(vocab, 3)
+    // persist (lazy) the training outputs: the merge table is
+    // referenced per replay round + by the shared-merge count, the
+    // merged vocabulary by the base encode — cache substitution at
+    // planning time makes every reference a scan of the one
+    // materialized result instead of replaying the whole iterative
+    // training subtree inside a single 80-exchange DAG (measured 2×
+    // on this query's wall clock; an EAGER cut here is wrong the
+    // other way — it forces the shared base-training lineage to run
+    // twice)
+    val mBase = mBase0.persist()
+    val wBase = wBase0.persist()
+    val mShift = bpeTrainOn(
+      bpeWords(docs.filter(
+        graft.api.Sampling.hashBucket(col("source")) < 128)), 3)
+      ._1.persist()
+    // base encode = the training's own post-merge vocabulary — the
+    // replay would recompute exactly wBase's symbol sequences
+    val encB = wBase
+      .select(col("w"),
+        size(expr("filter(split(s, '\\\\|'), x -> x != '')")).as("nb"))
+    val encS = bpeApplyMerges(vocab, mShift, 3)
+      .select(col("w"), col("n_syms").as("ns"))
+    val shared = mBase.select("lhs", "rhs").distinct()
+      .join(mShift.select("lhs", "rhs").distinct(), Seq("lhs", "rhs"))
+      .agg(count(lit(1)).cast("bigint").as("n_shared_merges"))
+    docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(encB), "w")
+      .join(broadcast(encS), "w")
+      .crossJoin(broadcast(shared))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_words"),
+        sum(col("nb")).cast("bigint").as("n_tokens_base"),
+        sum(col("ns")).cast("bigint").as("n_tokens_shifted"),
+        expr("CAST(((sum(ns) - sum(nb)) * 1000000) div sum(nb) AS BIGINT)")
+          .as("drift_ppm"),
+        max(col("n_shared_merges")).cast("bigint").as("n_shared_merges"))
+      .orderBy("source")
+  }
+
   val all: Seq[OpQuery] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
       t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
-      t42, t43)
+      t42, t43, t44)
 }

@@ -25,6 +25,34 @@ class BpeSpec extends AnyFunSuite {
     dir
   }
 
+  test("t44 transfer drift: shifted mixture trains different merges; signed drift and shared-merge count (nonzero-drift fixture)") {
+    // the sf fixtures' flat vocabulary trains identical twins (t44
+    // reads drift 0 / shared 3 there); this fixture forces the split:
+    // source 'web' (md5 bucket 37 < 128, IN the shifted mixture) is
+    // all 'bab'; 'wiki' (bucket 213, full-corpus-only) is all 'cccc'
+    // and dominates full training
+    val dir = Files.createTempDirectory("graft_bpe_t44").toString
+    Seq((0L, "bab bab", "web"), (1L, "cccc cccc cccc", "wiki"))
+      .map { case (i, t, s) => (i, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.ops.TextOps.t44.fn(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // full training never leaves the c-family: greedy non-overlap
+    // makes cccc -> [cc,c,c] (the merge consumes the separator), so
+    // its rounds are (c,c) x9, (c,c) again x3 (ties (cc,c) at 3,
+    // lexicographic lhs), (cc,cc) x3 — bab is never touched. Shifted
+    // training (web only): (a,b), then (b,ab), then nothing (the
+    // round-3 winner frame is empty — merge is a no-op). encode:
+    // bab = 3 tokens base / 1 shifted; cccc = 1 base / 4 shifted;
+    // the two merge tables share NOTHING — full divergence, signed
+    // drift in both directions
+    assert(got == Seq(
+      ("web", 2L, 6L, 2L, -666666L, 0L),
+      ("wiki", 3L, 3L, 12L, 3000000L, 0L)), got.toString)
+  }
+
   test("t33 training: greedy overlap, occurrence weighting, lexicographic ties") {
     // word freqs: aaa x2, bab x1
     val dir = fixture(Seq("aaa aaa", "bab"))
