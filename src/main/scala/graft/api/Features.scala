@@ -58,9 +58,14 @@ object Features {
     * count-like metrics), never over the entity frame — no
     * single-reducer entity sort at any scale. Semantics vs `ntile`:
     * rows tying on a value share its bin (ntile splits ties by the
-    * key tie-break), so bin populations differ exactly on boundary
-    * ties; bin ordering by metric value is identical. Deterministic,
-    * exact integer arithmetic — oracle-expressible bit-for-bit.
+    * key tie-break), and when `n` does not divide the row count the
+    * two rules place the REMAINDER differently — ntile fattens the
+    * first `count mod n` bins, the floor progression spreads them
+    * (both are near-equal bandings; they coincide exactly on tie-free
+    * frames with `n | count` — FeaturesSpec pins both regimes). Bin
+    * ordering by metric value is identical in all cases.
+    * Deterministic, exact integer arithmetic — oracle-expressible
+    * bit-for-bit.
     */
   def quintilesHistogram(df: DataFrame,
       metrics: Seq[(String, String)], n: Int = 5): DataFrame = {

@@ -122,7 +122,9 @@ class FeaturesSpec extends AnyFunSuite {
 
   test("quintilesHistogram: equals ntile on distinct values; ties share a bin (e20 kernel)") {
     import spark.implicits._
-    // no ties: histogram-grain cuts reproduce ntile's bins exactly
+    // no ties + 5 | n: histogram-grain cuts reproduce ntile's bins
+    // exactly (remainder placement differs when 5 does not divide n —
+    // the property suite pins that regime against the scalar mirror)
     val distinct = (1L to 100L).map(i => (s"u$i", i)).toDF("k", "m")
     val exact = Features.quintiles(distinct, "k", Seq(("m", "bin")), n = 5)
       .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
@@ -261,6 +263,86 @@ class FeaturesSpec extends AnyFunSuite {
       ("eq", 3L, 6L, 0L, 0.0),
       ("sk", 2L, 4L, 2L, 0.25),
       ("tie", 3L, 4L, 2L, 2.0 / 12)), got.mkString(","))
+  }
+
+  test("property: quintilesHistogram == ntile quintiles on 40 random tie-free frames; scalar histogram mirror on ties (e20 kernel)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // tie-free frames with 5 | n: ntile and the histogram cuts agree
+    // exactly (the two remainder-placement rules coincide only there
+    // — ntile fattens the FIRST n mod 5 bins, the floor progression
+    // spreads the remainder; both are near-equal bandings)
+    val sizes = Gen.listOfN(20, Gen.choose(1, 10).map(_ * 5))
+      .apply(Gen.Parameters.default, Seed(11L))
+      .getOrElse(fail("generator produced no sample"))
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val vals = new scala.util.Random(1000 + i).shuffle((1 to n).toList)
+        .map(_ * 7L)
+      val df = vals.zipWithIndex.map { case (v, k) => (s"k$k", v) }
+        .toDF("k", "m")
+      val exact = Features.quintiles(df, "k", Seq(("m", "bin")), n = 5)
+        .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+      val hist = Features
+        .quintilesHistogram(df, Seq(("m", "bin")), n = 5)
+        .collect().map(r => r.getString(1) -> r.getInt(2)).toMap
+      assert(hist == exact, s"frame $i (n=$n): " +
+        s"${hist.filter { case (k, v) => exact(k) != v }}")
+    }
+    // arbitrary frames (ties, 5 ∤ n): the pinned contract is the
+    // scalar mirror (cum_before·5 div n + 1 per distinct value) plus
+    // monotonicity of bin in value
+    val gen = for {
+      n <- Gen.choose(1, 30)
+      vs <- Gen.listOfN(n, Gen.choose(1L, 15L))
+    } yield vs
+    val frames = Gen.listOfN(30, gen)
+      .apply(Gen.Parameters.default, Seed(17L))
+      .getOrElse(fail("generator produced no sample"))
+    frames.zipWithIndex.foreach { case (vs, i) =>
+      val tdf = vs.zipWithIndex.map { case (v, k) => (s"k$k", v) }
+        .toDF("k", "m")
+      val got = Features.quintilesHistogram(tdf, Seq(("m", "bin")), n = 5)
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      val n = vs.size.toLong
+      vs.distinct.foreach { v =>
+        val want = ((vs.count(_ < v).toLong * 5L) / n + 1L).toInt
+        assert(got(v) == want, s"frame $i value $v: ${got(v)} vs $want")
+      }
+      val byV = vs.distinct.sorted.map(got)
+      assert(byV == byV.sorted, s"frame $i: bins not monotone: $byV")
+    }
+  }
+
+  test("property: e23's histogram-grain top-K cutoff == user-grain row_number totals on 60 random count distributions") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the claim the e23 rewrite rests on: clamp(K - cum_above, 0, m)
+    // summed per distinct value equals the rank-cutoff totals for ANY
+    // tie-break, because tied users contribute identical counts
+    val genCounts = for {
+      n <- Gen.choose(1, 30)
+      cs <- Gen.listOfN(n, Gen.choose(1L, 12L)) // heavy ties
+    } yield cs
+    val samples = Gen.listOfN(60, genCounts)
+      .apply(Gen.Parameters.default, Seed(13L))
+      .getOrElse(fail("generator produced no sample"))
+    samples.zipWithIndex.foreach { case (cs, i) =>
+      val k = cs.size.toLong / 10L // the top-10% rank cutoff
+      // user-grain mirror: sort desc (any tie order), take rank <= K
+      val taken = cs.sorted(Ordering[Long].reverse).take(k.toInt)
+      val (wantUsers, wantEvents) = (taken.size.toLong, taken.sum)
+      // histogram grain, exactly the query's arithmetic
+      val m = cs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val gotPairs = m.toSeq.map { case (c, mc) =>
+        val above = cs.count(_ > c).toLong
+        val take = math.min(math.max(k - above, 0L), mc)
+        (take, take * c)
+      }
+      assert((gotPairs.map(_._1).sum, gotPairs.map(_._2).sum) ==
+        ((wantUsers, wantEvents)), s"dist $i: $cs")
+    }
   }
 
   test("property: giniConcentration histogram form == textbook sorted form on 80 random distributions") {
