@@ -956,7 +956,13 @@ object Graph {
     // the coin and the threshold: one draw per (user, pair), filtered
     // MAP-SIDE for the largest γ before any exchange, then fanned per
     // γ (thresholds are monotone in γ, so smaller γs are subsets of
-    // the same draw — one expansion serves every dial setting)
+    // the same draw — one expansion serves every dial setting). The
+    // draw stays a ROW-grain projection deliberately: an earlier cut
+    // moved the coin + gate inside the flatten/filter lambda to drop
+    // failing pairs before the generator, and it measured ~15% SLOWER
+    // at sf0.1 — higher-order-function lambdas run interpreted, while
+    // this explode→project→filter pipeline is whole-stage-codegen'd,
+    // and the codegen'd md5 beats the saved row materialization.
     val drawn = cand
       .withColumn("u01", expr(
         "CAST(CAST(conv(substr(md5(concat_ws('|', CAST(u AS STRING), " +
@@ -972,13 +978,10 @@ object Graph {
       .filter(col("u01") <
         (col("gamma").cast("double") / col("den")) * lit(1152921504606846976.0))
     kept.groupBy("gamma", "pa", "pb")
-      .agg(count(lit(1)).cast("bigint").as("c"),
-        max("na").as("na"), max("nb").as("nb"))
+      .agg(count(lit(1)).cast("bigint").as("c"), max("den").as("den"))
       .select(col("gamma"), col("pa"), col("pb"), col("c"),
-        expr("""CASE WHEN sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))
-                |          <= CAST(gamma AS DOUBLE)
-                |     THEN CAST(c AS DOUBLE)
-                |          / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+        expr("""CASE WHEN den <= CAST(gamma AS DOUBLE)
+                |     THEN CAST(c AS DOUBLE) / den
                 |     ELSE CAST(c AS DOUBLE) / CAST(gamma AS DOUBLE)
                 |END""".stripMargin).as("est_cosine"))
   }
