@@ -2823,8 +2823,90 @@ object EventOps {
           col("pre_n"), col("post_n")))
   }
 
+  /** Frequent length-3 gap-subsequence mining over user event streams
+    * — the sequential-pattern axis (GSP, Srikant & Agrawal EDBT'96;
+    * PrefixSpan, Pei et al. ICDE'01) the transition family doesn't
+    * cover: e13 counts ADJACENT bigrams and e14 ranks whole path
+    * strings, but "did a… then eventually b… then eventually c happen,
+    * in order, with anything in between" is a different relation —
+    * pattern support is per-USER existence of a subsequence with
+    * arbitrary gaps, the shape funnel definitions and curriculum
+    * mining actually use.
+    *
+    * The existence test is the greedy-earliest unrolling: user u
+    * supports (a,b,c) iff taking u's EARLIEST a, then the earliest b
+    * strictly after it, leaves any c strictly after that. Greedy is
+    * exact for existence — any witness (t₁<t₂<t₃) stays a witness when
+    * t₁ is moved to the earliest a (t₂,t₃ unchanged), then t₂ to the
+    * earliest b after the new t₁ — so two keyed min-aggregates and one
+    * semi-style probe replace the T³ subsequence join a naive encoding
+    * would run per user.
+    *
+    * Scale shape: every join is co-partitioned on user_id (one shuffle
+    * key reused across all three stages — AQE reuses the exchange);
+    * intermediate grains are bounded by users×T and users×T² for an
+    * event-type alphabet of size T (here 5), never by event count
+    * squared; the final aggregate is over ≤T³ pattern keys. Support is
+    * a count of DISTINCT users, taken on the (user,a,b,c) grain that
+    * the last dedup already pinned, so the pattern table is exact.
+    */
+  val e48 = OpQuery.oracled("e48_frequent_event_sequences",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+      |), fa AS (
+      |  SELECT user_id, event_type AS a, min(ts_us) AS ta
+      |  FROM ev GROUP BY 1, 2
+      |), fab AS (
+      |  SELECT fa.user_id, fa.a, e.event_type AS b, min(e.ts_us) AS tab
+      |  FROM fa JOIN ev e ON e.user_id = fa.user_id AND e.ts_us > fa.ta
+      |  GROUP BY 1, 2, 3
+      |), fabc AS (
+      |  SELECT DISTINCT f.user_id, f.a, f.b, e.event_type AS c
+      |  FROM fab f JOIN ev e ON e.user_id = f.user_id AND e.ts_us > f.tab
+      |), u AS (
+      |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ev
+      |)
+      |SELECT a, b, c, CAST(count(*) AS BIGINT) AS support,
+      |       CAST((count(*) * 1000000) // (SELECT n_users FROM u)
+      |            AS BIGINT) AS support_ppm
+      |FROM fabc
+      |GROUP BY 1, 2, 3
+      |ORDER BY a, b, c""".stripMargin,
+    doc = "frequent length-3 gap-subsequence patterns (GSP/PrefixSpan axis): per-user greedy-earliest existence via two keyed min-aggregates, support = distinct users, ppm vs the full user base") { (spark, dir) =>
+    frequentSequences3(
+      Sources.table(spark, dir, "events")
+        .withColumn("ts_us", tsUs)
+        .select(col("user_id"), col("event_type"), col("ts_us")))
+  }
+
+  /** e48's kernel over a (user_id, event_type, ts_us) frame — factored
+    * so the greedy-earliest existence argument is spec-drivable
+    * against a brute-force subsequence witness on arbitrary fixtures.
+    */
+  private[graft] def frequentSequences3(ev: DataFrame): DataFrame = {
+    val fa = ev
+      .groupBy(col("user_id"), col("event_type").as("a"))
+      .agg(min("ts_us").as("ta"))
+    val fab = fa.join(ev, Seq("user_id"))
+      .filter(col("ts_us") > col("ta"))
+      .groupBy(col("user_id"), col("a"), col("event_type").as("b"))
+      .agg(min("ts_us").as("tab"))
+    val fabc = fab.join(ev, Seq("user_id"))
+      .filter(col("ts_us") > col("tab"))
+      .select(col("user_id"), col("a"), col("b"), col("event_type").as("c"))
+      .distinct()
+    val users = ev.agg(countDistinct("user_id").cast("bigint").as("n_users"))
+    fabc.groupBy("a", "b", "c")
+      .agg(count(lit(1)).cast("bigint").as("support"))
+      .crossJoin(broadcast(users))
+      .select(col("a"), col("b"), col("c"), col("support"),
+        expr("CAST((support * 1000000) div n_users AS BIGINT)")
+          .as("support_ppm"))
+      .orderBy("a", "b", "c")
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
     e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
     e25, e26, e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38,
-    e39, e40, e41, e42, e43, e44, e45, e46, e47)
+    e39, e40, e41, e42, e43, e44, e45, e46, e47, e48)
 }

@@ -1234,8 +1234,57 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** Multi-objective corpus selection as a SKYLINE (Pareto-dominance)
+    * operator — [[graft.api.Select.paretoSkyline]] — the operator
+    * class the selection family lacks: p08/t22/t31 rank or gate on
+    * ONE score, but "keep every document no other document beats on
+    * ALL criteria at once" is a dominance relation, not a ranking,
+    * and it's how a corpus curator trades off incomparable objectives
+    * without inventing weights. Objectives here (all exact integers):
+    * maximize lexical information (distinct whitespace tokens),
+    * minimize byte cost (n_chars), minimize repetition (total −
+    * distinct tokens). Duplicate objective vectors never dominate
+    * each other, so ties all stay on the frontier. The kernel is the
+    * two-phase distributed skyline (grid-cell prune + exact broadcast
+    * dominance anti-join — scale argument and in-path caps on the
+    * kernel's scaladoc); the oracle is the INDEPENDENT brute-force
+    * NOT EXISTS, so a pruning bug that drops or resurrects a frontier
+    * point hash-fails.
+    */
+  val p15 = OpQuery.oracled("p15_corpus_pareto_frontier",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |           AS info,
+      |         CAST(n_chars AS BIGINT) AS cost,
+      |         CAST(len(string_split(text, ' '))
+      |              - len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |           AS rep
+      |  FROM read_parquet('{SFDIR}/documents.parquet')
+      |)
+      |SELECT p.doc_id, p.info, p.cost, p.rep
+      |FROM d p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM d q
+      |  WHERE q.info >= p.info AND q.cost <= p.cost AND q.rep <= p.rep
+      |    AND (q.info > p.info OR q.cost < p.cost OR q.rep < p.rep)
+      |)
+      |ORDER BY p.doc_id""".stripMargin,
+    doc = "skyline operator (Pareto frontier) over integer corpus objectives (max distinct tokens, min chars, min repetition): grid-cell prune + exact broadcast dominance anti-join; oracle is the independent brute-force NOT EXISTS") { (spark, dir) =>
+    val objectives = Sources.table(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(array_distinct(col("toks"))).cast("long").as("info"),
+        col("n_chars").cast("long").as("cost"),
+        (size(col("toks")) - size(array_distinct(col("toks"))))
+          .cast("long").as("rep"))
+    graft.api.Select.paretoSkyline(objectives,
+        Seq("info" -> true, "cost" -> false, "rep" -> false))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[OpQuery] = Seq(p01, p02, p03, p04, p05, p06, p07, p08,
-    p09, p10, p11, p12, p13, p14).map { q =>
+    p09, p10, p11, p12, p13, p14, p15).map { q =>
     if (Set(p01.name, p03.name, p14.name).contains(q.name))
       q.copy(prepare = (s, d) => { DedupOps.ensureNearDupPairs(s, d); () })
     else q

@@ -69,7 +69,13 @@ class ScaleOracleSpec extends AnyFunSuite {
     // everything whose arithmetic changed or arrived in r16
     "g19_edge_support_histogram", "g14_item_cf_similarity",
     "e20_rfm_features", "e47_rfm_quintiles_sampled",
-    "d20_lsh_index_compaction", "qs29_stream_sequential_monitor")
+    "d20_lsh_index_compaction", "qs29_stream_sequential_monitor",
+    // new in the r16 continuation: tokenizer transfer drift, the
+    // skyline operator (5000-doc frontier — the first rung where the
+    // frontier differs from the 500-doc fixture shared by sf0.001 and
+    // sf0.01), and gap-subsequence mining
+    "t44_tokenizer_transfer_drift", "p15_corpus_pareto_frontier",
+    "e48_frequent_event_sequences")
 
   test("sf0.1 DuckDB oracle parity on the cheap deterministic subset") {
     assume(sys.env.get("SPARK_GRAFT_SF01_ORACLE").contains("1"),
