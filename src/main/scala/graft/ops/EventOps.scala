@@ -2905,8 +2905,194 @@ object EventOps {
       .orderBy("a", "b", "c")
   }
 
+  /** Split-conformal one-sided prediction bound with holdout coverage
+    * — the distribution-free interval axis (Vovk, Gammerman & Shafer,
+    * "Algorithmic Learning in a Random World", 2005; Lei et al., JASA
+    * 2018) the experimentation family doesn't cover: e35/e44/e45 test
+    * HYPOTHESES about means, but "give me a value bound that will
+    * contain at least (1−α) of future observations, no distributional
+    * assumptions" is a calibration statement, and it's how a serving
+    * pipeline sets anomaly thresholds with a guarantee instead of a
+    * z-score heuristic.
+    *
+    * Split conformal: the md5-deterministic half of events (t06's
+    * split doctrine, so membership is engine-independent) calibrates;
+    * the bound at level 1−α is the k-th order statistic of the
+    * calibration scores with k = ⌈(1−α)(n_c+1)⌉ (clamped to n_c);
+    * coverage is then MEASURED on the other half — the finite-sample
+    * guarantee E[coverage] ≥ 1−α made empirical, per level. Scores
+    * are exact integer cents (e47's round idiom).
+    *
+    * Scale shape: the order statistic comes from
+    * `approxQuantile(relativeError = 0)` — a distributed sketch
+    * aggregation, no sort anywhere (e47's pinned doctrine: it returns
+    * the rank-⌈p·n⌉ statistic; probing at p = (k−½)/n_c makes the
+    * target rank exactly k, robust to ulp rounding in p). n_c and the
+    * three thresholds are the only driver-side scalars (the S8
+    * discipline); coverage is one broadcast fan-out (3 levels) and a
+    * single map-side-combined aggregate over the holdout.
+    */
+  val e49 = OpQuery.oracled("e49_conformal_value_bound",
+    """WITH s AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+      |         (instr('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |           + (instr('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1) AS bkt
+      |  FROM events
+      |), calib AS (
+      |  SELECT cents FROM s WHERE bkt < 128
+      |), test AS (
+      |  SELECT cents FROM s WHERE bkt >= 128
+      |), nc AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_calib FROM calib
+      |), h AS (
+      |  SELECT cents AS v, count(*) AS m FROM calib GROUP BY 1
+      |), hc AS (
+      |  SELECT v, sum(m) OVER (ORDER BY v) AS cum FROM h
+      |), lv AS (
+      |  SELECT unnest([80, 90, 95]) AS level_pct
+      |), ks AS (
+      |  SELECT level_pct, n_calib,
+      |         least((level_pct * (n_calib + 1) + 99) // 100, n_calib) AS k
+      |  FROM lv CROSS JOIN nc
+      |), thr AS (
+      |  SELECT level_pct, n_calib,
+      |         (SELECT min(v) FROM hc WHERE cum >= ks.k) AS threshold_cents
+      |  FROM ks
+      |)
+      |SELECT t.level_pct, t.n_calib,
+      |       CAST(count(*) AS BIGINT) AS n_test,
+      |       t.threshold_cents,
+      |       CAST(sum(CASE WHEN test.cents <= t.threshold_cents
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+      |       CAST((sum(CASE WHEN test.cents <= t.threshold_cents
+      |                      THEN 1 ELSE 0 END) * 1000000) // count(*)
+      |            AS BIGINT) AS coverage_ppm
+      |FROM thr t CROSS JOIN test
+      |GROUP BY 1, 2, 4
+      |ORDER BY level_pct""".stripMargin,
+    doc = "split-conformal one-sided value bound at 80/90/95% with measured holdout coverage: md5-deterministic calibration split, exact rank-k threshold via the relativeError-0 sketch (no sort), coverage ppm per level") { (spark, dir) =>
+    import spark.implicits._
+    val s = Sources.table(spark, dir, "events")
+      .select(col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("bkt", graft.api.Sampling.hashBucket(col("event_id")))
+    val calib = s.filter(col("bkt") < 128).select("cents")
+    val test = s.filter(col("bkt") >= 128).select("cents")
+    val nc = calib.count()
+    require(nc >= 20, s"e49 calibration split has $nc rows; needs >= 20 " +
+      "so the 95% rank stays inside the sample")
+    val levels = Seq(80, 90, 95)
+    val ks = levels.map(l => math.min((l * (nc + 1) + 99) / 100, nc))
+    val probs = ks.map(k => (k - 0.5) / nc).toArray
+    val bounds = calib.stat.approxQuantile("cents", probs, 0.0)
+    val thr = levels.zip(ks).zip(bounds)
+      .map { case ((l, _), b) => (l, nc, b.toLong) }
+      .toDF("level_pct", "n_calib", "threshold_cents")
+    test.crossJoin(broadcast(thr))
+      .groupBy("level_pct", "n_calib", "threshold_cents")
+      .agg(count(lit(1)).cast("bigint").as("n_test"),
+        sum(when(col("cents") <= col("threshold_cents"), 1L).otherwise(0L))
+          .cast("bigint").as("n_covered"))
+      .select(col("level_pct"), col("n_calib"), col("n_test"),
+        col("threshold_cents"), col("n_covered"),
+        expr("CAST((n_covered * 1000000) div n_test AS BIGINT)")
+          .as("coverage_ppm"))
+      .orderBy("level_pct")
+  }
+
+  /** Delete-a-group jackknife standard error for a RATIO metric — the
+    * resampling-variance axis (Kott, "The Delete-a-Group Jackknife",
+    * JOS 2001; the method large experimentation platforms use for
+    * ratio metrics where the delta-method's independence assumptions
+    * are shaky): e44 computes ANALYTIC power from a variance formula,
+    * but a ratio of sums over correlated per-user contributions wants
+    * a design-based error bar — partition the UNITS (users, by the
+    * t06 md5 split doctrine, so membership is engine-independent)
+    * into G groups, recompute θ with each group deleted, and read the
+    * spread.
+    *
+    * Everything before the output tail is exact: per-group sums
+    * (v_g, c_g) in BIGINT; each leave-one-out estimate quantized to
+    * integer micros through ONE fixed-order IEEE chain
+    * (div·mul·trunc); the jackknife sum-of-squares G·Σm²−(Σm)² in
+    * DECIMAL(38,0) (the momStd overflow class — m² outgrows int64);
+    * SE = √((G−1)·ss)/G as the one sqrt/div tail (t31 doctrine).
+    *
+    * Scale shape: one keyed aggregate to G rows, a broadcast scalar
+    * attach, a 16-row collect only for the loud degenerate-group
+    * guard (S8 discipline) — the corpus is scanned once, nothing is
+    * sorted, and G is a constant.
+    */
+  val e50 = OpQuery.oracled("e50_jackknife_ratio_se",
+    """WITH p AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+      |         ((instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |           + (instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1)) // 16 AS g
+      |  FROM events WHERE event_type = 'purchase'
+      |), grp AS (
+      |  SELECT g, CAST(sum(cents) AS BIGINT) AS v,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM p GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(v) AS BIGINT) AS tv, CAST(sum(c) AS BIGINT) AS tc,
+      |         CAST(count(*) AS BIGINT) AS ng
+      |  FROM grp
+      |), m AS (
+      |  SELECT CAST(trunc((CAST(tv - v AS DOUBLE) / CAST(tc - c AS DOUBLE))
+      |                    * 1000000.0) AS BIGINT) AS m
+      |  FROM grp CROSS JOIN tot
+      |), ja AS (
+      |  SELECT CAST(sum(m) AS BIGINT) AS sm,
+      |         sum(CAST(m AS DECIMAL(38,0)) * m) AS sm2
+      |  FROM m
+      |)
+      |SELECT ng AS n_groups, tc AS n_purchases, tv AS total_cents,
+      |       CAST(trunc((CAST(tv AS DOUBLE) / CAST(tc AS DOUBLE))
+      |                  * 1000000.0) AS BIGINT) AS theta_micros,
+      |       sm // ng AS jk_mean_micros,
+      |       CAST(trunc(sqrt(CAST((ng * sm2 - CAST(sm AS DECIMAL(38,0)) * sm)
+      |                            * (ng - 1) AS DOUBLE)) / ng) AS BIGINT)
+      |         AS se_micros
+      |FROM ja CROSS JOIN tot""".stripMargin,
+    doc = "delete-a-group jackknife SE of the average-order-value ratio: 16 md5 user groups, leave-one-out estimates in integer micros, DECIMAL(38,0) sum-of-squares, sqrt/div tail") { (spark, dir) =>
+    val grp = Sources.table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        (graft.api.Sampling.hashBucket(col("user_id"))
+          .cast("long") / lit(16L)).cast("long").as("g"))
+      .groupBy("g")
+      .agg(sum("cents").cast("bigint").as("v"),
+        count(lit(1)).cast("bigint").as("c"))
+    // loud degenerate-group guard: a group owning ALL purchases would
+    // null its leave-one-out divisor; ≤16 rows by construction
+    val gs = grp.collect().map(r => (r.getLong(1), r.getLong(2)))
+    val totalC = gs.map(_._2).sum
+    gs.foreach { case (_, cg) =>
+      require(cg < totalC,
+        s"e50 degenerate: one md5 group holds all $totalC purchases") }
+    val tot = grp.agg(sum("v").cast("bigint").as("tv"),
+      sum("c").cast("bigint").as("tc"),
+      count(lit(1)).cast("bigint").as("ng"))
+    val ja = grp.crossJoin(broadcast(tot))
+      .select(expr(
+        """CAST((CAST(tv - v AS DOUBLE) / CAST(tc - c AS DOUBLE))
+          |     * 1000000.0 AS BIGINT)""".stripMargin).as("m"))
+      .agg(sum("m").cast("bigint").as("sm"),
+        sum(expr("CAST(m AS DECIMAL(38,0)) * m")).as("sm2"))
+    ja.crossJoin(broadcast(tot))
+      .select(col("ng").as("n_groups"), col("tc").as("n_purchases"),
+        col("tv").as("total_cents"),
+        expr("""CAST((CAST(tv AS DOUBLE) / CAST(tc AS DOUBLE))
+               |     * 1000000.0 AS BIGINT)""".stripMargin)
+          .as("theta_micros"),
+        expr("sm div ng").as("jk_mean_micros"),
+        expr("""CAST(sqrt(CAST((ng * sm2 - CAST(sm AS DECIMAL(38,0)) * sm)
+               |               * (ng - 1) AS DOUBLE)) / ng AS BIGINT)"""
+          .stripMargin).as("se_micros"))
+  }
+
   val all: Seq[OpQuery] = Seq(e01, e02, e03, e04, e05, e07, e08, e09, e10,
     e11, e12, e13, e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24,
     e25, e26, e27, e28, e29, e30, e31, e32, e33, e34, e35, e36, e37, e38,
-    e39, e40, e41, e42, e43, e44, e45, e46, e47, e48)
+    e39, e40, e41, e42, e43, e44, e45, e46, e47, e48, e49, e50)
 }

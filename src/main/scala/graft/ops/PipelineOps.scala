@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.api.Checkpoints.LineageOps
 
@@ -1271,20 +1272,115 @@ object PipelineOps {
       |)
       |ORDER BY p.doc_id""".stripMargin,
     doc = "skyline operator (Pareto frontier) over integer corpus objectives (max distinct tokens, min chars, min repetition): grid-cell prune + exact broadcast dominance anti-join; oracle is the independent brute-force NOT EXISTS") { (spark, dir) =>
-    val objectives = Sources.table(spark, dir, "documents")
+    graft.api.Select.paretoSkyline(docObjectives(spark, dir), skyObjectives)
+      .orderBy("doc_id")
+  }
+
+  /** p15/p16's shared per-document objective frame (exact integers). */
+  private def docObjectives(spark: SparkSession, dir: String): DataFrame =
+    Sources.table(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
         size(array_distinct(col("toks"))).cast("long").as("info"),
         col("n_chars").cast("long").as("cost"),
         (size(col("toks")) - size(array_distinct(col("toks"))))
           .cast("long").as("rep"))
-    graft.api.Select.paretoSkyline(objectives,
-        Seq("info" -> true, "cost" -> false, "rep" -> false))
+
+  private val skyObjectives =
+    Seq("info" -> true, "cost" -> false, "rep" -> false)
+
+  /** p15's objective CTE for the DuckDB side, shared by both skyline
+    * oracles so the two queries certify the SAME objective surface.
+    */
+  private val skyObjectivesSql =
+    """SELECT doc_id,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |           AS info,
+      |         CAST(n_chars AS BIGINT) AS cost,
+      |         CAST(len(string_split(text, ' '))
+      |              - len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |           AS rep
+      |  FROM read_parquet('{SFDIR}/documents.parquet')""".stripMargin
+
+  /** Incremental maintenance of the p15 frontier under an ingest
+    * batch — the VIEW-MAINTENANCE axis of the dominance view (the d20
+    * index-lifecycle discipline applied to a derived view): the d09
+    * md5 80/20 split stands in for "corpus so far" vs "new batch",
+    * and the new frontier is computed from the OLD FRONTIER plus the
+    * batch only — never by rescanning the base corpus. The identity
+    * skyline(B ∪ I) = skyline(skyline(B) ∪ I) is exact: a base point
+    * dominated within B stays dominated in the superset, and any
+    * dominator in B of a surviving point is itself dominated by a
+    * frontier point that (by transitivity) also dominates — so
+    * pruning non-frontier base points removes no dominance evidence.
+    * The audit labels every affected doc: `retained` (still frontier),
+    * `displaced` (old frontier point now dominated — only an ingest
+    * doc can do this), `entered` (batch doc joining the frontier).
+    *
+    * The ORACLE does NOT use the identity: it re-derives both
+    * frontiers brute-force from first principles over the full
+    * corpus, so the maintenance shortcut itself is what the hash gate
+    * certifies. Scale shape: the incremental pass touches |frontier|
+    * + |batch| rows (both cutLineage'd), not |corpus| — the whole
+    * point of maintaining the view.
+    */
+  val p16 = OpQuery.oracled("p16_frontier_maintenance",
+    s"""WITH d AS (
+      |  SELECT doc_id, info, cost, rep,
+      |         (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |           + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bkt
+      |  FROM ($skyObjectivesSql
+      |  ) obj
+      |), base AS (
+      |  SELECT doc_id, info, cost, rep FROM d WHERE bkt < 205
+      |), fb AS (
+      |  SELECT p.doc_id, p.info, p.cost, p.rep FROM base p
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM base q
+      |    WHERE q.info >= p.info AND q.cost <= p.cost AND q.rep <= p.rep
+      |      AND (q.info > p.info OR q.cost < p.cost OR q.rep < p.rep))
+      |), f AS (
+      |  SELECT p.doc_id, p.info, p.cost, p.rep FROM d p
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM d q
+      |    WHERE q.info >= p.info AND q.cost <= p.cost AND q.rep <= p.rep
+      |      AND (q.info > p.info OR q.cost < p.cost OR q.rep < p.rep))
+      |)
+      |SELECT doc_id, status, info, cost, rep FROM (
+      |  SELECT fb.doc_id,
+      |         CASE WHEN f.doc_id IS NOT NULL THEN 'retained'
+      |              ELSE 'displaced' END AS status,
+      |         fb.info, fb.cost, fb.rep
+      |  FROM fb LEFT JOIN f ON f.doc_id = fb.doc_id
+      |  UNION ALL
+      |  SELECT f.doc_id, 'entered', f.info, f.cost, f.rep
+      |  FROM f JOIN d ON d.doc_id = f.doc_id AND d.bkt >= 205
+      |) ORDER BY doc_id""".stripMargin,
+    doc = "incremental skyline view maintenance over the d09 80/20 ingest split: new frontier from old frontier + batch only (identity proved in scaladoc), audit rows retained/displaced/entered; oracle re-derives both frontiers brute-force from the full corpus") { (spark, dir) =>
+    val withB = docObjectives(spark, dir)
+      .withColumn("bkt", graft.api.Sampling.hashBucket(col("doc_id")))
+    val base = withB.filter(col("bkt") < 205).drop("bkt")
+    val batch = withB.filter(col("bkt") >= 205).drop("bkt")
+    val baseF =
+      graft.api.Select.paretoSkyline(base, skyObjectives).cutLineage
+    val newF = graft.api.Select
+      .paretoSkyline(baseF.unionAll(batch), skyObjectives).cutLineage
+    val newIds = newF.select("doc_id")
+    val retained = baseF.join(newIds, Seq("doc_id"), "left_semi")
+      .withColumn("status", lit("retained"))
+    val displaced = baseF.join(newIds, Seq("doc_id"), "left_anti")
+      .withColumn("status", lit("displaced"))
+    val entered = newF
+      .join(batch.select("doc_id"), Seq("doc_id"), "left_semi")
+      .withColumn("status", lit("entered"))
+    retained.unionAll(displaced).unionAll(entered)
+      .select(col("doc_id"), col("status"), col("info"), col("cost"),
+        col("rep"))
       .orderBy("doc_id")
   }
 
   val all: Seq[OpQuery] = Seq(p01, p02, p03, p04, p05, p06, p07, p08,
-    p09, p10, p11, p12, p13, p14, p15).map { q =>
+    p09, p10, p11, p12, p13, p14, p15, p16).map { q =>
     if (Set(p01.name, p03.name, p14.name).contains(q.name))
       q.copy(prepare = (s, d) => { DedupOps.ensureNearDupPairs(s, d); () })
     else q

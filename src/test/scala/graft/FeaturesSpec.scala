@@ -176,6 +176,63 @@ class FeaturesSpec extends AnyFunSuite {
     assert(got.filter(_._1.startsWith("h")).values.forall(_ > tied.head))
   }
 
+  test("e49 conformal bound: thresholds are the exact rank-k calib order statistics; coverage recounts (brute mirror)") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.EventOps.e49.fn(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.map(_._1).toSeq == Seq(80, 90, 95))
+    // brute mirror from the same parquet: same cents + md5 bucket
+    val s = graft.io.Sources.table(spark, TestSpark.sf0001, "events")
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        graft.api.Sampling.hashBucket(col("event_id")).as("bkt"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val calib = s.filter(_._2 < 128).map(_._1).sorted
+    val test_ = s.filter(_._2 >= 128).map(_._1)
+    val nc = calib.length.toLong
+    got.foreach { case (l, nCalib, nTest, thr, nCov, ppm) =>
+      assert(nCalib == nc && nTest == test_.length.toLong)
+      val k = math.min((l * (nc + 1) + 99) / 100, nc)
+      assert(thr == calib((k - 1).toInt),
+        s"level $l: threshold $thr != rank-$k statistic ${calib((k - 1).toInt)}")
+      val cov = test_.count(_ <= thr).toLong
+      assert(nCov == cov && ppm == cov * 1000000L / nTest)
+      // the finite-sample direction the method guarantees in
+      // expectation — at this fixture it must at least not collapse
+      assert(ppm > (l - 10) * 10000L, s"level $l coverage $ppm collapsed")
+    }
+  }
+
+  test("e50 jackknife SE: leave-one-out micros, DECIMAL sum-of-squares, and the sqrt tail re-derive (brute mirror)") {
+    import org.apache.spark.sql.functions._
+    val r = graft.ops.EventOps.e50.fn(spark, TestSpark.sf0001).collect().head
+    val (ng, np, tv) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // brute mirror: same cents + md5 user group from the same parquet
+    val rows = graft.io.Sources.table(spark, TestSpark.sf0001, "events")
+      .filter(col("event_type") === "purchase")
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        (graft.api.Sampling.hashBucket(col("user_id"))
+          .cast("long") / lit(16L)).cast("long").as("g"))
+      .collect().map(x => (x.getLong(1), x.getLong(0)))
+    val grp = rows.groupBy(_._1).view.mapValues(v =>
+      (v.map(_._2).sum, v.size.toLong)).toMap
+    assert(ng == grp.size.toLong && np == rows.length.toLong &&
+      tv == rows.map(_._2).sum)
+    val ms = grp.values.map { case (v, c) =>
+      ((tv - v).toDouble / (np - c).toDouble * 1000000.0).toLong }.toSeq
+    val sm = ms.sum
+    val sm2 = ms.map(m => BigInt(m) * BigInt(m)).sum
+    val ss = (BigInt(ng) * sm2 - BigInt(sm) * BigInt(sm)) * BigInt(ng - 1)
+    val se = (math.sqrt(ss.toDouble) / ng).toLong
+    assert(r.getLong(3) == (tv.toDouble / np * 1000000.0).toLong) // theta
+    assert(r.getLong(4) == Math.floorDiv(sm, ng)) // jk mean
+    assert(r.getLong(5) == se, s"se ${r.getLong(5)} != brute $se")
+    // jackknife mean must sit near theta (ratio bias is O(1/n)) and
+    // the error bar must be positive and far below the estimate
+    assert(math.abs(r.getLong(4) - r.getLong(3)) < r.getLong(5).max(1L) * 4)
+    assert(se > 0 && se < r.getLong(3))
+  }
+
   test("e35 A/B readout: arms partition exposed users; rates and z re-derive from the counts") {
     val row = graft.ops.EventOps.e35.fn(spark, TestSpark.sf0001).collect()
     assert(row.length == 1)

@@ -72,6 +72,37 @@ class SelectSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("integral"))
   }
 
+  test("p16 identity: skyline(skyline(B) ∪ I) equals skyline(B ∪ I) on 20 random base/batch splits") {
+    val rnd = new scala.util.Random(16L)
+    (1 to 20).foreach { trial =>
+      val nb = 10 + rnd.nextInt(60)
+      val ni = 1 + rnd.nextInt(20)
+      val dom = 1 + rnd.nextInt(12) // heavy ties
+      def mk(ids: Range) = ids.map(i =>
+        (i.toLong, rnd.nextInt(dom).toLong, rnd.nextInt(dom).toLong,
+          rnd.nextInt(dom).toLong))
+      val b = mk(1 until (nb + 1))
+      val i = mk((nb + 1) until (nb + ni + 1))
+      val full = bruteIds(b ++ i)
+      // incremental: base frontier rows + batch, through the kernel
+      val fb = bruteIds(b)
+      val fbRows = b.filter(r => fb.contains(r._1)) ++ i
+      assert(skylineIds(fbRows) == full,
+        s"trial $trial: maintenance identity broken")
+    }
+  }
+
+  test("p16 statuses partition: a displaced doc is dominated only by an ingest doc") {
+    // base frontier doc 1 is displaced by batch doc 10; doc 2 survives
+    val rows = Seq(
+      (1L, 5L, 5L, 5L), (2L, 9L, 9L, 9L), (3L, 4L, 6L, 6L),
+      (10L, 6L, 4L, 4L))
+    val base = rows.filter(_._1 < 10L)
+    val full = bruteIds(rows)
+    assert(bruteIds(base) == Set(1L, 2L))
+    assert(full == Set(2L, 10L)) // 1 displaced by 10; 2 retained; 10 entered
+  }
+
   test("property: grid-pruned skyline equals brute force on 30 random frames, across bin counts") {
     val rnd = new scala.util.Random(20260816L)
     (1 to 30).foreach { trial =>
