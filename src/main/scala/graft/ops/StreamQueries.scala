@@ -2459,6 +2459,91 @@ object StreamQueries {
           col("v_us"), col("conv_us")))
   }
 
+  /** qs30: STREAM-STREAM AS-OF JOIN — the streaming twin of the
+    * native batch as-of operator (e11/e12, `plans/AsOfJoin.scala`),
+    * which Structured Streaming does not ship: built-in stream joins
+    * can produce qs8's interval CANDIDATES but not "keep only the
+    * latest prior click", which needs per-key ordered state
+    * ([[graft.stream.Pipelines.streamAsOfMatches]] — emission,
+    * timeout, and eviction protocol on its scaladoc). Driven across
+    * two event-time-split waves through one checkpoint (the qs29
+    * single-commit contract per run, so no click is ever late); the
+    * no-data batch after the final watermark advance fires the
+    * event-time timeouts, emitting exactly the purchases the oracle's
+    * final-watermark gate keeps. Oracle = batch as-of (latest click
+    * at-or-before within 30 min, ties to the larger click id, −1
+    * sentinels) gated at `pus < final watermark`.
+    */
+  val qs30 = OpQuery.oracled("qs30_stream_asof_join",
+    """WITH wm AS (
+      |  SELECT (epoch_us(max(ts)) // 1000) * 1000 - 3600000000 AS w
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), p AS (
+      |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+      |  FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+      |  FROM events WHERE event_type = 'click'
+      |), m AS (
+      |  SELECT p.user_id, p.purchase_id, p.pus, c.click_id, c.cus,
+      |         row_number() OVER (PARTITION BY p.purchase_id
+      |                            ORDER BY c.cus DESC, c.click_id DESC)
+      |           AS rn
+      |  FROM p LEFT JOIN c
+      |    ON c.user_id = p.user_id AND c.cus <= p.pus
+      |   AND c.cus >= p.pus - 1800000000
+      |)
+      |SELECT user_id, purchase_id, pus AS purchase_us,
+      |       coalesce(click_id, -1) AS click_id,
+      |       coalesce(cus, -1) AS click_us,
+      |       coalesce(pus - cus, -1) AS lag_us
+      |FROM m
+      |WHERE rn = 1 AND pus < (SELECT w FROM wm)
+      |ORDER BY purchase_id""".stripMargin,
+    doc = "stream-stream AS-OF join via flatMapGroupsWithState + " +
+      "event-time timeouts (latest prior click within 30 min, bounded " +
+      "keyed state, watermark-final emission); oracle = batch as-of " +
+      "under the final watermark") { (spark, dir) =>
+    import spark.implicits._
+    val root = scratch(dir, "qs30")
+    wipe(root)
+    // 2024-01-16T00:00Z — the qs19/qs23/qs29 mid-span boundary
+    val boundaryUs = 1705363200000000L
+    val ev = Sources.table(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"),
+        when(col("event_type") === "click", 0).otherwise(1)
+          .cast("int").as("kind"),
+        col("event_id").as("id"), expr("ts div 1000").as("us"))
+    ev.filter(col("us") < boundaryUs)
+      .write.mode("overwrite").parquet(s"$root/input")
+    val sch = spark.read.parquet(s"$root/input").schema
+    val s8 = stateSession(spark, 8)
+    def run(): Unit = Pipelines.runToCompletion(
+      Pipelines.sink(
+        Pipelines.streamAsOfMatches(
+          s8.readStream.schema(sch).parquet(s"$root/input")
+            .withColumn("evt", timestamp_micros(col("us")))
+            .withWatermark("evt", "1 hour")
+            .as[Pipelines.SAsOfEvent],
+          tolUs = 1800000000L).toDF(),
+        s"$root/sink", s"$root/ckpt"))
+    def commits(): Int =
+      Option(new java.io.File(s"$root/ckpt/commits").listFiles())
+        .map(_.count(_.getName.forall(_.isDigit))).getOrElse(0)
+    run()
+    val c1 = commits()
+    require(c1 >= 1, s"qs30 run 1 made no commit")
+    ev.filter(col("us") >= boundaryUs)
+      .write.mode("append").parquet(s"$root/input")
+    run()
+    require(commits() > c1, s"qs30 run 2 made no commit")
+    spark.read.parquet(s"$root/sink")
+      .select(col("user_id"), col("purchase_id"), col("purchase_us"),
+        col("click_id"), col("click_us"), col("lag_us"))
+      .orderBy("purchase_id")
+  }
+
   val all: Seq[OpQuery] = Seq(
     qs1,
     qs2.copy(prepare = (s, d) => { ensureEnvelopeInput(s, d); () }),
@@ -2489,5 +2574,6 @@ object StreamQueries {
     qs26.copy(prepare = (s, d) => { ensureSourceOverlap(s, d); () }),
     qs27,
     qs28,
-    qs29)
+    qs29,
+    qs30)
 }

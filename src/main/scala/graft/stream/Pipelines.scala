@@ -1119,6 +1119,93 @@ object Pipelines {
       }
   }
 
+  case class SAsOfEvent(user_id: Long, kind: Int, id: Long, us: Long,
+      evt: java.sql.Timestamp)
+  case class SAsOfState(clicks: Seq[(Long, Long)], pending: Seq[(Long, Long)])
+  case class SAsOfMatch(user_id: Long, purchase_id: Long, purchase_us: Long,
+      click_id: Long, click_us: Long, lag_us: Long)
+
+  /** STREAM-STREAM AS-OF JOIN — the streaming twin of the native batch
+    * [[graft.plans.AsOfJoin]] operator (e11/e12), which Structured
+    * Streaming does not ship: each purchase is matched to its user's
+    * LATEST click at-or-before it within `tolUs`, incrementally, with
+    * bounded state. Spark's built-in stream-stream joins can express
+    * the interval CANDIDATES (qs8) but not "keep only the latest
+    * prior" — that needs per-key ordered state, i.e. this
+    * flatMapGroupsWithState fold. It is the watermark-correct upgrade
+    * of [[streamAsOf]]: that kernel keeps one latest-right row and is
+    * exact only under strict per-key arrival order (a right arriving
+    * after a later left is not replayed); this one BUFFERS inside the
+    * watermark horizon and gates emission on it, so any arrival order
+    * the watermark admits yields the same output.
+    *
+    * Correctness protocol (the qs11 watermark-mirror discipline):
+    *  - a purchase is emitted only when the event-time watermark
+    *    passes it STRICTLY (`pus < wm·1000`) — from then on any
+    *    click at-or-before the purchase would be late and dropped, so
+    *    the match is final; pending purchases park in state.
+    *  - the per-purchase timeout is `floor(pus / 1000)` ms: the
+    *    watermark advancing beyond that is EXACTLY `wm_us > pus` for
+    *    whole-ms watermarks, so end-of-stream emission (Spark's
+    *    no-data batch after the final watermark advance) fires for
+    *    precisely the purchases the oracle's final-watermark gate
+    *    keeps.
+    *  - match = max (us, id) over buffered clicks in
+    *    `[pus − tolUs, pus]` — latest click, ties to the larger id;
+    *    no match → −1 sentinels (null-free sort surface).
+    *  - state is BOUNDED: clicks older than `wm·1000 − tolUs` can
+    *    match no pending (all ≥ wm) or future purchase and are
+    *    evicted every invocation; an empty group removes its state
+    *    (the KINESIS:213 unbounded-state defect stays fixed).
+    *
+    * Determinism rests on arrival respecting event time coarsely
+    * (watermark only advances between batches): the qs29-style
+    * event-time-split waves guarantee no click is ever late, so the
+    * fold is a pure function of the input — which is what lets the
+    * DuckDB oracle re-derive it as a batch as-of under the final
+    * watermark.
+    */
+  def streamAsOfMatches(events: org.apache.spark.sql.Dataset[SAsOfEvent],
+      tolUs: Long): org.apache.spark.sql.Dataset[SAsOfMatch] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SAsOfState, SAsOfMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SAsOfEvent], state: org.apache.spark.sql.streaming.GroupState[SAsOfState]) =>
+          val prev = state.getOption.getOrElse(SAsOfState(Nil, Nil))
+          var clicks = prev.clicks
+          var pending = prev.pending
+          it.foreach { e =>
+            if (e.kind == 0) clicks = clicks :+ ((e.us, e.id))
+            else pending = pending :+ ((e.us, e.id))
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
+          val (emit, stay) = pending.partition(_._1 < wmUs)
+          val out = emit.sortBy(identity).map { case (pus, pid) =>
+            val cands =
+              clicks.filter(c => c._1 <= pus && c._1 >= pus - tolUs)
+            if (cands.isEmpty) SAsOfMatch(uid, pid, pus, -1L, -1L, -1L)
+            else {
+              val (cus, cid) = cands.max
+              SAsOfMatch(uid, pid, pus, cid, cus, pus - cus)
+            }
+          }
+          clicks = clicks.filter(_._1 >= wmUs - tolUs)
+          if (stay.isEmpty && clicks.isEmpty) state.remove()
+          else {
+            state.update(SAsOfState(clicks, stay))
+            val tMs =
+              if (stay.nonEmpty) stay.map(_._1).min / 1000L
+              else (clicks.map(_._1).max + tolUs) / 1000L + 1L
+            state.setTimeoutTimestamp(math.max(tMs, wmMs))
+          }
+          out.iterator
+      }
+  }
+
   case class GapEvent(user_id: Long, ts_ns: Long)
   case class GapState(last_ns: Long, n: Long, s1: Long, s2: Long)
   case class GapUpdate(user_id: Long, n_gaps: Long, s1: Long, s2: Long)

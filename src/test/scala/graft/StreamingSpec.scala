@@ -158,6 +158,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((2L, 1L, 1.0)), rows.toString)
   }
 
+  test("stream as-of join: parks until the watermark passes, matches latest prior with id tie-break, -1 when out of tolerance (qs30 kernel)") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000000L // µs
+    def ev(kind: Int, id: Long, us: Long) = Pipelines.SAsOfEvent(
+      1L, kind, id, us, new java.sql.Timestamp(us / 1000L))
+    val mem = MemoryStream[Pipelines.SAsOfEvent]
+    val out = Pipelines.streamAsOfMatches(
+      mem.toDS().withWatermark("evt", "10 seconds"), tolUs = 1800000000L)
+    val q = out.writeStream
+      .outputMode("append").format("memory").queryName("asof_out")
+      .start()
+    // batch 1: two tied clicks + their purchase — watermark still 0,
+    // so NOTHING may emit yet
+    mem.addData(ev(0, 101L, t0), ev(0, 102L, t0), ev(1, 201L, t0 + 60000000L))
+    q.processAllAvailable()
+    assert(spark.table("asof_out").count() == 0L,
+      "purchase emitted before the watermark passed it")
+    // batch 2: an out-of-tolerance purchase, a later click+purchase
+    // pair, and a far-future purchase that advances the watermark
+    // past everything else but stays parked itself
+    mem.addData(
+      ev(1, 202L, t0 + 3800000000L), // 1900s after click 103: > 30 min tol
+      ev(0, 103L, t0 + 1900000000L),
+      ev(1, 203L, t0 + 2000000001L), // 100s after click 103: matches
+      ev(1, 204L, t0 + 4000000000L)) // watermark driver, stays pending
+    q.processAllAvailable()
+    q.stop()
+    val byId = spark.table("asof_out").collect()
+      .map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(byId.keySet == Set(201L, 202L, 203L),
+      s"wrong emission set: ${byId.keySet} (204 must stay parked)")
+    assert(byId(201L) == ((102L, t0, 60000000L)),
+      s"tie must go to the larger click id: ${byId(201L)}")
+    assert(byId(202L) == ((-1L, -1L, -1L)), s"${byId(202L)}")
+    assert(byId(203L) == ((103L, t0 + 1900000000L, 100000001L)),
+      s"${byId(203L)}")
+  }
+
   test("online z-scoring: stream scored against training-time stats equals the batch path") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
