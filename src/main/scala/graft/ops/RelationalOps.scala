@@ -1533,9 +1533,89 @@ object RelationalOps {
       .orderBy("o_orderstatus")
   }
 
+  /** Join-size estimation from a COORDINATED key sample — the
+    * query-planning axis (cardinality guardrails) none of the sketch
+    * family covers: r09/r34 estimate DISTINCT counts, but "how many
+    * rows will this join emit" is a frequency-moment question
+    * (|A ⋈_k B| = Σ_k c_A(k)·c_B(k); here the self-join second moment
+    * Σ c(k)² — the classic F₂ of AGMS, Alon–Matias–Szegedy STOC'96),
+    * and it's what an engine checks BEFORE paying for a 100 TB join.
+    * The estimator samples KEYS by the portable md5 coin (coordinated
+    * / bottom-k sampling, Cohen & Kaplan: the same keys are sampled
+    * on every table and every engine, which is what makes
+    * per-key products estimable at all) at rates 1/8 and 1/32 and
+    * re-inflates: est = rate⁻¹ · Σ_{sampled} c(k)² — exact integers
+    * throughout, so the whole readout is hash-stable, and the
+    * per-dial error ppm against the exact moment is IN the output
+    * (the g25 recall-table discipline).
+    *
+    * Scale shape: one keyed aggregate to key grain, a map-side coin,
+    * a two-dial broadcast fan — the estimate never runs the join and
+    * never shuffles more than the key histogram. The sample threshold
+    * is `u60 < 2⁶⁰ div rate_inv` (exact for power-of-two dials — no
+    * 64-bit overflow the multiplied form would hit at rate 32).
+    */
+  val r70 = OpQuery.oracled("r70_join_size_estimate",
+    """WITH ck AS (
+      |  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1
+      |), u AS (
+      |  SELECT k, c,
+      |         CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)
+      |              AS BIGINT) AS u60
+      |  FROM ck
+      |), rates AS (
+      |  SELECT unnest([8, 32]) AS rate_inv
+      |), t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |         CAST(sum(c * c) AS BIGINT) AS exact_pairs
+      |  FROM ck
+      |), est AS (
+      |  SELECT r.rate_inv, t.n_keys, t.exact_pairs,
+      |         CAST(count(CASE WHEN u.u60 < 1152921504606846976 // r.rate_inv
+      |                         THEN 1 END) AS BIGINT) AS n_sampled_keys,
+      |         CAST(sum(CASE WHEN u.u60 < 1152921504606846976 // r.rate_inv
+      |                       THEN u.c * u.c * r.rate_inv ELSE 0 END)
+      |              AS BIGINT) AS est_pairs
+      |  FROM u CROSS JOIN rates r CROSS JOIN t
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT rate_inv, n_keys, n_sampled_keys, exact_pairs, est_pairs,
+      |       CAST((abs(est_pairs - exact_pairs) * 1000000) // exact_pairs
+      |            AS BIGINT) AS err_ppm
+      |FROM est
+      |ORDER BY rate_inv""".stripMargin,
+    doc = "join-cardinality guardrail: self-join size on l_partkey (F2 moment) estimated from coordinated md5 key samples at 1/8 and 1/32, exact moment and per-dial error ppm in the output; no join is ever run") { (spark, dir) =>
+    import spark.implicits._
+    val ck = Sources.table(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("k"))
+      .agg(count(lit(1)).cast("bigint").as("c"))
+    val u = ck.withColumn("u60", expr(
+      "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+    val t = ck.agg(count(lit(1)).cast("bigint").as("n_keys"),
+      sum(expr("c * c")).cast("bigint").as("exact_pairs"))
+    val rates = Seq(8, 32).toDF("rate_inv")
+    u.crossJoin(broadcast(rates)).crossJoin(broadcast(t))
+      .groupBy("rate_inv", "n_keys", "exact_pairs")
+      .agg(
+        count(when(
+          expr("u60 < 1152921504606846976 div rate_inv"), 1))
+          .cast("bigint").as("n_sampled_keys"),
+        sum(when(
+          expr("u60 < 1152921504606846976 div rate_inv"),
+          expr("c * c * rate_inv")).otherwise(0L))
+          .cast("bigint").as("est_pairs"))
+      .select(col("rate_inv"), col("n_keys"), col("n_sampled_keys"),
+        col("exact_pairs"), col("est_pairs"),
+        expr("CAST((abs(est_pairs - exact_pairs) * 1000000) div exact_pairs AS BIGINT)")
+          .as("err_ppm"))
+      .orderBy("rate_inv")
+  }
+
   val all: Seq[OpQuery] = Seq(r01, r02, r03, r04, r05, r06, r07, r08, r09,
     r10, r11, r12, r30, r32, r38, r41, r42, r43, r44, r46, r47, r48, r49,
     r50, r51, r52, r54, r55, r56, r57, r58, r64, r65, r66, r67,
     r68.copy(prepare = (s, d) => { ensureOrcMirror(s, d); () }),
-    r69.copy(prepare = (s, d) => { ensureCsvMirror(s, d); () }))
+    r69.copy(prepare = (s, d) => { ensureCsvMirror(s, d); () }),
+    r70)
 }
