@@ -2215,7 +2215,119 @@ object SimilarityOps {
       .orderBy("c_id")
   }
 
+  /** IVF posting-list COMPACTION with probe continuity — the
+    * index-lifecycle ACTION to s26's tombstone AUDIT (the p10→p11
+    * audit→action pairing), extending d20's compaction/GC axis to the
+    * second index type the engine ships: s26 says WHICH cells carry
+    * dead weight; this query performs the compaction (tombstoned
+    * vectors anti-joined out of the posting lists — an index
+    * operation, not a re-derivation from raw vectors) and accounts
+    * for what a probe workload gets back. Probes are the live
+    * `vec_id % 11 = 5` wave, multiprobed to their top-2 centroids
+    * (s13's radius discipline); each (probe, cell, rank) row carries
+    * the cell's posting size before, its tombstoned count, and its
+    * size in the COMPACTED index — `n_after` counted from the
+    * anti-joined frame itself, so a compaction bug that drops a live
+    * vector or keeps a dead one breaks `after = before − dead` and
+    * hash-fails against the oracle's independent re-derivation. The
+    * reclaimed candidates (`n_dead` per probed cell) are exactly the
+    * scoring work compaction saves the probe path.
+    *
+    * Scale shape: one broadcast codebook assignment for vectors and
+    * probes, one anti-join at posting-list grain, three cell-grain
+    * count frames joined onto the ≤2-rows-per-probe fan — no
+    * pairwise scoring anywhere.
+    */
+  val s27 = OpQuery.oracled("s27_ivf_compaction", {
+    s"""WITH e AS (
+       |  $duckEmbedded
+       |), cent AS (
+       |  SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id % 250 = 0
+       |), assign AS (
+       |  SELECT e.vec_id, cent.c_id,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY e.vec_id
+       |           ORDER BY ${duckDot("e.v", "cent.cv")} / (e.nrm * cent.cnrm) DESC, cent.c_id ASC)
+       |         AS INT) AS crn
+       |  FROM e, cent
+       |), cells AS (
+       |  SELECT vec_id, c_id FROM assign WHERE crn = 1
+       |), tomb AS (
+       |  SELECT vec_id FROM e WHERE vec_id % 7 = 0
+       |), compacted AS (
+       |  SELECT c.vec_id, c.c_id FROM cells c
+       |  WHERE NOT EXISTS (SELECT 1 FROM tomb t WHERE t.vec_id = c.vec_id)
+       |), before AS (
+       |  SELECT c_id, CAST(count(*) AS BIGINT) AS n_before
+       |  FROM cells GROUP BY 1
+       |), deadc AS (
+       |  SELECT c.c_id, CAST(count(*) AS BIGINT) AS n_dead
+       |  FROM cells c JOIN tomb t ON t.vec_id = c.vec_id GROUP BY 1
+       |), after AS (
+       |  SELECT c_id, CAST(count(*) AS BIGINT) AS n_after
+       |  FROM compacted GROUP BY 1
+       |), probes AS (
+       |  SELECT vec_id AS probe_id, v, nrm FROM e
+       |  WHERE vec_id % 11 = 5 AND vec_id % 7 <> 0
+       |), passign AS (
+       |  SELECT p.probe_id, cent.c_id,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY p.probe_id
+       |           ORDER BY ${duckDot("p.v", "cent.cv")} / (p.nrm * cent.cnrm) DESC, cent.c_id ASC)
+       |         AS INT) AS rank
+       |  FROM probes p, cent
+       |)
+       |SELECT pa.probe_id, pa.c_id, pa.rank,
+       |       coalesce(b.n_before, 0) AS n_before,
+       |       coalesce(d.n_dead, 0) AS n_dead,
+       |       coalesce(a.n_after, 0) AS n_after
+       |FROM passign pa
+       |LEFT JOIN before b ON b.c_id = pa.c_id
+       |LEFT JOIN deadc d ON d.c_id = pa.c_id
+       |LEFT JOIN after a ON a.c_id = pa.c_id
+       |WHERE pa.rank <= 2
+       |ORDER BY pa.probe_id, pa.rank""".stripMargin
+  },
+    doc = "IVF index compaction: tombstoned vectors anti-joined out of the posting lists (the action to s26's audit, d20's GC axis on the second index type), accounted per top-2-multiprobed cell - posting size before, dead, and after from the compacted frame itself, so after = before - dead is certified by the hash gate") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = embedded(spark, dir).select("vec_id", "v", "nrm")
+    val cent = e.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+    def nearest(src: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(idCol)
+        .orderBy(col("ccos").desc, col("c_id").asc)
+      src.crossJoin(broadcast(cent))
+        .withColumn("ccos", expr(s"${dotDec("v", "cv")} / (nrm * cnrm)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= keep)
+        .select(col(idCol), col("c_id"), col("rank"))
+    }
+    val cells = nearest(e, "vec_id", 1).drop("rank")
+    val tomb = e.filter(col("vec_id") % 7 === 0).select("vec_id")
+    // the compaction ACTION: an anti-join on the posting-list frame
+    val compacted = cells.join(tomb, Seq("vec_id"), "left_anti")
+    val before = cells.groupBy("c_id")
+      .agg(count(lit(1)).cast("bigint").as("n_before"))
+    val deadc = cells.join(tomb, Seq("vec_id"))
+      .groupBy("c_id").agg(count(lit(1)).cast("bigint").as("n_dead"))
+    val after = compacted.groupBy("c_id")
+      .agg(count(lit(1)).cast("bigint").as("n_after"))
+    val probes = e.filter(col("vec_id") % 11 === 5 &&
+        col("vec_id") % 7 =!= 0)
+      .select(col("vec_id").as("probe_id"), col("v"), col("nrm"))
+    nearest(probes, "probe_id", 2)
+      .join(before, Seq("c_id"), "left")
+      .join(deadc, Seq("c_id"), "left")
+      .join(after, Seq("c_id"), "left")
+      .select(col("probe_id"), col("c_id"), col("rank"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_dead"), lit(0L)).as("n_dead"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .orderBy("probe_id", "rank")
+  }
+
   val all: Seq[OpQuery] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09,
     s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23,
-    s24, s25, s26)
+    s24, s25, s26, s27)
 }

@@ -77,7 +77,8 @@ class ScaleOracleSpec extends AnyFunSuite {
     "t44_tokenizer_transfer_drift", "p15_corpus_pareto_frontier",
     "e48_frequent_event_sequences", "e49_conformal_value_bound",
     "e50_jackknife_ratio_se", "p16_frontier_maintenance",
-    "qs30_stream_asof_join", "r70_join_size_estimate")
+    "qs30_stream_asof_join", "r70_join_size_estimate",
+    "s27_ivf_compaction")
 
   test("sf0.1 DuckDB oracle parity on the cheap deterministic subset") {
     assume(sys.env.get("SPARK_GRAFT_SF01_ORACLE").contains("1"),

@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import scala.jdk.CollectionConverters._
+
 import graft.api.Select
 
 /** The p15 skyline kernel: hand-pinned frontier (ties, strict
@@ -70,6 +72,36 @@ class SelectSpec extends AnyFunSuite {
         Seq("v" -> true))
     }
     assert(ex.getMessage.contains("integral"))
+  }
+
+  test("property: kernel equals brute force at 2 and 4 objectives (dimension generality)") {
+    val rnd = new scala.util.Random(24L)
+    def bruteN(rows: Seq[(Long, Seq[Long])]): Set[Long] =
+      rows.filter { case (_, p) =>
+        !rows.exists { case (_, q) =>
+          p.indices.forall(i => q(i) >= p(i)) &&
+            p.indices.exists(i => q(i) > p(i)) }
+      }.map(_._1).toSet
+    Seq(2, 4).foreach { d =>
+      (1 to 10).foreach { trial =>
+        val n = 15 + rnd.nextInt(60)
+        val dom = 1 + rnd.nextInt(10)
+        val rows = (1L to n.toLong).map(i =>
+          (i, Seq.fill(d)(rnd.nextInt(dom).toLong)))
+        val df = spark.createDataFrame(
+          rows.map { case (id, os) =>
+            org.apache.spark.sql.Row.fromSeq(id +: os) }.toList.asJava,
+          org.apache.spark.sql.types.StructType(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType) +:
+              (0 until d).map(i => org.apache.spark.sql.types.StructField(
+                s"o$i", org.apache.spark.sql.types.LongType))))
+        val got = Select.paretoSkyline(df,
+            (0 until d).map(i => s"o$i" -> true), bins = 3L)
+          .select("id").collect().map(_.getLong(0)).toSet
+        assert(got == bruteN(rows), s"d=$d trial $trial")
+      }
+    }
   }
 
   test("p16 identity: skyline(skyline(B) ∪ I) equals skyline(B ∪ I) on 20 random base/batch splits") {

@@ -137,4 +137,21 @@ class SimilarityApiSpec extends AnyFunSuite {
     assert(b1 == b2)
     assert(b1.values.forall(_.length == 4))
   }
+
+  test("s27 compaction: after = before - dead on every probed cell; probes live; exactly 2 cells per probe") {
+    val rows = graft.ops.SimilarityOps.s27.fn(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (pid, _, rank, before, dead, after) =>
+      assert(after == before - dead,
+        s"probe $pid rank $rank: $after != $before - $dead")
+      assert(pid % 11 == 5 && pid % 7 != 0, s"dead or non-wave probe $pid")
+      assert(rank == 1 || rank == 2)
+    }
+    assert(rows.groupBy(_._1).values.forall(_.map(_._3).sorted.toSeq == Seq(1, 2)))
+    // the tombstone wave must actually reclaim something somewhere
+    assert(rows.exists(_._5 > 0), "no probed cell carried dead weight")
+  }
 }
