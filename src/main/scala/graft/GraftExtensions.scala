@@ -31,6 +31,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "word_shingles(text[, n constant int])")
       }))
     e.injectFunction((
+      FunctionIdentifier("md5_u60"),
+      new ExpressionInfo(classOf[graft.expr.Md5U60Expr].getName, "md5_u60"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(s) => graft.expr.Md5U60Expr(s, 0)
+        case Seq(s, Literal(off: Int, IntegerType)) =>
+          graft.expr.Md5U60Expr(s, off)
+        case _ => throw new IllegalArgumentException(
+          "md5_u60(text[, off constant int in {0, 16}])")
+      }))
+    e.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1))))

@@ -59,10 +59,18 @@ object Dedup {
     * subexpression-eliminated — inlining the md5 into every aggregate
     * would hash each shingle 2*seeds times instead of once.
     */
-  private def withHashHalves(shs: DataFrame, idCol: String): DataFrame =
-    shs.select(col(idCol),
-      expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)").as("_h1"),
-      expr("CAST(conv(substr(md5(sh), 17, 15), 16, 10) AS BIGINT)").as("_h2"))
+  private def withHashHalves(shs: DataFrame, idCol: String,
+      keepShingle: Boolean = false): DataFrame = {
+    // md5_u60 reads each 60-bit half straight off the digest bytes —
+    // same values as the conv(substr(md5)) hex round-trip (Md5U60Spec),
+    // ~2x cheaper per row on the shingle-grain stream every banded
+    // path pays (guide §4)
+    val base = Seq(col(idCol),
+      expr("md5_u60(sh)").as("_h1"),
+      expr("md5_u60(sh, 16)").as("_h2"))
+    val cols = if (keepShingle) base :+ col("sh") else base
+    shs.select(cols: _*)
+  }
 
   private def minAggs(nSeeds: Int): Seq[Column] =
     (0 until nSeeds).map(i =>
@@ -209,7 +217,13 @@ object Dedup {
       case None => shsRaw
     }).cutLineage
     // one shuffle on the doc key yields the signature AND the shingle
-    // count (the later metric denominators) — no separate sizes pass
+    // count (the later metric denominators) — no separate sizes pass.
+    // (Probed this round: collecting the shingle SET here and verifying
+    // candidates with `size(array_intersect)` at pair grain measured a
+    // wash-to-regression at sf0.1 — per-pair string-array intersection
+    // costs more CPU than the codegen'd occurrence-grain hash joins
+    // save in exchanges. Negative result recorded so it isn't re-tried;
+    // see OPTIMIZATION_r16.md.)
     val aggs = minAggs(seeds) :+ count(lit(1)).as("n")
     val sig = withHashHalves(shs, idCol)
       .groupBy(idCol).agg(aggs.head, aggs.tail: _*).cutLineage
@@ -1107,7 +1121,15 @@ object Dedup {
         row_number().over(w).as("_pos"),
         count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(idCol)).as("_n"))
-    // prefix = first (n - ceil(t^2 * n) + 1) tokens in canonical order
+    // prefix = first (n - ceil(t^2 * n) + 1) tokens in canonical order.
+    // The prefix frame feeds both sides of the candidate self-join; the
+    // plan TEXT shows the ranked-prefix chain twice, but at runtime the
+    // two join-input exchanges are canonically identical and Spark's
+    // ReuseExchange executes the chain ONCE — measured this round:
+    // materializing pref with an eager lineage cut (to "deduplicate"
+    // the chain) ran 6.7 → 10.0 s at sf0.1, because the cut replaced a
+    // reused exchange with a serial checkpoint barrier + two scans.
+    // Negative result recorded so it isn't re-tried (OPTIMIZATION_r16.md).
     val ovMin = expr(s"(_n * $num2 + ${den2 - 1}) DIV $den2")
     val pref = pos.filter(col("_pos") <= col("_n") - ovMin + 1)
     val cand = pref.select(col(idCol).as("doc_a"), col("sh"), col("_n").as("na"))

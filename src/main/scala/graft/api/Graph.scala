@@ -531,8 +531,7 @@ object Graph {
       .persist()
     val h = sym.select(col("u").as("node")).distinct()
       .select(col("node"),
-        expr("CAST(conv(substr(md5(CAST(node AS STRING)), 1, 15), 16, 10) AS BIGINT)")
-          .as("h"))
+        expr("md5_u60(CAST(node AS STRING))").as("h"))
     def summarize(regs: DataFrame, r: Int): DataFrame =
       regs.groupBy("node")
         .agg(
@@ -965,9 +964,13 @@ object Graph {
     // and the codegen'd md5 beats the saved row materialization.
     val drawn = cand
       .withColumn("u01", expr(
-        "CAST(CAST(conv(substr(md5(concat_ws('|', CAST(u AS STRING), " +
-          "CAST(pa AS STRING), CAST(pb AS STRING))), 1, 15), 16, 10) " +
-          "AS BIGINT) AS DOUBLE)"))
+        // md5_u60 = the conv(substr(md5, 1, 15)) hex round-trip as one
+        // codegen'd digest read — identical value, measured 2.17 →
+        // 0.96 s on this query's 11.3M-row pair stream (guide §4 /
+        // §1.2 step 2: per-task work on the hot path; Md5U60Spec pins
+        // the equivalence)
+        "CAST(md5_u60(concat_ws('|', CAST(u AS STRING), " +
+          "CAST(pa AS STRING), CAST(pb AS STRING))) AS DOUBLE)"))
       .withColumn("den", expr(
         "sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))"))
     val maxG = gammas.max

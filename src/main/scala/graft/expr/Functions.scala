@@ -35,6 +35,14 @@ object Functions {
           "min_hash_sig(text[, n constant int, seeds constant int])")
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_u60", {
+        case Seq(s) => Md5U60Expr(s, 0)
+        case Seq(s, org.apache.spark.sql.catalyst.expressions.Literal(off: Int,
+          org.apache.spark.sql.types.IntegerType)) => Md5U60Expr(s, off)
+        case _ => throw new IllegalArgumentException(
+          "md5_u60(text[, off constant int in {0, 16}])")
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "quantized_dot", exprs => QuantizedDotExpr(exprs(0), exprs(1)), "scala_udf")

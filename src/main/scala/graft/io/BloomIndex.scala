@@ -58,8 +58,8 @@ object BloomIndex {
       .select(input_file_name().as("file"),
         col(keyCol).cast("string").as("_k"))
       .select(col("file"),
-        expr("CAST(conv(substr(md5(_k), 1, 15), 16, 10) AS BIGINT)").as("_h1"),
-        expr("CAST(conv(substr(md5(_k), 17, 15), 16, 10) AS BIGINT)").as("_h2"))
+        expr("md5_u60(_k)").as("_h1"),
+        expr("md5_u60(_k, 16)").as("_h2"))
     val posed = keyed.select(col("file"),
       explode(array((0 until hashes).map(i =>
         expr(s"((_h1 + $i * _h2) % $mod60) % $bits")): _*)).as("_pos"))

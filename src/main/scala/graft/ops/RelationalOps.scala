@@ -1591,7 +1591,7 @@ object RelationalOps {
       .groupBy(col("l_partkey").as("k"))
       .agg(count(lit(1)).cast("bigint").as("c"))
     val u = ck.withColumn("u60", expr(
-      "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      "md5_u60(CAST(k AS STRING))"))
     val t = ck.agg(count(lit(1)).cast("bigint").as("n_keys"),
       sum(expr("c * c")).cast("bigint").as("exact_pairs"))
     val rates = Seq(8, 32).toDF("rate_inv")

@@ -233,7 +233,7 @@ object ScaleOps {
     val li = Sources.table(spark, dir, "lineitem")
     val rho = li.select(
       col("l_returnflag"),
-      expr("CAST(conv(substr(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      expr("md5_u60(CAST(l_partkey AS STRING))").as("h"))
       .select(
         col("l_returnflag"),
         expr("h % 64").as("bucket"),
@@ -319,7 +319,7 @@ object ScaleOps {
       .filter(col("event_type").isin("click", "purchase"))
       .select("event_type", "user_id").distinct()
     val hashed = ev.select(col("event_type"),
-      expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      expr("md5_u60(CAST(user_id AS STRING))").as("h"))
     val w = Window.partitionBy("event_type").orderBy("h")
     val sk = hashed.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k).select("event_type", "h")

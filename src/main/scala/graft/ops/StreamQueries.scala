@@ -1686,8 +1686,7 @@ object StreamQueries {
         Pipelines.hllRegisters(
           s8.readStream.schema(sch).parquet(s"$root/input")
             .select(col("event_type"),
-              expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
-                .as("h"))
+              expr("md5_u60(CAST(user_id AS STRING))").as("h"))
             .as[Pipelines.TypedHash]).toDF()
           .select(concat_ws(":", col("event_type"), col("bucket")).as("k"),
             col("event_type"), col("bucket"), col("register")),
