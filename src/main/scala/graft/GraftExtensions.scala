@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{DotProductExpr, HumanCountExpr, QuantizedDotExpr, WordShinglesExpr}
+import graft.expr.{DotProductExpr, HumanCountExpr, LongDotExpr, QuantizedDotExpr, WordShinglesExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions with the SQL function registry at session build
@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("quantized_dot"),
       new ExpressionInfo(classOf[QuantizedDotExpr].getName, "quantized_dot"),
       (exprs: Seq[Expression]) => QuantizedDotExpr(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("long_dot"),
+      new ExpressionInfo(classOf[LongDotExpr].getName, "long_dot"),
+      (exprs: Seq[Expression]) => LongDotExpr(exprs(0), exprs(1))))
     // whole-operator axis: plans the GroupTopK logical node
     // (api.Windows.topKPerGroup) as the bounded-heap two-phase exec,
     // and rewrites the row_number()-window top-k idiom into it

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Vector math as codegen'd Catalyst expressions. The composable
   * formulation (`aggregate(zip_with(...))`) runs on the interpreted
@@ -83,6 +83,29 @@ object VectorExprs {
     acc.toDouble / 1e12
   }
 
+  /** Exact integer dot product over two array<bigint> columns — the
+    * codegen twin of `aggregate(zip_with(a, b, (x, y) -> x * y), 0L,
+    * (acc, x) -> acc + x)` for equal-length, null-free arrays (the only
+    * shape the int8-code search path produces): long multiply/add is
+    * exact and order-free, so the value is bit-identical to the
+    * interpreted fold, including two's-complement wraparound should a
+    * caller ever overflow (s21's codes bound |dot| ≤ 64·127² « 2^63).
+    * Like [[dotProduct]], iterates to the SHORTER length — the HOF form
+    * instead null-pads (yielding NULL), so callers must pass
+    * equal-length arrays, which every quantized-code column does by
+    * construction.
+    */
+  def longDot(ad: ArrayData, bd: ArrayData): Long = {
+    val n = math.min(ad.numElements(), bd.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += ad.getLong(i) * bd.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
   /** Quantized squared-L2 distance in integer picounits: per element,
     * the squared difference in IEEE double, scaled by 1e12, truncated
     * toward zero to a long, summed exactly. Bit-identical to the SQL
@@ -114,6 +137,10 @@ object VectorExprs {
 
   def quantized_l2(a: Column, b: Column): Column =
     ColumnBridge.column(QuantizedL2Expr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def long_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(LongDotExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def cosine(a: Column, b: Column): Column = {
@@ -172,6 +199,37 @@ case class QuantizedDotExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): QuantizedDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd [[VectorExprs.longDot]] — exact array<bigint> dot. */
+case class LongDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_dot"
+
+  // lazy like DotProductExpr.isFloat: dataType is unavailable before
+  // resolution, so the shape check runs at eval/codegen time
+  private def checkType(e: Expression): Unit = e.dataType match {
+    case ArrayType(LongType, _) => ()
+    case t => throw new IllegalArgumentException(
+      s"long_dot expects array<bigint>, got $t")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    checkType(left); checkType(right)
+    VectorExprs.longDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    checkType(left); checkType(right)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.VectorExprs.longDot($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDotExpr =
     copy(left = newLeft, right = newRight)
 }
 

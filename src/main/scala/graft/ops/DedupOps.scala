@@ -378,6 +378,20 @@ object DedupOps {
     }.mkString("(", " + ", ")")
   }
 
+  /** Spark-side 64-bit decode of a 16-hex-char SimHash: two 8-nibble
+    * halves through conv (each < 2^32, so the BIGINT cast is exact),
+    * recombined with shiftleft|or. Lets the pair verify run as ONE
+    * `bit_count(ha ^ hb)` on doc-grain-decoded longs instead of
+    * [[hammingSql]]'s 32 instr+substr per candidate pair (r16 guide §4:
+    * move per-pair string work to the doc-grain side). Value-identical
+    * to the nibble sum — popcount distributes over nibbles — pinned in
+    * DedupApiSpec. Spark-only: DuckDB's `^` is POWER, so the oracle
+    * keeps the portable nibble form.
+    */
+  private[graft] def simhashBitsSql(c: String): String =
+    s"shiftleft(CAST(conv(substr($c, 1, 8), 16, 10) AS BIGINT), 32) | " +
+      s"CAST(conv(substr($c, 9, 8), 16, 10) AS BIGINT)"
+
   /** SimHash banded near-dup PAIR SEARCH — the production use of d05's
     * fingerprints (the Google-crawl dedup shape): the 64-bit simhash
     * splits into 4 16-bit bands; any pair within Hamming distance 3
@@ -428,11 +442,18 @@ object DedupOps {
       |ORDER BY doc_a, doc_b""".stripMargin
   },
     doc = "SimHash banded near-dup pair search: 4x16-bit exact-match bands generate candidates (pigeonhole-complete for Hamming<=3 over non-viral bands; d04-style band-frequency cap), portable nibble-popcount verify") { (spark, dir) =>
+    // signatures decoded to ONE long at doc grain (simhashBitsSql), so
+    // the self-join + distinct shuffle 8-byte longs instead of 16-char
+    // strings and the per-pair verify is a single xor+popcount — the
+    // nibble-decode form charged 32 instr+substr to every candidate
+    // pair (value-identical; DedupApiSpec pins both forms)
     val sig = graft.api.Dedup.simhash(Sources.table(spark, dir, "documents"))
+      .withColumn("hbits", expr(simhashBitsSql("simhash")))
       .persist()
     val bands = sig
       .withColumn("b", explode(expr("sequence(0, 3)")))
       .withColumn("bv", expr("substr(simhash, b * 4 + 1, 4)"))
+      .select("doc_id", "hbits", "b", "bv")
       .persist()
     val okb = bands.groupBy("b", "bv").agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxBandDocFreq).select("b", "bv")
@@ -441,11 +462,11 @@ object DedupOps {
       .join(kept.as("b"),
         col("a.b") === col("b.b") && col("a.bv") === col("b.bv")
           && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sa"),
-        col("b.doc_id").as("doc_b"), col("b.simhash").as("sb"))
+      .select(col("a.doc_id").as("doc_a"), col("a.hbits").as("ha"),
+        col("b.doc_id").as("doc_b"), col("b.hbits").as("hb"))
       .distinct()
     cand
-      .withColumn("hamming", expr(hammingSql("sa", "sb")))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
       .orderBy("doc_a", "doc_b")

@@ -1728,7 +1728,12 @@ object SimilarityOps {
       .select(col("vec_id").as("q_id"), col("qv").as("pq"))
     val pairs = probes.join(broadcast(e), col("vec_id") =!= col("q_id"))
       .withColumn("iscore",
-        expr("aggregate(zip_with(pq, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        // codegen'd exact long dot: the HOF fold
+        // aggregate(zip_with(pq, qv, (a, b) -> a*b), 0L, (acc, x) -> acc+x)
+        // runs interpreted per pair — on the probes×corpus stream this is
+        // the innermost loop of the whole query (ExprSpec pins the
+        // bit-equivalence of the two forms)
+        graft.expr.VectorExprs.long_dot(col("pq"), col("qv")))
       .withColumn("score", expr("CAST(iscore AS DOUBLE) * maxabs / nrm"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
     val approx = pairs.withColumn("rn", row_number().over(w))

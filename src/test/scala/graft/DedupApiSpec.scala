@@ -370,17 +370,30 @@ class DedupApiSpec extends AnyFunSuite {
         Integer.bitCount(
           Integer.parseInt(x.toString, 16) ^ Integer.parseInt(y.toString, 16))
       }.sum
+    // fixed edge cases + deterministic pseudo-random signatures (the
+    // d16 fast path decodes each side to one long and xor-popcounts;
+    // both forms must agree with the scalar and each other, including
+    // the high-bit half where the shiftleft recombination goes negative)
+    val rnd = new scala.util.Random(1016L)
+    def hex16(): String =
+      (1 to 16).map(_ => "0123456789abcdef"(rnd.nextInt(16))).mkString
     val cases = Seq(
       ("0000000000000000", "0000000000000000"), // 0 bits
       ("0000000000000000", "0000000000000001"), // 1 bit
       ("ffffffffffffffff", "0000000000000000"), // 64 bits
       ("a5a5a5a5a5a5a5a5", "5a5a5a5a5a5a5a5a"), // alternating
-      ("0123456789abcdef", "0123456789abcdee"))
+      ("0123456789abcdef", "0123456789abcdee")) ++
+      (1 to 50).map(_ => (hex16(), hex16()))
     val df = cases.toDF("sa", "sb")
       .withColumn("h", expr(graft.ops.DedupOps.hammingSql("sa", "sb")))
-    val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
-    got.foreach { case (a, b, h) =>
-      assert(h == scalarHamming(a, b), s"$a vs $b: got $h")
+      .withColumn("ha", expr(graft.ops.DedupOps.simhashBitsSql("sa")))
+      .withColumn("hb", expr(graft.ops.DedupOps.simhashBitsSql("sb")))
+      .withColumn("hx", expr("bit_count(ha ^ hb)"))
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getInt(2), r.getInt(5)))
+    got.foreach { case (a, b, h, hx) =>
+      assert(h == scalarHamming(a, b), s"$a vs $b: nibble form got $h")
+      assert(hx == h, s"$a vs $b: xor form $hx != nibble form $h")
     }
   }
 

@@ -260,6 +260,29 @@ class ExprSpec extends AnyFunSuite {
     assert(nonUnit == 0L, s"$nonUnit non-adjacent consecutive curve steps")
   }
 
+  test("long_dot is bit-equal to the interpreted aggregate(zip_with) fold") {
+    import spark.implicits._
+    graft.expr.Functions.register(spark)
+    // negatives, zeros, int8-code-sized and large values; equal lengths
+    // (the only shape the quantized-code columns produce — long_dot's
+    // documented contract)
+    val vecs = (0 until 40).map { i =>
+      val a = Array.tabulate(64)(j => ((i * 131 + j * 17) % 255 - 127).toLong)
+      val b = Array.tabulate(64)(j => ((i * 37 + j * 101) % 255 - 127).toLong)
+      (i.toLong, a, b)
+    } :+ ((99L, Array(Long.MaxValue / 2, -3L), Array(4L, 5L))) // wraparound leg
+    val df = vecs.toDF("id", "a", "b")
+      .selectExpr("id", "long_dot(a, b) AS fast",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + x) AS hof")
+      .collect()
+    assert(df.length == vecs.length)
+    df.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"id ${r.getLong(0)}: long_dot ${r.getLong(1)} != hof ${r.getLong(2)}"))
+    // null array -> null result, like every binary expression
+    val n = spark.sql("SELECT long_dot(CAST(NULL AS ARRAY<BIGINT>), array(1L))").head()
+    assert(n.isNullAt(0))
+  }
+
   test("quantizedDotArr is bit-equal to the quantized_dot column expression") {
     import spark.implicits._
     graft.expr.Functions.register(spark)
