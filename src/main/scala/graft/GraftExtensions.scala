@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{DotProductExpr, HumanCountExpr, LongDotExpr, QuantizedDotExpr, WordShinglesExpr}
+import graft.expr.{DotProductExpr, HumanCountExpr, LongDotExpr, LongL1Expr, QuantizedDotExpr, WordShinglesExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions with the SQL function registry at session build
@@ -52,6 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("long_dot"),
       new ExpressionInfo(classOf[LongDotExpr].getName, "long_dot"),
       (exprs: Seq[Expression]) => LongDotExpr(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("long_l1"),
+      new ExpressionInfo(classOf[LongL1Expr].getName, "long_l1"),
+      (exprs: Seq[Expression]) => LongL1Expr(exprs(0), exprs(1))))
     // whole-operator axis: plans the GroupTopK logical node
     // (api.Windows.topKPerGroup) as the bounded-heap two-phase exec,
     // and rewrites the row_number()-window top-k idiom into it

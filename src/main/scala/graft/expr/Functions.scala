@@ -51,6 +51,8 @@ object Functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "long_dot", exprs => LongDotExpr(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_l1", exprs => LongL1Expr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_fingerprint", exprs => RollingFingerprintExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "repetition_profile", exprs => RepetitionProfileExpr(exprs.head), "scala_udf")

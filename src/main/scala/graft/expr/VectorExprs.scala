@@ -106,6 +106,26 @@ object VectorExprs {
     acc
   }
 
+  /** Exact integer L1 distance over two array<bigint> columns — the
+    * codegen twin of `aggregate(zip_with(a, b, (x, y) -> abs(x - y)),
+    * 0L, (acc, v) -> acc + v)` under the same equal-length, null-free
+    * contract as [[longDot]]: per element `math.abs` of the long
+    * difference (two's-complement semantics identical to the HOF's
+    * `abs`), long sum is exact and order-free. Callers keep |x−y|
+    * far below 2^63 by construction (m03's histogram counts are
+    * bounded by n_bytes).
+    */
+  def longL1(ad: ArrayData, bd: ArrayData): Long = {
+    val n = math.min(ad.numElements(), bd.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += math.abs(ad.getLong(i) - bd.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
   /** Quantized squared-L2 distance in integer picounits: per element,
     * the squared difference in IEEE double, scaled by 1e12, truncated
     * toward zero to a long, summed exactly. Bit-identical to the SQL
@@ -141,6 +161,10 @@ object VectorExprs {
 
   def long_dot(a: Column, b: Column): Column =
     ColumnBridge.column(LongDotExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def long_l1(a: Column, b: Column): Column =
+    ColumnBridge.column(LongL1Expr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def cosine(a: Column, b: Column): Column = {
@@ -230,6 +254,37 @@ case class LongDotExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): LongDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd [[VectorExprs.longL1]] — exact array<bigint> L1 distance. */
+case class LongL1Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_l1"
+
+  // lazy like LongDotExpr.checkType: dataType is unavailable before
+  // resolution, so the shape check runs at eval/codegen time
+  private def checkType(e: Expression): Unit = e.dataType match {
+    case ArrayType(LongType, _) => ()
+    case t => throw new IllegalArgumentException(
+      s"long_l1 expects array<bigint>, got $t")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    checkType(left); checkType(right)
+    VectorExprs.longL1(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    checkType(left); checkType(right)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.VectorExprs.longL1($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongL1Expr =
     copy(left = newLeft, right = newRight)
 }
 

@@ -289,8 +289,12 @@ object Multimodal {
       col("cs").as("bcs"), col("amax").as("bmax"), col("szb").as("bszb"))
     a.join(b, col("amax") === col("bmax") && col("szb") === col("bszb") &&
         col("media_a") < col("media_b"))
-      .withColumn("l1_dist", expr(
-        "aggregate(zip_with(acs, bcs, (x, y) -> abs(x - y)), 0L, (acc, v) -> acc + v)"))
+      // codegen'd exact L1 (expr/VectorExprs.LongL1Expr) — value-identical
+      // to the interpreted fold `aggregate(zip_with(acs, bcs, (x, y) ->
+      // abs(x - y)), 0L, (acc, v) -> acc + v)`; the HOF form runs
+      // interpreted per candidate pair (the s21 long_dot precedent)
+      .withColumn("l1_dist",
+        graft.expr.VectorExprs.long_l1(col("acs"), col("bcs")))
       .filter(lit(40) * col("l1_dist") <= col("na") + col("nb"))
       .select(col("media_a"), col("media_b"),
         col("l1_dist").cast("bigint").as("l1_dist"))

@@ -283,6 +283,28 @@ class ExprSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("long_l1 is bit-equal to the interpreted abs-diff fold") {
+    import spark.implicits._
+    graft.expr.Functions.register(spark)
+    // negatives, zeros, m03-histogram-sized and large values; equal
+    // lengths (long_l1's documented contract, same as long_dot's)
+    val vecs = (0 until 40).map { i =>
+      val a = Array.tabulate(16)(j => ((i * 131 + j * 17) % 100003).toLong - 50000L)
+      val b = Array.tabulate(16)(j => ((i * 37 + j * 101) % 100003).toLong - 50000L)
+      (i.toLong, a, b)
+    } :+ ((99L, Array(Long.MinValue / 2, 7L), Array(Long.MaxValue / 2, -9L))) // wraparound leg
+    val df = vecs.toDF("id", "a", "b")
+      .selectExpr("id", "long_l1(a, b) AS fast",
+        "aggregate(zip_with(a, b, (x, y) -> abs(x - y)), 0L, (acc, v) -> acc + v) AS hof")
+      .collect()
+    assert(df.length == vecs.length)
+    df.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"id ${r.getLong(0)}: long_l1 ${r.getLong(1)} != hof ${r.getLong(2)}"))
+    // null array -> null result, like every binary expression
+    val n1 = spark.sql("SELECT long_l1(CAST(NULL AS ARRAY<BIGINT>), array(1L))").head()
+    assert(n1.isNullAt(0))
+  }
+
   test("quantizedDotArr is bit-equal to the quantized_dot column expression") {
     import spark.implicits._
     graft.expr.Functions.register(spark)
